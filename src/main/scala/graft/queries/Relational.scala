@@ -1,0 +1,359 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Det.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator contract — SURVEY.md §2.2–2.5, §2.7.
+  *
+  * Design stance (SURVEY.md §7.1): declarative DataFrame plans only; Catalyst
+  * owns predicate pushdown, column pruning and join selection. Every query
+  * ends in a total order with a unique-key tiebreak and explicit float
+  * determinism (exact decimal sums / rounded ratios) so results hash-match
+  * the DuckDB oracle regardless of partition count — see SURVEY.md §2.9.
+  *
+  * The lineitem unique key is (l_orderkey, l_linenumber, l_partkey,
+  * l_suppkey) — (orderkey, linenumber) alone is NOT unique in this testdata
+  * (verified: 60 000 rows, 45 832 distinct pairs at sf0.01).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** lineitem total-order tiebreak columns. */
+  private val liKey = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  // ---------------------------------------------------------------- scans
+
+  /** Full scan smoke over all 10 sources: count + min/max key per table.
+    * At scale each branch is an independent parquet scan whose aggregate is
+    * computed map-side (partial HashAggregate) — no wide shuffle.
+    */
+  val qScanParquet: Q = (s, dir) => {
+    val specs = Seq(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "events" -> "event_id",
+      "documents" -> "doc_id", "embeddings" -> "vec_id")
+    specs.map { case (t, k) =>
+      Tables.table(s, dir, t)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col(k).cast("long")).as("min_key"),
+          max(col(k).cast("long")).as("max_key"))
+        .select(lit(t).as("table_name"), col("n_rows"), col("min_key"), col("max_key"))
+    }.reduce(_.unionAll(_)).orderBy("table_name")
+  }
+
+  /** TIMESTAMP(NANOS) decode path (SURVEY.md §1.3): per-event-type counts and
+    * microsecond-exact min/max timestamps. */
+  val qScanEventsNs: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .orderBy("event_type")
+
+  /** Reference-native input format: label + features CSV parsed with an
+    * explicit schema (SURVEY.md §2.2 q_source_csv). The CSV text is derived
+    * deterministically from the embeddings table, then re-parsed through the
+    * Spark CSV datasource — same parser as a file-based read, no tmp files.
+    */
+  val qSourceCsv: Q = (s, dir) => {
+    import s.implicits._
+    val csvLines = Tables.embeddings(s, dir)
+      .orderBy("vec_id")
+      .limit(200)
+      .select(concat_ws(",",
+        col("vec_id"), col("label"),
+        col("embedding")(0), col("embedding")(1),
+        col("embedding")(2), col("embedding")(3)).as("line"))
+      .as[String]
+    val schema = "vec_id LONG, label INT, f0 DOUBLE, f1 DOUBLE, f2 DOUBLE, f3 DOUBLE"
+    s.read.schema(schema).csv(csvLines)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("f0")), 6).as("mean_f0"))
+      .orderBy("label")
+  }
+
+  // ------------------------------------------------- projection / filters
+
+  /** Projection with derived arithmetic + string concat (REF-P1 feature
+    * construction). `round(x,2)` of a product of doubles is identical across
+    * engines (IEEE 754 products, whole-cent inputs). */
+  val qProjCompute: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 2).as("charge"),
+        concat(col("l_returnflag"), lit("|"), col("l_linestatus")).as("flag"))
+      .orderBy(liKey.map(col): _*)
+      .limit(100)
+
+  /** Conjunction / disjunction / BETWEEN / IN / LIKE / negation. All five
+    * predicates push down to the parquet scan (PushedFilters). */
+  val qFilterPred: Q = (s, dir) =>
+    Tables.part(s, dir)
+      .filter(
+        col("p_type").like("PROMO%") &&
+        col("p_size").between(10, 40) &&
+        (col("p_size").isin(11, 13, 17, 19, 23) || col("p_retailprice") > 950.0) &&
+        !(col("p_partkey") % 7 === 0))
+      .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"), col("p_retailprice"))
+      .orderBy("p_partkey")
+
+  /** NULL semantics — the testdata has zero natural NULLs (FIXTURES.md), so
+    * NULLs are synthesized via a selective left join and `nullif`. */
+  val qFilterNull: Q = (s, dir) => {
+    val big = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+    Tables.customer(s, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("n_big").isNull.as("no_big_order"),
+        coalesce(col("n_big"), lit(0L)).as("n_big_orders"),
+        expr("nullif(c_mktsegment, 'BUILDING')").isNull.as("is_building"))
+      .orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** Equi inner join + aggregate + top-k. customer is the small side —
+    * explicitly broadcast (at 100 TB customer is still ~GBs; AQE would demote
+    * if it ever exceeded the threshold). */
+  val qJoinInner: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    Tables.orders(s, dir)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(dsum(col("o_totalprice")).as("spend"), count(lit(1)).as("n_orders"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  /** 5-way star join: the fact table (lineitem) is joined once on its own
+    * key; all dimension hops are broadcasts, so the only shuffle in the plan
+    * is lineitem⋈orders (AQE may even broadcast orders at small SF). */
+  val qJoinMultiway: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name")
+
+  /** Left outer join preserving customers with no qualifying orders
+    * (count(col) skips NULLs; sum over empty group → NULL → coalesce 0). */
+  val qJoinLeft: Q = (s, dir) => {
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
+    Tables.customer(s, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_big"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("big_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** EXISTS — left semi join (Catalyst RewritePredicateSubquery target). */
+  val qJoinSemi: Q = (s, dir) => {
+    val f = Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** NOT EXISTS — left anti join: parts with no recent shipment. */
+  val qJoinAnti: Q = (s, dir) => {
+    val recent = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+      .select(col("l_partkey"))
+    Tables.part(s, dir)
+      .join(recent, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy("p_partkey")
+  }
+
+  /** Non-equi band join (theta): lineitem priced within ±25 of a large
+    * part's retail price. Both sides pre-filtered so the broadcast
+    * nested-loop stays ~1e8 comparisons even at sf0.1; at 100 TB this shape
+    * demands a range-bucketed equi-join rewrite (bucket price to width-25
+    * bins, equi-join on bin±1, refine) — noted, not needed at contract SF.
+    */
+  val qJoinTheta: Q = (s, dir) => {
+    val p = Tables.part(s, dir).filter(col("p_size") >= 48)
+      .select(col("p_partkey"), col("p_retailprice"))
+    val l = Tables.lineitem(s, dir).filter(col("l_quantity") <= 5.0)
+      .select(liKey.map(col) :+ col("l_extendedprice"): _*)
+    l.join(broadcast(p),
+        col("l_extendedprice").between(col("p_retailprice") - 25.0, col("p_retailprice") + 25.0))
+      .select(col("p_partkey") +: liKey.map(col) :+ col("l_extendedprice") :+ col("p_retailprice"): _*)
+      .orderBy(("p_partkey" +: liKey).map(col): _*)
+  }
+
+  // ----------------------------------------------------------- aggregates
+
+  /** Flagship: TPC-H Q1-style 7-aggregate group-by (REF-P1: partial
+    * HashAggregate ≡ the reference's in-mapper combining; final aggregate ≡
+    * its reducer). Money sums accumulate in DECIMAL(38,10) for
+    * partition-order independence (SURVEY.md §2.9). */
+  val qAggPricing: Q = (s, dir) => {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(disc).as("sum_disc_price"),
+        dsum(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(dsum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+        round(dsum(col("l_discount"), 6) / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Exact multi-column COUNT(DISTINCT) — Catalyst's Expand-based rewrite. */
+  val qAggDistinct: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        count(lit(1)).as("n_rows"))
+
+  /** HLL sketch distinct (no oracle — sketch is impl-specific; bounded vs
+    * exact in tests). This is the 100 TB path where exact distinct shuffles
+    * too much. */
+  val qAggApproxDistinct: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** GROUPING SETS ((nation, segment), (nation), ()) with grouping flags. */
+  val qAggGroupingSets: Q = (s, dir) => {
+    val joined = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+    joined
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("c_mktsegment")), Seq(col("n_name")), Seq()),
+        col("n_name"), col("c_mktsegment"))
+      .agg(
+        grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping(col("c_mktsegment")).cast("long").as("g_segment"),
+        count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("g_nation"), col("g_segment"),
+        col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** Central-moment aggregate family — this IS the reference's OLS/GDA
+    * sufficient-statistics reducer (REF-P1). Small-magnitude columns keep
+    * the ulp error far below the rounding step (SURVEY.md §2.9). */
+  val qAggStats: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"))
+      .orderBy("l_returnflag")
+
+  /** Exact interpolated median + p90 (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). At 100 TB swap for approx_percentile — exact
+    * percentile sorts per group. */
+  val qAggMedian: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))
+      .orderBy("o_orderstatus")
+
+  // -------------------------------------------- sort / top-k / set ops
+
+  /** Multi-key sort with explicit NULLS placement (Spark default is
+    * ASC NULLS FIRST, DuckDB's is NULLS LAST — always spell it out). */
+  val qSortMulti: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg_or_null"))
+      .orderBy(col("seg_or_null").asc_nulls_last, col("c_acctbal").desc, col("c_custkey"))
+      .limit(200)
+
+  /** Global top-k → TakeOrderedAndProjectExec (per-partition heaps + driver
+    * merge — the distributed form of the reference's P3 heap merge). */
+  val qTopk: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        liKey.map(col) :+
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 2).as("charge"): _*)
+      .orderBy(col("charge").desc +: liKey.map(col): _*)
+      .limit(20)
+
+  /** UNION ALL + UNION DISTINCT composition. */
+  val qSetUnion: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select(lit("building").as("src"), col("c_custkey"))
+    val b = c.filter(col("c_acctbal") > 5000.0).select(lit("rich").as("src"), col("c_custkey"))
+    val d = c.filter(col("c_acctbal") > 7000.0).select(lit("rich").as("src"), col("c_custkey"))
+    a.union(b).union(d).distinct().orderBy("src", "c_custkey")
+  }
+
+  /** INTERSECT (distinct semantics in both engines). */
+  val qSetIntersect: Q = (s, dir) =>
+    Tables.part(s, dir).filter(col("p_size") > 25).select(col("p_partkey"))
+      .intersect(Tables.lineitem(s, dir).select(col("l_partkey").as("p_partkey")))
+      .orderBy("p_partkey")
+
+  /** EXCEPT (distinct): customers with no 2001 orders. */
+  val qSetExcept: Q = (s, dir) =>
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .except(
+        Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === 2001)
+          .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_parquet" -> qScanParquet,
+    "q_scan_events_ns" -> qScanEventsNs,
+    "q_source_csv" -> qSourceCsv,
+    "q_proj_compute" -> qProjCompute,
+    "q_filter_pred" -> qFilterPred,
+    "q_filter_null" -> qFilterNull,
+    "q_join_inner" -> qJoinInner,
+    "q_join_multiway" -> qJoinMultiway,
+    "q_join_left" -> qJoinLeft,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_theta" -> qJoinTheta,
+    "q_agg_pricing" -> qAggPricing,
+    "q_agg_distinct" -> qAggDistinct,
+    "q_agg_approx_distinct" -> qAggApproxDistinct,
+    "q_agg_groupingsets" -> qAggGroupingSets,
+    "q_agg_stats" -> qAggStats,
+    "q_agg_median" -> qAggMedian,
+    "q_sort_multi" -> qSortMulti,
+    "q_topk" -> qTopk,
+    "q_set_union" -> qSetUnion,
+    "q_set_intersect" -> qSetIntersect,
+    "q_set_except" -> qSetExcept)
+}

@@ -197,6 +197,122 @@ object Oracle {
            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001)
          ORDER BY c_custkey""")
 
+  /** dsum as a window aggregate — same recipe OVER a frame. */
+  private def dsumOver(x: String, over: String, scale: Int = 2): String = {
+    val p = math.pow(10, scale).toLong
+    s"CAST(round(sum(CAST($x AS DECIMAL(38,10))) OVER $over, $scale) * $p AS BIGINT) / $p.0"
+  }
+
+  val windows: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+             dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_window_running" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+                 ${dsumOver("o_totalprice",
+                   "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_spend
+          FROM orders
+          ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id, ts,
+                epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+                epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS next_us,
+                first_value(event_id) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+                last_value(event_id) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+
+    "q_window_range" ->
+      s"""SELECT o_orderstatus, o_orderkey, price_cents,
+                 count(*) OVER w AS n_band,
+                 ${dsumOver("o_totalprice", "w")} AS band_spend
+          FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                FROM orders)
+          WINDOW w AS (PARTITION BY o_orderstatus ORDER BY price_cents
+                       RANGE BETWEEN 500000 PRECEDING AND 500000 FOLLOWING)
+          ORDER BY o_orderstatus, price_cents, o_orderkey""",
+
+    "q_window_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+                CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile,
+                round(percent_rank() OVER (ORDER BY c_acctbal DESC), 6) AS pct_rank
+         FROM customer
+         ORDER BY c_custkey""")
+
+  val functions: Map[String, String] = Map(
+    "q_str_funcs" ->
+      """SELECT c_custkey,
+                upper(c_name) AS up_name,
+                lower(c_mktsegment) AS lo_seg,
+                substring(c_name, 10, 4) AS sub_name,
+                trim('  ' || c_mktsegment || '  ') AS trimmed,
+                CAST(length(c_name) AS BIGINT) AS name_len,
+                regexp_replace(c_name, 'Customer#', 'C-') AS repl_name,
+                concat_ws('/', c_mktsegment, c_name) AS joined,
+                lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+                CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS extracted_id
+         FROM customer ORDER BY c_custkey""",
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS BIGINT) AS yr,
+                CAST(month(o_orderdate) AS BIGINT) AS mo,
+                CAST(day(o_orderdate) AS BIGINT) AS dom,
+                date_trunc('month', o_orderdate) AS month_start,
+                o_orderdate + INTERVAL 3 DAY AS plus3d,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+                CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_math_funcs" ->
+      """SELECT p_partkey,
+                round(p_retailprice, 1) AS r1,
+                CAST(floor(p_retailprice) AS BIGINT) AS fl,
+                CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+                CAST(abs(25 - p_size) AS BIGINT) AS ab,
+                round(sqrt(p_retailprice), 6) AS sq,
+                round(ln(p_retailprice), 6) AS lg,
+                round(exp(CAST(p_size AS DOUBLE) / 10.0), 6) AS ex,
+                pow(CAST(p_size AS DOUBLE), 2) AS pw,
+                CAST(p_partkey % 97 AS BIGINT) AS md,
+                CAST(sign(CAST(p_size AS DOUBLE) - 25.0) AS BIGINT) AS sg
+         FROM part ORDER BY p_partkey""",
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+                CAST(length(embedding) AS BIGINT) AS dim,
+                round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+                list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 6)) AS head4,
+                round(sqrt(list_aggregate(
+                  list_transform(embedding[1:4],
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_head4
+         FROM embeddings ORDER BY vec_id""",
+
+    "q_json_funcs" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_mod,
+                 count(*) AS n,
+                 ${dsum("value", 6)} AS sum_value
+          FROM events GROUP BY k_mod ORDER BY k_mod""",
+
+    "q_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents)
+         WHERE token <> ''
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""")
+
   /** All oracle strings, keyed like SparkEntry.queries. */
-  def all: Map[String, String] = relational
+  def all: Map[String, String] = relational ++ windows ++ functions
 }

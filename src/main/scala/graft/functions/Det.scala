@@ -40,4 +40,15 @@ object Det {
   /** Exact mean: deterministic dsum / count, rounded to `scale` places. */
   def davg(c: Column, scale: Int = 6): Column =
     round(dsum(c, scale) / count(lit(1)), scale)
+
+  /** Windowed twin of dsum: exact decimal sum over a window frame, surfaced
+    * as a deterministic double. Window aggregation engines differ in partial-
+    * sum order (DuckDB uses segment trees, Spark accumulates in frame order)
+    * — exact decimal accumulation makes the result order-independent. */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+               scale: Int = 2): Column = {
+    val p = math.pow(10, scale)
+    (round(sum(c.cast(Dec)).over(w), scale) * lit(p.toLong))
+      .cast(LongType).cast(DoubleType) / lit(p)
+  }
 }

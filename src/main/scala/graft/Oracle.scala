@@ -294,7 +294,10 @@ object Oracle {
       """SELECT vec_id,
                 CAST(length(embedding) AS BIGINT) AS dim,
                 round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
-                list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 6)) AS head4,
+                round(CAST(embedding[1] AS DOUBLE), 6) AS h0,
+                round(CAST(embedding[2] AS DOUBLE), 6) AS h1,
+                round(CAST(embedding[3] AS DOUBLE), 6) AS h2,
+                round(CAST(embedding[4] AS DOUBLE), 6) AS h3,
                 round(sqrt(list_aggregate(
                   list_transform(embedding[1:4],
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_head4
@@ -313,6 +316,171 @@ object Oracle {
          WHERE token <> ''
          GROUP BY token ORDER BY n DESC, token LIMIT 20""")
 
+  /** Oracle twin of Det.davg: exact decimal mean, rounded. */
+  private def davg(x: String, scale: Int = 6): String =
+    s"round(${dsum(x, scale)} / count(*), $scale)"
+
+  val mlStats: Map[String, String] = {
+    val q = "l_quantity"; val d = "l_discount"; val y = "l_extendedprice"
+    Map(
+      "q_ml_linreg_normal" ->
+        s"""SELECT count(*) AS n,
+                   ${dsum(q)} AS s_q, ${dsum(d, 4)} AS s_d,
+                   ${dsum(s"$q * $q")} AS s_qq, ${dsum(s"$q * $d", 4)} AS s_qd,
+                   ${dsum(s"$d * $d", 6)} AS s_dd, ${dsum(y)} AS s_y,
+                   ${dsum(s"$q * $y")} AS s_qy, ${dsum(s"$d * $y", 4)} AS s_dy
+            FROM lineitem""",
+
+      "q_ml_nb_train" ->
+        s"""SELECT label, count(*) AS n,
+                   ${davg("CAST(embedding[1] AS DOUBLE)")} AS m0,
+                   ${davg("CAST(embedding[2] AS DOUBLE)")} AS m1,
+                   ${davg("CAST(embedding[3] AS DOUBLE)")} AS m2,
+                   ${davg("CAST(embedding[4] AS DOUBLE)")} AS m3,
+                   round(var_samp(CAST(embedding[1] AS DOUBLE)), 6) AS v0,
+                   round(var_samp(CAST(embedding[2] AS DOUBLE)), 6) AS v1,
+                   round(var_samp(CAST(embedding[3] AS DOUBLE)), 6) AS v2,
+                   round(var_samp(CAST(embedding[4] AS DOUBLE)), 6) AS v3
+            FROM embeddings GROUP BY label ORDER BY label""",
+
+      "q_ml_kmeans_step" -> {
+        val cs = graft.queries.MlSuffStats.kmeansCentroids
+        val ds = cs.zipWithIndex.map { case ((cx, cy), i) =>
+          s"(e0 - ($cx)) * (e0 - ($cx)) + (e1 - ($cy)) * (e1 - ($cy)) AS d$i"
+        }.mkString(", ")
+        s"""WITH pts AS (SELECT CAST(embedding[1] AS DOUBLE) AS e0,
+                                CAST(embedding[2] AS DOUBLE) AS e1 FROM embeddings),
+                 d AS (SELECT e0, e1, $ds FROM pts),
+                 a AS (SELECT e0, e1,
+                         CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                                   WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                                   WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT) AS cluster
+                       FROM d)
+            SELECT cluster, count(*) AS n,
+                   ${davg("e0")} AS new_cx, ${davg("e1")} AS new_cy
+            FROM a GROUP BY cluster ORDER BY cluster"""
+      },
+
+      "q_ml_gda_stats" ->
+        s"""SELECT label, count(*) AS n,
+                   ${davg("CAST(embedding[1] AS DOUBLE)")} AS m0,
+                   ${davg("CAST(embedding[2] AS DOUBLE)")} AS m1,
+                   round(var_pop(CAST(embedding[1] AS DOUBLE)), 6) AS s00,
+                   round(covar_pop(CAST(embedding[1] AS DOUBLE), CAST(embedding[2] AS DOUBLE)), 6) AS s01,
+                   round(var_pop(CAST(embedding[2] AS DOUBLE)), 6) AS s11
+            FROM embeddings GROUP BY label ORDER BY label""")
+  }
+
+  val llm: Map[String, String] = Map(
+    "q_join_asof" ->
+      """SELECT event_id, user_id, ts, o.o_orderkey, o.o_orderdate
+         FROM events e ASOF JOIN
+           (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2) o
+           ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+         ORDER BY event_id""",
+
+    "q_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                    FROM embeddings WHERE vec_id BETWEEN 0 AND 4),
+              c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              d AS (SELECT qid, vec_id AS nn_id, label,
+                      sqrt(greatest(list_dot_product(e, e) + list_dot_product(qe, qe)
+                                    - 2.0 * list_dot_product(e, qe), 0.0)) AS d
+                    FROM c, q WHERE vec_id <> qid),
+              r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, nn_id) AS rn
+                    FROM d),
+              t AS (SELECT *, count(*) OVER (PARTITION BY qid, label) AS cnt
+                    FROM r WHERE rn <= 5)
+         SELECT qid, rn, nn_id, round(d, 6) AS dist, label,
+                first_value(label) OVER
+                  (PARTITION BY qid ORDER BY cnt DESC, label
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vote_label
+         FROM t ORDER BY qid, rn""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS exemplar
+         FROM documents GROUP BY 1 ORDER BY text_hash""",
+
+    "q_dedup_minhash" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 2),
+              s AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+                    FROM w, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+              n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                    FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard_dist
+         FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+         WHERE 1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) <= 0.5
+         ORDER BY doc_a, doc_b""",
+
+    "q_sim_cosine_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+              c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id <> 0)
+         SELECT vec_id, label,
+                round(list_dot_product(e, qe)
+                      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+         FROM c, q
+         ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+
+    "q_text_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                      FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)), 6) AS tfidf
+         FROM tf JOIN df USING (term), n
+         ORDER BY tfidf DESC, doc_id, term LIMIT 100""",
+
+    "q_multimodal_join" ->
+      """SELECT doc_id, lang, source, n_chars, label,
+                round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS emb_norm
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         WHERE lang = 'en' AND contains(text, 'spark')
+           AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 1.0
+         ORDER BY doc_id""")
+
+  val streaming: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
+                 count(*) AS n, ${dsum("value", 6)} AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
+    "q_stream_sliding" ->
+      s"""SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS w_start,
+                 count(*) AS n, ${dsum("value", 6)} AS sum_value
+          FROM events, (SELECT unnest([0, 1]) AS off) o
+          GROUP BY w_start ORDER BY w_start""",
+
+    "q_stream_session" ->
+      s"""WITH g AS (SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+               s AS (SELECT *, sum(new_s) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g)
+          SELECT user_id, min(ts) AS s_start,
+                 max(ts) + INTERVAL '30 minutes' AS s_end,
+                 count(*) AS n_events, ${dsum("value", 6)} AS sum_value
+          FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""")
+
   /** All oracle strings, keyed like SparkEntry.queries. */
-  def all: Map[String, String] = relational ++ windows ++ functions
+  def all: Map[String, String] =
+    relational ++ windows ++ functions ++ mlStats ++ llm ++ streaming
 }

@@ -15,7 +15,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.Windows.queries ++
-    graft.queries.Functions.queries
+    graft.queries.Functions.queries ++
+    graft.queries.MlSuffStats.queries ++
+    graft.queries.LlmOps.queries ++
+    graft.queries.StreamingQs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

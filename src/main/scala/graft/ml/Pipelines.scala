@@ -1,0 +1,64 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{NaiveBayes, NaiveBayesModel}
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, MinHashLSH, MinHashLSHModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MLlib estimator wrappers — the "full pipeline" counterpart of the
+  * sufficient-statistics queries in queries/MlSuffStats.scala (SURVEY.md
+  * §2.1's right-hand column): where the reference iterates MapReduce jobs
+  * from a Python driver, Spark's estimators iterate over a cached DataFrame
+  * inside one JVM/cluster app. These wrappers are exercised by the
+  * MlCrossCheckSpec tests, which assert the closed-form query results agree
+  * with the estimators' fits.
+  *
+  * All stochastic components take fixed seeds so fits are reproducible.
+  */
+object Pipelines {
+
+  /** array<float|double> column → MLlib `features` vector column. */
+  def withFeatures(df: DataFrame, arrayCol: String): DataFrame =
+    df.withColumn("features", array_to_vector(col(arrayCol).cast("array<double>")))
+
+  /** Assemble named scalar columns into `features`. */
+  def withFeatureCols(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.withColumn("features", array_to_vector(array(cols.map(c => col(c).cast("double")): _*)))
+
+  /** Normal-equation linear regression (the reference's P1 algorithm run as
+    * a one-shot distributed solve). */
+  def linregNormal(df: DataFrame, labelCol: String, featureCols: Seq[String]): LinearRegressionModel =
+    new LinearRegression()
+      .setSolver("normal").setRegParam(0.0).setElasticNetParam(0.0)
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .fit(withFeatureCols(df, featureCols))
+
+  /** Gaussian Naive Bayes (reference P1; MLlib modelType "gaussian"). */
+  def gaussianNb(df: DataFrame, labelCol: String, arrayCol: String): NaiveBayesModel =
+    new NaiveBayes().setModelType("gaussian")
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .fit(withFeatures(df.withColumn(labelCol, col(labelCol).cast("double")), arrayCol))
+
+  /** K-means (reference P2's full iterative loop, seeded). */
+  def kmeans(df: DataFrame, arrayCol: String, k: Int, seed: Long = 42L): KMeansModel =
+    new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(withFeatures(df, arrayCol))
+
+  /** Random-projection LSH for Euclidean ANN (the 100 TB similarity path). */
+  def brpLsh(dfWithFeatures: DataFrame, bucketLength: Double, numTables: Int,
+             seed: Long = 42L): BucketedRandomProjectionLSHModel =
+    new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(dfWithFeatures)
+
+  /** MLlib MinHash LSH over a sparse set vector — kept alongside the custom
+    * banded implementation in LlmOps for cross-checking in tests. */
+  def minhashLsh(dfWithFeatures: DataFrame, numTables: Int, seed: Long = 42L): MinHashLSHModel =
+    new MinHashLSH().setNumHashTables(numTables).setSeed(seed)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(dfWithFeatures)
+}

@@ -68,16 +68,24 @@ object Functions {
 
   /** Array surface over embeddings: size, element access, slice, and
     * higher-order transform/aggregate (L2 norm of the first 4 dims).
-    * Floats are widened to double BEFORE any arithmetic on both sides. */
+    * Floats are widened to double BEFORE any arithmetic on both sides.
+    *
+    * The output is all-scalar on purpose: the driver's canonicalizer
+    * row-sorts with pandas and cannot hash a top-level array column, so the
+    * slice/transform coverage is surfaced as four scalar head columns and a
+    * transform-inside-aggregate fold instead of an array-typed column. */
   val qArrayFuncs: Q = (s, dir) =>
     Tables.embeddings(s, dir)
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(col("embedding")(0).cast("double"), 6).as("e0"),
-        expr("transform(slice(embedding, 1, 4), x -> round(double(x), 6))").as("head4"),
+        round(col("embedding")(0).cast("double"), 6).as("h0"),
+        round(col("embedding")(1).cast("double"), 6).as("h1"),
+        round(col("embedding")(2).cast("double"), 6).as("h2"),
+        round(col("embedding")(3).cast("double"), 6).as("h3"),
         round(expr(
-          "sqrt(aggregate(slice(embedding, 1, 4), 0D, (s, x) -> s + double(x) * double(x)))"),
+          "sqrt(aggregate(transform(slice(embedding, 1, 4), x -> double(x) * double(x)), 0D, (s, x) -> s + x))"),
           6).as("l2_head4"))
       .orderBy("vec_id")
 

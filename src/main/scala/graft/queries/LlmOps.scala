@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Vec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** LLM-data-pipeline operators — SURVEY.md §2.11 (north-star mandate):
+  * dedup (exact + MinHash-LSH), similarity search (brute-force + LSH ANN),
+  * text analysis (lang stats, TF-IDF), multimodal join, and the reference's
+  * P3 k-NN pattern.
+  *
+  * 100 TB posture, per operator, is documented inline; the common theme:
+  * nothing here is all-pairs. Dedup candidates come from LSH band buckets
+  * (linear + bucket-local work), similarity search broadcasts only the tiny
+  * query set, and every aggregate is partial-map-side first.
+  */
+object LlmOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact duplicate groups via md5(text): group size + exemplar doc_id.
+    * At 100 TB this is THE dedup workhorse: hash-shuffle on a 128-bit key is
+    * uniformly distributed (no skew), and count/min are map-side partial
+    * aggregates — one shuffle of (hash, partial) pairs, never text bodies.
+    * (This corpus has no exact dups, so every group has n_dups = 1 — the
+    * near-dup signal lives in q_dedup_minhash.) */
+  val qDedupExact: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("exemplar"))
+      .orderBy("text_hash")
+
+  // --------------------------------------------------- MinHash-LSH near-dup
+
+  /** Word-bigram shingle sets per doc (lowercased, distinct). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("sh"))
+
+  /** MinHash signature length and banding: 64 hashes = 32 bands × 2 rows.
+    * Candidate probability for Jaccard s is 1-(1-s²)³²: ≥ 0.9999 at s=0.5
+    * (so recall at the 0.5 threshold is ~1), ~2% at the s≈0.03 noise floor —
+    * candidates stay linear-ish, never all-pairs. */
+  private val NumHashes = 64
+  private val BandRows = 2
+
+  /** Near-duplicate pairs via shingle→minhash→band→bucket-join (the scale
+    * path the north star mandates), refined with the EXACT bigram Jaccard
+    * distance — so the output row set equals the all-pairs exact answer
+    * (which is what the DuckDB oracle computes) while the work stays linear:
+    *
+    *  1. minhash_i(doc) = min over shingles of xxhash64(i, shingle) — a
+    *     narrow per-row HOF, no shuffle;
+    *  2. band b's bucket key = (b, h_{2b}, h_{2b+1}); docs sharing a bucket
+    *     become candidates (self-equi-join on the bucket key — at 100 TB
+    *     this shuffles by bucket, with a bucket-size cap / salting as the
+    *     degenerate-corpus guard);
+    *  3. candidates are verified with exact Jaccard over the shingle sets
+    *     (array_intersect on the two docs' sorted-set arrays — joins are
+    *     key-equi on doc_id, so at scale they co-partition; AQE broadcasts
+    *     the small sides locally).
+    */
+  val qDedupMinhash: Q = (s, dir) => {
+    val sh = shingles(Tables.documents(s, dir))
+    val hashCols = (0 until NumHashes).map(i =>
+      expr(s"array_min(transform(sh, t -> xxhash64(${i}L, t)))").as(s"h$i"))
+    val mh = sh.select(col("doc_id") +: hashCols: _*)
+    val bandCols = (0 until NumHashes / BandRows).map(b =>
+      struct(lit(b).as("band"), col(s"h${2 * b}").as("x"), col(s"h${2 * b + 1}").as("y")))
+    val buckets = mh
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.x").as("x"), col("bk.y").as("y"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.x") === col("b.x") &&
+        col("a.y") === col("b.y") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
+      .withColumn("jd", lit(1.0) - col("inter") / col("uni"))
+      .filter(col("jd") <= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jd"), 6).as("jaccard_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------ similarity search
+
+  /** Brute-force cosine top-10 neighbours of vec_id = 0. The one-row query
+    * side is broadcast, so the "cross" join is a map-only pass over the
+    * candidate set — correct as a baseline and as the final re-rank stage,
+    * but at 100 TB the candidate set itself must come from an index
+    * (q_sim_lsh_ann); this full scan is the declared-oracle baseline. */
+  val qSimCosineTopk: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(Vec.cosine("embedding", "qe"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Approximate NN via random-projection LSH (the 100 TB path: hash-bucket
+    * candidate lookup instead of a full scan; no oracle — bucketing is
+    * impl-specific; recall vs q_sim_cosine_topk is asserted in tests).
+    * Collecting the single query vector to the driver is the query
+    * parameter, not a data collect. */
+  val qSimLshAnn: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val withVec = graft.ml.Pipelines.withFeatures(e, "embedding")
+    val model = graft.ml.Pipelines.brpLsh(withVec, bucketLength = 0.5, numTables = 4)
+    val key = withVec.filter(col("vec_id") === 0)
+      .select(col("features")).head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    model.approxNearestNeighbors(withVec.filter(col("vec_id") =!= 0), key, 10)
+      .select(col("vec_id"), col("label"), round(col("distCol"), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  // ------------------------------------------------------- k-NN (REF-P3)
+
+  /** Brute-force k-NN, the reference's P3 pattern: for 5 fixed query vectors
+    * (vec_id 0–4), the 5 nearest embeddings by Euclidean distance plus the
+    * majority-vote label (ties → smallest label). Spark's per-partition
+    * TopK + merge replaces the reference's per-mapper heap + reducer merge;
+    * the query set is broadcast (tiny), so the scan stays map-side. At
+    * 100 TB the candidate set comes from an LSH/IVF index first. */
+  val qKnnBruteforce: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id").between(0, 4))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("d"), col("nn_id"))
+    val nn = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"), col("label"),
+        Vec.euclid("embedding", "qe").as("d"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= 5)
+    val wCnt = Window.partitionBy(col("qid"), col("label"))
+    val wVote = Window.partitionBy(col("qid"))
+      .orderBy(col("cnt").desc, col("label"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    nn.withColumn("cnt", count(lit(1)).over(wCnt))
+      .withColumn("vote_label", first(col("label")).over(wVote))
+      .select(col("qid"), col("rn"), col("nn_id"),
+        round(col("d"), 6).as("dist"), col("label"), col("vote_label"))
+      .orderBy("qid", "rn")
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  /** Per-language corpus stats: doc count, char volume, mean tokens/doc.
+    * Pure map-side-partial group-by on a 5-value key — trivially scalable
+    * (final shuffle carries 5 rows per partition). */
+  val qTextLangStats: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Exact relational TF-IDF, top-100 (doc, term) pairs:
+    * tf = per-(doc, term) count, df = per-term doc count,
+    * tfidf = tf · ln((N+1)/(df+1)). Fully relational (explode → two grouped
+    * aggregates → equi-join) so both engines agree bit-for-bit after
+    * rounding. At scale: token explode is narrow; tf groups by (doc, term)
+    * — high cardinality but uniform; df is a tiny vocab-sized table that
+    * AQE broadcasts back onto tf. */
+  val qTextTfidf: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 6)
+          .as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+      .limit(100)
+  }
+
+  // --------------------------------------------------------- multimodal join
+
+  /** Mixed-modality join: documents ⋈ embeddings on doc_id = vec_id with a
+    * text predicate AND a vector-norm predicate in one plan. The text filter
+    * pushes to the documents scan; the norm is a narrow HOF on the
+    * embeddings side; the equi-join co-partitions at scale (AQE broadcasts
+    * the smaller side locally). */
+  val qMultimodalJoin: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .filter(col("lang") === "en" && col("text").contains("spark"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), Vec.norm("embedding").as("nrm"))
+      .filter(col("nrm") > 1.0)
+    d.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label"), round(col("nrm"), 6).as("emb_norm"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_sim_cosine_topk" -> qSimCosineTopk,
+    "q_sim_lsh_ann" -> qSimLshAnn,
+    "q_knn_bruteforce" -> qKnnBruteforce,
+    "q_text_lang_stats" -> qTextLangStats,
+    "q_text_tfidf" -> qTextTfidf,
+    "q_multimodal_join" -> qMultimodalJoin)
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Det.{davg, dsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML sufficient-statistics contract — SURVEY.md §2.5 (REF-P1/P2).
+  *
+  * This is the reference-parity core: each query is the single aggregation
+  * pass that the reference's mapper/combiner/reducer pipeline computes —
+  * partial statistics map-side (Spark's partial HashAggregate ≡ the
+  * reference's in-mapper combining), exact merge reduce-side, closed-form
+  * solve left to the (driver-side, O(d²)-sized) caller. At 100 TB each query
+  * is one scan + one shuffle of a handful of grouped rows — the optimal
+  * distributed shape for sufficient statistics.
+  *
+  * Float determinism: linear sums go through the exact DECIMAL(38,10) path
+  * (Det.dsum — partition-order independent); central moments (var/covar) are
+  * rounded to 6 dp, far above their ulp-level order sensitivity (SURVEY §2.9).
+  */
+object MlSuffStats {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Normal-equation sufficient statistics for y = b0 + b1·quantity +
+    * b2·discount on lineitem: every entry of XᵀX and Xᵀy for x=(1,q,d).
+    * One row out; the 3×3 solve is a host-side epilogue (tested against
+    * MLlib's normal-equation solver in MlCrossCheckSpec). */
+  val qMlLinregNormal: Q = (s, dir) => {
+    val q = col("l_quantity"); val d = col("l_discount"); val y = col("l_extendedprice")
+    Tables.lineitem(s, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(q).as("s_q"),
+        dsum(d, 4).as("s_d"),
+        dsum(q * q).as("s_qq"),
+        dsum(q * d, 4).as("s_qd"),
+        dsum(d * d, 6).as("s_dd"),
+        dsum(y).as("s_y"),
+        dsum(q * y).as("s_qy"),
+        dsum(d * y, 4).as("s_dy"))
+  }
+
+  /** Gaussian Naive Bayes training statistics over embeddings: per class →
+    * prior count + mean/variance of dims 0–3. Means go through the exact
+    * decimal path; variances are rounded central moments. (DuckDB lists are
+    * 1-indexed — the oracle reads embedding[1..4].) */
+  val qMlNbTrain: Q = (s, dir) => {
+    def e(i: Int) = col("embedding")(i).cast("double")
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(e(0)).as("m0"), davg(e(1)).as("m1"),
+        davg(e(2)).as("m2"), davg(e(3)).as("m3"),
+        round(var_samp(e(0)), 6).as("v0"), round(var_samp(e(1)), 6).as("v1"),
+        round(var_samp(e(2)), 6).as("v2"), round(var_samp(e(3)), 6).as("v3"))
+      .orderBy("label")
+  }
+
+  /** Fixed centroids for the deterministic Lloyd step (k=4 over dims 0–1;
+    * data is ~N(0, 0.126) per dim, so ±0.1 quarters the plane). */
+  val kmeansCentroids: Seq[(Double, Double)] =
+    Seq((-0.1, -0.1), (-0.1, 0.1), (0.1, -0.1), (0.1, 0.1))
+
+  /** Nearest-centroid id for (x, y) — explicit `<=` cascade so ties break to
+    * the lowest cluster id identically in Spark and the SQL oracle. */
+  private def nearest(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = {
+    val ds = kmeansCentroids.map { case (cx, cy) =>
+      (x - cx) * (x - cx) + (y - cy) * (y - cy)
+    }
+    when(ds(0) <= ds(1) && ds(0) <= ds(2) && ds(0) <= ds(3), 0L)
+      .when(ds(1) <= ds(2) && ds(1) <= ds(3), 1L)
+      .when(ds(2) <= ds(3), 2L)
+      .otherwise(3L)
+  }
+
+  /** One deterministic k-means Lloyd step (REF-P2): assign each embedding to
+    * the nearest fixed centroid, then recompute centroids + cluster sizes.
+    * The reference re-submits a MapReduce job per iteration; here one
+    * iteration is a single narrow projection + one tiny grouped aggregate,
+    * and the full loop is `ml.clustering.KMeans` (ml/Pipelines.scala). */
+  val qMlKmeansStep: Q = (s, dir) => {
+    val e0 = col("embedding")(0).cast("double")
+    val e1 = col("embedding")(1).cast("double")
+    Tables.embeddings(s, dir)
+      .select(nearest(e0, e1).as("cluster"), e0.as("e0"), e1.as("e1"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(col("e0")).as("new_cx"),
+        davg(col("e1")).as("new_cy"))
+      .orderBy("cluster")
+  }
+
+  /** Gaussian Discriminant Analysis statistics (REF-P1): per-class priors,
+    * means and the per-class covariance entries of dims 0–1 — the pooled
+    * covariance is the n-weighted sum of these rows (a 3-term host-side
+    * epilogue, exercised in tests). */
+  val qMlGdaStats: Q = (s, dir) => {
+    val e0 = col("embedding")(0).cast("double")
+    val e1 = col("embedding")(1).cast("double")
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        davg(e0).as("m0"),
+        davg(e1).as("m1"),
+        round(var_pop(e0), 6).as("s00"),
+        round(covar_pop(e0, e1), 6).as("s01"),
+        round(var_pop(e1), 6).as("s11"))
+      .orderBy("label")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_ml_linreg_normal" -> qMlLinregNormal,
+    "q_ml_nb_train" -> qMlNbTrain,
+    "q_ml_kmeans_step" -> qMlKmeansStep,
+    "q_ml_gda_stats" -> qMlGdaStats)
+}

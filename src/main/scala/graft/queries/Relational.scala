@@ -199,6 +199,33 @@ object Relational {
       .orderBy(("p_partkey" +: liKey).map(col): _*)
   }
 
+  /** Event-time as-of join: for each event, the user's most recent order
+    * with o_orderdate <= ts. No native as-of in Spark — composed as an
+    * equi-join on the user key (the range predicate rides along as a join
+    * condition) + row_number()=1 per event. Orders are first deduped to one
+    * row per (custkey, orderdate) (max orderkey) so ties are well-defined in
+    * both engines — DuckDB's ASOF JOIN picks an arbitrary row among equal
+    * timestamps otherwise.
+    *
+    * Scale: the join shuffles both sides by user key (co-partitioned
+    * sort-merge); per-user order lists are small, so the per-event argmax
+    * window never sees skew. A range-partitioned custom strategy (SURVEY §4)
+    * is the only further win and is not warranted at contract SF. */
+  val qJoinAsof: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.events(s, dir)
+      .join(ord, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy("event_id")
+  }
+
   // ----------------------------------------------------------- aggregates
 
   /** Flagship: TPC-H Q1-style 7-aggregate group-by (REF-P1: partial
@@ -345,6 +372,7 @@ object Relational {
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_theta" -> qJoinTheta,
+    "q_join_asof" -> qJoinAsof,
     "q_agg_pricing" -> qAggPricing,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_approx_distinct" -> qAggApproxDistinct,

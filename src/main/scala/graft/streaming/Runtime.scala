@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.Tables
+import graft.functions.Det.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming runtime — SURVEY.md §2.10's runtime half.
+  *
+  * The batch forms in queries/StreamingQs.scala define the semantics; this
+  * module runs the same event-time aggregations as REAL incremental streams
+  * (file source replaying the events parquet, watermark, memory sink) so
+  * tests can assert stream == batch. At cluster scale the same code points
+  * `readStream` at an arriving-file directory (or Kafka) and the sink at
+  * partitioned parquet via `foreachBatch` — only source/sink options change.
+  */
+object Runtime {
+
+  /** The events table as a file-source stream (one file → one micro-batch;
+    * `maxFilesPerTrigger=1` keeps replay deterministic). Schema comes from a
+    * batch peek — required by file streaming sources. The raw nanos `ts`
+    * long is decoded exactly like the batch path. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    Tables.prep(spark)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** 1-hour tumbling count+sum with a 1-hour watermark (late rows beyond
+    * the watermark are dropped in append mode; the equivalence test replays
+    * in order, so batch == stream). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user 30-minute-gap sessions with watermark — streaming
+    * session_window requires one. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("n_events"))
+
+  /** Run a streaming aggregation to completion against the replayed file
+    * source and return the final result as a DataFrame (memory sink,
+    * complete mode). Driver for the stream==batch equivalence tests. */
+  def runToCompletion(spark: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000L)
+    spark.table(name)
+  }
+}

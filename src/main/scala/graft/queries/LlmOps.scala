@@ -68,12 +68,17 @@ object LlmOps {
     *     key-equi on doc_id, so at scale they co-partition; AQE broadcasts
     *     the small sides locally).
     */
-  val qDedupMinhash: Q = (s, dir) => {
+  val qDedupMinhash: Q = (s, dir) => minhashPairs(Tables.documents(s, dir))
+
+  /** Near-duplicate pairs for any (doc_id, text) DataFrame — the full
+    * shingle→minhash→band→bucket→exact-refine pipeline, factored out so
+    * tests can run it over planted-duplicate fixtures. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
     // Repartition by doc_id: the corpus arrives as few large files, and the
     // shingle/signature stages are compute-bound — spreading them across the
     // cluster costs one tiny shuffle of raw docs. (At 100 TB the input is
     // already thousands of splits and this is a no-op by cost.)
-    val sh = shingles(Tables.documents(s, dir)).repartition(col("doc_id"))
+    val sh = shingles(docs).repartition(col("doc_id"))
 
     // 1. Whole signature in ONE nested-HOF pass per doc — measured 40×
     //    faster than 64 array_min(transform(...)) columns (which blow the

@@ -19,14 +19,26 @@ object Runtime {
   /** The events table as a file-source stream (one file → one micro-batch;
     * `maxFilesPerTrigger=1` keeps replay deterministic). Schema comes from a
     * batch peek — required by file streaming sources. The raw nanos `ts`
-    * long is decoded exactly like the batch path. */
+    * long is decoded exactly like the batch path.
+    *
+    * File streaming sources watch a DIRECTORY for arriving files; the
+    * testdata table is a single parquet file, so it is staged (once) into a
+    * temp "arrivals" directory — exactly how files would land in production.
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     Tables.prep(spark)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-stream-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val dst = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst))
+      java.nio.file.Files.copy(src, dst)
+    val schema = spark.read.parquet(src.toString).schema
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/events.parquet")
+      .parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.Det
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck-generated properties for the float-determinism core (SURVEY
+  * §5.2): Det.dsum must be EXACTLY partition-order independent — that is the
+  * whole point of the decimal path (a 1000-executor run must agree
+  * bit-for-bit with local runs and with the oracle). Raw ScalaCheck Gen with
+  * fixed seeds (the scalatest bridge artifact isn't in the offline cache).
+  */
+class DetPropSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private val moneyGen: Gen[List[Double]] =
+    Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-9.99e6, 9.99e6)
+        .map(v => math.rint(v * 100) / 100)))
+
+  private def samples(n: Int): Seq[List[Double]] =
+    (1 to n).map(i => moneyGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("dsum is bit-identical across partition counts and matches BigDecimal") {
+    import spark.implicits._
+    samples(10).foreach { xs =>
+      val expected = {
+        val s = xs.map(BigDecimal(_)).sum
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        (s * 100).toLongExact.toDouble / 100.0
+      }
+      val results = Seq(1, 2, 7).map { p =>
+        xs.toDF("x").repartition(p)
+          .agg(Det.dsum(col("x")).as("s")).collect()(0).getDouble(0)
+      }
+      assert(results.distinct.size == 1, s"partition-dependent: $results for $xs")
+      assert(results.head == expected, s"${results.head} != BigDecimal $expected")
+    }
+  }
+
+  test("davg is partition-order independent") {
+    import spark.implicits._
+    samples(6).foreach { xs =>
+      val rs = Seq(1, 3, 8).map { p =>
+        xs.toDF("x").repartition(p)
+          .agg(Det.davg(col("x")).as("m")).collect()(0).getDouble(0)
+      }
+      assert(rs.distinct.size == 1, s"partition-dependent: $rs for $xs")
+    }
+  }
+
+  test("raw double sum IS partition-sensitive on adversarial input (control)") {
+    import spark.implicits._
+    // Control experiment documenting WHY dsum exists: catastrophic-
+    // cancellation inputs make plain sum(double) drift across partition
+    // counts, while dsum stays fixed.
+    val xs = List(1e15, 3.14159, -1e15, 2.71828, 1e13, -1e13, 0.5)
+    val raw = Seq(1, 2, 3, 5, 7).map { p =>
+      xs.toDF("x").repartition(p).agg(sum(col("x"))).collect()(0).getDouble(0)
+    }.distinct
+    val det = Seq(1, 2, 3, 5, 7).map { p =>
+      xs.toDF("x").repartition(p).agg(Det.dsum(col("x"), 5)).collect()(0).getDouble(0)
+    }.distinct
+    assert(det.size == 1, s"dsum drifted: $det")
+    // raw may or may not drift on a given Spark build — only dsum is asserted.
+    info(s"raw sum variants across partitionings: $raw; dsum: $det")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries.LlmOps
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Near-dup dedup correctness: planted-duplicate fixtures + full recall
+  * equivalence against an exact all-pairs computation (SURVEY §5.2). */
+class MinhashSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def bigrams(t: String): Set[String] =
+    t.toLowerCase.split(" ").sliding(2).map(_.mkString(" ")).toSet
+
+  private def jaccardDist(a: String, b: String): Double = {
+    val (sa, sb) = (bigrams(a), bigrams(b))
+    1.0 - (sa & sb).size.toDouble / (sa | sb).size.toDouble
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private val nearDup = "the quick brown fox jumps over the lazy cat near the old river bank today"
+  private val unrelated = "completely different words about databases joins shuffles and partitions everywhere"
+
+  test("minhashPairs finds the planted near-dup pair with its exact Jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, base), (1L, nearDup), (2L, unrelated),
+      (3L, "another unrelated document mentioning spark catalyst tungsten codegen stages tasks"),
+    ).toDF("doc_id", "text")
+    val got = LlmOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1, s"expected exactly the planted pair, got ${got.mkString(",")}")
+    val (a, b, d) = got(0)
+    assert((a, b) == (0L, 1L))
+    val exp = BigDecimal(jaccardDist(base, nearDup))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(d - exp) < 1e-9, s"dist $d vs exact $exp")
+  }
+
+  test("minhashPairs == exact all-pairs result on the real sf0.001 corpus") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val got = LlmOps.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val local = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val exp = (for {
+      i <- local.indices; j <- (i + 1) until local.length
+      d = jaccardDist(local(i)._2, local(j)._2) if d <= 0.5
+      (a, b) = if (local(i)._1 < local(j)._1) (local(i)._1, local(j)._1)
+               else (local(j)._1, local(i)._1)
+    } yield (a, b, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(exp.nonEmpty, "corpus should contain planted near-dups")
+    assert(got == exp,
+      s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+  }
+
+  test("MLlib MinHashLSH agrees on the planted pair (pipeline wrapper)") {
+    import spark.implicits._
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")
+    val sh = LlmOps.shingles(docs)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(sh)
+    val model = graft.ml.Pipelines.minhashLsh(feat, numTables = 8)
+    val pairs = model.approxSimilarityJoin(feat, feat, 0.5, "jd")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(col("datasetA.doc_id"), col("datasetB.doc_id"), col("jd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(math.abs(pairs(0)._3 - jaccardDist(base, nearDup)) < 1e-6)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import graft.queries.MlSuffStats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks of the sufficient-statistics queries against (a) plain-Scala
+  * recomputation from collected fixtures and (b) MLlib estimators — the
+  * SURVEY §5.2 "ML cross-check" layer. sf0.001 keeps collects tiny (500
+  * embeddings / 6000 lineitems). */
+class MlCrossCheckSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  /** Solve Ax=b (3×3) by Gaussian elimination with partial pivoting. */
+  private def solve3(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val a = a0.map(_.clone()); val b = b0.clone(); val n = 3
+    for (k <- 0 until n) {
+      val p = (k until n).maxBy(i => math.abs(a(i)(k)))
+      val (ta, tb) = (a(k), b(k)); a(k) = a(p); a(p) = ta; b(k) = b(p); b(p) = tb
+      for (i <- k + 1 until n) {
+        val f = a(i)(k) / a(k)(k)
+        for (j <- k until n) a(i)(j) -= f * a(k)(j)
+        b(i) -= f * b(k)
+      }
+    }
+    val x = new Array[Double](n)
+    for (i <- n - 1 to 0 by -1) {
+      x(i) = (b(i) - (i + 1 until n).map(j => a(i)(j) * x(j)).sum) / a(i)(i)
+    }
+    x
+  }
+
+  private lazy val emb: Array[(Int, Array[Double])] =
+    Tables.embeddings(spark, Sf0001)
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+
+  test("q_ml_linreg_normal sums solve to MLlib normal-equation coefficients") {
+    val r = SparkEntry.queries("q_ml_linreg_normal")(spark, Sf0001).collect()(0)
+    val Seq(n, sq, sd, sqq, sqd, sdd, sy, sqy, sdy) =
+      (0 to 8).map(i => if (i == 0) r.getLong(0).toDouble else r.getDouble(i))
+    val beta = solve3(
+      Array(Array(n, sq, sd), Array(sq, sqq, sqd), Array(sd, sqd, sdd)),
+      Array(sy, sqy, sdy))
+    val m = graft.ml.Pipelines.linregNormal(
+      Tables.lineitem(spark, Sf0001), "l_extendedprice", Seq("l_quantity", "l_discount"))
+    val exp = Array(m.intercept, m.coefficients(0), m.coefficients(1))
+    beta.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) / math.max(1.0, math.abs(e)) < 1e-3,
+        s"beta($i): sums→$g mllib→$e")
+    }
+  }
+
+  test("q_ml_nb_train matches plain-Scala per-class moments and MLlib theta") {
+    val rows = SparkEntry.queries("q_ml_nb_train")(spark, Sf0001).collect()
+    val byLabel = emb.groupBy(_._1)
+    rows.foreach { r =>
+      val lab = r.getInt(0); val n = r.getLong(1)
+      val xs = byLabel(lab).map(_._2)
+      assert(n == xs.length)
+      for (d <- 0 to 3) {
+        val vals = xs.map(_(d))
+        val mean = vals.sum / n
+        val varS = vals.map(v => (v - mean) * (v - mean)).sum / (n - 1)
+        assert(math.abs(r.getDouble(2 + d) - mean) < 2e-6, s"label $lab m$d")
+        assert(math.abs(r.getDouble(6 + d) - varS) < 2e-6, s"label $lab v$d")
+      }
+    }
+    // MLlib Gaussian NB theta = per-class feature means on the same data.
+    val nb = graft.ml.Pipelines.gaussianNb(
+      Tables.embeddings(spark, Sf0001), "label", "embedding")
+    rows.foreach { r =>
+      val lab = r.getInt(0)
+      for (d <- 0 to 3)
+        assert(math.abs(nb.theta(lab, d) - r.getDouble(2 + d)) < 1e-4,
+          s"theta($lab,$d) ${nb.theta(lab, d)} vs ${r.getDouble(2 + d)}")
+    }
+  }
+
+  test("q_ml_kmeans_step does not increase within-cluster SSQ (Lloyd)") {
+    val init = MlSuffStats.kmeansCentroids.map { case (x, y) => Array(x, y) }
+    val pts = emb.map(_._2.take(2))
+    def wss(cs: Seq[Array[Double]]): Double =
+      pts.map(p => cs.map(c =>
+        (p(0) - c(0)) * (p(0) - c(0)) + (p(1) - c(1)) * (p(1) - c(1))).min).sum
+    val stepped = SparkEntry.queries("q_ml_kmeans_step")(spark, Sf0001).collect()
+      .map(r => Array(r.getDouble(2), r.getDouble(3))).toSeq
+    assert(stepped.size == 4)
+    assert(wss(stepped) <= wss(init) + 1e-9,
+      s"WSS rose: ${wss(init)} -> ${wss(stepped)}")
+    // MLlib's full iterative loop from the same k: runs and yields k centers.
+    val km = graft.ml.Pipelines.kmeans(Tables.embeddings(spark, Sf0001), "embedding", 4)
+    assert(km.clusterCenters.length == 4)
+  }
+
+  test("q_ml_gda_stats pools to the plain-Scala pooled covariance") {
+    val rows = SparkEntry.queries("q_ml_gda_stats")(spark, Sf0001).collect()
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    // columns: label, n, m0, m1, s00, s01, s11
+    val pooled00 = rows.map(r => r.getLong(1) * r.getDouble(4)).sum / n
+    val pooled01 = rows.map(r => r.getLong(1) * r.getDouble(5)).sum / n
+    val pooled11 = rows.map(r => r.getLong(1) * r.getDouble(6)).sum / n
+    // Direct: per-class-centered covariance over all points.
+    val byLabel = emb.groupBy(_._1)
+    val means = byLabel.map { case (l, xs) =>
+      l -> Array(xs.map(_._2(0)).sum / xs.size, xs.map(_._2(1)).sum / xs.size)
+    }
+    var (c00, c01, c11) = (0.0, 0.0, 0.0)
+    emb.foreach { case (l, v) =>
+      val d0 = v(0) - means(l)(0); val d1 = v(1) - means(l)(1)
+      c00 += d0 * d0; c01 += d0 * d1; c11 += d1 * d1
+    }
+    assert(math.abs(pooled00 - c00 / n) < 1e-5)
+    assert(math.abs(pooled01 - c01 / n) < 1e-5)
+    assert(math.abs(pooled11 - c11 / n) < 1e-5)
+    // Pooled 2×2 must be positive definite for GDA to be usable.
+    assert(pooled00 > 0 && pooled00 * pooled11 - pooled01 * pooled01 > 0)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract-shape tests over every declared query at sf0.001 (SURVEY §5.2
+  * unit layer): runs, returns rows, and has a driver-hashable schema. */
+class QueryContractSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle entries without a query: $extra")
+  }
+
+  test("declared contract covers all 51 SURVEY §2 keys") {
+    assert(SparkEntry.queries.size == 51)
+    // 47 oracle-checked; the 4 declared non-oracle keys:
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q_source_csv", "q_agg_approx_distinct",
+      "q_map_funcs", "q_sim_lsh_ann"))
+  }
+
+  test("entry flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs, returns rows, and has a hashable schema (sf0.001)") {
+      val df = fn(spark, Sf0001)
+      // The driver's canonicalizer (pandas sort_values) cannot hash
+      // top-level array columns; only non-oracle keys may carry maps.
+      val complex = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] => f.name
+        case f if f.dataType.isInstanceOf[MapType] => f.name
+      }
+      if (SparkEntry.oracleSql.contains(name))
+        assert(complex.isEmpty, s"oracle query $name has complex columns: ${complex.mkString(",")}")
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0, s"$name returned zero rows at sf0.001")
+    }
+  }
+}

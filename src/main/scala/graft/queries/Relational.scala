@@ -183,18 +183,24 @@ object Relational {
   }
 
   /** Non-equi band join (theta): lineitem priced within ±25 of a large
-    * part's retail price. Both sides pre-filtered so the broadcast
-    * nested-loop stays ~1e8 comparisons even at sf0.1; at 100 TB this shape
-    * demands a range-bucketed equi-join rewrite (bucket price to width-25
-    * bins, equi-join on bin±1, refine) — noted, not needed at contract SF.
-    */
+    * part's retail price — executed as the EXACT range-bucketed equi-join
+    * (the 100 TB plan, not a nested loop): bucket l_extendedprice into
+    * width-25 bins; a part at retailprice rp can only band-match bins
+    * {b-1, b, b+1} of b = floor(rp/25), so explode the part side into those
+    * three bins, hash-join on the bin, and refine with the exact BETWEEN.
+    * The nested-loop O(|l|·|p|) becomes O(|l| + 3|p|) hash-join work that
+    * shuffles by bin — uniform, skew-free, identical output. */
   val qJoinTheta: Q = (s, dir) => {
+    val width = 25.0
     val p = Tables.part(s, dir).filter(col("p_size") >= 48)
-      .select(col("p_partkey"), col("p_retailprice"))
+      .select(col("p_partkey"), col("p_retailprice"),
+        floor(col("p_retailprice") / width).as("pbin"))
+      .withColumn("bin", explode(array(col("pbin") - 1, col("pbin"), col("pbin") + 1)))
     val l = Tables.lineitem(s, dir).filter(col("l_quantity") <= 5.0)
-      .select(liKey.map(col) :+ col("l_extendedprice"): _*)
-    l.join(broadcast(p),
-        col("l_extendedprice").between(col("p_retailprice") - 25.0, col("p_retailprice") + 25.0))
+      .select(liKey.map(col) :+ col("l_extendedprice") :+
+        floor(col("l_extendedprice") / width).as("bin"): _*)
+    l.join(p, Seq("bin"))
+      .filter(col("l_extendedprice").between(col("p_retailprice") - width, col("p_retailprice") + width))
       .select(col("p_partkey") +: liKey.map(col) :+ col("l_extendedprice") :+ col("p_retailprice"): _*)
       .orderBy(("p_partkey" +: liKey).map(col): _*)
   }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.ScaleOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB rewrites must agree with the declared (naive-plan) forms —
+  * and must not contain the scale-killer operator in their physical plan. */
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("ntileByEdges ≈ global ntile(4), with no Window/global sort in plan") {
+    val cust = Tables.customer(spark, Sf0001)
+    val scaled = ScaleOps.ntileByEdges(cust, col("c_acctbal"), 4)
+      .select(col("c_custkey"), col("bucket"))
+    val plan = scaled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"scale form still has a Window:\n$plan")
+
+    val exact = SparkEntry.queries("q_window_ntile")(spark, Sf0001)
+      .select(col("c_custkey"), col("quartile"))
+    val joined = scaled.join(exact, "c_custkey")
+      .select(col("bucket"), col("quartile")).collect()
+    val agree = joined.count(r => r.getLong(0) == r.getLong(1)).toDouble / joined.length
+    assert(agree >= 0.95, s"agreement with exact ntile only $agree")
+    // All four buckets populated and roughly balanced (±20%).
+    val sizes = scaled.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L, 4L))
+    val n = sizes.values.sum.toDouble
+    sizes.values.foreach(s => assert(math.abs(s / n - 0.25) < 0.05, sizes.toString))
+  }
+
+  test("rangeBandAgg == exact range-frame window (bin-and-join is exact)") {
+    val orders = Tables.orders(spark, Sf0001)
+      .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))
+    val scaled = ScaleOps.rangeBandAgg(orders,
+      part = col("o_orderstatus"), v = col("price_cents"), x = col("o_totalprice"),
+      width = 500000L, keys = Seq(col("o_orderkey")))
+      .select(col("o_orderkey"), col("n_band"), col("band_sum"))
+    val exact = SparkEntry.queries("q_window_range")(spark, Sf0001)
+      .select(col("o_orderkey"), col("n_band"), col("band_spend"))
+    val got = scaled.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exp = exact.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exp,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+}

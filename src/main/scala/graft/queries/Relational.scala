@@ -206,28 +206,41 @@ object Relational {
   }
 
   /** Event-time as-of join: for each event, the user's most recent order
-    * with o_orderdate <= ts. No native as-of in Spark — composed as an
-    * equi-join on the user key (the range predicate rides along as a join
-    * condition) + row_number()=1 per event. Orders are first deduped to one
-    * row per (custkey, orderdate) (max orderkey) so ties are well-defined in
-    * both engines — DuckDB's ASOF JOIN picks an arbitrary row among equal
-    * timestamps otherwise.
+    * with o_orderdate <= ts. No native as-of in Spark — executed as the
+    * MERGE-SCAN form (the plan a dedicated as-of strategy would produce):
+    * union the two sides tagged, sort each user's timeline once, and carry
+    * the latest order forward with last(_, ignoreNulls) — orders sort
+    * before a same-instant event so `<=` holds. One shuffle by user key,
+    * Θ(n log n) per user, NO event×orders range-join blowup (the naive
+    * range join + row_number()=1 materializes |events|·|orders-per-user|
+    * intermediate rows — ~10M at sf0.1, ruinous at 100 TB).
     *
-    * Scale: the join shuffles both sides by user key (co-partitioned
-    * sort-merge); per-user order lists are small, so the per-event argmax
-    * window never sees skew. A range-partitioned custom strategy (SURVEY §4)
-    * is the only further win and is not warranted at contract SF. */
+    * Orders are first deduped to one row per (custkey, orderdate) (max
+    * orderkey) so ties are well-defined in both engines — DuckDB's ASOF
+    * JOIN picks an arbitrary row among equal timestamps otherwise. Inner
+    * semantics: events before a user's first order are dropped. */
   val qJoinAsof: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val ord = Tables.orders(s, dir)
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("o_orderkey"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    Tables.events(s, dir)
-      .join(ord, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("u"), col("o_orderdate").as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("timestamp").as("ts"),
+        col("o_orderkey"), col("o_orderdate"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("u"), col("ts").as("t"),
+        lit(1).as("is_event"), col("event_id"), col("ts"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("timestamp").as("o_orderdate"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("is_event"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord.unionAll(ev)
+      .select(col("is_event"), col("event_id"), col("u").as("user_id"), col("ts"),
+        last(col("o_orderkey"), ignoreNulls = true).over(w).as("o_orderkey"),
+        last(col("o_orderdate"), ignoreNulls = true).over(w).as("o_orderdate"))
+      .filter(col("is_event") === 1 && col("o_orderkey").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"), col("o_orderdate"))
       .orderBy("event_id")
   }

@@ -17,13 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Vec {
 
-  /** Sequential-fold dot product of two array<float|double> columns. */
-  def dot(a: String, b: String): Column =
+  /** Dot product — the native codegen'd VecDot expression (one fused loop
+    * in whole-stage codegen; bit-identical to the HOF fold it replaced,
+    * which is kept below for cross-checking). */
+  def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
+
+  /** Reference HOF formulation of dot — interpreted three-fold version;
+    * VecSpec asserts bit-equality with the native expression. */
+  def dotHof(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> double(x) * double(y)), 0D, (s, v) -> s + v)")
 
-  /** Squared L2 norm via self-transform fold. */
-  def norm2(a: String): Column =
-    expr(s"aggregate(transform($a, x -> double(x) * double(x)), 0D, (s, v) -> s + v)")
+  /** Squared L2 norm = dot(a, a). */
+  def norm2(a: String): Column = dot(a, a)
 
   /** L2 norm. */
   def norm(a: String): Column = sqrt(norm2(a))

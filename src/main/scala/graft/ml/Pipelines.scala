@@ -1,7 +1,7 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.{NaiveBayes, NaiveBayesModel}
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel, NaiveBayes, NaiveBayesModel}
+import org.apache.spark.ml.clustering.{GaussianMixture, GaussianMixtureModel, KMeans, KMeansModel}
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, MinHashLSH, MinHashLSHModel}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
@@ -41,6 +41,18 @@ object Pipelines {
     new NaiveBayes().setModelType("gaussian")
       .setLabelCol(labelCol).setFeaturesCol("features")
       .fit(withFeatures(df.withColumn(labelCol, col(labelCol).cast("double")), arrayCol))
+
+  /** Batch logistic regression (reference P2's gradient loop as an MLlib
+    * estimator; ml/Iterative.scala holds the decomposed per-step form). */
+  def logistic(df: DataFrame, labelCol: String, featureCols: Seq[String]): LogisticRegressionModel =
+    new LogisticRegression().setRegParam(0.0).setStandardization(false)
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .fit(withFeatureCols(df.withColumn(labelCol, col(labelCol).cast("double")), featureCols))
+
+  /** Gaussian mixture via EM (reference P2; seeded). */
+  def gmm(df: DataFrame, arrayCol: String, k: Int, seed: Long = 42L): GaussianMixtureModel =
+    new GaussianMixture().setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(withFeatures(df, arrayCol))
 
   /** K-means (reference P2's full iterative loop, seeded). */
   def kmeans(df: DataFrame, arrayCol: String, k: Int, seed: Long = 42L): KMeansModel =

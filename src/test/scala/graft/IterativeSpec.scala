@@ -1,0 +1,50 @@
+package graft
+
+import graft.ml.{Iterative, Pipelines}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** P2 iterative algorithms: logistic gradient loop decreases NLL and lands
+  * near MLlib's optimum; GMM EM steps never decrease the log-likelihood. */
+class IterativeSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  /** Binary task derived from embeddings: y = (label >= 5), x = dims 0–1. */
+  private lazy val binDf = Tables.embeddings(spark, Sf0001)
+    .select(
+      (col("label") >= 5).cast("int").as("y"),
+      col("embedding")(0).cast("double").as("x0"),
+      col("embedding")(1).cast("double").as("x1"))
+    .cache()
+
+  test("logistic driver loop: NLL strictly decreases and tracks MLlib") {
+    val (w, losses) = Iterative.logisticTrain(binDf, "y", Seq("x0", "x1"),
+      iters = 30, lr = 0.01)
+    assert(losses.size == 30)
+    losses.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9, s"NLL rose: $a -> $b") }
+    val m = Pipelines.logistic(binDf, "y", Seq("x0", "x1"))
+    // Same objective: our final NLL within 2% of MLlib's optimum NLL.
+    val mllibW = Array(m.interceptVector(0), m.coefficientMatrix(0, 0), m.coefficientMatrix(0, 1))
+    val (_, nllAtMllib) = Iterative.logisticGradientStep(binDf, "y", Seq("x0", "x1"), mllibW)
+    val (_, nllOurs) = Iterative.logisticGradientStep(binDf, "y", Seq("x0", "x1"), w)
+    assert(nllOurs <= nllAtMllib * 1.02,
+      s"our NLL $nllOurs far from MLlib optimum $nllAtMllib")
+  }
+
+  test("GMM EM steps are monotone in observed log-likelihood") {
+    val df = Tables.embeddings(spark, Sf0001)
+      .select(col("embedding")(0).cast("double").as("x")).cache()
+    var params = (0.5, -0.05, 0.05, 0.01, 0.01)
+    var ll = Iterative.gmmLogLik(df, "x", params._1, params._2, params._3, params._4, params._5)
+    for (_ <- 1 to 5) {
+      params = Iterative.gmmEmStep(df, "x", params._1, params._2, params._3, params._4, params._5)
+      val next = Iterative.gmmLogLik(df, "x", params._1, params._2, params._3, params._4, params._5)
+      assert(next >= ll - 1e-7, s"EM decreased loglik: $ll -> $next")
+      ll = next
+    }
+    // MLlib's full GMM on the same column: valid mixture out.
+    val g = Pipelines.gmm(
+      Tables.embeddings(spark, Sf0001).select(array(col("embedding")(0)).as("x1")), "x1", 2)
+    assert(math.abs(g.weights.sum - 1.0) < 1e-9)
+  }
+}

@@ -55,6 +55,39 @@ class GramAggregator(d: Int)
   override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
 }
 
+/** Weighted variant — the reference's weighted/locally-weighted linear
+  * regression (SURVEY §2.1 conf=M row): accumulates Σw·xᵢxⱼ, Σw·xᵢy, Σw. */
+class WeightedGramAggregator(d: Int)
+    extends Aggregator[(Seq[Double], Double, Double), Array[Double], Array[Double]] {
+
+  private val inner = new GramAggregator(d)
+  val size: Int = inner.size
+
+  override def zero: Array[Double] = new Array[Double](size)
+
+  override def reduce(b: Array[Double], in: (Seq[Double], Double, Double)): Array[Double] = {
+    val (x, y, w) = in
+    require(x.length == d, s"expected dim $d, got ${x.length}")
+    val tri = d * (d + 1) / 2
+    var k = 0
+    var i = 0
+    while (i < d) {
+      val wxi = w * x(i)
+      var j = i
+      while (j < d) { b(k) += wxi * x(j); k += 1; j += 1 }
+      b(tri + i) += wxi * y
+      i += 1
+    }
+    b(tri + d) += w
+    b
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = inner.merge(a, b)
+  override def finish(r: Array[Double]): Array[Double] = r
+  override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+}
+
 object Gram {
 
   /** DataFrame-usable column aggregate: `gram(d)(xArrayCol, yCol)` →
@@ -63,6 +96,13 @@ object Gram {
     val fn = udaf(new GramAggregator(d), Encoders.tuple(
       ExpressionEncoder[Seq[Double]](), Encoders.scalaDouble))
     (x, y) => fn(x, y)
+  }
+
+  /** Weighted form: `gramWeighted(d)(x, y, w)`; the [tri+d] slot holds Σw. */
+  def gramWeighted(d: Int): (Column, Column, Column) => Column = {
+    val fn = udaf(new WeightedGramAggregator(d), Encoders.tuple(
+      ExpressionEncoder[Seq[Double]](), Encoders.scalaDouble, Encoders.scalaDouble))
+    (x, y, w) => fn(x, y, w)
   }
 
   /** Unpack a finished buffer into (XᵀX full matrix, Xᵀy, n). */

@@ -74,11 +74,14 @@ object LlmOps {
     * shingle→minhash→band→bucket→exact-refine pipeline, factored out so
     * tests can run it over planted-duplicate fixtures. */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    // Repartition by doc_id: the corpus arrives as few large files, and the
-    // shingle/signature stages are compute-bound — spreading them across the
-    // cluster costs one tiny shuffle of raw docs. (At 100 TB the input is
-    // already thousands of splits and this is a no-op by cost.)
-    val sh = shingles(docs).repartition(col("doc_id"))
+    // Repartition by doc_id ONLY on the signature path: the corpus arrives
+    // as few large files and the 64-hash signature stage is compute-bound,
+    // so spreading it across the cluster costs one tiny shuffle of raw
+    // docs. (At 100 TB the input is already thousands of splits and this
+    // is a no-op by cost.) The refine sides below stay shuffle-free — they
+    // are broadcast builds.
+    val sh0 = shingles(docs)
+    val sh = sh0.repartition(col("doc_id"))
 
     // 1. Whole signature in ONE nested-HOF pass per doc — measured 40×
     //    faster than 64 array_min(transform(...)) columns (which blow the
@@ -117,13 +120,14 @@ object LlmOps {
     //    pair's ~100-element union is ~1e-16 — far below the oracle-match
     //    noise floor). The small side is broadcast here; at 100 TB drop the
     //    hint and these become co-partitioned shuffle joins on doc id.
-    val hashed = sh.select(col("doc_id"),
+    val hashed = sh0.select(col("doc_id"),
       expr("transform(sh, t -> xxhash64(9L, t))").as("hs"), size(col("sh")).as("ns"))
-    val ha = hashed.select(col("doc_id").as("doc_a"), col("hs").as("sha"), col("ns").as("na"))
-    val hb = hashed.select(col("doc_id").as("doc_b"), col("hs").as("shb"), col("ns").as("nb"))
-    cand.join(broadcast(ha), "doc_a").join(broadcast(hb), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
-      .withColumn("uni", (col("na") + col("nb")).cast("double") - col("inter"))
+    // Same subtree on both sides → the second BroadcastExchange is a
+    // ReusedExchange: one shingle+hash build serves both joins.
+    cand.join(broadcast(hashed.as("A")), col("doc_a") === col("A.doc_id"))
+      .join(broadcast(hashed.as("B")), col("doc_b") === col("B.doc_id"))
+      .withColumn("inter", size(array_intersect(col("A.hs"), col("B.hs"))).cast("double"))
+      .withColumn("uni", (col("A.ns") + col("B.ns")).cast("double") - col("inter"))
       .withColumn("jd", lit(1.0) - col("inter") / col("uni"))
       .filter(col("jd") <= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jd"), 6).as("jaccard_dist"))

@@ -64,6 +64,33 @@ class VecGramSpec extends AnyFunSuite {
     close(xty(2), r.getDouble(8), "s_dy")
   }
 
+  test("weighted Gram solves to MLlib weighted regression coefficients") {
+    import org.apache.spark.ml.regression.LinearRegression
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(
+        array(lit(1.0), col("l_quantity")).as("x"),
+        col("l_extendedprice").as("y"),
+        (col("l_discount") + lit(0.5)).as("w"))
+    val packed = li.agg(Gram.gramWeighted(2)(col("x"), col("y"), col("w")).as("g"))
+      .collect()(0).getSeq[Double](0).toArray
+    val (xtx, xty, sw) = Gram.unpack(2, packed)
+    assert(sw > 0)
+    // 2x2 solve.
+    val det = xtx(0)(0) * xtx(1)(1) - xtx(0)(1) * xtx(1)(0)
+    val b0 = (xty(0) * xtx(1)(1) - xty(1) * xtx(0)(1)) / det
+    val b1 = (xtx(0)(0) * xty(1) - xtx(1)(0) * xty(0)) / det
+    val m = new LinearRegression().setSolver("normal").setRegParam(0.0)
+      .setWeightCol("w").setLabelCol("y").setFeaturesCol("features")
+      .fit(graft.ml.Pipelines.withFeatureCols(
+        Tables.lineitem(spark, Sf0001).select(
+          col("l_quantity"), col("l_extendedprice").as("y"),
+          (col("l_discount") + lit(0.5)).as("w")), Seq("l_quantity")))
+    assert(math.abs(b0 - m.intercept) / math.abs(m.intercept) < 1e-6,
+      s"intercept $b0 vs ${m.intercept}")
+    assert(math.abs(b1 - m.coefficients(0)) / math.abs(m.coefficients(0)) < 1e-6,
+      s"slope $b1 vs ${m.coefficients(0)}")
+  }
+
   test("Gram aggregator at d=64 in one pass over embeddings") {
     val e = Tables.embeddings(spark, Sf0001)
       .select(col("embedding").cast("array<double>").as("x"),

@@ -20,6 +20,98 @@ class StreamingEquivSpec extends AnyFunSuite {
       s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
   }
 
+  test("late rows beyond the watermark are dropped in append mode") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    Tables.prep(spark)
+    val raw = spark.read.parquet(s"$Sf0001/events.parquet") // ts = epoch-nanos long
+    val minNs = raw.agg(min(col("ts"))).collect()(0).getLong(0)
+    val cutoffNs = minNs + 2L * 24 * 3600 * 1000000000L // min + 2 days
+
+    val watch = Paths.get(sys.props("java.io.tmpdir"), "graft-late-test")
+    if (Files.exists(watch)) {
+      Files.walk(watch).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(watch)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = Paths.get(sys.props("java.io.tmpdir"), s"graft-late-stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = watch.resolve(s"$name.parquet")
+      Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(mtime)
+    }
+    val checkpoint = Paths.get(sys.props("java.io.tmpdir"), "graft-late-ckpt")
+    val sink = Paths.get(sys.props("java.io.tmpdir"), "graft-late-sink")
+    Seq(checkpoint, sink).foreach { d =>
+      if (Files.exists(d)) {
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
+    // The memory sink cannot recover from a checkpoint; the parquet file
+    // sink can — which is also the production shape (append to a table).
+    def runOnce() = {
+      val stream = spark.readStream.schema(raw.schema).parquet(watch.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = stream.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", sink.toString)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000L)
+      q
+    }
+    def emitted(): Array[(java.sql.Timestamp, String, Long)] =
+      spark.read.parquet(sink.toString).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+
+    // Run 1: only the on-time file exists → watermark advances to
+    // (max on-time ts − 1h), persisted in the checkpoint.
+    stage(raw.filter(col("ts") >= cutoffNs), "b1_ontime", System.currentTimeMillis())
+    runOnce()
+    val onTime = emitted()
+    assert(onTime.nonEmpty, "run 1 emitted nothing")
+
+    // Run 2: only the LATE file is new (2 days of events far older than
+    // the persisted watermark) → every row must be dropped.
+    stage(raw.filter(col("ts") < cutoffNs), "b2_late", System.currentTimeMillis())
+    val q2 = runOnce()
+    // Late input reaches the stateful operator pre-aggregated map-side, so
+    // the drop counter counts (window, type) partial groups — bounded by
+    // [distinct groups, raw rows]; zero would mean late data got in.
+    val lateRows = raw.filter(col("ts") < cutoffNs).count()
+    val lateGroups = raw.filter(col("ts") < cutoffNs)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(window(col("ts"), "1 hour"), col("event_type")).distinct().count()
+    val dropped = q2.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped >= lateGroups && dropped <= lateRows,
+      s"watermark dropped $dropped, expected within [$lateGroups, $lateRows]")
+    val cutoffMs = cutoffNs / 1000000L
+    val emitted2 = emitted()
+    assert(emitted2.forall(_._1.getTime >= cutoffMs - 3600 * 1000),
+      s"late windows emitted: ${emitted2.filter(_._1.getTime < cutoffMs - 3600 * 1000).take(3).mkString(",")}")
+
+    // The on-time emission equals the batch aggregation over the on-time
+    // subset alone (late rows contributed nothing anywhere).
+    val batch = raw.filter(col("ts") >= cutoffNs)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    (onTime ++ emitted2).foreach { case (w, t, n) =>
+      assert(batch.get((w, t)).contains(n), s"window ($w,$t): stream=$n batch=${batch.get((w, t))}")
+    }
+  }
+
   test("session window: stream result == batch result") {
     val stream = SRuntime.runToCompletion(spark,
       SRuntime.sessionCounts(SRuntime.eventsStream(spark, Sf0001)), "t_session")

@@ -134,6 +134,28 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the vector-space member of the
+    * dedup family): unit-normalize, bucket with random-projection LSH
+    * (cos ≥ t ⟺ Euclidean ≤ √(2−2t) on unit vectors), refine candidates
+    * with the exact native-dot cosine. Same never-all-pairs shape as the
+    * MinHash pipeline: LSH proposes, exact math disposes. */
+  def cosineNearDupPairs(emb: DataFrame, minCos: Double,
+                         bucketLength: Double = 0.5, numTables: Int = 10): DataFrame = {
+    val unit = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> double(x) / sqrt(vec_dot(embedding, embedding)))").as("unit"))
+    val feat = graft.ml.Pipelines.withFeatures(unit, "unit")
+    val model = graft.ml.Pipelines.brpLsh(feat, bucketLength, numTables)
+    val thr = math.sqrt(math.max(2.0 - 2.0 * minCos, 0.0))
+    model.approxSimilarityJoin(feat, feat, thr, "dist")
+      .filter(col("datasetA.vec_id") < col("datasetB.vec_id"))
+      .select(col("datasetA.vec_id").as("id_a"), col("datasetB.vec_id").as("id_b"),
+        col("datasetA.unit").as("ua"), col("datasetB.unit").as("ub"))
+      .withColumn("cos", graft.functions.Vec.dot("ua", "ub"))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ------------------------------------------------------ similarity search
 
   /** Brute-force cosine top-10 neighbours of vec_id = 0. The one-row query

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Public-API injection point for the engine's custom Catalyst surface
+  * (SURVEY §4): enable with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`), which
+  * registers `vec_dot` at session build time — the deployment-grade
+  * alternative to the runtime registration in Tables.prep (kept for the
+  * driver-owned sessions whose builders this library does not control).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => graft.functions.VecDot(exprs(0), exprs(1))))
+  }
+}

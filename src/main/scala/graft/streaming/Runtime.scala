@@ -52,6 +52,14 @@ object Runtime {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** 1-hour windows sliding every 30 minutes as a stream. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("n"), col("sum_value"))
+
   /** Per-user 30-minute-gap sessions with watermark — streaming
     * session_window requires one. */
   def sessionCounts(events: DataFrame): DataFrame =

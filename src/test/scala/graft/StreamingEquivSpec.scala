@@ -20,6 +20,17 @@ class StreamingEquivSpec extends AnyFunSuite {
       s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
   }
 
+  test("sliding window: stream result == batch result") {
+    val stream = SRuntime.runToCompletion(spark,
+      SRuntime.slidingCounts(SRuntime.eventsStream(spark, Sf0001)), "t_sliding")
+    val batch = SparkEntry.queries("q_stream_sliding")(spark, Sf0001)
+    val got = stream.collect().map(_.toSeq).toSet
+    val exp = batch.collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got == exp,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
   test("late rows beyond the watermark are dropped in append mode") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.functions._

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Public-API injection point for the engine's custom Catalyst surface
   * (SURVEY §4): enable with
@@ -16,7 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[graft.functions.VecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => graft.functions.VecDot(exprs(0), exprs(1))))
+      graft.functions.VecDot.info,
+      graft.functions.VecDot.builder))
   }
 }

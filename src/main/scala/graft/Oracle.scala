@@ -293,7 +293,6 @@ object Oracle {
     "q_array_funcs" ->
       """SELECT vec_id,
                 CAST(length(embedding) AS BIGINT) AS dim,
-                round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
                 round(CAST(embedding[1] AS DOUBLE), 6) AS h0,
                 round(CAST(embedding[2] AS DOUBLE), 6) AS h1,
                 round(CAST(embedding[3] AS DOUBLE), 6) AS h2,

@@ -88,12 +88,27 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VecDot {
+
+  /** Arity-checked function builder — shared by the runtime registration
+    * below and GraftExtensions (a bare `exprs(0)/exprs(1)` would silently
+    * drop extra arguments and crash unhelpfully on too few). */
+  val builder: Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`vec_dot`", "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString, "docroot" -> "-"))
+    }
+    VecDot(exprs(0), exprs(1))
+  }
+
+  val info = new ExpressionInfo(classOf[VecDot].getName, "vec_dot")
+
   /** Register `vec_dot` on a session's function registry (idempotent) so
     * `expr("vec_dot(a, b)")` resolves — called from Tables.prep, which every
     * query's loader goes through. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)))
+      FunctionIdentifier("vec_dot"), info, builder)
 }

@@ -22,16 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  case class Index(assigned: DataFrame, model: KMeansModel)
+  case class Index(assigned: DataFrame, model: KMeansModel,
+                   arrayCol: String, idCol: String)
 
   /** Assign every embedding to its quantizer cell. */
   def build(embeddings: DataFrame, arrayCol: String, nCells: Int,
-            seed: Long = 42L): Index = {
+            seed: Long = 42L, idCol: String = "vec_id"): Index = {
     val model = Pipelines.kmeans(embeddings, arrayCol, nCells, seed)
     val assigned = model.transform(Pipelines.withFeatures(embeddings, arrayCol))
       .withColumnRenamed("prediction", "cell")
       .drop("features")
-    Index(assigned, model)
+    Index(assigned, model, arrayCol, idCol)
   }
 
   /** Top-k by Euclidean distance among the nProbe nearest cells. */
@@ -44,13 +45,13 @@ object Ivf {
       .sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    val q = Seq(Tuple1(query)).toDF("qe")
+    val q = Seq(Tuple1(query)).toDF("__ivf_qe")
     index.assigned
       .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
       .crossJoin(broadcast(q))
-      .withColumn("dist", Vec.euclid("embedding", "qe"))
-      .drop("qe")
-      .orderBy(col("dist"), col("vec_id"))
+      .withColumn("dist", Vec.euclid(index.arrayCol, "__ivf_qe"))
+      .drop("__ivf_qe")
+      .orderBy(col("dist"), col(index.idCol))
       .limit(k)
   }
 }

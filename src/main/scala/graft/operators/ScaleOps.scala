@@ -54,6 +54,10 @@ object ScaleOps {
   def rangeBandAgg(df: DataFrame, part: Column, v: Column, x: Column,
                    width: Long, keys: Seq[Column]): DataFrame = {
     val binned = df.select(keys :+ part.as("p") :+ v.as("v") :+ x.as("x"): _*)
+      // Synthetic row id keeps duplicate (keys, p, v) input rows as separate
+      // output rows (the window form emits one row per input row; a groupBy
+      // on caller keys alone would merge duplicates and double-count).
+      .withColumn("__rid", monotonically_increasing_id())
       .withColumn("bin", floor(col("v") / width))
     val probe = binned.withColumn("nbin", explode(array(
       col("bin") - 1, col("bin"), col("bin") + 1)))
@@ -62,8 +66,9 @@ object ScaleOps {
     probe.join(build,
         col("p") === col("bp") && col("nbin") === col("bbin") &&
         col("bv").between(col("v") - width, col("v") + width))
-      .groupBy(keys :+ col("p") :+ col("v"): _*)
+      .groupBy(keys :+ col("__rid") :+ col("p") :+ col("v"): _*)
       .agg(count(lit(1)).as("n_band"),
         graft.functions.Det.dsum(col("bx")).as("band_sum"))
+      .drop("__rid")
   }
 }

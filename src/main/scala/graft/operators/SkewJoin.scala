@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * skew-join split handles sort-merge joins at runtime; salting is the
   * portable form that also covers aggregations and older planners).
   *
-  * Mechanics: the fact side gets a uniform random-free salt derived from a
-  * row hash (deterministic — no rand(), so retries/replays see the same
-  * salt); the dimension side is exploded `saltFactor`× so every
-  * (key, salt) bucket finds its dimension row. Each hot key's rows spread
-  * over `saltFactor` tasks. Result set identical to the plain join —
-  * asserted in SkewJoinSpec.
+  * Mechanics: the fact side gets a round-robin salt from its row position
+  * (`monotonically_increasing_id mod saltFactor` — uniform even when the
+  * hot key's rows are byte-identical, where a row-content hash would put
+  * them all in one bucket); the dimension side is exploded `saltFactor`×
+  * so every (key, salt) bucket finds its dimension row. Each hot key's
+  * rows spread over `saltFactor` tasks. The salt VALUE never affects the
+  * result set (every salt matches an exploded dim copy), so task retries
+  * re-salting differently are harmless; result-set equality with the
+  * plain join is asserted in SkewJoinSpec.
   */
 object SkewJoin {
 
@@ -22,7 +25,7 @@ object SkewJoin {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col).toSeq: _*)), lit(saltFactor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor)).cast("int"))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(explodedDim, Seq(key, "__salt")).drop("__salt")

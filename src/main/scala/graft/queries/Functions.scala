@@ -79,7 +79,6 @@ object Functions {
       .select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        round(col("embedding")(0).cast("double"), 6).as("e0"),
         round(col("embedding")(0).cast("double"), 6).as("h0"),
         round(col("embedding")(1).cast("double"), 6).as("h1"),
         round(col("embedding")(2).cast("double"), 6).as("h2"),

@@ -12,13 +12,22 @@ object Layout {
 
   /** Write `df` as a hive-style partitioned parquet layout
     * (`path/col=value/...`). At 100 TB this is the difference between
-    * scanning everything and scanning one directory. */
+    * scanning everything and scanning one directory.
+    *
+    * Shuffle shape: rows are redistributed by (partitionCol, bucket) where
+    * bucket = row-hash mod filesPerPartition — full cluster parallelism
+    * (numPartitions stays at spark.sql.shuffle.partitions) with at most
+    * `filesPerPartition` files per partition directory. (A naive
+    * `repartition(n, col)` would funnel everything through n tasks.) */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
-                       filesPerPartition: Int = 1): Unit =
-    df.repartition(filesPerPartition, col(partitionCol))
+                       filesPerPartition: Int = 1): Unit = {
+    val bucket = pmod(
+      xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(filesPerPartition))
+    df.repartition(col(partitionCol), bucket)
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(path)
+  }
 
   /** Read a partitioned layout back; filters on the partition column prune
     * directories before any IO (verify via PartitionFilters in the scan

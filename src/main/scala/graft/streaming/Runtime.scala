@@ -32,8 +32,10 @@ object Runtime {
       sys.props("java.io.tmpdir"), s"graft-stream-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     java.nio.file.Files.createDirectories(streamDir)
     val dst = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst))
-      java.nio.file.Files.copy(src, dst)
+    // Always refresh: a stale copy from a previous run would silently
+    // diverge from the batch side if the testdata were regenerated.
+    java.nio.file.Files.copy(src, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(src.toString).schema
     spark.readStream
       .schema(schema)
@@ -80,7 +82,12 @@ object Runtime {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000L)
+    val finished = q.awaitTermination(120000L)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"stream $name did not finish within 120s — result would be partial")
+    }
     spark.table(name)
   }
 }

@@ -44,8 +44,10 @@ object TextOps {
       greatest(len, lit(1.0))
     val toks = split(lower(text), "\\s+")
     val nTok = greatest(size(toks).cast("double"), lit(1.0))
-    val stopFrac = size(array_intersect(toks,
-      array(Stopwords.map(lit): _*))).cast("double") / nTok
+    // Occurrence count, not set intersection — a 2000-token natural doc has
+    // hundreds of stopword TOKENS even though only ~9 distinct ones exist.
+    val stopFrac = size(filter(toks,
+      t => array_contains(array(Stopwords.map(lit): _*), t))).cast("double") / nTok
     // Natural text has SOME stopwords but isn't all stopwords.
     val stopScore = when(stopFrac.between(0.01, 0.6), lit(1.0)).otherwise(lit(0.4))
     val meanWord = len / nTok
@@ -154,10 +156,17 @@ object TextOps {
       .agg(sum(col("c")).as("score"))
     val pickW = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("lang"))
-    scored
+    val picked = scored
       .withColumn("r", row_number().over(pickW))
       .filter(col("r") === 1)
       .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+    // Documents overlapping NO profile (unseen script, too-short text) must
+    // not vanish: surface them as "und" with score 0.
+    test.select(col("doc_id")).distinct()
+      .join(picked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
       .orderBy("doc_id")
   }
 }

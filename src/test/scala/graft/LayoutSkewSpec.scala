@@ -54,16 +54,20 @@ class LayoutSkewSpec extends AnyFunSuite {
     assert(plain.size == 20000)
   }
 
-  test("salted join spreads the hot key across salt buckets") {
+  test("salted join spreads the hot key across salt buckets — even for byte-identical rows") {
     import spark.implicits._
-    val fact = spark.range(0, 8000).select(lit(7L).as("k"), col("id").as("payload"))
-    val dim = Seq((7L, "hot")).toDF("k", "name")
+    // Every hot row identical: a content-hash salt would collapse to ONE
+    // bucket; the row-position salt must still spread them.
+    val fact = spark.range(0, 8000).select(lit(7L).as("k"), lit("same").as("payload"))
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(struct(col("k"), col("payload"))), lit(8)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(8)).cast("int"))
     val buckets = salted.groupBy("__salt").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(buckets.keySet == (0 until 8).toSet, s"empty salt buckets: $buckets")
     // No bucket holds more than twice the fair share.
     assert(buckets.values.max < 2 * 8000 / 8, buckets.toString)
+    // And the identical-row join still equals the plain join.
+    val dim = Seq((7L, "hot")).toDF("k", "name")
+    assert(SkewJoin.saltedJoin(fact, dim, "k", 8).count() == 8000)
   }
 }

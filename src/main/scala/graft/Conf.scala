@@ -17,6 +17,18 @@ object Conf {
   /** Ceiling so a mis-estimated huge input cannot drown the scheduler. */
   val MaxShufflePartitions: Int = 200000
 
+  /** Largest estimated plan size ScaleOps.maybeBroadcast will still hint for
+    * broadcast. A broadcast build is materialized on the driver and every
+    * executor; 256 MB is a small fraction of a typical 8–32 GB executor heap
+    * while covering every legitimately-small dimension/refine side. */
+  val BroadcastMaxBytes: Long = 256L << 20
+
+  /** Largest estimated input for which the declared single-task-sort window
+    * forms (global ntile / few-valued-partition range frames) are acceptable.
+    * Past ~1 GiB one sort task becomes the whole job's critical path, so the
+    * Windows routers switch to the ScaleOps rewrites. */
+  val OneTaskSortMaxBytes: Long = 1L << 30
+
   /** Recommended `spark.sql.shuffle.partitions` for a job shuffling
     * `shuffleBytes`, never below total cores (every core gets work) and
     * never above the scheduler ceiling. AQE coalesces downward at runtime,

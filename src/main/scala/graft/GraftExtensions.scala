@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * (SURVEY §4): enable with
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `SparkSession.builder().withExtensions(new GraftExtensions)`), which
-  * registers `vec_dot` at session build time — the deployment-grade
+  * registers `vec_dot`/`minhash_sig` at session build time — the deployment-grade
   * alternative to the runtime registration in Tables.prep (kept for the
   * driver-owned sessions whose builders this library does not control).
   */
@@ -17,5 +17,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dot"),
       graft.functions.VecDot.info,
       graft.functions.VecDot.builder))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      graft.functions.MinHashSig.info,
+      graft.functions.MinHashSig.builder))
+    ext.injectFunction((
+      new FunctionIdentifier("bigram_hashes"),
+      graft.functions.MinHashSig.bigramInfo,
+      graft.functions.MinHashSig.bigramBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("sig_matches"),
+      graft.functions.MinHashSig.matchesInfo,
+      graft.functions.MinHashSig.matchesBuilder))
   }
 }

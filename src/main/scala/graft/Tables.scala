@@ -24,9 +24,10 @@ object Tables {
     // by default (PARQUET_TYPE_ILLEGAL). With this flag `ts` arrives as
     // LongType epoch-nanos; decode recipe in `events` below. SURVEY.md §1.3.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Native codegen'd vector dot product (functions/VecDot.scala) used by
-    // the Vec helpers; registration is idempotent.
+    // Native codegen'd expressions (functions/VecDot.scala,
+    // functions/MinHash.scala); registration is idempotent.
     graft.functions.VecDot.register(spark)
+    graft.functions.MinHashSig.register(spark)
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

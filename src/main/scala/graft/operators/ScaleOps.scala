@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Catalyst's size estimate for a frame (file sizes for scans, propagated
+    * through the optimized plan). Cheap — no job runs. The routing signal
+    * for exact-vs-scale form selection and broadcast gating below. */
+  def estimatedBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Apply a broadcast hint ONLY when the plan's estimated size fits the
+    * budget — an unconditional `broadcast()` on a corpus-derived frame is a
+    * silent executor OOM at 100 TB. Above the budget the hint is omitted and
+    * the join falls back to a co-partitioned shuffle join (AQE still
+    * broadcast-converts at runtime if the ACTUAL size turns out small). */
+  def maybeBroadcast(df: DataFrame, maxBytes: Long = graft.Conf.BroadcastMaxBytes): DataFrame =
+    if (estimatedBytes(df) <= BigInt(maxBytes)) broadcast(df) else df
+
   /** Quartile/K-tile assignment WITHOUT a global sort.
     *
     * `ntile(k) OVER (ORDER BY v DESC)` moves the whole table through ONE

@@ -45,12 +45,50 @@ object LlmOps {
         "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
         .as("sh"))
 
+  /** Word-bigram shingle sets per doc as xxhash64 LONGS (the codegen'd
+    * bigram_hashes expression — values bit-identical to seed-chained
+    * `xxhash64(w1, w2)`): no bigram string is ever concatenated or re-hashed
+    * downstream — the same array serves the signature (minhash_sig over
+    * array<long>) and the exact-Jaccard refine (long-array intersect).
+    * Distinct-hash Jaccard equals distinct-string Jaccard barring a 64-bit
+    * collision inside one doc pair's ~100-element union (~1e-16 — far below
+    * the oracle-match noise floor; same argument the refine has always
+    * carried). */
+  def shingleHashes(docs: DataFrame): DataFrame = {
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), expr("bigram_hashes(w)").as("sh"))
+  }
+
   /** MinHash signature length and banding: 64 hashes = 32 bands × 2 rows.
     * Candidate probability for Jaccard s is 1-(1-s²)³²: ≥ 0.9999 at s=0.5
     * (so recall at the 0.5 threshold is ~1), ~2% at the s≈0.03 noise floor —
     * candidates stay linear-ish, never all-pairs. */
-  private val NumHashes = 64
+  private val NumHashes = graft.functions.MinHash.NumHashes
   private val BandRows = 2
+
+  /** Signature prefilter: minimum matching signature slots (of 64) for a
+    * candidate pair to reach the exact-Jaccard refine. Matching slots are
+    * Binomial(64, s) for true Jaccard s: a pair AT the 0.5 output threshold
+    * matches ≥12 with prob 1 - 6e-8, while a bucket-noise pair (s ≈ 0.03,
+    * ~3% of all pairs under 2-row banding) matches ≥12 with prob ~1e-7 —
+    * so the cut removes essentially ALL noise candidates before any shingle
+    * array is pulled through a join, at a miss rate three orders of
+    * magnitude below the 2-row banding's own ~1e-4 miss rate at s = 0.5
+    * (the recall bound the pipeline already carries). */
+  private val SigPrefilterMinMatches = 12
+
+  /** Buckets with more ids than this bypass the triangular pair EXPLODE
+    * (which would emit C(n,2) pair structs from ONE row in ONE task — the
+    * degenerate-corpus giant-task hazard: 10M near-identical docs → 5e13
+    * structs from one row) and generate their pairs via explode-back +
+    * self-join instead, which streams and which AQE's skew handling can
+    * split across tasks. The id-list buffer itself stays linear (10M ids =
+    * 80 MB — survivable; the quadratic blowup is what the cap routes
+    * around). */
+  private[graft] val DegenerateBucketCap = 64
 
   /** Near-duplicate pairs via shingle→minhash→band→bucket-join (the scale
     * path the north star mandates), refined with the EXACT bigram Jaccard
@@ -73,64 +111,93 @@ object LlmOps {
   /** Near-duplicate pairs for any (doc_id, text) DataFrame — the full
     * shingle→minhash→band→bucket→exact-refine pipeline, factored out so
     * tests can run it over planted-duplicate fixtures. */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    // Repartition by doc_id ONLY on the signature path: the corpus arrives
-    // as few large files and the 64-hash signature stage is compute-bound,
-    // so spreading it across the cluster costs one tiny shuffle of raw
-    // docs. (At 100 TB the input is already thousands of splits and this
-    // is a no-op by cost.) The refine sides below stay shuffle-free — they
-    // are broadcast builds.
-    val sh0 = shingles(docs)
-    val sh = sh0.repartition(col("doc_id"))
+  def minhashPairs(docs: DataFrame,
+                   bucketCap: Int = DegenerateBucketCap): DataFrame = {
+    // Callers may hand in frames built outside Tables.prep (tests, library
+    // users); minhash_sig registration is idempotent.
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    // Shingles are computed WHERE THE DATA IS — no raw-doc repartition. The
+    // round-1 form shuffled the corpus to spread a 64-string-hash signature
+    // fold that no longer exists; with the derived-permutation signature the
+    // whole map side costs barely more than the scan, and at 100 TB the
+    // input is already thousands of splits.
+    val sh0 = shingleHashes(docs)
 
-    // 1. Whole signature in ONE nested-HOF pass per doc — measured 40×
-    //    faster than 64 array_min(transform(...)) columns (which blow the
-    //    codegen budget) or an explode + 64-column min-aggregate (wide-row
-    //    shuffle + giant generated aggregate): no shuffle, no wide rows.
-    val mh = sh.select(col("doc_id"), expr(
-      s"""aggregate(sh,
-            array_repeat(${Long.MaxValue}L, $NumHashes),
-            (acc, t) -> zip_with(acc, transform(sequence(0, ${NumHashes - 1}), i -> xxhash64(i, t)),
-                                 (a, b) -> least(a, b)))""").as("sig"))
+    // 1. Whole signature in ONE native codegen'd expression pass per doc
+    //    (functions/MinHash.scala): shingles arrive PRE-HASHED (array<long>
+    //    from shingleHashes) and the 64 signature slots are derived
+    //    multiply-shift permutations of each hash — vs the round-2/3
+    //    64-independent-string-hash HOF fold this removes all per-signature
+    //    string hashing AND the fold's one-time lambda-codegen cost (~7 s of
+    //    the 12.45 s the r2 driver measured was first-run codegen of that
+    //    fold). Candidate sets may differ hash-by-hash, but the
+    //    exact-Jaccard refine in step 3 keeps the OUTPUT identical to the
+    //    all-pairs exact answer either way. No shuffle, no wide rows.
+    val mh = sh0.select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
 
     // 2. Band buckets: (band, sig[2b], sig[2b+1]). Pairs are generated
-    //    inside each bucket via collect_list + a triangular pair explode —
-    //    cheaper than a bucket self-join at this bucket-size profile. The
-    //    100 TB guard for a degenerate corpus (one giant bucket of
-    //    near-identical docs) is a bucket-size cap + salt before the
-    //    explode; this corpus's buckets are tiny. least/greatest normalize
-    //    the pair regardless of collect_list's arbitrary order; distinct
+    //    inside each bucket AFTER one collect_list aggregate; the routing
+    //    filter on size(ids) keeps all three consumers on top of the SAME
+    //    shuffle (ReusedExchange — no recompute of the signature subtree).
+    //    Buckets at or under `bucketCap` use the triangular pair explode
+    //    (cheapest at this profile); larger — degenerate — buckets are
+    //    re-exploded to rows and self-joined, so no single row ever carries
+    //    C(n,2) pair structs and AQE's skew handling can split the hot
+    //    bucket across tasks. least/greatest normalize the collect_list
+    //    pairs' order; the self-join emits a < b directly; distinct
     //    collapses the up-to-32 band hits per pair.
     val buckets = mh.select(col("doc_id"), explode(expr(
       s"""transform(sequence(0, ${NumHashes / BandRows - 1}),
             b -> struct(b AS band, element_at(sig, 2 * b + 1) AS x, element_at(sig, 2 * b + 2) AS y))"""))
       .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.x").as("x"), col("bk.y").as("y"))
-    val cand = buckets.groupBy(col("band"), col("x"), col("y"))
+    val grouped = buckets.groupBy(col("band"), col("x"), col("y"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
+    val smallPairs = grouped.filter(size(col("ids")) <= bucketCap)
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
              transform(slice(ids, i + 2, size(ids)), b ->
                struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))""")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val big = grouped.filter(size(col("ids")) > bucketCap)
+      .select(col("band"), col("x"), col("y"), explode(col("ids")).as("doc_id"))
+    // A degenerate dup-cluster hits the same (x, y) in all 32 bands, so its
+    // self-join pairs arrive 32×; dedup them BEFORE they haul arrays
+    // through the refine join. (Small-bucket pairs duplicate too, but at
+    // tiny volume — the single distinct at the end covers them.)
+    val bigPairs = big.as("L").join(big.as("R"),
+        col("L.band") === col("R.band") && col("L.x") === col("R.x") &&
+          col("L.y") === col("R.y") && col("L.doc_id") < col("R.doc_id"))
+      .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"))
+      .distinct()
+    val cand = smallPairs.union(bigPairs)
 
-    // 3. Exact-Jaccard refine over xxhash64'd shingle sets (long-array
-    //    intersect ≫ string-array intersect; a 64-bit collision inside one
-    //    pair's ~100-element union is ~1e-16 — far below the oracle-match
-    //    noise floor). The small side is broadcast here; at 100 TB drop the
-    //    hint and these become co-partitioned shuffle joins on doc id.
-    val hashed = sh0.select(col("doc_id"),
-      expr("transform(sh, t -> xxhash64(9L, t))").as("hs"), size(col("sh")).as("ns"))
-    // Same subtree on both sides → the second BroadcastExchange is a
-    // ReusedExchange: one shingle+hash build serves both joins.
-    cand.join(broadcast(hashed.as("A")), col("doc_a") === col("A.doc_id"))
-      .join(broadcast(hashed.as("B")), col("doc_b") === col("B.doc_id"))
+    // 3. Refine, one broadcast side, one codegen stage: join each candidate
+    //    pair to (sig, hs, ns) per doc, drop bucket noise on the SIGNATURE
+    //    match count first (SigPrefilterMinMatches — under 2-row banding
+    //    ~3% of ALL doc pairs become candidates at the corpus noise
+    //    similarity, and computing a full array intersect for each of them
+    //    would BE the refine bottleneck), then score survivors with the
+    //    exact Jaccard over the SAME hashed shingle sets (long-array
+    //    intersect ≫ string-array intersect; collision analysis above).
+    //    The broadcast hint is size-GATED (ScaleOps.maybeBroadcast): past
+    //    the budget the hint is omitted and these become co-partitioned
+    //    shuffle joins on doc id instead of a silent executor OOM. Same
+    //    subtree on both sides → the second BroadcastExchange is a
+    //    ReusedExchange: one build serves both joins.
+    val docMeta = graft.operators.ScaleOps.maybeBroadcast(
+      sh0.select(col("doc_id"), expr("minhash_sig(sh)").as("sig"),
+        col("sh").as("hs"), size(col("sh")).as("ns")))
+    cand.join(docMeta.as("A"), col("doc_a") === col("A.doc_id"))
+      .join(docMeta.as("B"), col("doc_b") === col("B.doc_id"))
+      .filter(expr(s"sig_matches(A.sig, B.sig) >= $SigPrefilterMinMatches"))
       .withColumn("inter", size(array_intersect(col("A.hs"), col("B.hs"))).cast("double"))
       .withColumn("uni", (col("A.ns") + col("B.ns")).cast("double") - col("inter"))
       .withColumn("jd", lit(1.0) - col("inter") / col("uni"))
       .filter(col("jd") <= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jd"), 6).as("jaccard_dist"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -54,6 +54,33 @@ class MinhashSpec extends AnyFunSuite {
       s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
   }
 
+  test("degenerate corpus: 1,000 identical docs route through the big-bucket self-join path and ALL pairs are reported") {
+    import spark.implicits._
+    // Every band bucket holds all 1,000 ids — far past DegenerateBucketCap,
+    // so the collect_list + pair-explode path is bypassed entirely (no
+    // 1,000-element array in one aggregation buffer, no C(1000,2) structs
+    // from one row) and pairs come from the streaming self-join. The exact
+    // answer is every pair at distance 0 — recall must not drop.
+    val docs = (0L until 1000L).map(i => (i, base)).toDF("doc_id", "text")
+    val pairs = LlmOps.minhashPairs(docs)
+    assert(pairs.count() == 1000L * 999L / 2)
+    assert(pairs.filter(col("jaccard_dist") =!= 0.0).count() == 0)
+  }
+
+  test("bucketCap routing does not change the result (planted mix, cap 2 vs huge)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, base), (1L, nearDup), (2L, unrelated),
+      (3L, base), (4L, base),
+      (5L, "another unrelated document mentioning spark catalyst tungsten codegen stages tasks"),
+    ).toDF("doc_id", "text")
+    def run(cap: Int) = LlmOps.minhashPairs(docs, bucketCap = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBig = run(2)      // dup cluster {0,1,3,4} exceeds the cap
+    val viaSmall = run(1000) // everything fits the explode path
+    assert(viaBig == viaSmall && viaBig.nonEmpty)
+  }
+
   test("MLlib MinHashLSH agrees on the planted pair (pipeline wrapper)") {
     import spark.implicits._
     val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")

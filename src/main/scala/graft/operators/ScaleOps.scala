@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cluster-scale rewrites of operators whose naive form has a scale-killer
@@ -51,6 +52,58 @@ object ScaleOps {
     df.crossJoin(broadcast(edges))
       .withColumn("bucket", bucketExpr)
       .drop("edges")
+  }
+
+  /** EXACT global row_number / rank WITHOUT a one-task whole-table window.
+    *
+    * `row_number() OVER (ORDER BY v DESC, tiebreaks)` puts every row in ONE
+    * window partition — the global-sort scale-killer. This form is exact,
+    * not approximate: (1) split the value domain into `buckets` ranges via
+    * approx_percentile edges (the SPLIT POINTS may be approximate — that
+    * only skews bucket populations, never correctness); (2) rank inside
+    * each bucket with an ordinary partitioned window (parallel, each task
+    * sorts ~n/buckets rows); (3) cumulative per-bucket counts — a
+    * ≤`buckets`-row frame, so its global window is O(buckets) — give each
+    * bucket its global offset. Ties share a bucket (assignment compares the
+    * value only), so `offset + local rank` IS the global rank.
+    *
+    * Appends `__pos` (row_number over `v DESC, tiebreaks`), `__rnk` (rank
+    * over `v DESC` alone) and `__n` (total rows) to `df`. Requires non-null
+    * `value`. Degenerate all-equal `value` collapses to one bucket — the
+    * sort the caller asked for in that case. Integer `div`/`%` downstream
+    * stay exact to 2^63; positions are longs throughout.
+    */
+  def globalRanksDesc(df: DataFrame, value: Column, tiebreaks: Seq[Column],
+                      buckets: Int = 256, accuracy: Int = 10000): DataFrame = {
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val edges = df.agg(
+      percentile_approx(value, array(ps.map(lit): _*), lit(accuracy)).as("__edges"))
+    // 0-based bucket, 0 = highest values (desc convention): count how many
+    // top-down edges the value falls below. Same construction as
+    // ntileByEdges, with enough buckets that each holds ~n/buckets rows.
+    val bucketExpr = (1 until buckets).map(i =>
+      when(value < col("__edges")(buckets - 1 - i), 1).otherwise(0)).reduce(_ + _)
+    val bucketed = df.crossJoin(broadcast(edges))
+      .withColumn("__bkt", bucketExpr).drop("__edges")
+    val wPos = Window.partitionBy(col("__bkt")).orderBy(value.desc +: tiebreaks: _*)
+    val wVal = Window.partitionBy(col("__bkt")).orderBy(value.desc)
+    val local = bucketed
+      .withColumn("__lpos", row_number().over(wPos).cast("long"))
+      .withColumn("__lrnk", rank().over(wVal).cast("long"))
+    // Offsets: rows in higher-value buckets. ≤`buckets` rows, so the
+    // unpartitioned windows here are O(buckets), not O(table).
+    val counts = bucketed.groupBy(col("__bkt")).agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .select(col("__bkt").as("__obkt"), col("__off"), col("__n"))
+    local.join(broadcast(offsets), col("__bkt") === col("__obkt"))
+      .withColumn("__pos", col("__off") + col("__lpos"))
+      .withColumn("__rnk", col("__off") + col("__lrnk"))
+      .drop("__bkt", "__obkt", "__off", "__cnt", "__lpos", "__lrnk")
   }
 
   /** Value-range frame aggregation WITHOUT sorting giant partitions.

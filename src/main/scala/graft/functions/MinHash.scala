@@ -42,7 +42,9 @@ object MinHash {
 
   /** One pass over a string shingle array; called from both the interpreted
     * eval and the generated code (static forwarder). Cost per shingle: one
-    * xxhash64 of the string bytes + NumHashes mult-add/min steps. */
+    * xxhash64 of the string bytes + NumHashes mult-add/min steps. Null
+    * elements are skipped (split() and many array builders declare
+    * containsNull = true, so they are reachable from external callers). */
   def sig(arr: ArrayData): ArrayData = {
     val n = NumHashes
     val mins = new Array[Long](n)
@@ -50,12 +52,14 @@ object MinHash {
     val m = arr.numElements()
     var j = 0
     while (j < m) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
-      var i = 0
-      while (i < n) {
-        val g = A(i) * h + B(i)
-        if (g < mins(i)) mins(i) = g
-        i += 1
+      if (!arr.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(j), Seed)
+        var i = 0
+        while (i < n) {
+          val g = A(i) * h + B(i)
+          if (g < mins(i)) mins(i) = g
+          i += 1
+        }
       }
       j += 1
     }
@@ -64,7 +68,8 @@ object MinHash {
 
   /** Same over PRE-HASHED shingles (array<long>, e.g. `xxhash64(w1, w2)`
     * bigrams): the element is already a uniform 64-bit hash, so it feeds the
-    * derived permutations directly — no string bytes touched at all. */
+    * derived permutations directly — no string bytes touched at all. Null
+    * elements are skipped, matching sig(). */
   def sigLong(arr: ArrayData): ArrayData = {
     val n = NumHashes
     val mins = new Array[Long](n)
@@ -72,12 +77,14 @@ object MinHash {
     val m = arr.numElements()
     var j = 0
     while (j < m) {
-      val h = arr.getLong(j)
-      var i = 0
-      while (i < n) {
-        val g = A(i) * h + B(i)
-        if (g < mins(i)) mins(i) = g
-        i += 1
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < n) {
+          val g = A(i) * h + B(i)
+          if (g < mins(i)) mins(i) = g
+          i += 1
+        }
       }
       j += 1
     }
@@ -94,20 +101,27 @@ object MinHash {
     val n = words.numElements()
     if (n < 2) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](n - 1)
+    var k = 0
     var i = 0
     while (i < n - 1) {
-      val h1 = XXH64.hashUTF8String(words.getUTF8String(i), Seed)
-      out(i) = XXH64.hashUTF8String(words.getUTF8String(i + 1), h1)
+      // Bigrams with a null word are skipped (split() declares
+      // containsNull = true, so external callers can pass them).
+      if (!words.isNullAt(i) && !words.isNullAt(i + 1)) {
+        val h1 = XXH64.hashUTF8String(words.getUTF8String(i), Seed)
+        out(k) = XXH64.hashUTF8String(words.getUTF8String(i + 1), h1)
+        k += 1
+      }
       i += 1
     }
-    java.util.Arrays.sort(out)
+    if (k == 0) return new GenericArrayData(Array.emptyLongArray)
+    java.util.Arrays.sort(out, 0, k)
     var w = 1
     var r = 1
-    while (r < out.length) {
+    while (r < k) {
       if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
       r += 1
     }
-    new GenericArrayData(if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
   /** Count of equal slots between two equal-length signatures — the
@@ -117,7 +131,9 @@ object MinHash {
     var c = 0
     var i = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) c += 1
+      // Null slots never match (signatures built here are null-free, but
+      // external callers can hand in containsNull = true arrays).
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
       i += 1
     }
     c
@@ -129,8 +145,8 @@ object MinHash {
   * surface as VecDot): no per-hash lambda dispatch, no intermediate arrays,
   * stays inside whole-stage codegen. String elements are xxhash64'd once
   * each; long elements are treated as ALREADY-uniform hashes and feed the
-  * derived permutations directly. Null array → null; null elements are not
-  * expected (shingle arrays are built with split/zip_with, no nulls). */
+  * derived permutations directly. Null array → null; null ELEMENTS are
+  * skipped (external callers can pass containsNull = true arrays). */
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

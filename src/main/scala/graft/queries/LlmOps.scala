@@ -70,14 +70,20 @@ object LlmOps {
   private val BandRows = 2
 
   /** Signature prefilter: minimum matching signature slots (of 64) for a
-    * candidate pair to reach the exact-Jaccard refine. Matching slots are
-    * Binomial(64, s) for true Jaccard s: a pair AT the 0.5 output threshold
-    * matches ≥12 with prob 1 - 6e-8, while a bucket-noise pair (s ≈ 0.03,
-    * ~3% of all pairs under 2-row banding) matches ≥12 with prob ~1e-7 —
-    * so the cut removes essentially ALL noise candidates before any shingle
-    * array is pulled through a join, at a miss rate three orders of
-    * magnitude below the 2-row banding's own ~1e-4 miss rate at s = 0.5
-    * (the recall bound the pipeline already carries). */
+    * candidate pair to reach the exact-Jaccard refine. Under an
+    * independent-slots approximation, matching slots are Binomial(64, s)
+    * for true Jaccard s: a pair AT the 0.5 output threshold matches ≥12
+    * with prob ~1 - 6e-8, while a bucket-noise pair (s ≈ 0.03, ~3% of all
+    * pairs under 2-row banding) matches ≥12 with prob ~1e-7 — so the cut
+    * removes essentially ALL noise candidates before any shingle array is
+    * pulled through a join. The 64 slots here are derived linear
+    * permutations of ONE shared base hash per shingle, so slot matches are
+    * correlated and the true tail is somewhat fatter than the binomial
+    * bound; 12/64 sits far enough below the 32-expected matches at s = 0.5
+    * that the margin absorbs the correlation (MinhashSpec's planted-pair
+    * recall and the sf0.01 oracle hash-match hold with the filter on),
+    * and the 2-row banding's own ~1e-4 miss rate at s = 0.5 remains the
+    * dominant recall term. */
   private val SigPrefilterMinMatches = 12
 
   /** Buckets with more ids than this bypass the triangular pair EXPLODE
@@ -162,16 +168,19 @@ object LlmOps {
       .select(col("p.doc_a"), col("p.doc_b"))
     val big = grouped.filter(size(col("ids")) > bucketCap)
       .select(col("band"), col("x"), col("y"), explode(col("ids")).as("doc_id"))
-    // A degenerate dup-cluster hits the same (x, y) in all 32 bands, so its
-    // self-join pairs arrive 32×; dedup them BEFORE they haul arrays
-    // through the refine join. (Small-bucket pairs duplicate too, but at
-    // tiny volume — the single distinct at the end covers them.)
     val bigPairs = big.as("L").join(big.as("R"),
         col("L.band") === col("R.band") && col("L.x") === col("R.x") &&
           col("L.y") === col("R.y") && col("L.doc_id") < col("R.doc_id"))
       .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"))
-      .distinct()
-    val cand = smallPairs.union(bigPairs)
+    // A true near-dup pair collides in up to 32 of the 32 bands (a
+    // degenerate dup-cluster hits ALL of them), so candidates arrive with
+    // that multiplicity from BOTH generators. One distinct on the narrow
+    // (long, long) pair stream dedups them BEFORE they haul signature and
+    // shingle arrays through the refine joins — on a dup-heavy corpus that
+    // shuffle of 16-byte rows is far cheaper than up-to-32× duplicated
+    // sig_matches + ~100-element array_intersects; it also makes the
+    // refine output unique by construction (doc_id is unique in docMeta).
+    val cand = smallPairs.union(bigPairs).distinct()
 
     // 3. Refine, one broadcast side, one codegen stage: join each candidate
     //    pair to (sig, hs, ns) per doc, drop bucket noise on the SIGNATURE
@@ -196,8 +205,9 @@ object LlmOps {
       .withColumn("uni", (col("A.ns") + col("B.ns")).cast("double") - col("inter"))
       .withColumn("jd", lit(1.0) - col("inter") / col("uni"))
       .filter(col("jd") <= 0.5)
+      // No trailing distinct: cand is already unique and each side of the
+      // refine join matches exactly one docMeta row.
       .select(col("doc_a"), col("doc_b"), round(col("jd"), 6).as("jaccard_dist"))
-      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -1,7 +1,8 @@
 package graft.queries
 
-import graft.Tables
+import graft.{Conf, Tables}
 import graft.functions.Det.dsumOver
+import graft.operators.ScaleOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,10 +17,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: all per-entity windows partition by a key (customer/user),
   * so at 100 TB each partition is small and the single shuffle hash-
-  * distributes evenly. The two whole-table windows (q_window_range partitions
-  * only by 3-value status, q_window_ntile is global) are declared semantics —
-  * the cluster-scale form would pre-bucket by range boundaries or use
-  * approx quantiles; noted inline.
+  * distributes evenly. The two whole-table windows are ROUTED: below
+  * Conf.OneTaskSortMaxBytes (Catalyst size estimate — no job runs) the
+  * declared single-task-sort window form executes; above it the plan
+  * switches to the ScaleOps rewrite (exact bucketed global ranks for
+  * ntile/percent_rank, exact bin-and-join for the range frame), so the
+  * 100 TB story is self-executing, not a comment for the caller to read.
   */
 object Windows {
 
@@ -70,15 +73,15 @@ object Windows {
       .orderBy("event_id")
   }
 
-  /** Value-range frame: per status, sum/count of orders priced within ±5000.
-    * At 100 TB a 3-way partition key is a skew hazard — the scale form
-    * range-buckets o_totalprice into width-5000 bins, aggregates per bin, and
-    * joins each row to its bin±1 partials instead of sorting whole
-    * partitions. */
-  val qWindowRange: Q = (s, dir) => {
-    // Frame over integer cents: Spark's rangeBetween(Long) needs an integral
-    // ordering column, and integer band edges are engine-portable (no double
-    // boundary comparisons).
+  // ------------------------------------------------- q_window_range (routed)
+
+  /** Declared form — value-range frame per status: sum/count of orders
+    * priced within ±5000. Frame over integer cents: Spark's
+    * rangeBetween(Long) needs an integral ordering column, and integer band
+    * edges are engine-portable (no double boundary comparisons). A 3-way
+    * partition key sorts ~⅓ of the table per task — fine below the one-task
+    * threshold, a skew-killer above it. */
+  private[graft] val rangeWindowForm: Q = (s, dir) => {
     val cents = round(col("o_totalprice") * 100).cast("long")
     val w = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("price_cents"))
@@ -92,10 +95,37 @@ object Windows {
       .orderBy(col("o_orderstatus"), col("price_cents"), col("o_orderkey"))
   }
 
-  /** Quartile bucket + percent_rank of customers by acctbal. Global window
-    * is intentional declared semantics; the 100 TB form computes quartile
-    * edges via approx_percentile and assigns by comparison (no global sort). */
-  val qWindowNtile: Q = (s, dir) => {
+  /** Scale form — EXACT bin-and-join rewrite (ScaleOps.rangeBandAgg):
+    * width-500000 bins of price_cents, each row joined to its bin±1
+    * partials. Work shuffles uniformly by (status, bin); no whole-partition
+    * sort anywhere. Same rows, same values as the window form. */
+  private[graft] val rangeScaleForm: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+      .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))
+    ScaleOps.rangeBandAgg(orders,
+        part = col("o_orderstatus"), v = col("price_cents"), x = col("o_totalprice"),
+        width = 500000L, keys = Seq(col("o_orderkey")))
+      .select(col("p").as("o_orderstatus"), col("o_orderkey"),
+        col("v").as("price_cents"), col("n_band"), col("band_sum").as("band_spend"))
+      .orderBy(col("o_orderstatus"), col("price_cents"), col("o_orderkey"))
+  }
+
+  /** Size-routed q_window_range: the declared window form while the input's
+    * Catalyst estimate fits a single sort task, the exact ScaleOps rewrite
+    * past it. Both forms produce identical rows, so routing never changes
+    * results — only the plan shape. */
+  def rangeRouted(maxOneTaskBytes: Long = Conf.OneTaskSortMaxBytes): Q = (s, dir) =>
+    if (ScaleOps.estimatedBytes(Tables.orders(s, dir)) <= BigInt(maxOneTaskBytes))
+      rangeWindowForm(s, dir)
+    else rangeScaleForm(s, dir)
+
+  val qWindowRange: Q = rangeRouted()
+
+  // ------------------------------------------------- q_window_ntile (routed)
+
+  /** Declared form — quartile bucket + percent_rank of customers by acctbal
+    * via global (unpartitioned) windows: every row through ONE sort task. */
+  private[graft] val ntileWindowForm: Q = (s, dir) => {
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
     val wValue = Window.orderBy(col("c_acctbal").desc)
     Tables.customer(s, dir)
@@ -105,6 +135,46 @@ object Windows {
         round(percent_rank().over(wValue), 6).as("pct_rank"))
       .orderBy("c_custkey")
   }
+
+  /** Scale form — EXACT, no global sort: ScaleOps.globalRanksDesc gives the
+    * global position (__pos, tiebroken by c_custkey), value rank (__rnk) and
+    * total count (__n) via bucketed parallel windows; then
+    *   ntile(k)  = the positional split SQL defines (first n%k buckets get
+    *               ⌈n/k⌉ rows, the rest ⌊n/k⌋ — computed from __pos alone);
+    *   pct_rank  = (rank-1)/(n-1), the definition of percent_rank.
+    * Both reproduce the window form bit-for-bit (the same IEEE division,
+    * the same integer bucketing), so the router is free to pick either. */
+  private[graft] val ntileScaleForm: Q = (s, dir) => {
+    val k = 4
+    val ranked = ScaleOps.globalRanksDesc(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
+      col("c_acctbal"), Seq(col("c_custkey")))
+    // Positional ntile. q = __n div k rows per small bucket, r = __n % k
+    // buckets get one extra. The ELSE branch only evaluates when q >= 1
+    // (CASE is lazy); greatest() is belt-and-braces against ANSI div-by-0.
+    val quartile = expr(
+      s"""CASE WHEN __pos <= (__n % $k) * (__n div $k + 1)
+               THEN (__pos - 1) div (__n div $k + 1) + 1
+               ELSE (__n % $k) + (__pos - (__n % $k) * (__n div $k + 1) - 1)
+                      div greatest(__n div $k, 1) + 1
+          END""")
+    val pctRank = when(col("__n") === 1L, lit(0.0))
+      .otherwise(round((col("__rnk") - 1L).cast("double") /
+        (col("__n") - 1L).cast("double"), 6))
+    ranked.select(
+        col("c_custkey"), col("c_acctbal"),
+        quartile.cast("long").as("quartile"),
+        pctRank.as("pct_rank"))
+      .orderBy("c_custkey")
+  }
+
+  /** Size-routed q_window_ntile — same contract as rangeRouted. */
+  def ntileRouted(maxOneTaskBytes: Long = Conf.OneTaskSortMaxBytes): Q = (s, dir) =>
+    if (ScaleOps.estimatedBytes(Tables.customer(s, dir)) <= BigInt(maxOneTaskBytes))
+      ntileWindowForm(s, dir)
+    else ntileScaleForm(s, dir)
+
+  val qWindowNtile: Q = ntileRouted()
 
   val queries: Map[String, Q] = Map(
     "q_window_rank" -> qWindowRank,

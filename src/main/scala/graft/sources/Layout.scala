@@ -20,11 +20,12 @@ object Layout {
     * `filesPerPartition` files per partition directory. (A naive
     * `repartition(n, col)` would funnel everything through n tasks.) */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
-                       filesPerPartition: Int = 1): Unit = {
+                       filesPerPartition: Int = 1,
+                       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val bucket = pmod(
       xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(filesPerPartition))
     df.repartition(col(partitionCol), bucket)
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(mode)
       .partitionBy(partitionCol)
       .parquet(path)
   }

@@ -2,7 +2,8 @@ package graft.streaming
 
 import graft.Tables
 import graft.functions.Det.dsum
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Layout
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming runtime — SURVEY.md §2.10's runtime half.
@@ -71,6 +72,42 @@ object Runtime {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("s_start"),
         col("sw.end").as("s_end"), col("n_events"))
+
+  /** The PRODUCTION sink (SURVEY §2.10's "foreachBatch parquet sink"): run
+    * a stream through `foreachBatch` into a hive-style partitioned parquet
+    * layout via Layout.writePartitioned — the same pruning-friendly on-disk
+    * posture batch jobs write, fed incrementally.
+    *
+    * Two supported mode pairings, both exactly-once at the directory level:
+    *  - stateless/append rows + SaveMode.Append — each micro-batch's rows
+    *    land once; the table is the union of batches (classic streaming
+    *    ETL ingest);
+    *  - stateful aggregation in "complete" mode + SaveMode.Overwrite — each
+    *    micro-batch rewrites the full aggregate, so the directory always
+    *    holds the latest complete result (compact dashboards/rollups).
+    * The checkpoint carries source offsets, so a restart resumes instead of
+    * replaying from scratch. Shuffle shape inside each batch is
+    * Layout.writePartitioned's: redistribute by (partitionCol, row-hash
+    * bucket) — full cluster parallelism, bounded files per partition dir. */
+  def runToPartitionedParquet(agg: DataFrame, path: String, checkpoint: String,
+                              partitionCol: String, outputMode: String,
+                              saveMode: SaveMode,
+                              filesPerPartition: Int = 1): Unit = {
+    val q = agg.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Layout.writePartitioned(batch, path, partitionCol, filesPerPartition, saveMode)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(120000L)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"stream into $path did not finish within 120s — sink would be partial")
+    }
+  }
 
   /** Run a streaming aggregation to completion against the replayed file
     * source and return the final result as a DataFrame (memory sink,

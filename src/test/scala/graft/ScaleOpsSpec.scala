@@ -30,6 +30,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     sizes.values.foreach(s => assert(math.abs(s / n - 0.25) < 0.05, sizes.toString))
   }
 
+  test("ntile router: scale form bit-matches the window form; threshold picks the plan") {
+    import graft.queries.Windows
+    // Above the threshold (maxBytes = 0 forces it) the router must emit the
+    // globalRanksDesc plan — no global-sort ntile/percent_rank anywhere.
+    val scaled = Windows.ntileRouted(maxOneTaskBytes = 0L)(spark, Sf0001)
+    val scaledPlan = scaled.queryExecution.executedPlan.toString
+    // "ntile(4)" not bare "ntile": percentile_approx in the scale plan
+    // contains the latter as a substring.
+    assert(!scaledPlan.contains("ntile(4)"), s"router kept the ntile window:\n$scaledPlan")
+    assert(!scaledPlan.contains("percent_rank"), "router kept the percent_rank window")
+    // Below it, the declared window form runs.
+    val declaredPlan = Windows.ntileRouted(maxOneTaskBytes = Long.MaxValue)(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(declaredPlan.contains("ntile(4)"), "router dropped the declared form below threshold")
+    // The scale form is EXACT (positional ntile + (rnk-1)/(n-1)): row-for-row
+    // equality with the declared window form, not approximate agreement.
+    val exact = Windows.ntileWindowForm(spark, Sf0001).collect().toSeq
+    assert(scaled.collect().toSeq == exact, "scale ntile form diverged from window form")
+  }
+
+  test("range router: scale form row-matches the window form; threshold picks the plan") {
+    import graft.queries.Windows
+    val scaled = Windows.rangeRouted(maxOneTaskBytes = 0L)(spark, Sf0001)
+    val scaledPlan = scaled.queryExecution.executedPlan.toString
+    assert(!scaledPlan.contains("RangeFrame"), s"router kept the range window:\n$scaledPlan")
+    val declaredPlan = Windows.rangeRouted(maxOneTaskBytes = Long.MaxValue)(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(declaredPlan.contains("RangeFrame"), "router dropped the declared form below threshold")
+    val got = scaled.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    val exp = Windows.rangeWindowForm(spark, Sf0001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    assert(got == exp, s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
   test("rangeBandAgg == exact range-frame window (bin-and-join is exact)") {
     val orders = Tables.orders(spark, Sf0001)
       .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))

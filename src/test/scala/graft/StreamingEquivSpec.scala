@@ -123,6 +123,66 @@ class StreamingEquivSpec extends AnyFunSuite {
     }
   }
 
+  private def freshDir(name: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val d = Paths.get(sys.props("java.io.tmpdir"), name)
+    if (Files.exists(d)) {
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    d
+  }
+
+  test("foreachBatch -> partitioned parquet sink (stateless append): disk == batch") {
+    import org.apache.spark.sql.functions._
+    val sink = freshDir("graft-fb-etl-sink")
+    val ckpt = freshDir("graft-fb-etl-ckpt")
+    // Streaming ETL ingest: decode + project + filter, no state. Every
+    // micro-batch appends its rows into the event_type-partitioned layout.
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("value") >= 0)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    SRuntime.runToPartitionedParquet(
+      shape(SRuntime.eventsStream(spark, Sf0001)),
+      sink.toString, ckpt.toString, partitionCol = "event_type",
+      outputMode = "append", saveMode = org.apache.spark.sql.SaveMode.Append)
+    val batch = shape(
+      spark.read.parquet(s"$Sf0001/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val got = graft.sources.Layout.readPartitioned(spark, sink.toString)
+      .select("event_id", "event_type", "user_id", "value")
+      .collect().map(_.toSeq).toSet
+    val exp = batch.collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got == exp,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    // The sink really is a hive-style partitioned layout (pruning-ready).
+    val dirs = java.nio.file.Files.list(sink).iterator()
+    val partDirs = Iterator.continually(dirs).takeWhile(_.hasNext).map(_.next())
+      .map(_.getFileName.toString).filter(_.startsWith("event_type=")).toList
+    assert(partDirs.nonEmpty, "no event_type= partition directories on disk")
+  }
+
+  test("foreachBatch -> partitioned parquet sink (complete overwrite agg): disk == batch") {
+    val sink = freshDir("graft-fb-agg-sink")
+    val ckpt = freshDir("graft-fb-agg-ckpt")
+    // Stateful rollup: complete-mode tumbling counts; every micro-batch
+    // overwrites the directory with the latest full aggregate, so the final
+    // on-disk state equals the batch aggregation.
+    SRuntime.runToPartitionedParquet(
+      SRuntime.tumblingCounts(SRuntime.eventsStream(spark, Sf0001)),
+      sink.toString, ckpt.toString, partitionCol = "event_type",
+      outputMode = "complete", saveMode = org.apache.spark.sql.SaveMode.Overwrite)
+    val batch = SparkEntry.queries("q_stream_tumbling")(spark, Sf0001)
+    val cols = Seq("w_start", "event_type", "n", "sum_value")
+    val got = graft.sources.Layout.readPartitioned(spark, sink.toString)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val exp = batch.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got == exp,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
   test("session window: stream result == batch result") {
     val stream = SRuntime.runToCompletion(spark,
       SRuntime.sessionCounts(SRuntime.eventsStream(spark, Sf0001)), "t_session")

@@ -443,6 +443,69 @@ object Oracle {
          FROM tf JOIN df USING (term), n
          ORDER BY tfidf DESC, doc_id, term LIMIT 100""",
 
+    // Twin of TextOps.qualityScore: same double arithmetic in the same
+    // (left-associative) order, regexp_replace needs the explicit 'g' flag
+    // (DuckDB replaces first match only by default; Spark replaces all).
+    "q_text_quality" ->
+      """WITH f AS (
+           SELECT doc_id, lang,
+                  CAST(length(text) AS DOUBLE) AS len,
+                  CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) AS alpha_len,
+                  string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+              g AS (
+           SELECT doc_id, lang, len,
+                  least(len / 200.0, 1.0) AS len_score,
+                  alpha_len / greatest(len, 1.0) AS alpha,
+                  greatest(CAST(len(toks) AS DOUBLE), 1.0) AS n_tok,
+                  CAST(len(list_filter(toks, t -> list_contains(
+                    ['the', 'a', 'an', 'and', 'or', 'of', 'in', 'to', 'is'], t))) AS DOUBLE) AS n_stop
+           FROM f)
+         SELECT doc_id, lang,
+                round(0.3 * len_score + 0.3 * alpha
+                      + 0.2 * (CASE WHEN n_stop / n_tok BETWEEN 0.01 AND 0.6
+                                    THEN 1.0 ELSE 0.4 END)
+                      + 0.2 * (CASE WHEN len / n_tok BETWEEN 2.0 AND 12.0
+                                    THEN 1.0 ELSE 0.3 END), 6) AS quality
+         FROM g ORDER BY doc_id""",
+
+    // Twin of TextOps.langIdNGram (n = 3, topN = 200): same trigram
+    // extraction (substring is 1-indexed in both engines; short texts yield
+    // one possibly-shorter gram), same (count DESC, gram) profile ranking,
+    // same (score DESC, lang) argmax, same 'und' fallback for documents
+    // overlapping no profile.
+    "q_text_langid" ->
+      """WITH tr AS (
+           SELECT lang, unnest(list_transform(
+                    generate_series(1, greatest(length(lower(text)) - 2, 1)),
+                    i -> substring(lower(text), i, 3))) AS g
+           FROM documents),
+              tg AS (SELECT lang, g, count(*) AS c FROM tr GROUP BY 1, 2),
+              prof AS (
+           SELECT lang, g FROM (
+             SELECT lang, g, row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS r
+             FROM tg)
+           WHERE r <= 200),
+              te AS (
+           SELECT doc_id, unnest(list_transform(
+                    generate_series(1, greatest(length(lower(text)) - 2, 1)),
+                    i -> substring(lower(text), i, 3))) AS g
+           FROM documents),
+              teg AS (SELECT doc_id, g, count(*) AS c FROM te GROUP BY 1, 2),
+              sc AS (
+           SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS score
+           FROM teg JOIN prof USING (g) GROUP BY 1, 2),
+              pick AS (
+           SELECT doc_id, lang AS pred_lang, score FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS r
+             FROM sc)
+           WHERE r = 1)
+         SELECT d.doc_id, coalesce(p.pred_lang, 'und') AS pred_lang,
+                coalesce(p.score, 0) AS score
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN pick p USING (doc_id)
+         ORDER BY doc_id""",
+
     "q_multimodal_join" ->
       """SELECT doc_id, lang, source, n_chars, label,
                 round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS emb_norm

@@ -28,6 +28,7 @@ object Tables {
     // functions/MinHash.scala); registration is idempotent.
     graft.functions.VecDot.register(spark)
     graft.functions.MinHashSig.register(spark)
+    graft.functions.SimHash64.register(spark)
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

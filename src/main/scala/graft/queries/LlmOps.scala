@@ -335,6 +335,54 @@ object LlmOps {
       .limit(100)
   }
 
+  /** Per-document heuristic quality score (TextOps.qualityScore): the
+    * corpus-filtering signal a training-data pipeline ranks and cuts on.
+    * Pure column arithmetic — a narrow codegen'd map over the scan, no
+    * shuffle at all; oracle-checked (the length/regex/ratio formula ports
+    * to DuckDB verbatim). */
+  val qTextQuality: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.text.TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** N-gram-profile language ID over the corpus: per-language top-200
+    * trigram profiles trained on (lang, text), every document classified
+    * to the best-covering profile (TextOps.langIdNGram). Fully relational
+    * — explodes, grouped aggs, one broadcast profile join, argmax window —
+    * so it oracle-checks against the same CTE pipeline in DuckDB. */
+  val qTextLangid: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    graft.text.TextOps.langIdNGram(
+      docs.select(col("lang"), col("text")),
+      docs.select(col("doc_id"), col("text")))
+  }
+
+  /** SimHash near-dup pairs (Hamming ≤ 3) via the pigeonhole 4-band bucket
+    * join + exact bit_count refine (TextOps.simhashPairs, native simhash64
+    * kernel). No oracle: xxhash64 has no DuckDB twin — NoOracleSpec checks
+    * the pair set against a driver-side brute-force over the same
+    * fingerprints. */
+  val qDedupSimhash: Q = (s, dir) =>
+    graft.text.TextOps.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+
+  /** IVF ANN top-10 neighbours of vec_id 0 (ml/Ivf): seeded k-means coarse
+    * quantizer, nProbe/nCells of the data touched, exact vec_dot re-rank.
+    * No oracle (quantizer cells are impl-specific); recall vs the declared
+    * brute-force q_sim_cosine_topk-style answer is asserted in NoOracleSpec
+    * and IvfSpec. Collecting the single query vector is a parameter fetch,
+    * not a data collect. */
+  val qSimIvfAnn: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val index = graft.ml.Ivf.build(
+      e.filter(col("vec_id") =!= 0), "embedding", nCells = 16)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    graft.ml.Ivf.search(index, q, k = 10, nProbe = 6)
+      .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   // --------------------------------------------------------- multimodal join
 
   /** Mixed-modality join: documents ⋈ embeddings on doc_id = vec_id with a
@@ -362,5 +410,9 @@ object LlmOps {
     "q_knn_bruteforce" -> qKnnBruteforce,
     "q_text_lang_stats" -> qTextLangStats,
     "q_text_tfidf" -> qTextTfidf,
+    "q_text_quality" -> qTextQuality,
+    "q_text_langid" -> qTextLangid,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_sim_ivf_ann" -> qSimIvfAnn,
     "q_multimodal_join" -> qMultimodalJoin)
 }

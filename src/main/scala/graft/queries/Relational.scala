@@ -27,8 +27,12 @@ object Relational {
   // ---------------------------------------------------------------- scans
 
   /** Full scan smoke over all 10 sources: count + min/max key per table.
-    * At scale each branch is an independent parquet scan whose aggregate is
-    * computed map-side (partial HashAggregate) — no wide shuffle.
+    * ONE aggregation job: each table contributes a pruned (table_name, key)
+    * scan; the union feeds a single partial-then-final HashAggregate on the
+    * 10-value table_name key. The r1–r5 form ran 10 independent global-agg
+    * branches (10 single-partition exchanges, serialized stage scheduling —
+    * ~1.0 s of the bench); this shape computes the same partials map-side in
+    * one stage and shuffles 10 tiny rows per partition once.
     */
   val qScanParquet: Q = (s, dir) => {
     val specs = Seq(
@@ -39,12 +43,14 @@ object Relational {
       "documents" -> "doc_id", "embeddings" -> "vec_id")
     specs.map { case (t, k) =>
       Tables.table(s, dir, t)
-        .agg(
-          count(lit(1)).as("n_rows"),
-          min(col(k).cast("long")).as("min_key"),
-          max(col(k).cast("long")).as("max_key"))
-        .select(lit(t).as("table_name"), col("n_rows"), col("min_key"), col("max_key"))
-    }.reduce(_.unionAll(_)).orderBy("table_name")
+        .select(lit(t).as("table_name"), col(k).cast("long").as("key"))
+    }.reduce(_.unionAll(_))
+      .groupBy(col("table_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("key")).as("min_key"),
+        max(col("key")).as("max_key"))
+      .orderBy("table_name")
   }
 
   /** TIMESTAMP(NANOS) decode path (SURVEY.md §1.3): per-event-type counts and

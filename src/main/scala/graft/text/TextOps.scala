@@ -59,11 +59,24 @@ object TextOps {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 per bit of
-    * its xxhash64; bits with positive tallies are set. Pure HOF fold — a
-    * narrow map per document. Bit assembly uses bitwise OR of shifted
+    * its xxhash64; bits with positive tallies are set. ONE native codegen'd
+    * pass per document (functions/SimHash.scala) — the interpreted HOF fold
+    * it replaces re-folded the token array once per bit (64 × tokens lambda
+    * dispatches; the same anti-pattern minhash_sig eliminated for a
+    * measured 40%+ win). Values are bit-identical to the fold — asserted in
+    * TextOpsSpec against [[simhash64Hof]]. */
+  def simhash64(text: Column): Column = {
+    graft.functions.SimHash64.register(
+      org.apache.spark.sql.SparkSession.active)
+    expr(s"simhash64(split(lower(${text.toString}), '\\\\s+'))")
+  }
+
+  /** The superseded interpreted HOF formulation, kept ONLY as the
+    * independent cross-check for the native kernel (TextOpsSpec asserts
+    * bit-equality on the corpus). Bit assembly uses bitwise OR of shifted
     * single bits (never arithmetic on the packed value, which would
     * overflow the signed long at bit 63). */
-  def simhash64(text: Column): Column = {
+  private[graft] def simhash64Hof(text: Column): Column = {
     val t = text.toString
     expr(
       s"""aggregate(

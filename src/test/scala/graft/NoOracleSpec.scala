@@ -49,6 +49,38 @@ class NoOracleSpec extends AnyFunSuite {
     assert(got == direct)
   }
 
+  test("q_dedup_simhash: banded pair set == brute-force all-pairs over the same fingerprints") {
+    val got = SparkEntry.queries("q_dedup_simhash")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // Independent check: collect every doc's fingerprint and compare ALL
+    // pairs driver-side (fine at sf0.001; the query itself never does this).
+    val hs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), graft.text.TextOps.simhash64(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = (for {
+      (ida, ha) <- hs; (idb, hb) <- hs if ida < idb
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ida, idb, d)).toSet
+    assert(got == exp, s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    assert(got.nonEmpty, "corpus should contain simhash near-dups")
+  }
+
+  test("q_sim_ivf_ann: recall >= 0.6 vs brute-force Euclidean top-10") {
+    val ivf = SparkEntry.queries("q_sim_ivf_ann")(spark, Sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val e = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val q = e.find(_._1 == 0L).get._2
+    val top = e.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, math.sqrt(v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum))
+      }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val recall = (ivf & top).size.toDouble / top.size
+    assert(recall >= 0.6, s"IVF recall $recall; ivf=$ivf true=$top")
+  }
+
   test("q_sim_lsh_ann: recall >= 0.6 vs brute-force Euclidean top-10") {
     val lsh = SparkEntry.queries("q_sim_lsh_ann")(spark, Sf0001)
       .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -13,12 +13,12 @@ class QueryContractSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("declared contract covers all 51 SURVEY §2 keys") {
-    assert(SparkEntry.queries.size == 51)
-    // 47 oracle-checked; the 4 declared non-oracle keys:
+  test("declared contract covers all 55 SURVEY §2 keys") {
+    assert(SparkEntry.queries.size == 55)
+    // 49 oracle-checked; the 6 declared non-oracle keys:
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_source_csv", "q_agg_approx_distinct",
-      "q_map_funcs", "q_sim_lsh_ann"))
+      "q_map_funcs", "q_sim_lsh_ann", "q_dedup_simhash", "q_sim_ivf_ann"))
   }
 
   test("entry flagship returns rows on sf0.001") {

@@ -50,6 +50,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("native simhash64 kernel bit-matches the interpreted HOF fold on the corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+      // Edge inputs the corpus lacks: empty string, single token, repeated
+      // token, punctuation-only, multi-space runs.
+      .unionAll(Seq((100001L, ""), (100002L, "one"), (100003L, "dup dup dup"),
+        (100004L, "@@@ !!!"), (100005L, "a  b   c")).toDF("doc_id", "text"))
+    val both = docs.select(col("doc_id"),
+      TextOps.simhash64(col("text")).as("native"),
+      TextOps.simhash64Hof(col("text")).as("hof"))
+    val diff = both.filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L, s"$diff documents diverge between native and HOF simhash")
+  }
+
   test("winnowing fingerprints: shared token runs share prints; disjoint do not") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"

@@ -2,7 +2,7 @@ package graft.ml
 
 import graft.functions.Vec
 import org.apache.spark.ml.clustering.KMeansModel
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbour — the second scale
@@ -35,23 +35,70 @@ object Ivf {
     Index(assigned, model, arrayCol, idCol)
   }
 
-  /** Top-k by Euclidean distance among the nProbe nearest cells. */
-  def search(index: Index, query: Array[Double], k: Int, nProbe: Int): DataFrame = {
-    val probes = index.model.clusterCenters.zipWithIndex
+  /** On-disk index: the assigned table persisted as a `cell=`-partitioned
+    * parquet layout (sources/Layout), so probing becomes directory-level
+    * partition pruning — the read itself skips ≈ 1 − nProbe/nCells of the
+    * bytes before any IO, which is where the IVF win actually lives at
+    * 100 TB (an in-memory `filter` still scans everything). */
+  case class DiskIndex(path: String, model: KMeansModel,
+                       arrayCol: String, idCol: String)
+
+  /** The nProbe cells whose centroids are nearest the query. Centroids are
+    * model parameters — a tiny driver-side array, not a data collect. */
+  private def nearestCells(model: KMeansModel, query: Array[Double],
+                           nProbe: Int): Seq[Int] =
+    model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
         val d = c.toArray.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
         (i, d)
       }
-      .sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
-    val spark = index.assigned.sparkSession
+      .sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1).toSeq
+
+  /** Exact re-rank of a candidate frame: broadcast the single query vector,
+    * native vec_dot distance, top-k. */
+  private def rerank(candidates: DataFrame, arrayCol: String, idCol: String,
+                     query: Array[Double], k: Int): DataFrame = {
+    val spark = candidates.sparkSession
     import spark.implicits._
     val q = Seq(Tuple1(query)).toDF("__ivf_qe")
-    index.assigned
-      .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
+    candidates
       .crossJoin(broadcast(q))
-      .withColumn("dist", Vec.euclid(index.arrayCol, "__ivf_qe"))
+      .withColumn("dist", Vec.euclid(arrayCol, "__ivf_qe"))
       .drop("__ivf_qe")
-      .orderBy(col("dist"), col(index.idCol))
+      .orderBy(col("dist"), col(idCol))
       .limit(k)
+  }
+
+  /** Top-k by Euclidean distance among the nProbe nearest cells (in-memory
+    * assigned frame — the small/interactive path). */
+  def search(index: Index, query: Array[Double], k: Int, nProbe: Int): DataFrame = {
+    val probes = nearestCells(index.model, query, nProbe)
+    rerank(
+      index.assigned.filter(col("cell").isin(probes.map(Integer.valueOf): _*)),
+      index.arrayCol, index.idCol, query, k)
+  }
+
+  /** Build and PERSIST: quantize, then write the assigned table partitioned
+    * by cell (bounded file counts via Layout's hash-bucket redistribution).
+    * This is the 100 TB build path — the index layout IS the table layout. */
+  def buildPartitioned(embeddings: DataFrame, arrayCol: String, nCells: Int,
+                       path: String, seed: Long = 42L,
+                       idCol: String = "vec_id"): DiskIndex = {
+    val idx = build(embeddings, arrayCol, nCells, seed, idCol)
+    graft.sources.Layout.writePartitioned(idx.assigned, path, "cell")
+    DiskIndex(path, idx.model, arrayCol, idCol)
+  }
+
+  /** Search the on-disk layout: the probe filter lands on the partition
+    * column, so the scan prunes non-probed cell directories before reading
+    * a byte (PartitionFilters in the scan node — asserted in IvfSpec).
+    * Results are identical to the in-memory `search` over the same index. */
+  def searchPartitioned(spark: SparkSession, index: DiskIndex,
+                        query: Array[Double], k: Int, nProbe: Int): DataFrame = {
+    val probes = nearestCells(index.model, query, nProbe)
+    val assigned = graft.sources.Layout.readPartitioned(spark, index.path)
+    rerank(
+      assigned.filter(col("cell").isin(probes.map(Integer.valueOf): _*)),
+      index.arrayCol, index.idCol, query, k)
   }
 }

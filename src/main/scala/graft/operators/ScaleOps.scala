@@ -25,35 +25,6 @@ object ScaleOps {
   def maybeBroadcast(df: DataFrame, maxBytes: Long = graft.Conf.BroadcastMaxBytes): DataFrame =
     if (estimatedBytes(df) <= BigInt(maxBytes)) broadcast(df) else df
 
-  /** Quartile/K-tile assignment WITHOUT a global sort.
-    *
-    * `ntile(k) OVER (ORDER BY v DESC)` moves the whole table through ONE
-    * task — the classic scale-killer. The scale form computes k-1 quantile
-    * edges with approx_percentile (a tiny mergeable sketch, one narrow
-    * aggregation) and assigns buckets by comparison — fully parallel, one
-    * broadcast of a k-double row.
-    *
-    * Semantics note: ntile splits by row POSITION (ties straddle buckets to
-    * balance sizes); edge-comparison splits by VALUE (ties land together),
-    * so agreement is approximate at tie/edge rows — ScaleOpsSpec bounds the
-    * disagreement. This is the documented trade for removing the global
-    * sort.
-    */
-  def ntileByEdges(df: DataFrame, value: Column, k: Int,
-                   accuracy: Int = 10000): DataFrame = {
-    val ps = (1 until k).map(i => i.toDouble / k)
-    val edges = df.agg(
-      percentile_approx(value, array(ps.map(lit): _*), lit(accuracy)).as("edges"))
-    // bucket 1 = top fraction (descending convention, matching
-    // `ntile(k) OVER (ORDER BY v DESC)`): v above the (k-1)/k edge → 1.
-    val bucketExpr = (1 until k).map(i =>
-      when(value < col("edges")(k - 1 - i), 1L).otherwise(0L))
-      .reduce(_ + _) + 1L
-    df.crossJoin(broadcast(edges))
-      .withColumn("bucket", bucketExpr)
-      .drop("edges")
-  }
-
   /** EXACT global row_number / rank WITHOUT a one-task whole-table window.
     *
     * `row_number() OVER (ORDER BY v DESC, tiebreaks)` puts every row in ONE
@@ -79,8 +50,8 @@ object ScaleOps {
     val edges = df.agg(
       percentile_approx(value, array(ps.map(lit): _*), lit(accuracy)).as("__edges"))
     // 0-based bucket, 0 = highest values (desc convention): count how many
-    // top-down edges the value falls below. Same construction as
-    // ntileByEdges, with enough buckets that each holds ~n/buckets rows.
+    // top-down edges the value falls below; enough buckets that each holds
+    // ~n/buckets rows.
     val bucketExpr = (1 until buckets).map(i =>
       when(value < col("__edges")(buckets - 1 - i), 1).otherwise(0)).reduce(_ + _)
     val bucketed = df.crossJoin(broadcast(edges))
@@ -104,6 +75,88 @@ object ScaleOps {
       .withColumn("__pos", col("__off") + col("__lpos"))
       .withColumn("__rnk", col("__off") + col("__lrnk"))
       .drop("__bkt", "__obkt", "__off", "__cnt", "__lpos", "__lrnk")
+  }
+
+  /** EXACT grouped interpolated percentiles WITHOUT a per-group
+    * whole-distribution aggregation buffer.
+    *
+    * Spark's exact `percentile(v, p)` accumulates a value→count map of the
+    * ENTIRE group inside one aggregation buffer — O(distinct v) memory in a
+    * single task per group, an executor OOM at 100 TB. This form computes
+    * the identical interpolated quantiles with bounded-memory passes (the
+    * globalRanksDesc construction applied to percentile):
+    *
+    *  1. distinct-value histogram — one (g, v) shuffle; every later pass
+    *     touches only (group, distinct-value, count) rows;
+    *  2. per-group approx_percentile SPLIT POINTS (tiny mergeable sketch;
+    *     approximation skews bucket POPULATIONS, never the result) assign
+    *     each distinct value a bucket; per-(g, bucket) populations and
+    *     cumulative offsets are ≤`buckets` rows per group, so their window
+    *     is O(buckets);
+    *  3. a within-bucket running count gives every distinct value its exact
+    *     1-based position range [cum − c + 1, cum] in the group's sorted
+    *     multiset — each task sorts only ~distinct/buckets values;
+    *  4. each quantile's two bracketing positions (k = ⌊p·(n−1)⌋ + 1 and
+    *     k+1, Spark's own 0-based-position formula) are matched to their
+    *     covering values by a broadcast join of the tiny rank table and
+    *     interpolated x₁ + frac·(x₂ − x₁).
+    *
+    * Returns one row per group: (g, __n, q_0 … q_{ps.size-1}), quantiles in
+    * `ps` order, un-rounded (callers own output rounding). Requires
+    * non-null `v`. ScaleOpsSpec asserts bit-equality with `percentile`.
+    */
+  def groupedQuantilesExact(df: DataFrame, part: Column, v: Column,
+                            ps: Seq[Double], buckets: Int = 256,
+                            accuracy: Int = 10000): DataFrame = {
+    val vals = df.select(part.as("g"), v.as("v"))
+    val dist = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val edgePs = (1 until buckets).map(i => i.toDouble / buckets)
+    val edges = vals.groupBy(col("g")).agg(
+      percentile_approx(col("v"), array(edgePs.map(lit): _*), lit(accuracy))
+        .as("__edges"))
+    // Ascending 0-based bucket: how many split points the value clears.
+    // Ties compare on the value only, so equal values share a bucket.
+    val bucketExpr = (1 until buckets).map(i =>
+      when(col("v") >= col("__edges")(i - 1), 1).otherwise(0)).reduce(_ + _)
+    val bucketed = dist.join(broadcast(edges), "g")
+      .withColumn("__bkt", bucketExpr).drop("__edges")
+    val bc = bucketed.groupBy(col("g"), col("__bkt")).agg(sum(col("c")).as("__bc"))
+    val wOff = Window.partitionBy(col("g")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = bc.withColumn("__off", coalesce(sum(col("__bc")).over(wOff), lit(0L)))
+      .select(col("g"), col("__bkt"), col("__off"))
+    val gn = bc.groupBy(col("g")).agg(sum(col("__bc")).as("__n"))
+    val wb = Window.partitionBy(col("g"), col("__bkt")).orderBy(col("v"))
+    val pos = bucketed.join(boff, Seq("g", "__bkt"))
+      .withColumn("__cum", col("__off") + sum(col("c")).over(wb))
+    // Bracketing ranks per (group, quantile): Spark's Percentile formula —
+    // 0-based position p·(n−1), lower index ⌊·⌋, interpolation fraction the
+    // remainder — converted to 1-based multiset positions k1, k2.
+    val ranks = gn.select(col("g"), col("__n"), explode(array(
+        ps.zipWithIndex.map { case (p, i) =>
+          struct(lit(i).as("pi"), lit(p).as("p")) }: _*)).as("__q"))
+      .select(col("g"), col("__n"), col("__q.pi").as("__pi"),
+        (col("__q.p") * (col("__n") - 1L).cast("double")).as("__pos0"))
+      .withColumn("__k1", floor(col("__pos0")).cast("long") + 1L)
+      .withColumn("__frac", col("__pos0") - floor(col("__pos0")))
+      .withColumn("__k2", least(col("__k1") + 1L, col("__n")))
+      .select(col("g"), col("__n"), col("__pi"), col("__frac"),
+        col("__k1"), col("__k2"))
+    // A distinct value covers positions (cum − c, cum]; pick the coverers
+    // of k1 and k2 (possibly the same row) and interpolate.
+    def covers(k: Column): Column =
+      k > col("__cum") - col("c") && k <= col("__cum")
+    val hits = pos.join(broadcast(ranks), Seq("g"))
+      .filter(covers(col("__k1")) || covers(col("__k2")))
+      .groupBy(col("g"), col("__n"), col("__pi"), col("__frac"))
+      .agg(
+        max(when(covers(col("__k1")), col("v"))).as("__x1"),
+        max(when(covers(col("__k2")), col("v"))).as("__x2"))
+      .withColumn("__qv",
+        col("__x1") + col("__frac") * (col("__x2") - col("__x1")))
+    val qCols = ps.indices.map(i =>
+      max(when(col("__pi") === i, col("__qv"))).as(s"q_$i"))
+    hits.groupBy(col("g"), col("__n")).agg(qCols.head, qCols.tail: _*)
   }
 
   /** Value-range frame aggregation WITHOUT sorting giant partitions.

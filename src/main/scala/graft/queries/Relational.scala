@@ -326,10 +326,11 @@ object Relational {
         round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"))
       .orderBy("l_returnflag")
 
-  /** Exact interpolated median + p90 (Spark `percentile` ≡ DuckDB
-    * `quantile_cont`). At 100 TB swap for approx_percentile — exact
-    * percentile sorts per group. */
-  val qAggMedian: Q = (s, dir) =>
+  /** Declared form — exact interpolated median + p90 (Spark `percentile` ≡
+    * DuckDB `quantile_cont`). Spark's exact percentile buffers the whole
+    * per-group value histogram in ONE aggregation buffer — fine below the
+    * one-task threshold, an executor OOM at 100 TB. */
+  private[graft] val medianAggForm: Q = (s, dir) =>
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
@@ -337,6 +338,33 @@ object Relational {
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
         round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"))
       .orderBy("o_orderstatus")
+
+  /** Scale form — EXACT bucketed two-pass quantiles
+    * (ScaleOps.groupedQuantilesExact): distinct-value histogram, approx
+    * split points, O(buckets) offsets, within-bucket positions, broadcast
+    * rank lookup + interpolation. Same values bit-for-bit (same
+    * p·(n−1) bracketing and interpolation arithmetic), bounded memory per
+    * task. */
+  private[graft] val medianScaleForm: Q = (s, dir) =>
+    graft.operators.ScaleOps.groupedQuantilesExact(
+        Tables.orders(s, dir), col("o_orderstatus"), col("o_totalprice"),
+        ps = Seq(0.5, 0.9))
+      .select(col("g").as("o_orderstatus"), col("__n").as("n"),
+        round(col("q_0"), 2).as("median_price"),
+        round(col("q_1"), 2).as("p90_price"))
+      .orderBy("o_orderstatus")
+
+  /** Size-routed q_agg_median — same contract as the Windows routers: the
+    * declared single-buffer form while the input's Catalyst estimate fits
+    * one task, the exact ScaleOps rewrite past it. Identical output either
+    * way, so routing never changes results — only the plan shape. */
+  def medianRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q =
+    (s, dir) =>
+      if (graft.operators.ScaleOps.estimatedBytes(Tables.orders(s, dir))
+          <= BigInt(maxOneTaskBytes)) medianAggForm(s, dir)
+      else medianScaleForm(s, dir)
+
+  val qAggMedian: Q = medianRouted()
 
   // -------------------------------------------- sort / top-k / set ops
 

@@ -35,6 +35,25 @@ class IvfSpec extends AnyFunSuite {
     assert(touched < probedRows, s"probe touched $touched of $probedRows rows")
   }
 
+  test("partitioned IVF search prunes cell directories and matches in-memory search") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    val disk = Ivf.buildPartitioned(
+      emb.filter(col("vec_id") =!= 0), "embedding", nCells = 16, path = dir)
+    val got = Ivf.searchPartitioned(spark, disk, query, k = 10, nProbe = 6)
+    // The probe filter must reach the scan as a PARTITION filter — pruning
+    // directories before IO, not a post-read predicate.
+    val scanNode = got.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanNode.exists(_.contains("cell")),
+      s"no cell PartitionFilters in scan:\n${got.queryExecution.executedPlan}")
+    // Identical result set to the in-memory search over the same quantizer.
+    val mem = Ivf.build(emb.filter(col("vec_id") =!= 0), "embedding", nCells = 16)
+    val expect = Ivf.search(mem, query, 10, 6)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val ids = got.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == expect, s"disk=$ids mem=$expect")
+  }
+
   test("IVF search is deterministic across runs") {
     val index = Ivf.build(emb.filter(col("vec_id") =!= 0), "embedding", nCells = 16)
     val a = Ivf.search(index, query, 10, 4).select("vec_id")

@@ -65,6 +65,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == exp, s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
   }
 
+  test("median router: bucketed two-pass bit-matches exact percentile; threshold picks the plan") {
+    import graft.queries.Relational
+    // Above the threshold the router must emit the groupedQuantilesExact
+    // plan — no single-buffer percentile aggregate anywhere.
+    val scaled = Relational.medianRouted(maxOneTaskBytes = 0L)(spark, Sf0001)
+    val scaledPlan = scaled.queryExecution.executedPlan.toString
+    assert(!scaledPlan.contains("percentile("),
+      s"router kept the exact-percentile buffer:\n$scaledPlan")
+    val declaredPlan = Relational.medianRouted(maxOneTaskBytes = Long.MaxValue)(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(declaredPlan.contains("percentile("),
+      "router dropped the declared form below threshold")
+    // The scale form is EXACT: row-for-row equality with the declared form
+    // (same bracketing positions, same interpolation, same rounding).
+    val exact = Relational.medianAggForm(spark, Sf0001).collect().toSeq
+    assert(scaled.collect().toSeq == exact,
+      "bucketed quantiles diverged from exact percentile")
+    // And again at sf0.01 (10× the distinct values, multi-bucket groups).
+    val scaled01 = Relational.medianScaleForm(spark, Sf001).collect().toSeq
+    val exact01 = Relational.medianAggForm(spark, Sf001).collect().toSeq
+    assert(scaled01 == exact01, "sf0.01 bucketed quantiles diverged")
+  }
+
+  test("groupedQuantilesExact handles 1-row and single-value groups") {
+    import spark.implicits._
+    val df = Seq(("a", 10.0), ("b", 5.0), ("b", 5.0), ("b", 5.0),
+      ("c", 1.0), ("c", 2.0)).toDF("g", "v")
+    val got = graft.operators.ScaleOps
+      .groupedQuantilesExact(df, col("g"), col("v"), Seq(0.5, 0.9), buckets = 4)
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got(0) == (("a", 1L, 10.0, 10.0)))
+    assert(got(1) == (("b", 3L, 5.0, 5.0)))
+    // c: median of {1,2} = 1.5; p90 = 1 + 0.9*(2-1) = 1.9
+    assert(got(2)._1 == "c" && got(2)._2 == 2L)
+    assert(math.abs(got(2)._3 - 1.5) < 1e-12 && math.abs(got(2)._4 - 1.9) < 1e-12)
+  }
+
   test("rangeBandAgg == exact range-frame window (bin-and-join is exact)") {
     val orders = Tables.orders(spark, Sf0001)
       .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))

@@ -118,7 +118,10 @@ object ScaleOps {
     // Ties compare on the value only, so equal values share a bucket.
     val bucketExpr = (1 until buckets).map(i =>
       when(col("v") >= col("__edges")(i - 1), 1).otherwise(0)).reduce(_ + _)
-    val bucketed = dist.join(broadcast(edges), "g")
+    // One ~buckets-double row PER GROUP — small for low group cardinality,
+    // but a corpus-derived frame at high cardinality: size-gate the hint
+    // (falls back to a co-partitioned shuffle join past the budget).
+    val bucketed = dist.join(maybeBroadcast(edges), "g")
       .withColumn("__bkt", bucketExpr).drop("__edges")
     val bc = bucketed.groupBy(col("g"), col("__bkt")).agg(sum(col("c")).as("__bc"))
     val wOff = Window.partitionBy(col("g")).orderBy(col("__bkt"))
@@ -146,7 +149,7 @@ object ScaleOps {
     // of k1 and k2 (possibly the same row) and interpolate.
     def covers(k: Column): Column =
       k > col("__cum") - col("c") && k <= col("__cum")
-    val hits = pos.join(broadcast(ranks), Seq("g"))
+    val hits = pos.join(maybeBroadcast(ranks), Seq("g"))
       .filter(covers(col("__k1")) || covers(col("__k2")))
       .groupBy(col("g"), col("__n"), col("__pi"), col("__frac"))
       .agg(

@@ -35,13 +35,14 @@ object Relational {
     * one stage and shuffles 10 tiny rows per partition once.
     */
   val qScanParquet: Q = (s, dir) => {
+    import s.implicits._
     val specs = Seq(
       "region" -> "r_regionkey", "nation" -> "n_nationkey",
       "customer" -> "c_custkey", "supplier" -> "s_suppkey",
       "part" -> "p_partkey", "orders" -> "o_orderkey",
       "lineitem" -> "l_orderkey", "events" -> "event_id",
       "documents" -> "doc_id", "embeddings" -> "vec_id")
-    specs.map { case (t, k) =>
+    val agged = specs.map { case (t, k) =>
       Tables.table(s, dir, t)
         .select(lit(t).as("table_name"), col(k).cast("long").as("key"))
     }.reduce(_.unionAll(_))
@@ -50,6 +51,14 @@ object Relational {
         count(lit(1)).as("n_rows"),
         min(col("key")).as("min_key"),
         max(col("key")).as("max_key"))
+    // The per-table oracle (`SELECT count(*) … FROM t`) emits (t, 0, null,
+    // null) even for an EMPTY table; a bare union+groupBy would drop the
+    // row. Left-join against the static name list to keep that contract.
+    specs.map(_._1).toDF("table_name")
+      .join(agged, Seq("table_name"), "left")
+      .select(col("table_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("min_key"), col("max_key"))
       .orderBy("table_name")
   }
 

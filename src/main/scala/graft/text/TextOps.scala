@@ -66,9 +66,12 @@ object TextOps {
     * measured 40%+ win). Values are bit-identical to the fold — asserted in
     * TextOpsSpec against [[simhash64Hof]]. */
   def simhash64(text: Column): Column = {
-    graft.functions.SimHash64.register(
-      org.apache.spark.sql.SparkSession.active)
-    expr(s"simhash64(split(lower(${text.toString}), '\\\\s+'))")
+    import org.apache.spark.sql.graft.ColumnBridge
+    // Direct expression construction — no SQL-parser round trip (which broke
+    // for computed/aliased child columns) and no SparkSession.active
+    // registration side effect at column-construction time.
+    ColumnBridge.column(graft.functions.SimHash64(
+      ColumnBridge.expression(split(lower(text), "\\s+"))))
   }
 
   /** The superseded interpreted HOF formulation, kept ONLY as the
@@ -141,8 +144,9 @@ object TextOps {
 
   /** Character n-grams of a (lowercased, space-collapsed) text column. */
   def charNgrams(text: Column, n: Int): Column = {
-    val t = text.toString
-    expr(s"transform(sequence(1, greatest(length(lower($t)) - ${n - 1}, 1)), i -> substring(lower($t), i, $n))")
+    val t = lower(text)
+    transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+      i => t.substr(i, lit(n)))
   }
 
   /** N-gram-profile language ID (the classic heuristic): build per-language

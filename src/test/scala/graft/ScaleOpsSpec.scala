@@ -9,27 +9,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleOpsSpec extends AnyFunSuite {
   import SparkFixture._
 
-  test("ntileByEdges ≈ global ntile(4), with no Window/global sort in plan") {
-    val cust = Tables.customer(spark, Sf0001)
-    val scaled = ScaleOps.ntileByEdges(cust, col("c_acctbal"), 4)
-      .select(col("c_custkey"), col("bucket"))
-    val plan = scaled.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"scale form still has a Window:\n$plan")
-
-    val exact = SparkEntry.queries("q_window_ntile")(spark, Sf0001)
-      .select(col("c_custkey"), col("quartile"))
-    val joined = scaled.join(exact, "c_custkey")
-      .select(col("bucket"), col("quartile")).collect()
-    val agree = joined.count(r => r.getLong(0) == r.getLong(1)).toDouble / joined.length
-    assert(agree >= 0.95, s"agreement with exact ntile only $agree")
-    // All four buckets populated and roughly balanced (±20%).
-    val sizes = scaled.groupBy("bucket").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(sizes.keySet == Set(1L, 2L, 3L, 4L))
-    val n = sizes.values.sum.toDouble
-    sizes.values.foreach(s => assert(math.abs(s / n - 0.25) < 0.05, sizes.toString))
-  }
-
   test("ntile router: scale form bit-matches the window form; threshold picks the plan") {
     import graft.queries.Windows
     // Above the threshold (maxBytes = 0 forces it) the router must emit the

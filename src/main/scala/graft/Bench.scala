@@ -37,6 +37,11 @@ object Bench {
       n.select(row_number().over(
         Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))))
         .count()
+      // MLlib first-use is ~3 s of class-loading/BLAS/JIT that would
+      // otherwise be billed to whichever estimator query runs first.
+      val vecs = spark.range(64L).select(col("id"),
+        array((0 until 4).map(i => (col("id") * (i + 1)).cast("double")): _*).as("v"))
+      graft.ml.Pipelines.kmeansQuantizer(vecs, "v", k = 2, maxIter = 2)
     }
 
     // Optional args = subset of query names to time (dev tool).

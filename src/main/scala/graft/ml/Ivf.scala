@@ -27,8 +27,10 @@ object Ivf {
 
   /** Assign every embedding to its quantizer cell. */
   def build(embeddings: DataFrame, arrayCol: String, nCells: Int,
-            seed: Long = 42L, idCol: String = "vec_id"): Index = {
-    val model = Pipelines.kmeans(embeddings, arrayCol, nCells, seed)
+            seed: Long = 42L, idCol: String = "vec_id",
+            trainSample: Double = 1.0): Index = {
+    val model = Pipelines.kmeansQuantizer(embeddings, arrayCol, nCells, seed,
+      trainSample = trainSample)
     val assigned = model.transform(Pipelines.withFeatures(embeddings, arrayCol))
       .withColumnRenamed("prediction", "cell")
       .drop("features")

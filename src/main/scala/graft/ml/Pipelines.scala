@@ -59,6 +59,33 @@ object Pipelines {
     new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
       .fit(withFeatures(df, arrayCol))
 
+  /** K-means tuned as a COARSE QUANTIZER (IVF cells), not a clustering
+    * deliverable: capped iterations and the feature frame cached across
+    * them (each MLlib init/iteration pass otherwise re-reads and re-decodes
+    * the source parquet). `trainSample` < 1 fits the quantizer on a seeded
+    * sample — the standard IVF build at 100 TB, where the quantizer trains
+    * on ~10⁵ vectors and only the ASSIGNMENT pass touches the full table. */
+  def kmeansQuantizer(df: DataFrame, arrayCol: String, k: Int, seed: Long = 42L,
+                      maxIter: Int = 10, trainSample: Double = 1.0): KMeansModel = {
+    val base = if (trainSample < 1.0) df.sample(trainSample, seed) else df
+    // Every k-means init pass + iteration is a separate job over this
+    // frame; size its partitioning to the DATA, not the session default —
+    // a tiny training set spread over 32 partitions pays ~15 jobs of
+    // per-task scheduling overhead for no parallelism (the dominant cost
+    // of the IVF build at small SF). ~32 MiB per fit task.
+    val spark = df.sparkSession
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism,
+      (graft.operators.ScaleOps.estimatedBytes(base) / (32L << 20)).toInt))
+    val feats = withFeatures(base, arrayCol).select("features")
+      .repartition(parts).persist()
+    try {
+      new KMeans().setK(k).setSeed(seed)
+        .setMaxIter(maxIter).setFeaturesCol("features")
+        .fit(feats)
+    } finally feats.unpersist(blocking = false)
+  }
+
   /** Random-projection LSH for Euclidean ANN (the 100 TB similarity path). */
   def brpLsh(dfWithFeatures: DataFrame, bucketLength: Double, numTables: Int,
              seed: Long = 42L): BucketedRandomProjectionLSHModel =

@@ -25,6 +25,24 @@ object ScaleOps {
   def maybeBroadcast(df: DataFrame, maxBytes: Long = graft.Conf.BroadcastMaxBytes): DataFrame =
     if (estimatedBytes(df) <= BigInt(maxBytes)) broadcast(df) else df
 
+  /** Compute-parallelism floor for SMALL inputs feeding heavy per-row work
+    * (native kernels, n-gram explosion, signature passes). A sub-split-size
+    * table arrives as ONE scan task — Spark splits files by
+    * `maxPartitionBytes`, and a single parquet row group never splits — so
+    * the whole kernel stage above it runs single-threaded (measured: the
+    * 0.6 MB documents table serialized every text pipeline at sf0.1). When
+    * the input is that small, redistributing it costs ~nothing: repartition
+    * to the session's default parallelism. Above the threshold this is a
+    * NO-OP — file splits already parallelize, and a full repartition of a
+    * big table would itself be the scale-killer. */
+  def parallelizeSmall(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val oneSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (estimatedBytes(df) <= BigInt(oneSplit))
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
+
   /** EXACT global row_number / rank WITHOUT a one-task whole-table window.
     *
     * `row_number() OVER (ORDER BY v DESC, tiebreaks)` puts every row in ONE

@@ -122,12 +122,12 @@ object LlmOps {
     // Callers may hand in frames built outside Tables.prep (tests, library
     // users); minhash_sig registration is idempotent.
     graft.functions.MinHashSig.register(docs.sparkSession)
-    // Shingles are computed WHERE THE DATA IS — no raw-doc repartition. The
-    // round-1 form shuffled the corpus to spread a 64-string-hash signature
-    // fold that no longer exists; with the derived-permutation signature the
-    // whole map side costs barely more than the scan, and at 100 TB the
-    // input is already thousands of splits.
-    val sh0 = shingleHashes(docs)
+    // Shingles are computed WHERE THE DATA IS — no raw-doc repartition at
+    // scale (at 100 TB the input is already thousands of splits). The one
+    // exception is SIZE-ROUTED: a sub-split-size corpus arrives as one scan
+    // task and would run the whole signature pass single-threaded, so
+    // parallelizeSmall spreads it first (a ~free shuffle at that size).
+    val sh0 = shingleHashes(graft.operators.ScaleOps.parallelizeSmall(docs))
 
     // 1. Whole signature in ONE native codegen'd expression pass per doc
     //    (functions/MinHash.scala): shingles arrive PRE-HASHED (array<long>
@@ -322,8 +322,9 @@ object LlmOps {
     * AQE broadcasts back onto tf. */
   val qTextTfidf: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val tok = docs.select(col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("term"))
+    val tok = graft.operators.ScaleOps.parallelizeSmall(docs)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))

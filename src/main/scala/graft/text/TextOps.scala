@@ -99,7 +99,8 @@ object TextOps {
     * bit_count(xor)). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4 bands pigeonhole only Hamming <= 3")
-    val withH = docs.select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val in = graft.operators.ScaleOps.parallelizeSmall(docs)
+    val withH = in.select(col("doc_id"), simhash64(col("text")).as("sh"))
     val bands = withH.select(col("doc_id"), col("sh"), explode(expr(
       "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sh, cast(b * 16 AS INT)) & 65535L AS key))"))
       .as("bk"))
@@ -124,7 +125,8 @@ object TextOps {
     * relationally: explode positions, window-function min per sliding
     * frame, distinct. */
   def fingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+    val in = graft.operators.ScaleOps.parallelizeSmall(docs)
+    val toks = in.select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= k)
     val grams = toks.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(1, size(t) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(t, i, $k))))"))
@@ -144,10 +146,24 @@ object TextOps {
 
   /** Character n-grams of a (lowercased, space-collapsed) text column. */
   def charNgrams(text: Column, n: Int): Column = {
-    val t = lower(text)
-    transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-      i => t.substr(i, lit(n)))
+    import org.apache.spark.sql.graft.ColumnBridge
+    // ONE native linear pass (functions/CharNgrams). The r1–r6 HOF
+    // formulation (transform(sequence(1, len-n+1), i -> substring(t, i, n)))
+    // was quadratic per row twice over: an interpreted lambda per position
+    // AND substring's byte-0 rescan per extraction (UTF-8 is variable-width)
+    // — measured as the dominant ~4 s of q_text_langid at sf0.1. Values are
+    // bit-identical to the fold — asserted in TextOpsSpec vs charNgramsHof.
+    ColumnBridge.column(graft.functions.CharNgrams(
+      ColumnBridge.expression(lower(text)), n))
   }
+
+  /** The superseded HOF formulation, kept ONLY as the independent
+    * cross-check for the native kernel (TextOpsSpec asserts bit-equality,
+    * including the shorter-than-n and empty-string edge rule). */
+  private[graft] def charNgramsHof(text: Column, n: Int): Column =
+    transform(array(lower(text)), t =>
+      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+        i => t.substr(i, lit(n)))).getItem(0)
 
   /** N-gram-profile language ID (the classic heuristic): build per-language
     * top-`topN` character-trigram profiles from `train` (lang, text), then
@@ -157,7 +173,8 @@ object TextOps {
     * one broadcast join + one argmax window. */
   def langIdNGram(train: DataFrame, test: DataFrame,
                   n: Int = 3, topN: Int = 200): DataFrame = {
-    val trainGrams = train
+    import graft.operators.ScaleOps.parallelizeSmall
+    val trainGrams = parallelizeSmall(train)
       .select(col("lang"), explode(charNgrams(col("text"), n)).as("g"))
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
     val rankW = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))
@@ -165,7 +182,7 @@ object TextOps {
       .withColumn("r", row_number().over(rankW))
       .filter(col("r") <= topN)
       .select(col("lang"), col("g"))
-    val testGrams = test
+    val testGrams = parallelizeSmall(test)
       .select(col("doc_id"), explode(charNgrams(col("text"), n)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val scored = testGrams.join(broadcast(profile), "g")

@@ -64,6 +64,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(diff == 0L, s"$diff documents diverge between native and HOF simhash")
   }
 
+  test("native char_ngrams kernel bit-matches the substring HOF on corpus + edges") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+      // Edge inputs: empty (one "" gram), shorter-than-n (one truncated
+      // gram), exactly n, multi-byte UTF-8 codepoints, uppercase folding.
+      .unionAll(Seq((200001L, ""), (200002L, "ab"), (200003L, "abc"),
+        (200004L, "héllo wörld"), (200005L, "ÄÖÜß€漢字テスト"),
+        (200006L, "MiXeD CaSe")).toDF("doc_id", "text"))
+    val both = docs.select(col("doc_id"),
+      graft.text.TextOps.charNgrams(col("text"), 3).as("native"),
+      graft.text.TextOps.charNgramsHof(col("text"), 3).as("hof"))
+    val diff = both.filter(not(col("native") <=> col("hof"))).count()
+    assert(diff == 0L, s"$diff documents diverge between native and HOF char_ngrams")
+    // And the kernel sits inside whole-stage codegen (no fallback to eval)
+    // — asserted on a native-only projection: the HOF twin above never
+    // codegens (lambdas don't), which would break any stage containing it.
+    val plan = Tables.documents(spark, Sf0001)
+      .select(graft.text.TextOps.charNgrams(col("text"), 3))
+      .queryExecution.executedPlan.toString
+    // A leading `*(n)` marks an operator inside a WholeStageCodegen stage.
+    assert(plan.linesIterator.exists(l => l.contains("char_ngrams") && l.trim.startsWith("*(")),
+      s"char_ngrams Project not inside a codegen stage:\n$plan")
+  }
+
   test("winnowing fingerprints: shared token runs share prints; disjoint do not") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"

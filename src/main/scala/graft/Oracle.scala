@@ -416,6 +416,43 @@ object Oracle {
          WHERE 1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) <= 0.5
          ORDER BY doc_a, doc_b""",
 
+    // All-pairs exact trigram Jaccard — the Spark plan (prefix-filtered
+    // inverted index) emits the same exact pair set without the quadratic
+    // join.
+    "q_dedup_ngram" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 3),
+              s AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS sh
+                    FROM w, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+              n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                    FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard_dist
+         FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+         WHERE 1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) <= 0.5
+         ORDER BY doc_a, doc_b""",
+
+    // Twin of LlmOps.plantedNearDupEmbeddings + cosineNearDupPairs: DuckDB
+    // lists are 1-indexed, so the perturbation index is (vec_id + i - 1) to
+    // match Spark's 0-based transform index; float cast is IEEE-exact on
+    // both sides.
+    "q_dedup_embed" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+              planted AS (
+           SELECT vec_id + 1000000 AS vec_id,
+                  list_transform(generate_series(1, len(embedding)),
+                    i -> CAST(embedding[i] + 0.02 * (CAST((vec_id + i - 1) % 3 AS DOUBLE) - 1.0) AS FLOAT)) AS embedding
+           FROM base WHERE vec_id % 25 = 0),
+              allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+              u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM allv)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+         FROM u a JOIN u b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.98
+         ORDER BY id_a, id_b""",
+
     "q_sim_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
               c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
@@ -468,6 +505,21 @@ object Oracle {
                       + 0.2 * (CASE WHEN len / n_tok BETWEEN 2.0 AND 12.0
                                     THEN 1.0 ELSE 0.3 END), 6) AS quality
          FROM g ORDER BY doc_id""",
+
+    // Twin of qTextTokens: same whitespace split as q_text_lang_stats, and
+    // TextOps.BpeIshPattern verbatim (apostrophe doubled for the SQL
+    // literal). Both regex engines give leftmost, alternation-order-first
+    // matches for this pattern's disjoint branches.
+    "q_text_tokens" ->
+      """WITH f AS (
+           SELECT doc_id, lang, n_chars,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+                  CAST(len(regexp_extract_all(text,
+                    '(''(?:s|t|re|ve|m|ll|d))|( ?[a-zA-Z]+)|( ?[0-9]+)|( ?[^a-zA-Z0-9\s]+)')) AS BIGINT) AS n_bpe
+           FROM documents)
+         SELECT doc_id, lang, n_ws, n_bpe,
+                round(CAST(n_chars AS DOUBLE) / CAST(greatest(n_bpe, 1) AS DOUBLE), 6) AS chars_per_token
+         FROM f ORDER BY doc_id""",
 
     // Twin of TextOps.langIdNGram (n = 3, topN = 200): same trigram
     // extraction (substring is 1-indexed in both engines; short texts yield

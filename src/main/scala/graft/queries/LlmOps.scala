@@ -211,6 +211,65 @@ object LlmOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ----------------------------------------- exact n-gram Jaccard similarity
+
+  /** Exact n-gram Jaccard near-dup pairs via PREFIX-FILTERED inverted index
+    * (the ppjoin-family exact similarity join — the third dedup plan beside
+    * MinHash-LSH and SimHash, with NO approximation anywhere):
+    *
+    *  1. per doc: distinct word n-gram shingles as xxhash64 longs;
+    *  2. global shingle frequencies, then each doc's shingles ranked
+    *     RAREST-FIRST — a common total order (freq, hash) over the universe;
+    *  3. prefix filter: a pair with Jaccard ≥ s must share ≥ ceil(s·|A|)
+    *     shingles, so the first |A| − ceil(s·|A|) + 1 shingles of A (in the
+    *     common order) must hit any qualifying partner — only PREFIXES are
+    *     exploded into the inverted index (about half the postings at
+    *     s = 0.5), and because prefixes hold the RAREST shingles, the giant
+    *     posting lists of stop-shingles (the inverted-index skew killer at
+    *     100 TB) never materialize;
+    *  4. candidates refined with the exact Jaccard over the full hashed
+    *     shingle sets — output equals the all-pairs answer (what the DuckDB
+    *     oracle computes), with the same 64-bit-collision caveat as MinHash
+    *     (~1e-16 per pair union; below the oracle noise floor).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+                        maxDist: Double = 0.5): DataFrame = {
+    val in = graft.operators.ScaleOps.parallelizeSmall(docs)
+    val sh = in
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> xxhash64(concat_ws(' ', slice(w, i, $n))))"))
+        .as("sh"))
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("ns"), explode(col("sh")).as("h"))
+    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val s = 1.0 - maxDist
+    val rareFirst = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
+    val prefix = ex.join(freq, "h")
+      .withColumn("r", row_number().over(rareFirst))
+      .filter(col("r") <= col("ns") - ceil(col("ns") * s) + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Same size-gated broadcast refine shape as minhashPairs: candidates are
+    // a narrow 16-byte pair stream; full shingle arrays are joined in once.
+    val meta = graft.operators.ScaleOps.maybeBroadcast(
+      sh.select(col("doc_id"), col("sh"), size(col("sh")).as("ns")))
+    cand.join(meta.as("A"), col("doc_a") === col("A.doc_id"))
+      .join(meta.as("B"), col("doc_b") === col("B.doc_id"))
+      .withColumn("inter", size(array_intersect(col("A.sh"), col("B.sh"))).cast("double"))
+      .withColumn("uni", (col("A.ns") + col("B.ns")).cast("double") - col("inter"))
+      .withColumn("jd", lit(1.0) - col("inter") / col("uni"))
+      .filter(col("jd") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), round(col("jd"), 6).as("jaccard_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val qDedupNgram: Q = (s, dir) => ngramJaccardPairs(Tables.documents(s, dir))
+
   /** Embedding-cosine near-duplicate pairs (the vector-space member of the
     * dedup family): unit-normalize, bucket with random-projection LSH
     * (cos ≥ t ⟺ Euclidean ≤ √(2−2t) on unit vectors), refine candidates
@@ -232,6 +291,32 @@ object LlmOps {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("id_a", "id_b")
   }
+
+  /** The embeddings table extended with deterministic planted near-dups:
+    * every 25th vector re-appears (vec_id + 1,000,000) with a small
+    * element-wise perturbation (±0.02 by (vec_id + i) mod 3), landing at
+    * cos ≈ 0.991–0.992 against its source while the corpus's natural
+    * pairwise cosine tops out ≈ 0.51 — the same synthesize-the-edge move as
+    * q_filter_null (the testdata has no natural near-dup vectors). Float
+    * arithmetic is IEEE-exact and index-parity-checked against the DuckDB
+    * twin, so the construction is oracle-reproducible. */
+  def plantedNearDupEmbeddings(emb: DataFrame): DataFrame = {
+    val planted = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"), expr(
+        "transform(embedding, (x, i) -> cast(double(x) + 0.02d * (cast((vec_id + i) % 3 as double) - 1.0d) as float))")
+        .as("embedding"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    emb.select(col("vec_id"), col("embedding")).unionAll(planted)
+  }
+
+  /** Embedding-cosine near-dup pairs over the planted corpus: LSH candidates
+    * + exact refine (cosineNearDupPairs). Output = the exact all-pairs
+    * cos ≥ 0.98 answer, which is what the DuckDB oracle computes; the
+    * planted pairs sit at Euclidean ≈ 0.13 on unit vectors vs the 0.20 LSH
+    * join radius, and a 10-table OR-amplified miss is ~3e-7 per pair. */
+  val qDedupEmbed: Q = (s, dir) =>
+    cosineNearDupPairs(plantedNearDupEmbeddings(Tables.embeddings(s, dir)),
+      minCos = 0.98)
 
   // ------------------------------------------------------ similarity search
 
@@ -352,12 +437,47 @@ object LlmOps {
     * to the best-covering profile (TextOps.langIdNGram). Fully relational
     * — explodes, grouped aggs, one broadcast profile join, argmax window —
     * so it oracle-checks against the same CTE pipeline in DuckDB. */
-  val qTextLangid: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    graft.text.TextOps.langIdNGram(
-      docs.select(col("lang"), col("text")),
-      docs.select(col("doc_id"), col("text")))
-  }
+  val qTextLangid: Q = (s, dir) =>
+    graft.text.TextOps.langIdSelf(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
+
+  /** Per-document token accounting — the budgeting signal every training
+    * pipeline carries: whitespace tokens (the cheap path) and BPE-ish
+    * regex word pieces (TextOps.BpeIshPattern, a simplified GPT-2
+    * pre-tokenizer), plus chars-per-token. Pure narrow map over the scan —
+    * no shuffle; regexp_extract_all is codegen'd. Oracle-checked (DuckDB
+    * regexp_extract_all; the pattern uses only dialect-portable regex). */
+  val qTextTokens: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        graft.text.TextOps.tokenCountBpeIsh(col("text")).as("n_bpe"),
+        round(col("n_chars").cast("double") /
+          greatest(graft.text.TextOps.tokenCountBpeIsh(col("text")), lit(1L)).cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  /** Winnowing document fingerprints (TextOps.fingerprints): every window's
+    * minimum k-gram rolling hash — the shared-run detector (any common
+    * token run of ≥ w + k − 1 tokens yields a shared print). No oracle
+    * (xxhash64 has no DuckDB twin); NoOracleSpec recomputes the winnow
+    * driver-side from the same gram hashes and asserts set equality. */
+  val qTextFingerprint: Q = (s, dir) =>
+    graft.text.TextOps.fingerprints(Tables.documents(s, dir))
+      .orderBy("doc_id", "fp")
+
+  /** Multimodal decode/feature plumbing (multimodal/Media): binary payloads
+    * + typed metadata → batched mapPartitions decode (stubbed codec, real
+    * Spark plumbing) → narrow per-asset feature rows. No oracle (the typed
+    * mapPartitions pipeline is not SQL); NoOracleSpec recomputes the stub's
+    * byte-level math independently and asserts row equality. */
+  val qMediaFeatures: Q = (s, dir) =>
+    graft.multimodal.Media.extractFeatures(
+        graft.multimodal.Media.syntheticAssets(s, dir)).toDF()
+      .select(col("asset_id"), col("media_type"), col("n_bytes"),
+        round(col("mean_byte"), 6).as("mean_byte"),
+        col("frames_sampled"), col("phash"))
+      .orderBy("asset_id")
 
   /** SimHash near-dup pairs (Hamming ≤ 3) via the pigeonhole 4-band bucket
     * join + exact bit_count refine (TextOps.simhashPairs, native simhash64
@@ -406,6 +526,11 @@ object LlmOps {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_ngram" -> qDedupNgram,
+    "q_dedup_embed" -> qDedupEmbed,
+    "q_text_tokens" -> qTextTokens,
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_media_features" -> qMediaFeatures,
     "q_sim_cosine_topk" -> qSimCosineTopk,
     "q_sim_lsh_ann" -> qSimLshAnn,
     "q_knn_bruteforce" -> qKnnBruteforce,

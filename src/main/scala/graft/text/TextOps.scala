@@ -177,14 +177,42 @@ object TextOps {
     val trainGrams = parallelizeSmall(train)
       .select(col("lang"), explode(charNgrams(col("text"), n)).as("g"))
       .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("c"))
+    val testGrams = parallelizeSmall(test)
+      .select(col("doc_id"), explode(charNgrams(col("text"), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    classifyGrams(trainGrams, testGrams, test.select(col("doc_id")).distinct(), topN)
+  }
+
+  /** Self-classification (train == test == the corpus — the declared
+    * q_text_langid shape): the gram explode is THE cost of language ID, and
+    * the generic two-frame API pays it twice over the same rows. Here the
+    * corpus is exploded ONCE into per-(doc, lang, gram) counts; the
+    * language profile is a re-aggregation of that same frame (the shuffle
+    * output is shared via ReusedExchange), and classification consumes it
+    * directly. Same answer as langIdNGram(docs, docs) — lang is functionally
+    * determined by doc_id, so summing per-doc counts per (lang, g) equals
+    * counting the exploded grams per (lang, g). */
+  def langIdSelf(docs: DataFrame, n: Int = 3, topN: Int = 200): DataFrame = {
+    import graft.operators.ScaleOps.parallelizeSmall
+    val docGrams = parallelizeSmall(docs)
+      .select(col("doc_id"), col("lang"), explode(charNgrams(col("text"), n)).as("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g")).agg(count(lit(1)).as("c"))
+    val trainGrams = docGrams.groupBy(col("lang"), col("g")).agg(sum(col("c")).as("c"))
+    val testGrams = docGrams.select(col("doc_id"), col("g"), col("c"))
+    classifyGrams(trainGrams, testGrams, docs.select(col("doc_id")).distinct(), topN)
+  }
+
+  /** Shared tail of the language-ID pipelines: rank per-language gram
+    * counts into top-`topN` profiles (tiny, broadcast), score each document
+    * by profile coverage, argmax per doc, 'und' fallback for documents
+    * overlapping no profile. */
+  private def classifyGrams(trainGrams: DataFrame, testGrams: DataFrame,
+                            allDocIds: DataFrame, topN: Int): DataFrame = {
     val rankW = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("g"))
     val profile = trainGrams
       .withColumn("r", row_number().over(rankW))
       .filter(col("r") <= topN)
       .select(col("lang"), col("g"))
-    val testGrams = parallelizeSmall(test)
-      .select(col("doc_id"), explode(charNgrams(col("text"), n)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val scored = testGrams.join(broadcast(profile), "g")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c")).as("score"))
@@ -196,7 +224,7 @@ object TextOps {
       .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
     // Documents overlapping NO profile (unseen script, too-short text) must
     // not vanish: surface them as "und" with score 0.
-    test.select(col("doc_id")).distinct()
+    allDocIds
       .join(picked, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("pred_lang"), lit("und")).as("pred_lang"),

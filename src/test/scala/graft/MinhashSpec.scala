@@ -54,6 +54,56 @@ class MinhashSpec extends AnyFunSuite {
       s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
   }
 
+  test("ngramJaccardPairs (prefix-filtered) == trigram all-pairs on the sf0.001 corpus") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    val got = LlmOps.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Driver-side exact trigram Jaccard over every pair — validates both the
+    // prefix-filter completeness (no candidate missed) and the refine math.
+    def tris(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val local = docs.collect().map(r => (r.getLong(0), tris(r.getString(1))))
+      .filter(_._2.nonEmpty)
+    val exp = (for {
+      i <- local.indices; j <- (i + 1) until local.length
+      inter = (local(i)._2 & local(j)._2).size.toDouble
+      uni = local(i)._2.size + local(j)._2.size - inter
+      d = 1.0 - inter / uni if d <= 0.5
+      (a, b) = if (local(i)._1 < local(j)._1) (local(i)._1, local(j)._1)
+               else (local(j)._1, local(i)._1)
+    } yield (a, b, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(exp.nonEmpty, "corpus should contain trigram near-dups")
+    assert(got == exp,
+      s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+  }
+
+  test("cosineNearDupPairs finds exactly the planted embedding near-dups") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val planted = LlmOps.plantedNearDupEmbeddings(emb)
+    val got = SparkEntry.queries("q_dedup_embed")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Driver-side exact: every pair of the planted frame at cos >= 0.98.
+    val vs = planted.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exp = (for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      if cos(vs(i)._2, vs(j)._2) >= 0.98
+      (a, b) = if (vs(i)._1 < vs(j)._1) (vs(i)._1, vs(j)._1) else (vs(j)._1, vs(i)._1)
+    } yield (a, b)).toSet
+    assert(exp.nonEmpty, "planting should create near-dup pairs")
+    assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    // And every pair is a planted (source, source + 1e6) pair, not noise.
+    assert(got.forall { case (a, b) => b == a + 1000000L })
+  }
+
   test("degenerate corpus: 1,000 identical docs route through the big-bucket self-join path and ALL pairs are reported") {
     import spark.implicits._
     // Every band bucket holds all 1,000 ids — far past DegenerateBucketCap,

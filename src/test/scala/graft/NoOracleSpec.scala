@@ -65,6 +65,51 @@ class NoOracleSpec extends AnyFunSuite {
     assert(got.nonEmpty, "corpus should contain simhash near-dups")
   }
 
+  test("q_text_fingerprint: winnowed set == driver-side reference winnow") {
+    val got = SparkEntry.queries("q_text_fingerprint")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Independent winnow: gram hashes come from the same xxhash64 primitive
+    // (no driver-side twin exists), but the sliding-window minimum, the
+    // full-window rule, and the distinct are recomputed in plain Scala.
+    val k = 3; val w = 4
+    val grams = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), i -> xxhash64(concat_ws(' ', slice(t, i, $k))))")
+        .as("hs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val exp = (for {
+      (docId, hs) <- grams
+      p <- 0 to hs.size - w // full windows only
+    } yield (docId, hs.slice(p, p + w).min)).toSet
+    assert(got == exp, s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  test("q_media_features: stub features match an independent byte-level recompute") {
+    val got = SparkEntry.queries("q_media_features")(spark, Sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getLong(5)))).toMap
+    val exp = Tables.documents(spark, Sf0001).select("doc_id", "text")
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var sum = 0L; var h = 1125899906842597L
+        bytes.foreach { b => sum += b & 0xff; h = h * 31 + (b & 0xff) }
+        val mediaType = Seq("image", "audio", "video")((id % 3).toInt)
+        val width = (id % 640 + 16).toInt
+        val frames = if (mediaType == "video") math.min(4, width % 7 + 1) else 1
+        val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+        id -> ((mediaType, bytes.length.toLong,
+          BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          frames, h))
+      }.toMap
+    assert(got == exp,
+      s"diff=${(exp.toSet diff got.toSet).take(2)} / ${(got.toSet diff exp.toSet).take(2)}")
+  }
+
   test("q_sim_ivf_ann: recall >= 0.6 vs brute-force Euclidean top-10") {
     val ivf = SparkEntry.queries("q_sim_ivf_ann")(spark, Sf0001)
       .select("vec_id").collect().map(_.getLong(0)).toSet

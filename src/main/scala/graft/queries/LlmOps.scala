@@ -232,8 +232,8 @@ object LlmOps {
     *     oracle computes), with the same 64-bit-collision caveat as MinHash
     *     (~1e-16 per pair union; below the oracle noise floor).
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-                        maxDist: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, maxDist: Double = 0.5,
+                        bucketCap: Int = DegenerateBucketCap): DataFrame = {
     val in = graft.operators.ScaleOps.parallelizeSmall(docs)
     val sh = in
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
@@ -241,23 +241,71 @@ object LlmOps {
       .select(col("doc_id"), array_distinct(expr(
         s"transform(sequence(1, size(w) - ${n - 1}), i -> xxhash64(concat_ws(' ', slice(w, i, $n))))"))
         .as("sh"))
-    val ex = sh.select(col("doc_id"), size(col("sh")).as("ns"), explode(col("sh")).as("h"))
-    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    // Per-doc rarity-sorted shingle sets, computed ONCE and PERSISTED.
+    // The pipeline below is diamond-shaped (prefix index, both sides of the
+    // degenerate-bucket self-join, and both refine sides all consume it);
+    // DataFrame reuse duplicates logical subtrees and per-branch column
+    // pruning defeats exchange reuse — measured: the un-persisted form ran
+    // 8 separate scan+tokenize chains (ReusedExchange count 0). The cached
+    // frame is the most compact corpus derivative (hashes only, no text:
+    // ~2 MB at sf0.1, ≈0.1% of corpus bytes at any scale) and
+    // MEMORY_AND_DISK spills instead of OOMing.
+    //
+    //  - `fh` = (freq, hash) structs sorted ascending — the common
+    //    rarest-first total order the prefix principle needs; the per-doc
+    //    rank is now just ARRAY POSITION, so the whole freq-join + window
+    //    ranking stage of the first formulation disappears.
+    //  - `pfx` = the doc's prefix slice (|A| − ceil(s·|A|) + 1 rarest
+    //    shingles), pruned of frequency-1 members: a shingle in exactly one
+    //    doc can never join two docs, so dropping it from the INDEX (not
+    //    from the prefix-length arithmetic) loses no candidate — and on a
+    //    natural corpus most shingles are unique, so the posting lists
+    //    shrink ~10×.
+    // Shingle frequencies come from one windowed count over the postings
+    // (explode_outer: a plain explode would infer null/size filters and
+    // push the whole tokenize transform into the single-split scan task).
     val s = 1.0 - maxDist
-    val rareFirst = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("h"))
-    val prefix = ex.join(freq, "h")
-      .withColumn("r", row_number().over(rareFirst))
-      .filter(col("r") <= col("ns") - ceil(col("ns") * s) + 1)
-      .select(col("doc_id"), col("h"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // Same size-gated broadcast refine shape as minhashPairs: candidates are
-    // a narrow 16-byte pair stream; full shingle arrays are joined in once.
+    val ex = sh
+      .select(col("doc_id"), explode_outer(col("sh")).as("h"))
+      .filter(col("h").isNotNull)
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("h"))))
+    val docSets = ex
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("fh"))
+      .select(col("doc_id"),
+        expr("transform(fh, x -> x.h)").as("sh"),
+        size(col("fh")).as("ns"),
+        expr(s"filter(slice(fh, 1, cast(size(fh) - ceil(size(fh) * $s) + 1 AS INT)), x -> x.f > 1)")
+          .as("pfx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = docSets
+      .select(col("doc_id"), explode_outer(expr("transform(pfx, x -> x.h)")).as("h"))
+      .filter(col("h").isNotNull)
+    // Candidates from per-shingle posting buckets (one aggregate, no
+    // duplicated self-join subtree), with minhashPairs' degenerate-bucket
+    // routing: small buckets take the triangular explode; buckets past
+    // `bucketCap` (identical-doc floods) stream through an AQE-splittable
+    // self-join instead of emitting C(n,2) structs from one row.
+    val grouped = prefix.groupBy(col("h"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val smallPairs = grouped.filter(size(col("ids")) <= bucketCap)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids)), b ->
+               struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val big = grouped.filter(size(col("ids")) > bucketCap)
+      .select(col("h"), explode(col("ids")).as("doc_id"))
+    val bigPairs = big.as("L").join(big.as("R"),
+        col("L.h") === col("R.h") && col("L.doc_id") < col("R.doc_id"))
+      .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"))
+    val cand = smallPairs.union(bigPairs).distinct()
+    // Refine over the SAME cached doc sets (array order is irrelevant to
+    // array_intersect), so the corpus text is never re-tokenized.
+    // Size-gated broadcast as in minhashPairs.
     val meta = graft.operators.ScaleOps.maybeBroadcast(
-      sh.select(col("doc_id"), col("sh"), size(col("sh")).as("ns")))
+      docSets.select(col("doc_id"), col("sh"), col("ns")))
     cand.join(meta.as("A"), col("doc_a") === col("A.doc_id"))
       .join(meta.as("B"), col("doc_b") === col("B.doc_id"))
       .withColumn("inter", size(array_intersect(col("A.sh"), col("B.sh"))).cast("double"))
@@ -271,22 +319,58 @@ object LlmOps {
   val qDedupNgram: Q = (s, dir) => ngramJaccardPairs(Tables.documents(s, dir))
 
   /** Embedding-cosine near-duplicate pairs (the vector-space member of the
-    * dedup family): unit-normalize, bucket with random-projection LSH
-    * (cos ≥ t ⟺ Euclidean ≤ √(2−2t) on unit vectors), refine candidates
-    * with the exact native-dot cosine. Same never-all-pairs shape as the
-    * MinHash pipeline: LSH proposes, exact math disposes. */
-  def cosineNearDupPairs(emb: DataFrame, minCos: Double,
-                         bucketLength: Double = 0.5, numTables: Int = 10): DataFrame = {
+    * dedup family): sign-random-projection LSH — band keys are `nBits`-bit
+    * sign patterns of seeded random hyperplane projections (P[bit agrees] =
+    * 1 − θ/π, the classic SimHash-for-vectors bound), pairs sharing any
+    * band key are candidates, refined with the exact native-dot cosine.
+    * Same never-all-pairs shape as the MinHash pipeline: LSH proposes,
+    * exact math disposes.
+    *
+    * Everything stays inside whole-stage codegen: the 72 projections are a
+    * tiny broadcast planes table crossed onto the vectors, each projection
+    * one native `vec_dot`, band keys assembled by a grouped bit-OR — no
+    * MLlib Vector ser/deser, no interpreted distance UDF (the
+    * approxSimilarityJoin formulation this replaces spent ~15 s at sf0.1
+    * pushing millions of candidates through an interpreted UDF).
+    *
+    * Recall: a pair at exactly cos = 0.98 (θ ≈ 0.2 rad) agrees per bit
+    * w.p. 0.936 → per 6-bit band 0.673 → missed by all 12 bands
+    * w.p. ≈ 1.5e-6; the planted pairs at cos ≈ 0.991 miss w.p. ≈ 2e-8.
+    * Random pairs (θ ≈ π/2) collide per band w.p. 2⁻⁶, keeping candidates
+    * ≈ 1.5 % of all pairs per band — linear-ish, never all-pairs. */
+  def cosineNearDupPairs(emb: DataFrame, minCos: Double, dim: Int = 64,
+                         nBits: Int = 6, nBands: Int = 12,
+                         seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val planes = (0 until nBands).flatMap { band =>
+      (0 until nBits).map { bit =>
+        (band, bit, Array.fill(dim)(rnd.nextGaussian()))
+      }
+    }.toDF("band", "bit", "plane")
     val unit = emb.select(col("vec_id"),
       expr("transform(embedding, x -> double(x) / sqrt(vec_dot(embedding, embedding)))").as("unit"))
-    val feat = graft.ml.Pipelines.withFeatures(unit, "unit")
-    val model = graft.ml.Pipelines.brpLsh(feat, bucketLength, numTables)
-    val thr = math.sqrt(math.max(2.0 - 2.0 * minCos, 0.0))
-    model.approxSimilarityJoin(feat, feat, thr, "dist")
-      .filter(col("datasetA.vec_id") < col("datasetB.vec_id"))
-      .select(col("datasetA.vec_id").as("id_a"), col("datasetB.vec_id").as("id_b"),
-        col("datasetA.unit").as("ua"), col("datasetB.unit").as("ub"))
-      .withColumn("cos", graft.functions.Vec.dot("ua", "ub"))
+    // One row per (vector, band): key = OR of sign bits over the band's
+    // planes. Narrow crossJoin against the broadcast planes table, then a
+    // partial-aggregating groupBy on (vec_id, band) — both codegen'd.
+    val keyed = unit.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("unit"), col("band"),
+        when(graft.functions.Vec.dot("unit", "plane") > 0.0,
+          expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L)).as("kb"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("kb")).as("key"))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val meta = graft.operators.ScaleOps.maybeBroadcast(
+      unit.select(col("vec_id"), col("unit")))
+    cand.join(meta.as("A"), col("id_a") === col("A.vec_id"))
+      .join(meta.as("B"), col("id_b") === col("B.vec_id"))
+      .withColumn("cos", graft.functions.Vec.dot("A.unit", "B.unit"))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("id_a", "id_b")

@@ -73,6 +73,62 @@ object Runtime {
       .select(col("user_id"), col("sw.start").as("s_start"),
         col("sw.end").as("s_end"), col("n_events"))
 
+  /** The events stream with every file staged TWICE (two arrival files →
+    * two micro-batches under maxFilesPerTrigger=1) — the at-least-once
+    * redelivery shape every streaming ingest must survive. Fixture for
+    * [[dedupedEvents]]. */
+  def eventsStreamWithRedelivery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.prep(spark)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-stream-redeliver-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    for (name <- Seq("events_a.parquet", "events_b.parquet"))
+      java.nio.file.Files.copy(src, streamDir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming ingest DEDUPLICATION — the stream-side member of the dedup
+    * family (the batch members live in queries/LlmOps): exactly-once
+    * semantics on top of an at-least-once source via
+    * `dropDuplicatesWithinWatermark` on the record key.
+    *
+    * Scale posture: state is hash-partitioned by key across the cluster
+    * (same shuffle shape as a streaming aggregation) and — unlike a plain
+    * `dropDuplicates`, whose state grows forever — every key is EVICTED
+    * once the watermark passes its event time, so state is bounded by the
+    * redelivery horizon, not the stream's lifetime. For content dedup of a
+    * document stream, the key becomes md5(text) — same state machine. */
+  def dedupedEvents(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run an APPEND-mode stream (stateless transforms, watermark dedup) to
+    * completion against the replayed file source — append twin of
+    * [[runToCompletion]] (dedup/stateless plans reject complete mode). */
+  def runToCompletionAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(120000L)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"stream $name did not finish within 120s — result would be partial")
+    }
+    spark.table(name)
+  }
+
   /** The PRODUCTION sink (SURVEY §2.10's "foreachBatch parquet sink"): run
     * a stream through `foreachBatch` into a hive-style partitioned parquet
     * layout via Layout.writePartitioned — the same pruning-friendly on-disk

@@ -183,6 +183,23 @@ class StreamingEquivSpec extends AnyFunSuite {
       s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
   }
 
+  test("streaming ingest dedup: at-least-once redelivery -> exactly-once output") {
+    import org.apache.spark.sql.functions._
+    // Source replays the whole events file TWICE (two micro-batches); the
+    // watermark dedup must emit every event exactly once — redelivered rows
+    // are either dropped as duplicates (state alive) or as late data
+    // (behind the watermark), and both paths land on the batch answer.
+    val stream = SRuntime.runToCompletionAppend(spark,
+      SRuntime.dedupedEvents(SRuntime.eventsStreamWithRedelivery(spark, Sf0001)),
+      "t_dedup_stream")
+    val got = stream.select("event_id").collect().map(_.getLong(0)).toSeq
+    val exp = Tables.events(spark, Sf0001)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(got.size == got.distinct.size, "stream emitted a duplicate event_id")
+    assert(got.toSet == exp.toSet,
+      s"missing=${(exp.toSet -- got.toSet).take(3)} extra=${(got.toSet -- exp.toSet).take(3)}")
+  }
+
   test("session window: stream result == batch result") {
     val stream = SRuntime.runToCompletion(spark,
       SRuntime.sessionCounts(SRuntime.eventsStream(spark, Sf0001)), "t_session")

@@ -124,6 +124,58 @@ object MinHash {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** Distinct word n-gram hashes of a token array in one compiled loop —
+    * [[bigrams]] generalized to any gram width. Each word's bytes are
+    * hashed ONCE (`xxhash64`, seed 42); a window's shingle hash chains the
+    * member word hashes through xxhash64's long mixer, so the row costs
+    * O(words · (bytes/word + n)) instead of the interpreted
+    * `transform(sequence, i -> xxhash64(concat_ws(slice)))` chain, which
+    * re-concatenated and re-hashed every window's bytes from scratch
+    * (measured: ~2.8 s of q_dedup_ngram at sf0.1, the dominant stage).
+    * Downstream consumers (Jaccard set math) only need hash identity per
+    * distinct shingle string, not any particular hash function, so the
+    * combiner choice is free. Null words void the windows containing them,
+    * matching the skip rule of [[bigrams]]. */
+  def ngrams(words: ArrayData, n: Int): ArrayData = {
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val wh = new Array[Long](m)
+    val ok = new Array[Boolean](m)
+    var i = 0
+    while (i < m) {
+      if (!words.isNullAt(i)) {
+        ok(i) = true
+        wh(i) = XXH64.hashUTF8String(words.getUTF8String(i), Seed)
+      }
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    var k = 0
+    i = 0
+    while (i <= m - n) {
+      var good = true
+      var j = 0
+      while (j < n) { if (!ok(i + j)) good = false; j += 1 }
+      if (good) {
+        var h = wh(i)
+        j = 1
+        while (j < n) { h = XXH64.hashLong(wh(i + j), h); j += 1 }
+        out(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    if (k == 0) return new GenericArrayData(Array.emptyLongArray)
+    java.util.Arrays.sort(out, 0, k)
+    var w = 1
+    var r = 1
+    while (r < k) {
+      if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
   /** Count of equal slots between two equal-length signatures — the
     * estimated-Jaccard prefilter kernel. */
   def matches(a: ArrayData, b: ArrayData): Int = {
@@ -195,6 +247,32 @@ case class BigramHashes(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.MinHash.bigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ngram_hashes(array<string>, n) -> array<long>` — distinct word n-gram
+  * shingle hashes in one compiled loop, with a compile-time gram width
+  * (same surface as CharNgrams; applied via ColumnBridge, no registry). */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, "gram width must be >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "ngram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes requires array<string> input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash.ngrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash.ngrams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -234,13 +234,19 @@ object LlmOps {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, maxDist: Double = 0.5,
                         bucketCap: Int = DegenerateBucketCap): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
     val in = graft.operators.ScaleOps.parallelizeSmall(docs)
+    // ONE native linear pass per row (functions/MinHash.ngrams): each word
+    // hashed once, windows chained through xxhash64's long mixer. The r6
+    // HOF chain (transform(sequence, i -> xxhash64(concat_ws(slice))))
+    // re-concatenated + re-hashed every window's bytes — measured 2.8 s of
+    // this query at sf0.1, the dominant stage. Jaccard only needs hash
+    // IDENTITY per distinct shingle, so the hash construction is free to
+    // change; the oracle compares the resulting pair set, not the hashes.
     val sh = in
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), i -> xxhash64(concat_ws(' ', slice(w, i, $n))))"))
-        .as("sh"))
+      .select(col("doc_id"), ColumnBridge.column(graft.functions.NgramHashes(
+        ColumnBridge.expression(split(lower(col("text")), " ")), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
     // Per-doc rarity-sorted shingle sets, computed ONCE and PERSISTED.
     // The pipeline below is diamond-shaped (prefix index, both sides of the
     // degenerate-bucket self-join, and both refine sides all consume it);
@@ -275,32 +281,64 @@ object LlmOps {
       .select(col("doc_id"),
         expr("transform(fh, x -> x.h)").as("sh"),
         size(col("fh")).as("ns"),
-        expr(s"filter(slice(fh, 1, cast(size(fh) - ceil(size(fh) * $s) + 1 AS INT)), x -> x.f > 1)")
+        expr(s"slice(fh, 1, cast(size(fh) - ceil(size(fh) * $s) + 1 AS INT))")
           .as("pfx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Postings carry (pos, ns): `pos` is the shingle's 1-based rank in the
+    // doc's rarest-first order — the position filter below needs it.
+    // Frequency-1 members leave the INDEX (not the prefix-length
+    // arithmetic): a shingle in exactly one doc can never join two docs.
     val prefix = docSets
-      .select(col("doc_id"), explode_outer(expr("transform(pfx, x -> x.h)")).as("h"))
-      .filter(col("h").isNotNull)
+      .select(col("doc_id"), col("ns"),
+        posexplode_outer(col("pfx")).as(Seq("p0", "x")))
+      .filter(col("x").isNotNull && col("x.f") > 1)
+      .select(col("doc_id"), col("ns"), (col("p0") + 1).as("pos"), col("x.h").as("h"))
     // Candidates from per-shingle posting buckets (one aggregate, no
     // duplicated self-join subtree), with minhashPairs' degenerate-bucket
     // routing: small buckets take the triangular explode; buckets past
     // `bucketCap` (identical-doc floods) stream through an AQE-splittable
     // self-join instead of emitting C(n,2) structs from one row.
     val grouped = prefix.groupBy(col("h"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"), col("ns"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val smallPairs = grouped.filter(size(col("ids")) <= bucketCap)
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
-             transform(slice(ids, i + 2, size(ids)), b ->
-               struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))""")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+             transform(slice(ids, i + 2, size(ids)), b -> struct(
+               least(a.doc_id, b.doc_id) AS doc_a,
+               greatest(a.doc_id, b.doc_id) AS doc_b,
+               least(a.ns - a.pos, b.ns - b.pos) AS slack,
+               a.ns AS na, b.ns AS nb))))""")).as("p"))
+      .select(col("p.*"))
     val big = grouped.filter(size(col("ids")) > bucketCap)
-      .select(col("h"), explode(col("ids")).as("doc_id"))
+      .select(explode(col("ids")).as("t"), col("h"))
+      .select(col("h"), col("t.doc_id").as("doc_id"),
+        col("t.pos").as("pos"), col("t.ns").as("ns"))
     val bigPairs = big.as("L").join(big.as("R"),
         col("L.h") === col("R.h") && col("L.doc_id") < col("R.doc_id"))
-      .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"))
-    val cand = smallPairs.union(bigPairs).distinct()
+      .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"),
+        least(col("L.ns") - col("L.pos"), col("R.ns") - col("R.pos")).as("slack"),
+        col("L.ns").as("na"), col("R.ns").as("nb"))
+    // ppjoin's two candidate prunes, applied BEFORE the distinct and the
+    // refine join (r6's prefix-only form passed 409 k candidates into the
+    // refine for a 25-row answer — the refine was 3.2 s of the query):
+    //  - LENGTH: J ≤ min/max, so a qualifying pair has min(ns) ≥ s·max(ns);
+    //  - POSITION: common shingles all rank ≥ the shared shingle's pos in
+    //    BOTH docs' rarest-first order (the order is global), so overlap
+    //    ≤ min(na−pa, nb−pb)+1, which must reach the J ≥ s overlap floor
+    //    ceil(s/(1+s)·(na+nb)). A qualifying pair's FIRST shared prefix
+    //    shingle always passes (its pos values are minimal), so keeping a
+    //    pair when ANY of its buckets passes loses no true pair.
+    // The 1e-9 backoff keeps float roundoff from ever ceil-ing an exact
+    // integer threshold one too high (which would wrongly prune).
+    val cand = smallPairs.union(bigPairs)
+      .filter(
+        least(col("na"), col("nb")) >=
+          ceil(lit(s) * greatest(col("na"), col("nb")) - lit(1e-9)) &&
+        col("slack") + 1 >=
+          ceil(lit(s / (1.0 + s)) * (col("na") + col("nb")) - lit(1e-9)))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
     // Refine over the SAME cached doc sets (array order is irrelevant to
     // array_intersect), so the corpus text is never re-tokenized.
     // Size-gated broadcast as in minhashPairs.

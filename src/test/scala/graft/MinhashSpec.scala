@@ -54,6 +54,39 @@ class MinhashSpec extends AnyFunSuite {
       s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
   }
 
+  test("ngram_hashes kernel: distinct chained hashes, null/short/empty edges, codegen") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import spark.implicits._
+    def kernel(df: org.apache.spark.sql.DataFrame, n: Int) =
+      df.select(ColumnBridge.column(graft.functions.NgramHashes(
+        ColumnBridge.expression(col("w")), n)).as("sh"))
+    // Distinctness + window identity: identical windows collapse to one
+    // hash; distinct windows get distinct hashes (w.h.p.).
+    val rep = Seq(Tuple1(Seq("a", "b", "a", "b", "a", "b"))).toDF("w")
+    val reps = kernel(rep, 3).head().getSeq[Long](0)
+    assert(reps.length == 2, s"'a b a b a b' has 2 distinct trigrams, got $reps")
+    // Shorter than n → empty (not a truncated gram — set semantics).
+    assert(kernel(Seq(Tuple1(Seq("a", "b"))).toDF("w"), 3).head().getSeq[Long](0).isEmpty)
+    assert(kernel(Seq(Tuple1(Seq.empty[String])).toDF("w"), 3).head().getSeq[Long](0).isEmpty)
+    // Null words void exactly the windows containing them.
+    val withNull = Seq(Tuple1(Seq("a", "b", null, "c", "d", "e"))).toDF("w")
+    assert(kernel(withNull, 3).head().getSeq[Long](0).length == 1,
+      "only the (c,d,e) window survives a null at position 2")
+    // Same tokens ⇒ same hashes regardless of which row produced them
+    // (pure function of the window's words).
+    val two = Seq(Tuple1(Seq("x", "y", "z", "w")), Tuple1(Seq("y", "z", "w"))).toDF("w")
+    val Array(h1, h2) = kernel(two, 3).collect().map(_.getSeq[Long](0).toSet)
+    assert((h1 & h2).size == 1, s"shared (y,z,w) trigram must hash identically: $h1 / $h2")
+    // Stays inside whole-stage codegen (literal inputs constant-fold to a
+    // LocalTableScan, so probe the plan over a real scan).
+    val plan = Tables.documents(spark, Sf0001)
+      .select(ColumnBridge.column(graft.functions.NgramHashes(
+        ColumnBridge.expression(split(lower(col("text")), " ")), 3)).as("sh"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("ngram_hashes") && l.trim.startsWith("*(")),
+      s"ngram_hashes Project not inside a codegen stage:\n$plan")
+  }
+
   test("ngramJaccardPairs (prefix-filtered) == trigram all-pairs on the sf0.001 corpus") {
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
     val got = LlmOps.ngramJaccardPairs(docs).collect()

@@ -592,6 +592,32 @@ object Oracle {
           SELECT user_id, min(ts) AS s_start,
                  max(ts) + INTERVAL '30 minutes' AS s_end,
                  count(*) AS n_events, ${dsum("value", 6)} AS sum_value
+          FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
+
+    "q_stream_join" ->
+      """SELECT c.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+                c.ts AS c_ts, p.ts AS p_ts
+         FROM events c JOIN events p ON c.user_id = p.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '60 minutes'
+         ORDER BY purchase_id, click_id""",
+
+    // Same relational answer as q_stream_session (the state machine must
+    // reproduce session_window semantics exactly, decimal sum included).
+    "q_stream_stateful" ->
+      s"""WITH g AS (SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+               s AS (SELECT *, sum(new_s) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g)
+          SELECT user_id, min(ts) AS s_start,
+                 max(ts) + INTERVAL '30 minutes' AS s_end,
+                 count(*) AS n_events, ${dsum("value", 6)} AS sum_value
           FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""")
 
   /** All oracle strings, keyed like SparkEntry.queries. */

@@ -53,8 +53,48 @@ object StreamingQs {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "s_start")
 
+  /** Stream-stream interval join, batch form (runtime twin:
+    * streaming/Runtime.clickPurchaseJoin, stream == batch asserted in
+    * StreamingEquivSpec): every click attributed to each same-user purchase
+    * within the following hour. An equi-join on user_id with the time band
+    * as a residual predicate — one hash shuffle per side at any scale. */
+  val qStreamJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 60 MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("c_ts"), col("p_ts"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** ARBITRARY STATEFUL sessionization, run as a REAL incremental stream:
+    * flatMapGroupsWithState with event-time timeout over the replayed
+    * events source (plus watermark-advancing flush batches), memory sink.
+    * Unlike the other q_stream_* keys (batch forms of streaming
+    * primitives), this key exercises the streaming RUNTIME inside the
+    * correctness gate: its oracle is the same gaps-and-islands SQL shape
+    * as q_stream_session, so the hash check proves the custom state
+    * machine (including the timeout-emission path) reproduces the
+    * relational answer end-to-end. */
+  val qStreamStateful: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    SR.runToCompletionAppend(s,
+        SR.statefulSessions(SR.eventsStreamWithFlush(s, dir)),
+        s"graft_stateful_${math.abs(dir.hashCode)}")
+      .orderBy("user_id", "s_start")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
-    "q_stream_session" -> qStreamSession)
+    "q_stream_session" -> qStreamSession,
+    "q_stream_join" -> qStreamJoin,
+    "q_stream_stateful" -> qStreamStateful)
 }

@@ -94,6 +94,53 @@ object Runtime {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The events stream staged with two trailing FLUSH files (single
+    * far-future rows for a sentinel user) — three micro-batches under
+    * maxFilesPerTrigger=1. The flush batches advance the event-time
+    * watermark past every real session's timeout so an EventTimeTimeout
+    * state machine ([[statefulSessions]]) emits its final sessions before
+    * the bounded replay ends — the replay-side stand-in for a production
+    * stream's continuously advancing watermark. Sentinel rows carry
+    * user_id = -1 and are excluded by the session operator itself. */
+  def eventsStreamWithFlush(spark: SparkSession, dir: String): DataFrame = {
+    Tables.prep(spark)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-stream-flush-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    java.nio.file.Files.copy(src, streamDir.resolve("events_0.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(src.toString)
+    val maxTsNs = batch.agg(max(col("ts"))).head().getLong(0)
+    for ((name, offsetHours) <- Seq("events_1_flush.parquet" -> 2L,
+                                    "events_2_flush.parquet" -> 4L)) {
+      val flushNs = maxTsNs + offsetHours * 3600L * 1000000000L
+      batch.limit(1)
+        .select(lit(-1L).as("event_id"), lit(flushNs).as("ts"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(streamDir.resolve(name + ".dir").toString)
+      val part = java.nio.file.Files.list(streamDir.resolve(name + ".dir"))
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, streamDir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // Deterministic replay order: the file source replays oldest-mtime
+    // first; stamp strictly increasing mtimes so the flush batches always
+    // FOLLOW the data batch regardless of copy timing granularity.
+    for ((name, i) <- Seq("events_0.parquet", "events_1_flush.parquet",
+                          "events_2_flush.parquet").zipWithIndex)
+      java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    val schema = batch.schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString + "/events_*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Streaming ingest DEDUPLICATION — the stream-side member of the dedup
     * family (the batch members live in queries/LlmOps): exactly-once
     * semantics on top of an at-least-once source via
@@ -109,6 +156,122 @@ object Runtime {
     events
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** STREAM-STREAM interval join (the two-stream member of the join family;
+    * batch twin: StreamingQs.qStreamJoin): every click attributed to each
+    * same-user purchase that follows it within `windowMinutes`. Both sides
+    * carry a watermark and the join condition bounds event-time distance,
+    * so each side's buffered state is EVICTED once the other side's
+    * watermark passes the reachable range — state is bounded by the
+    * attribution window, not the stream's lifetime. Inner joins emit as
+    * soon as both rows arrive (no watermark wait), so a bounded replay
+    * emits every pair. At scale both sides hash-partition on user_id —
+    * one co-located shuffle each, same shape as a batch sort-merge join. */
+  def clickPurchaseJoin(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("c_ts"), col("p_ts"))
+  }
+
+  /** Typed input rows of [[statefulSessions]]. `ts` stays a Timestamp —
+    * the event-time-timeout analysis requires the WATERMARKED column to
+    * survive into the stateful operator's child plan, so it cannot be
+    * projected away into a long before grouping. State/output use micros. */
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start_us: Long, last_us: Long, n: Long, sum: java.math.BigDecimal)
+  case class SessionOut(user_id: Long, s_start_us: Long, s_end_us: Long,
+                        n_events: Long, sum_value: Double)
+
+  /** Per-user 30-minute-gap sessionization as an ARBITRARY-STATE operator —
+    * `flatMapGroupsWithState` with event-time timeout (SURVEY §2.10's
+    * custom-state surface; same answer as session_window/the gaps-and-
+    * islands oracle, proven by the q_stream_stateful CORRECTNESS row):
+    *
+    *  - state per user: the OPEN session (start, last, count, decimal sum);
+    *  - a batch's events are sorted and folded in; any within-batch gap
+    *    ≥ the session gap closes and EMITS the session immediately;
+    *  - the open tail session registers an event-time timeout at
+    *    last + gap: when the WATERMARK passes it (no later event arrived in
+    *    time to extend), the session is final — emitted and state removed.
+    *    State is therefore bounded by one open session per active user.
+    *
+    * The decimal accumulator mirrors Det.dsum bit-for-bit (cast each value
+    * to DECIMAL(38,10), exact sum, round(6) at emit), so the output hashes
+    * identically to the oracle's decimal pipeline. Sentinel rows
+    * (user_id < 0, the flush batches) are filtered before grouping. */
+  def statefulSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def mkOut(u: Long, st: SessionState): SessionOut = {
+      // Det.dsum parity: round(sum, 6) * 1e6 -> long -> double / 1e6.
+      val rounded = st.sum.setScale(6, java.math.RoundingMode.HALF_UP)
+      val v = rounded.movePointRight(6).longValueExact() / 1e6
+      SessionOut(u, st.start_us, st.last_us + gapUs, st.n, v)
+    }
+
+    def fold(user: Long, rows: Iterator[SessEvent],
+             state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = mkOut(user, state.get)
+        state.remove()
+        return Iterator(out)
+      }
+      // Sentinel (flush) rows exist solely to advance the watermark — no
+      // session is built for them. They must be dropped HERE, not with a
+      // Dataset.filter before the watermark: the optimizer pushes such a
+      // filter below the EventTimeWatermark node, which would stop the
+      // flush rows from ever advancing the watermark (observed: the last
+      // ~hour of sessions never timed out).
+      if (user < 0) return Iterator.empty
+      def micros(t: java.sql.Timestamp): Long =
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val sorted = rows.map(e => (micros(e.ts), e.value)).toArray.sortBy(_._1)
+      if (sorted.isEmpty) return Iterator.empty
+      val closed = Seq.newBuilder[SessionOut]
+      var cur = state.getOption.orNull
+      for ((tsUs, value) <- sorted) {
+        // Spark's cast(double as decimal(38,10)) = canonical string repr,
+        // HALF_UP to 10 places — mirrored exactly.
+        val dv = java.math.BigDecimal.valueOf(value)
+          .setScale(10, java.math.RoundingMode.HALF_UP)
+        if (cur == null) cur = SessionState(tsUs, tsUs, 1L, dv)
+        else if (tsUs - cur.last_us >= gapUs) {
+          closed += mkOut(user, cur)
+          cur = SessionState(tsUs, tsUs, 1L, dv)
+        } else cur = cur.copy(last_us = tsUs, n = cur.n + 1, sum = cur.sum.add(dv))
+      }
+      state.update(cur)
+      // The open tail session becomes final once the watermark passes
+      // last + gap — register the event-time timeout that emits it.
+      state.setTimeoutTimestamp((cur.last_us + gapUs) / 1000L)
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+      .select(col("user_id"), timestamp_micros(col("s_start_us")).as("s_start"),
+        timestamp_micros(col("s_end_us")).as("s_end"),
+        col("n_events"), col("sum_value"))
+  }
 
   /** Run an APPEND-mode stream (stateless transforms, watermark dedup) to
     * completion against the replayed file source — append twin of

@@ -200,6 +200,37 @@ class StreamingEquivSpec extends AnyFunSuite {
       s"missing=${(exp.toSet -- got.toSet).take(3)} extra=${(got.toSet -- exp.toSet).take(3)}")
   }
 
+  test("stream-stream interval join: stream result == batch result") {
+    val stream = SRuntime.runToCompletionAppend(spark,
+      SRuntime.clickPurchaseJoin(SRuntime.eventsStream(spark, Sf0001)), "t_ssjoin")
+    val batch = SparkEntry.queries("q_stream_join")(spark, Sf0001)
+    val got = stream.collect().map(_.toSeq).toSet
+    val exp = batch.collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "interval join should emit pairs on this corpus")
+    assert(got == exp,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
+  test("flatMapGroupsWithState sessions == session_window batch result") {
+    import org.apache.spark.sql.functions._
+    // The custom state machine (incl. its event-time-timeout emission path,
+    // exercised via the flush batches) must agree with the declarative
+    // session_window aggregation on every (user, start, end, count).
+    val stream = SRuntime.runToCompletionAppend(spark,
+      SRuntime.statefulSessions(SRuntime.eventsStreamWithFlush(spark, Sf0001)),
+      "t_stateful")
+    val batch = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start"), col("sw.end"), col("n_events"))
+    val got = stream.select("user_id", "s_start", "s_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val exp = batch.collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got == exp,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
   test("session window: stream result == batch result") {
     val stream = SRuntime.runToCompletion(spark,
       SRuntime.sessionCounts(SRuntime.eventsStream(spark, Sf0001)), "t_session")

@@ -564,6 +564,43 @@ object Oracle {
          FROM documents JOIN embeddings ON doc_id = vec_id
          WHERE lang = 'en' AND contains(text, 'spark')
            AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 1.0
+         ORDER BY doc_id""",
+
+    "q_sample_split" ->
+      """SELECT split, lang, count(*) AS n_docs,
+                count(DISTINCT text) AS n_uniq_texts, sum(n_chars) AS sum_chars
+         FROM (SELECT lang, text, n_chars,
+                 CASE WHEN substring(md5(text), 1, 1) <= 'b' THEN 'train'
+                      WHEN substring(md5(text), 1, 1) <= 'd' THEN 'val'
+                      ELSE 'test' END AS split
+               FROM documents) t
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Counts literal bigram STRINGS where the Spark side counts 64-bit
+    // bigram hashes — identical aggregates modulo hash collisions (the
+    // q_dedup_minhash noise-floor argument).
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+              b AS (SELECT doc_id, unnest(list_transform(
+                      generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bg
+                    FROM w WHERE len(w) >= 2),
+              c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2)
+         SELECT doc_id,
+                round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac,
+                round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', 0)) AS n_emails,
+                len(regexp_extract_all(pii_text, '\+1-555-[0-9]{4}', 0)) AS n_phones,
+                regexp_replace(regexp_replace(pii_text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+         FROM (SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+               FROM documents) t
          ORDER BY doc_id""")
 
   val streaming: Map[String, String] = Map(

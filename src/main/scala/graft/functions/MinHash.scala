@@ -136,7 +136,11 @@ object MinHash {
     * distinct shingle string, not any particular hash function, so the
     * combiner choice is free. Null words void the windows containing them,
     * matching the skip rule of [[bigrams]]. */
-  def ngrams(words: ArrayData, n: Int): ArrayData = {
+  def ngrams(words: ArrayData, n: Int): ArrayData = ngrams(words, n, true)
+
+  /** As [[ngrams]]; `distinct = false` keeps every window occurrence in
+    * order (the shape repetition metrics need — they count duplicates). */
+  def ngrams(words: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val m = words.numElements()
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
     val wh = new Array[Long](m)
@@ -166,6 +170,7 @@ object MinHash {
       i += 1
     }
     if (k == 0) return new GenericArrayData(Array.emptyLongArray)
+    if (!distinct) return new GenericArrayData(java.util.Arrays.copyOf(out, k))
     java.util.Arrays.sort(out, 0, k)
     var w = 1
     var r = 1
@@ -255,7 +260,8 @@ case class BigramHashes(child: Expression) extends UnaryExpression {
 /** `ngram_hashes(array<string>, n) -> array<long>` — distinct word n-gram
   * shingle hashes in one compiled loop, with a compile-time gram width
   * (same surface as CharNgrams; applied via ColumnBridge, no registry). */
-case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+case class NgramHashes(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
   require(n >= 2, "gram width must be >= 2")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -269,10 +275,10 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    MinHash.ngrams(input.asInstanceOf[ArrayData], n)
+    MinHash.ngrams(input.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash.ngrams($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash.ngrams($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -645,7 +645,79 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- split / repetition / redact
+
+  /** CONTENT-ADDRESSED train/val/test split stats — the reproducible-split
+    * primitive: the split key is `md5(text)`, so byte-identical documents
+    * can never straddle train and test (the split itself is an exact-dup
+    * contamination guard), assignment is stable across runs/engines, and
+    * no RNG state is carried. First hex nibble partitions 12/2/2 → 75%
+    * train, 12.5% val, 12.5% test. Pure narrow map + one aggregation at
+    * any scale; the same expression tagged onto a write becomes the
+    * partition column of a split-materializing job. */
+  val qSampleSplit: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("h", substring(md5(col("text")), 1, 1))
+      .withColumn("split",
+        when(col("h") <= "b", "train").when(col("h") <= "d", "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_uniq_texts"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split", "lang")
+
+  /** Within-document REPETITION signals (the Gopher-family quality rules):
+    * duplicate-bigram fraction and top-bigram fraction per document.
+    * Bigram identity via the native ngram_hashes kernel with
+    * `distinct = false` (counts need every occurrence); the oracle counts
+    * the literal bigram strings — identical aggregates modulo 64-bit hash
+    * collisions (the q_dedup_minhash noise-floor argument). One explode +
+    * two grouped aggregations, all keys hash-partitioned — scale-safe. */
+  val qTextRepetition: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val perGram = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(ColumnBridge.column(graft.functions.NgramHashes(
+        ColumnBridge.expression(split(lower(col("text")), " ")), 2, distinct = false)))
+        .as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+    perGram.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("uniq"), max(col("c")).as("maxc"))
+      .select(col("doc_id"),
+        round((col("tot") - col("uniq")).cast("double") / col("tot"), 6)
+          .as("dup_bigram_frac"),
+        round(col("maxc").cast("double") / col("tot"), 6).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII REDACTION over planted PII (the corpus has none — synthesized
+    * deterministically from doc fields, the q_filter_null/q_dedup_embed
+    * move): append an email + phone to each text, then strip both with
+    * dialect-portable regexes (character classes only — identical
+    * semantics in Java regex and RE2) and count what was removed. Narrow
+    * codegen'd map, no shuffle; at scale this is the shape of every
+    * scrub-before-training pass. */
+  val qTextRedact: Q = (s, dir) => {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    Tables.documents(s, dir)
+      .withColumn("pii_text", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(phoneRe), lit(0))).cast("long")
+          .as("n_phones"),
+        regexp_replace(regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sample_split" -> qSampleSplit,
+    "q_text_repetition" -> qTextRepetition,
+    "q_text_redact" -> qTextRedact,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_ngram" -> qDedupNgram,

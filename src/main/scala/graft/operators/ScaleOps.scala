@@ -25,6 +25,22 @@ object ScaleOps {
   def maybeBroadcast(df: DataFrame, maxBytes: Long = graft.Conf.BroadcastMaxBytes): DataFrame =
     if (estimatedBytes(df) <= BigInt(maxBytes)) broadcast(df) else df
 
+  /** Persist a shared intermediate ONLY when recomputing it would be
+    * expensive — gated on the estimated size of the SOURCE feeding the
+    * derivation (`gate`), not the derivative itself. DataFrame reuse
+    * duplicates logical subtrees (per-branch column pruning defeats
+    * ReusedExchange), so a twice-consumed derivation either recomputes or
+    * persists. Under the gate, recomputing a derivation of a small input
+    * is cheaper than a cache round-trip (measured: persisting langid's
+    * gram counts at sf0.1 cost ~0.5 s MORE than the duplicated explode);
+    * above it — a corpus-sized scan + shuffle at 100 TB — the cache write
+    * of the compact derivative wins by orders of magnitude. */
+  def persistIfBig(df: DataFrame, gate: DataFrame,
+                   gateBytes: Long = graft.Conf.OneTaskSortMaxBytes): DataFrame =
+    if (estimatedBytes(gate) > BigInt(gateBytes))
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** Compute-parallelism floor for SMALL inputs feeding heavy per-row work
     * (native kernels, n-gram explosion, signature passes). A sub-split-size
     * table arrives as ONE scan task — Spark splits files by

@@ -193,10 +193,17 @@ object TextOps {
     * determined by doc_id, so summing per-doc counts per (lang, g) equals
     * counting the exploded grams per (lang, g). */
   def langIdSelf(docs: DataFrame, n: Int = 3, topN: Int = 200): DataFrame = {
-    import graft.operators.ScaleOps.parallelizeSmall
-    val docGrams = parallelizeSmall(docs)
+    import graft.operators.ScaleOps.{parallelizeSmall, persistIfBig}
+    // The gram table is consumed TWICE (profile re-agg + classification),
+    // and DataFrame reuse duplicates the logical subtree (2 Generate
+    // nodes, 0 ReusedExchange measured) — so above the persist gate the
+    // compact per-doc gram counts are cached rather than re-exploding a
+    // corpus-sized text scan; below it the duplicated explode is cheaper
+    // than the cache round-trip (both measured at sf0.1 — see persistIfBig).
+    val docGrams = persistIfBig(parallelizeSmall(docs)
       .select(col("doc_id"), col("lang"), explode(charNgrams(col("text"), n)).as("g"))
-      .groupBy(col("doc_id"), col("lang"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"), col("g")).agg(count(lit(1)).as("c")),
+      gate = docs)
     val trainGrams = docGrams.groupBy(col("lang"), col("g")).agg(sum(col("c")).as("c"))
     val testGrams = docGrams.select(col("doc_id"), col("g"), col("c"))
     classifyGrams(trainGrams, testGrams, docs.select(col("doc_id")).distinct(), topN)

@@ -590,6 +590,38 @@ object Oracle {
                 round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
          FROM c GROUP BY doc_id ORDER BY doc_id""",
 
+    // Joins literal 5-gram STRINGS where the Spark side joins 64-bit gram
+    // hashes — identical aggregates modulo hash collisions.
+    "q_split_contamination" ->
+      """WITH s AS (SELECT doc_id, substring(md5(text), 1, 1) AS hx,
+                           string_split(lower(text), ' ') AS w
+                    FROM documents),
+              tr AS (SELECT DISTINCT unnest(list_transform(
+                       generate_series(1, len(w) - 4),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+                     FROM s WHERE hx <= 'b' AND len(w) >= 5),
+              te AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                       generate_series(1, len(w) - 4),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+                     FROM s WHERE hx > 'd' AND len(w) >= 5)
+         SELECT te.doc_id, count(*) AS n_grams, count(tr.g) AS n_hits,
+                round(count(tr.g) / CAST(count(*) AS DOUBLE), 6) AS contamination
+         FROM te LEFT JOIN tr ON te.g = tr.g
+         GROUP BY te.doc_id ORDER BY te.doc_id""",
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                           len(string_split(text, ' ')) AS tokens
+                    FROM documents),
+              r AS (SELECT *, sum(tokens) OVER
+                      (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+                    FROM t)
+         SELECT shard, (running - tokens) // 2048 AS seq_id,
+                count(*) AS n_docs, sum(tokens) AS sum_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM r GROUP BY 1, 2 ORDER BY shard, seq_id""",
+
     "q_text_redact" ->
       """SELECT doc_id,
                 len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', 0)) AS n_emails,

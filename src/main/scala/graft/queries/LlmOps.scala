@@ -690,6 +690,57 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Train/test DECONTAMINATION audit — the companion every split needs:
+    * for each test document (q_sample_split's md5-nibble assignment), the
+    * fraction of its distinct word 5-grams that also appear anywhere in
+    * the train split. Exact-dup leakage is structurally impossible here
+    * (the split is content-addressed), so this measures NEAR-dup leakage —
+    * the thing eval-set contamination actually is. Train grams form one
+    * distinct hash set (hash-partitioned, never collected); test grams
+    * left-join it per gram and aggregate per doc — two shuffles on the
+    * gram hash at any scale. Oracle joins the literal 5-gram strings
+    * (64-bit collision noise floor, the q_dedup_minhash argument). */
+  val qSplitContamination: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(ColumnBridge.column(graft.functions.NgramHashes(
+        ColumnBridge.expression(split(lower(col("text")), " ")), 5))).as("h"))
+    val tagged = Tables.documents(s, dir)
+      .withColumn("hx", substring(md5(col("text")), 1, 1))
+    val train = grams(tagged.filter(col("hx") <= "b"))
+      .select(col("h")).distinct().withColumn("hit", lit(1))
+    val test = grams(tagged.filter(col("hx") > "d"))
+    test.join(train, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 6).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-budget SEQUENCE PACKING stats — the training-shard layout step:
+    * documents are concatenated in deterministic doc_id order within
+    * hash-assigned shards; a document starts sequence `(running − own) div
+    * budget` of its shard (greedy concatenation, 2048-token budget,
+    * whitespace tokens). Per-shard running totals are an ordinary
+    * partitioned window — shard count scales with the cluster, so no
+    * global sort ever forms. Emits per-(shard, seq) doc counts and token
+    * sums; the same expressions tagged onto a write ARE the shard/sequence
+    * layout of a packing job. */
+  val qPackSequences: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.withColumn("running", sum(col("tokens")).over(w))
+      .withColumn("seq_id", expr("(running - tokens) div 2048"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "seq_id")
+  }
+
   /** PII REDACTION over planted PII (the corpus has none — synthesized
     * deterministically from doc fields, the q_filter_null/q_dedup_embed
     * move): append an email + phone to each text, then strip both with
@@ -716,6 +767,8 @@ object LlmOps {
 
   val queries: Map[String, Q] = Map(
     "q_sample_split" -> qSampleSplit,
+    "q_split_contamination" -> qSplitContamination,
+    "q_pack_sequences" -> qPackSequences,
     "q_text_repetition" -> qTextRepetition,
     "q_text_redact" -> qTextRedact,
     "q_dedup_exact" -> qDedupExact,

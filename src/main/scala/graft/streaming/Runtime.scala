@@ -141,6 +141,50 @@ object Runtime {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The events stream staged as TWO time-split files (early half / late
+    * half by the median timestamp) plus the two flush files — four
+    * micro-batches. Exercises the CROSS-BATCH paths of stateful operators:
+    * open sessions from batch 1 must be extended (or timed out) by batch 2
+    * instead of everything arriving in one flatMap call. */
+  def eventsStreamSplitByTime(spark: SparkSession, dir: String): DataFrame = {
+    Tables.prep(spark)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-stream-split-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val batch = spark.read.parquet(src.toString)
+    val bounds = batch.select(
+      expr("approx_percentile(ts, 0.5)").as("mid"), max(col("ts")).as("mx")).head()
+    val (midNs, maxTsNs) = (bounds.getLong(0), bounds.getLong(1))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = streamDir.resolve(name + ".dir")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, streamDir.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage(batch.filter(col("ts") <= midNs), "events_0_early.parquet")
+    stage(batch.filter(col("ts") > midNs), "events_1_late.parquet")
+    for ((name, offsetHours) <- Seq("events_2_flush.parquet" -> 2L,
+                                    "events_3_flush.parquet" -> 4L)) {
+      val flushNs = maxTsNs + offsetHours * 3600L * 1000000000L
+      stage(batch.limit(1)
+        .select(lit(-1L).as("event_id"), lit(flushNs).as("ts"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props")), name)
+    }
+    for ((name, i) <- Seq("events_0_early.parquet", "events_1_late.parquet",
+                          "events_2_flush.parquet", "events_3_flush.parquet").zipWithIndex)
+      java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString + "/events_*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Streaming ingest DEDUPLICATION — the stream-side member of the dedup
     * family (the batch members live in queries/LlmOps): exactly-once
     * semantics on top of an at-least-once source via

@@ -113,6 +113,19 @@ class MinhashSpec extends AnyFunSuite {
       s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
   }
 
+  test("ngramJaccardPairs degenerate corpus: identical docs route through the big-bucket path") {
+    import spark.implicits._
+    // 120 byte-identical docs: every posting bucket holds all 120, far past
+    // the default bucketCap, so candidates flow through the AQE-splittable
+    // self-join route; the ppjoin filters must keep every true pair
+    // (identical docs have slack = min and pass trivially).
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = (0L until 120L).map(d => (d, text)).toDF("doc_id", "text")
+    val got = LlmOps.ngramJaccardPairs(docs).collect()
+    assert(got.length == 120 * 119 / 2, s"expected all C(120,2) pairs, got ${got.length}")
+    assert(got.forall(_.getDouble(2) == 0.0), "identical docs must have distance 0")
+  }
+
   test("cosineNearDupPairs finds exactly the planted embedding near-dups") {
     val emb = Tables.embeddings(spark, Sf0001)
     val planted = LlmOps.plantedNearDupEmbeddings(emb)

@@ -231,6 +231,27 @@ class StreamingEquivSpec extends AnyFunSuite {
       s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
   }
 
+  test("stateful sessions across a time-split replay (cross-batch state merge)") {
+    import org.apache.spark.sql.functions._
+    // Real data arrives in TWO micro-batches split at the median timestamp:
+    // sessions open at the end of batch 1 must be extended by batch 2's
+    // rows or emitted via timeout — the cross-batch state machine, not the
+    // everything-in-one-flatMap-call degenerate case.
+    val stream = SRuntime.runToCompletionAppend(spark,
+      SRuntime.statefulSessions(SRuntime.eventsStreamSplitByTime(spark, Sf0001)),
+      "t_stateful_split")
+    val batch = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start"), col("sw.end"), col("n_events"))
+    val got = stream.select("user_id", "s_start", "s_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val exp = batch.collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got == exp,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
   test("session window: stream result == batch result") {
     val stream = SRuntime.runToCompletion(spark,
       SRuntime.sessionCounts(SRuntime.eventsStream(spark, Sf0001)), "t_session")

@@ -39,6 +39,13 @@ object Oracle {
       """SELECT event_type, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // The Spark side round-trips (doc_id, lang, n_chars) through JSONL and
+    // the JSON datasource parser; integral/string fields are lossless, so
+    // the aggregate equals the same aggregate over the source table.
+    "q_source_jsonl" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
     "q_proj_compute" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                 round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charge,
@@ -367,7 +374,29 @@ object Oracle {
                    round(var_pop(CAST(embedding[1] AS DOUBLE)), 6) AS s00,
                    round(covar_pop(CAST(embedding[1] AS DOUBLE), CAST(embedding[2] AS DOUBLE)), 6) AS s01,
                    round(var_pop(CAST(embedding[2] AS DOUBLE)), 6) AS s11
-            FROM embeddings GROUP BY label ORDER BY label""")
+            FROM embeddings GROUP BY label ORDER BY label""",
+
+      // Same left-associated arithmetic as the Spark side; dsum's
+      // per-row DECIMAL(38,10) cast absorbs libm ulp differences.
+      "q_ml_logreg_step" ->
+        s"""WITH t AS (
+              SELECT CAST(label % 2 AS DOUBLE) AS y,
+                     CAST(embedding[1] AS DOUBLE) AS x0,
+                     CAST(embedding[2] AS DOUBLE) AS x1,
+                     CAST(embedding[3] AS DOUBLE) AS x2,
+                     CAST(embedding[4] AS DOUBLE) AS x3
+              FROM embeddings),
+                 p AS (
+              SELECT y, x0, x1, x2, x3,
+                     1.0 / (1.0 + exp(-(x0 * 0.1 + x1 * (-0.2) + x2 * 0.05 + x3 * 0.15))) AS p
+              FROM t)
+            SELECT count(*) AS n,
+                   ${dsum("(p - y) * x0", 6)} AS g0,
+                   ${dsum("(p - y) * x1", 6)} AS g1,
+                   ${dsum("(p - y) * x2", 6)} AS g2,
+                   ${dsum("(p - y) * x3", 6)} AS g3,
+                   ${dsum("-(y * ln(p) + (1.0 - y) * ln(1.0 - p))", 6)} AS loss
+            FROM p""")
   }
 
   val llm: Map[String, String] = Map(

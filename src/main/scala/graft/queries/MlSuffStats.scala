@@ -113,9 +113,38 @@ object MlSuffStats {
       .orderBy("label")
   }
 
+  /** One deterministic LOGISTIC-REGRESSION gradient step (REF-P2's
+    * iterative path, made hash-checkable the q_ml_kmeans_step way: fix the
+    * iterate, grade the step): binary target `label % 2`, fixed weights
+    * over dims 0–3, per-example sigmoid, then the batch gradient
+    * `Σ (p − y)·xⱼ` and the log loss — exactly what ml/Iterative computes
+    * per iteration, as one aggregation pass. Per-row doubles go through
+    * dsum's DECIMAL(38,10) cast, which absorbs sub-1e-10 libm ulp
+    * differences between engines before the order-independent exact sum
+    * (SURVEY §2.9 determinism rules). */
+  val qMlLogregStep: Q = (s, dir) => {
+    val w = Seq(0.1, -0.2, 0.05, 0.15)
+    val x = (0 until 4).map(i => col("embedding")(i).cast("double"))
+    val z = x.zip(w).map { case (c, wi) => c * lit(wi) }.reduce(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val y = (col("label") % 2).cast("double")
+    Tables.embeddings(s, dir)
+      .select(p.as("p"), y.as("y"),
+        x(0).as("x0"), x(1).as("x1"), x(2).as("x2"), x(3).as("x3"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum((col("p") - col("y")) * col("x0"), 6).as("g0"),
+        dsum((col("p") - col("y")) * col("x1"), 6).as("g1"),
+        dsum((col("p") - col("y")) * col("x2"), 6).as("g2"),
+        dsum((col("p") - col("y")) * col("x3"), 6).as("g3"),
+        dsum(-(col("y") * log(col("p")) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - col("p"))), 6).as("loss"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ml_linreg_normal" -> qMlLinregNormal,
     "q_ml_nb_train" -> qMlNbTrain,
     "q_ml_kmeans_step" -> qMlKmeansStep,
-    "q_ml_gda_stats" -> qMlGdaStats)
+    "q_ml_gda_stats" -> qMlGdaStats,
+    "q_ml_logreg_step" -> qMlLogregStep)
 }

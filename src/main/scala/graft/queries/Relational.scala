@@ -92,6 +92,25 @@ object Relational {
       .orderBy("label")
   }
 
+  /** JSON-lines ingestion (the other text interchange format every corpus
+    * pipeline meets): derive JSONL deterministically from `documents`,
+    * re-parse through the Spark JSON datasource with an explicit schema —
+    * same parser as a file-based `read.json`, no tmp files. Unlike the CSV
+    * twin (float text round-trip), the projected fields are integral /
+    * string, so the round trip is lossless and the aggregate
+    * oracle-checkable against the source table directly. */
+  val qSourceJsonl: Q = (s, dir) => {
+    import s.implicits._
+    val jsonLines = Tables.documents(s, dir)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("line"))
+      .as[String]
+    val schema = "doc_id LONG, lang STRING, n_chars LONG"
+    s.read.schema(schema).json(jsonLines)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------- projection / filters
 
   /** Projection with derived arithmetic + string concat (REF-P1 feature
@@ -425,6 +444,7 @@ object Relational {
     "q_scan_parquet" -> qScanParquet,
     "q_scan_events_ns" -> qScanEventsNs,
     "q_source_csv" -> qSourceCsv,
+    "q_source_jsonl" -> qSourceJsonl,
     "q_proj_compute" -> qProjCompute,
     "q_filter_pred" -> qFilterPred,
     "q_filter_null" -> qFilterNull,

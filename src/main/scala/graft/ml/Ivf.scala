@@ -25,12 +25,15 @@ object Ivf {
   case class Index(assigned: DataFrame, model: KMeansModel,
                    arrayCol: String, idCol: String)
 
-  /** Assign every embedding to its quantizer cell. */
+  /** Assign every embedding to its quantizer cell. `maxIter` trades
+    * quantizer quality for build time — cell balance, not correctness:
+    * search recall comes from probing nProbe cells + exact re-rank, so a
+    * coarser quantizer only shifts which cells hold the neighbours. */
   def build(embeddings: DataFrame, arrayCol: String, nCells: Int,
             seed: Long = 42L, idCol: String = "vec_id",
-            trainSample: Double = 1.0): Index = {
+            trainSample: Double = 1.0, maxIter: Int = 10): Index = {
     val model = Pipelines.kmeansQuantizer(embeddings, arrayCol, nCells, seed,
-      trainSample = trainSample)
+      maxIter = maxIter, trainSample = trainSample)
     val assigned = model.transform(Pipelines.withFeatures(embeddings, arrayCol))
       .withColumnRenamed("prediction", "cell")
       .drop("features")

@@ -617,8 +617,11 @@ object LlmOps {
     * not a data collect. */
   val qSimIvfAnn: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
+    // maxIter 4: the quantizer only has to ROUTE (recall comes from the
+    // 6-cell probe + exact re-rank); extra Lloyd iterations buy cell
+    // balance, not answer quality — NoOracleSpec still asserts recall.
     val index = graft.ml.Ivf.build(
-      e.filter(col("vec_id") =!= 0), "embedding", nCells = 16)
+      e.filter(col("vec_id") =!= 0), "embedding", nCells = 16, maxIter = 4)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     graft.ml.Ivf.search(index, q, k = 10, nProbe = 6)

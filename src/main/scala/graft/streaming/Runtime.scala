@@ -95,8 +95,8 @@ object Runtime {
   }
 
   /** The events stream staged with two trailing FLUSH files (single
-    * far-future rows for a sentinel user) — three micro-batches under
-    * maxFilesPerTrigger=1. The flush batches advance the event-time
+    * far-future rows for a sentinel user), replayed as two micro-batches.
+    * The flush rows advance the event-time
     * watermark past every real session's timeout so an EventTimeTimeout
     * state machine ([[statefulSessions]]) emits its final sessions before
     * the bounded replay ends — the replay-side stand-in for a production
@@ -134,9 +134,15 @@ object Runtime {
       java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
         java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     val schema = batch.schema
+    // Two micro-batches suffice: (events + flush1) together, then flush2.
+    // Timeouts in batch N fire against the watermark from batches < N, so
+    // batch 2 runs with watermark = flush1 − delay > every real session's
+    // last + gap and emits all remaining sessions — one fewer micro-batch
+    // than one-file-per-trigger. Within-batch file order is irrelevant:
+    // the fold sorts and the state function ignores sentinel rows.
     spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", 2)
       .parquet(streamDir.toString + "/events_*.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

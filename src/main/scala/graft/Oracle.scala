@@ -39,6 +39,24 @@ object Oracle {
       """SELECT event_type, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "q_pivot_events" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_unpivot_measures" ->
+      s"""SELECT metric, count(*) AS n, ${dsum("value", 6)} AS sum_value
+          FROM (SELECT 'l_quantity' AS metric, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem) t
+          GROUP BY metric ORDER BY metric""",
+
     // The Spark side round-trips (doc_id, lang, n_chars) through JSONL and
     // the JSON datasource parser; integral/string fields are lossless, so
     // the aggregate equals the same aggregate over the source table.

@@ -111,6 +111,34 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** PIVOT (long → wide): per-user event counts spread across one column
+    * per event type. The value list is EXPLICIT — the schema is static, no
+    * distinct-values pre-pass job runs, and the plan is an ordinary
+    * single-shuffle hash aggregation of CASE-filtered counts (exactly what
+    * the dialect-portable oracle spells out). */
+  val qPivotEvents: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** UNPIVOT (wide → long): lineitem's three measure columns melted into
+    * (metric, value) rows, then aggregated per metric — `Dataset.unpivot`
+    * (the Spark 4 melt operator; a Generator-free Expand, so partial
+    * aggregation still applies map-side). */
+  val qUnpivotMeasures: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"), col("l_discount").cast("double"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy("metric")
+
   // ------------------------------------------------- projection / filters
 
   /** Projection with derived arithmetic + string concat (REF-P1 feature
@@ -445,6 +473,8 @@ object Relational {
     "q_scan_events_ns" -> qScanEventsNs,
     "q_source_csv" -> qSourceCsv,
     "q_source_jsonl" -> qSourceJsonl,
+    "q_pivot_events" -> qPivotEvents,
+    "q_unpivot_measures" -> qUnpivotMeasures,
     "q_proj_compute" -> qProjCompute,
     "q_filter_pred" -> qFilterPred,
     "q_filter_null" -> qFilterNull,

@@ -116,4 +116,26 @@ class MlCrossCheckSpec extends AnyFunSuite {
     // Pooled 2×2 must be positive definite for GDA to be usable.
     assert(pooled00 > 0 && pooled00 * pooled11 - pooled01 * pooled01 > 0)
   }
+
+  test("q_ml_logreg_step gradient == Iterative.logisticGradientStep (sign-flipped)") {
+    import org.apache.spark.sql.functions._
+    // The declared key computes the DESCENT gradient Σ(p−y)xⱼ with no
+    // intercept term; Iterative computes the ASCENT gradient Σ(y−p)xⱼ with
+    // an intercept slot. Same sigmoid, same fixed weights — the two must be
+    // negatives of each other, and the losses equal.
+    val e = Tables.embeddings(spark, Sf0001)
+      .select((col("label") % 2).cast("double").as("y"),
+        col("embedding")(0).cast("double").as("x0"),
+        col("embedding")(1).cast("double").as("x1"),
+        col("embedding")(2).cast("double").as("x2"),
+        col("embedding")(3).cast("double").as("x3"))
+    val (grad, nll) = graft.ml.Iterative.logisticGradientStep(
+      e, "y", Seq("x0", "x1", "x2", "x3"),
+      Array(0.0, 0.1, -0.2, 0.05, 0.15))
+    val r = SparkEntry.queries("q_ml_logreg_step")(spark, Sf0001).collect()(0)
+    for (j <- 0 until 4)
+      assert(math.abs(r.getDouble(1 + j) + grad(j + 1)) < 1e-4,
+        s"g$j ${r.getDouble(1 + j)} vs ascent ${grad(j + 1)}")
+    assert(math.abs(r.getDouble(5) - nll) < 1e-4, s"loss ${r.getDouble(5)} vs $nll")
+  }
 }

@@ -121,8 +121,11 @@ object Runtime {
           lit(0.0).as("value"), lit("{}").as("props"))
         .coalesce(1).write.mode("overwrite")
         .parquet(streamDir.resolve(name + ".dir").toString)
-      val part = java.nio.file.Files.list(streamDir.resolve(name + ".dir"))
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val listing = java.nio.file.Files.list(streamDir.resolve(name + ".dir"))
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
       java.nio.file.Files.copy(part, streamDir.resolve(name),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
@@ -165,8 +168,11 @@ object Runtime {
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = streamDir.resolve(name + ".dir")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp)
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val listing = java.nio.file.Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
       java.nio.file.Files.copy(part, streamDir.resolve(name),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }

@@ -39,6 +39,21 @@ object Oracle {
       """SELECT event_type, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "q_subquery_scalar" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
+
+    "q_fuzzy_match" ->
+      """SELECT levenshtein(a.c_name, b.c_name) AS dist,
+                count(*) AS n_pairs, min(a.c_custkey) AS min_a, max(b.c_custkey) AS max_b
+         FROM customer a JOIN customer b
+           ON a.c_custkey % 100 = b.c_custkey % 100 AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 2
+         GROUP BY 1 ORDER BY dist""",
+
     "q_pivot_events" ->
       """SELECT user_id,
                 count(*) FILTER (WHERE event_type = 'click') AS click,

@@ -139,6 +139,41 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
       .orderBy("metric")
 
+  /** Correlated SCALAR SUBQUERY through the SQL surface: customers above
+    * their own nation's average balance. Catalyst decorrelates this into
+    * an aggregate + join (no per-row re-execution — the subquery runs
+    * once per nation); the oracle is the identical SQL text. */
+  val qSubqueryScalar: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    s.sql(
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+         FROM v_customer c
+         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM v_customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""")
+  }
+
+  /** BLOCKED fuzzy match (entity resolution's scale shape): customer-name
+    * pairs at edit distance ≤ 2, candidate pairs generated ONLY within
+    * `custkey % 100` blocks — never all-pairs (the blocked join is the
+    * difference between O(n²) levenshteins and O(n·blocksize); missing
+    * cross-block matches is the DECLARED semantics, exactly as in
+    * production blocking). Compact per-distance summary output. */
+  val qFuzzyMatch: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_name").as("nm"),
+        (col("c_custkey") % 100).as("blk"))
+    c.as("a").join(c.as("b"),
+        col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
+      .select(levenshtein(col("a.nm"), col("b.nm")).as("dist"),
+        col("a.k").as("ka"), col("b.k").as("kb"))
+      .filter(col("dist") <= 2)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("ka")).as("min_a"),
+        max(col("kb")).as("max_b"))
+      .orderBy("dist")
+  }
+
   // ------------------------------------------------- projection / filters
 
   /** Projection with derived arithmetic + string concat (REF-P1 feature
@@ -475,6 +510,8 @@ object Relational {
     "q_source_jsonl" -> qSourceJsonl,
     "q_pivot_events" -> qPivotEvents,
     "q_unpivot_measures" -> qUnpivotMeasures,
+    "q_subquery_scalar" -> qSubqueryScalar,
+    "q_fuzzy_match" -> qFuzzyMatch,
     "q_proj_compute" -> qProjCompute,
     "q_filter_pred" -> qFilterPred,
     "q_filter_null" -> qFilterNull,

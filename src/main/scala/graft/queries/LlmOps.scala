@@ -271,10 +271,23 @@ object LlmOps {
     // (explode_outer: a plain explode would infer null/size filters and
     // push the whole tokenize transform into the single-split scan task).
     val s = 1.0 - maxDist
-    val ex = sh
+    val postings = sh
       .select(col("doc_id"), explode_outer(col("sh")).as("h"))
       .filter(col("h").isNotNull)
-      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("h"))))
+    // Shingle frequencies as a map-side-combined aggregate joined back,
+    // NOT a count-over-window: the window shuffled + sorted EVERY posting
+    // by h, while the aggregate's exchange carries only per-partition
+    // distinct-shingle partials and the join back is a broadcast (gated on
+    // the INPUT size: distinct-shingle bytes are bounded by a small
+    // multiple of corpus bytes, so a quarter of the broadcast budget on
+    // the corpus keeps the freq table safely inside it). Past the gate the
+    // join degrades to the same shuffle-by-h the window did — never worse.
+    val freqRaw = postings.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val freq =
+      if (graft.operators.ScaleOps.estimatedBytes(docs) <=
+          BigInt(graft.Conf.BroadcastMaxBytes / 4)) broadcast(freqRaw)
+      else freqRaw
+    val ex = postings.join(freq, "h")
     val docSets = ex
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("fh"))

@@ -684,6 +684,46 @@ object Oracle {
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM r GROUP BY 1, 2 ORDER BY shard, seq_id""",
 
+    // Composes the verified q_text_quality arithmetic, exact-dedup-keep-min,
+    // the md5-nibble split, and token accounting in one statement.
+    "q_pipeline_curate" ->
+      """WITH f AS (
+           SELECT doc_id, lang, text,
+                  CAST(length(text) AS DOUBLE) AS len,
+                  CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) AS alpha_len,
+                  string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+              g AS (
+           SELECT doc_id, lang, text, len,
+                  least(len / 200.0, 1.0) AS len_score,
+                  alpha_len / greatest(len, 1.0) AS alpha,
+                  greatest(CAST(len(toks) AS DOUBLE), 1.0) AS n_tok,
+                  CAST(len(list_filter(toks, t -> list_contains(
+                    ['the', 'a', 'an', 'and', 'or', 'of', 'in', 'to', 'is'], t))) AS DOUBLE) AS n_stop
+           FROM f),
+              scored AS (
+           SELECT doc_id, lang, text,
+                  round(0.3 * len_score + 0.3 * alpha
+                        + 0.2 * (CASE WHEN n_stop / n_tok BETWEEN 0.01 AND 0.6
+                                      THEN 1.0 ELSE 0.4 END)
+                        + 0.2 * (CASE WHEN len / n_tok BETWEEN 2.0 AND 12.0
+                                      THEN 1.0 ELSE 0.3 END), 6) AS quality
+           FROM g),
+              dd AS (
+           SELECT doc_id, lang, text,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM scored WHERE quality >= 0.9),
+              sp AS (
+           SELECT lang,
+                  CASE WHEN substring(md5(text), 1, 1) <= 'b' THEN 'train'
+                       WHEN substring(md5(text), 1, 1) <= 'd' THEN 'val'
+                       ELSE 'test' END AS split,
+                  len(string_split(text, ' ')) AS tokens
+           FROM dd WHERE rn = 1)
+         SELECT split, count(*) AS n_docs, sum(tokens) AS sum_tokens,
+                count(DISTINCT lang) AS n_langs
+         FROM sp GROUP BY 1 ORDER BY 1""",
+
     "q_text_redact" ->
       """SELECT doc_id,
                 len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', 0)) AS n_emails,

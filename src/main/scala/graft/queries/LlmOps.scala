@@ -757,6 +757,34 @@ object LlmOps {
       .orderBy("shard", "seq_id")
   }
 
+  /** The END-TO-END curation pipeline as ONE declared plan — the composed
+    * story every stage above tells separately: quality-filter (drop the
+    * low-scoring tail) → exact dedup (keep the smallest doc_id per
+    * md5(text) group) → content-addressed split → per-split doc/token/
+    * language stats. Each stage is the already-graded operator; composing
+    * them exercises what a real corpus job runs, in one Catalyst plan
+    * (narrow quality map → one dedup window shuffle → one final agg). */
+  val qPipelineCurate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val kept = docs
+      .withColumn("quality", graft.text.TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= 0.9)
+    val deduped = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    deduped
+      .withColumn("hx", substring(md5(col("text")), 1, 1))
+      .withColumn("split",
+        when(col("hx") <= "b", "train").when(col("hx") <= "d", "val")
+          .otherwise("test"))
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("split")
+  }
+
   /** PII REDACTION over planted PII (the corpus has none — synthesized
     * deterministically from doc fields, the q_filter_null/q_dedup_embed
     * move): append an email + phone to each text, then strip both with
@@ -787,6 +815,7 @@ object LlmOps {
     "q_pack_sequences" -> qPackSequences,
     "q_text_repetition" -> qTextRepetition,
     "q_text_redact" -> qTextRedact,
+    "q_pipeline_curate" -> qPipelineCurate,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_ngram" -> qDedupNgram,

@@ -50,7 +50,7 @@ object Oracle {
       """SELECT levenshtein(a.c_name, b.c_name) AS dist,
                 count(*) AS n_pairs, min(a.c_custkey) AS min_a, max(b.c_custkey) AS max_b
          FROM customer a JOIN customer b
-           ON a.c_custkey % 100 = b.c_custkey % 100 AND a.c_custkey < b.c_custkey
+           ON a.c_custkey // 10 = b.c_custkey // 10 AND a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 2
          GROUP BY 1 ORDER BY dist""",
 

@@ -154,15 +154,18 @@ object Relational {
   }
 
   /** BLOCKED fuzzy match (entity resolution's scale shape): customer-name
-    * pairs at edit distance ≤ 2, candidate pairs generated ONLY within
-    * `custkey % 100` blocks — never all-pairs (the blocked join is the
-    * difference between O(n²) levenshteins and O(n·blocksize); missing
-    * cross-block matches is the DECLARED semantics, exactly as in
-    * production blocking). Compact per-distance summary output. */
+    * pairs at edit distance ≤ 2, candidates generated ONLY within
+    * sorted-neighborhood blocks (`custkey div 10` — ten consecutive keys
+    * per block). Block SIZE is constant, so candidate pairs grow LINEARLY
+    * with the corpus — the property that makes blocked matching survive a
+    * 100× scale-up, where a modulus block (same count, growing size) blows
+    * up quadratically (measured: mod-100 ran 1.1 M levenshteins at sf0.1,
+    * this runs 67 k). Missing cross-block matches is the DECLARED
+    * semantics, exactly as in production sorted-neighborhood blocking. */
   val qFuzzyMatch: Q = (s, dir) => {
     val c = Tables.customer(s, dir)
       .select(col("c_custkey").as("k"), col("c_name").as("nm"),
-        (col("c_custkey") % 100).as("blk"))
+        expr("c_custkey div 10").as("blk"))
     c.as("a").join(c.as("b"),
         col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
       .select(levenshtein(col("a.nm"), col("b.nm")).as("dist"),

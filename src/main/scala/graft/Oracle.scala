@@ -39,6 +39,10 @@ object Oracle {
       """SELECT event_type, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "q_source_orc" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+         FROM documents GROUP BY source ORDER BY source""",
+
     "q_subquery_scalar" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
          FROM customer c

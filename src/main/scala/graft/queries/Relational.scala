@@ -111,6 +111,23 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** ORC ingestion (the other columnar interchange format): documents
+    * projected to integral/string columns, written as ORC, read back
+    * through the vectorized ORC datasource, aggregated. Round trip is
+    * lossless, so the aggregate oracle-checks against the source table —
+    * the q_source_jsonl move for a file-based columnar format. */
+  val qSourceOrc: Q = (s, dir) => {
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-orc-${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** PIVOT (long → wide): per-user event counts spread across one column
     * per event type. The value list is EXPLICIT — the schema is static, no
     * distinct-values pre-pass job runs, and the plan is an ordinary
@@ -511,6 +528,7 @@ object Relational {
     "q_scan_events_ns" -> qScanEventsNs,
     "q_source_csv" -> qSourceCsv,
     "q_source_jsonl" -> qSourceJsonl,
+    "q_source_orc" -> qSourceOrc,
     "q_pivot_events" -> qPivotEvents,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,

@@ -196,6 +196,48 @@ object ScaleOps {
     hits.groupBy(col("g"), col("__n")).agg(qCols.head, qCols.tail: _*)
   }
 
+  /** EXACT per-group running (prefix) sums WITHOUT sorting each whole
+    * group in one task — globalRanksDesc's construction applied to SUM.
+    *
+    * `sum(x) OVER (PARTITION BY g ORDER BY o ROWS UNBOUNDED PRECEDING)`
+    * sorts every group in one task: with few groups (fixed shard counts,
+    * a handful of tenants) each task owns ~n/groups rows — the scale
+    * killer the Windows routers exist for. Exact two-pass form:
+    * (1) split each group's `o` domain into `buckets` ranges via per-group
+    * approx_percentile edges (approximate SPLIT POINTS skew bucket
+    * populations, never correctness); (2) local running sums inside
+    * (group, bucket) — each task sorts ~n/(groups·buckets) rows;
+    * (3) per-(group, bucket) totals prefix-summed over the ≤`buckets`-row
+    * bucket table give each bucket its offset; offset + local = exact
+    * prefix. Requires `o` unique within its group (ties would make ANY
+    * running sum order-ambiguous) and non-null. Appends `__run`.
+    * Edge/offset side tables are size-gated broadcasts (maybeBroadcast)
+    * — at extreme group cardinality they degrade to shuffle joins. */
+  def groupedPrefixSum(df: DataFrame, part: Column, ord: Column, value: Column,
+                       buckets: Int = 256, accuracy: Int = 10000): DataFrame = {
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val edges = df.groupBy(part.as("__g"))
+      .agg(percentile_approx(ord, array(ps.map(lit): _*), lit(accuracy)).as("__edges"))
+    val bucketExpr = (1 until buckets).map(i =>
+      when(ord >= col("__edges")(i - 1), 1).otherwise(0)).reduce(_ + _)
+    val bucketed = df.join(maybeBroadcast(edges), part === col("__g"))
+      .withColumn("__bkt", bucketExpr).drop("__edges", "__g")
+    val wLoc = Window.partitionBy(part, col("__bkt")).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__lsum", sum(value).over(wLoc))
+    val wOff = Window.partitionBy(col("__g2")).orderBy(col("__b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed
+      .groupBy(part.as("__g2"), col("__bkt").as("__b2"))
+      .agg(sum(value).as("__bsum"))
+      .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
+      .select(col("__g2"), col("__b2"), col("__off"))
+    local.join(maybeBroadcast(offsets),
+        part === col("__g2") && col("__bkt") === col("__b2"))
+      .withColumn("__run", col("__off") + col("__lsum"))
+      .drop("__g2", "__b2", "__off", "__bkt", "__lsum")
+  }
+
   /** Value-range frame aggregation WITHOUT sorting giant partitions.
     *
     * `sum(x) OVER (PARTITION BY p ORDER BY v RANGE BETWEEN w PRECEDING AND

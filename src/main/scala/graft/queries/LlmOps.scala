@@ -743,19 +743,36 @@ object LlmOps {
     * global sort ever forms. Emits per-(shard, seq) doc counts and token
     * sums; the same expressions tagged onto a write ARE the shard/sequence
     * layout of a packing job. */
-  val qPackSequences: Q = (s, dir) => {
-    val toks = Tables.documents(s, dir)
+  /** SIZE-ROUTED (the Windows-router convention): 8 fixed shards means the
+    * plain running-sum window sorts ~n/8 rows per task — fine up to the
+    * gate, a single-task scale-killer past it, where the exact bucketed
+    * two-pass (ScaleOps.groupedPrefixSum — bit-identical, asserted in
+    * ScaleOpsSpec) takes over. */
+  def packSequencesRouted(
+      maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes * 8): Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val toks = docs
       .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
         size(split(col("text"), " ")).cast("long").as("tokens"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks.withColumn("running", sum(col("tokens")).over(w))
+    val run =
+      if (graft.operators.ScaleOps.estimatedBytes(docs) <= BigInt(maxOneTaskBytes)) {
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks.withColumn("running", sum(col("tokens")).over(w))
+      } else {
+        graft.operators.ScaleOps
+          .groupedPrefixSum(toks, col("shard"), col("doc_id"), col("tokens"))
+          .withColumnRenamed("__run", "running")
+      }
+    run
       .withColumn("seq_id", expr("(running - tokens) div 2048"))
       .groupBy(col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy("shard", "seq_id")
   }
+
+  val qPackSequences: Q = packSequencesRouted()
 
   /** The END-TO-END curation pipeline as ONE declared plan — the composed
     * story every stage above tells separately: quality-filter (drop the

@@ -82,6 +82,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(got(2)._3 - 1.5) < 1e-12 && math.abs(got(2)._4 - 1.9) < 1e-12)
   }
 
+  test("pack-sequences router: groupedPrefixSum bit-matches the window form; threshold picks the plan") {
+    import graft.queries.LlmOps
+    // Above the gate (maxBytes = 0 forces it) the router must emit the
+    // bucketed two-pass — no running-sum window over the bare shard
+    // partitioning anywhere (the window that remains partitions by
+    // (shard, __bkt)).
+    val scaled = LlmOps.packSequencesRouted(maxOneTaskBytes = 0L)(spark, Sf0001)
+    val scaledPlan = scaled.queryExecution.executedPlan.toString
+    assert(scaledPlan.contains("__bkt"), s"router kept the plain window:\n$scaledPlan")
+    val declaredPlan = LlmOps.packSequencesRouted(maxOneTaskBytes = Long.MaxValue)(
+      spark, Sf0001).queryExecution.executedPlan.toString
+    assert(!declaredPlan.contains("__bkt"), "router dropped the declared form below threshold")
+    // Exact integer running sums: row-for-row equality of the final stats.
+    val got = scaled.collect().map(_.toSeq).toSeq
+    val exp = LlmOps.packSequencesRouted(maxOneTaskBytes = Long.MaxValue)(
+      spark, Sf0001).collect().map(_.toSeq).toSeq
+    assert(got == exp, s"scale prefix-sum form diverged: got=${got.take(3)} exp=${exp.take(3)}")
+  }
+
   test("rangeBandAgg == exact range-frame window (bin-and-join is exact)") {
     val orders = Tables.orders(spark, Sf0001)
       .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))

@@ -29,6 +29,7 @@ object Tables {
     graft.functions.VecDot.register(spark)
     graft.functions.MinHashSig.register(spark)
     graft.functions.SimHash64.register(spark)
+    graft.functions.CharNgrams.register(spark)
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {

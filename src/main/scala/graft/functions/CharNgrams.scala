@@ -72,3 +72,29 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+object CharNgrams {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+  import org.apache.spark.sql.types.IntegerType
+
+  /** `char_ngrams(s, n)` for SQL users — gram width must be a FOLDABLE int
+    * literal (a compile-time parameter of the generated code). */
+  private val builder: Seq[Expression] => Expression = {
+    case Seq(s, Literal(n: Int, IntegerType)) => CharNgrams(s, n)
+    case exprs => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> "`char_ngrams`",
+        "expectedNum" -> "2 (string, INT literal)",
+        "actualNum" -> exprs.length.toString, "docroot" -> "-"))
+  }
+  val info = new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams")
+
+  /** Register on a session's registry (idempotent); called from Tables.prep
+    * alongside the other native kernels. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("char_ngrams"), info, builder)
+}

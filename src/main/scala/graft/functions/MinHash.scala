@@ -337,6 +337,26 @@ object MinHashSig {
   val bigramInfo = new ExpressionInfo(classOf[BigramHashes].getName, "bigram_hashes")
   val matchesInfo = new ExpressionInfo(classOf[SigMatches].getName, "sig_matches")
 
+  /** `ngram_hashes(arr, n [, distinct])` for SQL users — gram width (and
+    * the optional keep-all flag) must be FOLDABLE int/bool literals, since
+    * they are compile-time parameters of the generated code. */
+  val ngramBuilder: Seq[Expression] => Expression = { exprs =>
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BooleanType
+    exprs match {
+      case Seq(arr, Literal(n: Int, IntegerType)) => NgramHashes(arr, n)
+      case Seq(arr, Literal(n: Int, IntegerType), Literal(d: Boolean, BooleanType)) =>
+        NgramHashes(arr, n, d)
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`ngram_hashes`",
+          "expectedNum" -> "2 (array, INT literal) or 3 (+ BOOLEAN literal)",
+          "actualNum" -> exprs.length.toString, "docroot" -> "-"))
+    }
+  }
+  val ngramInfo = new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes")
+
   /** Register the MinHash function family on a session's registry
     * (idempotent); called from Tables.prep alongside vec_dot. */
   def register(spark: SparkSession): Unit = {
@@ -344,5 +364,6 @@ object MinHashSig {
     reg.registerFunction(FunctionIdentifier("minhash_sig"), info, builder)
     reg.registerFunction(FunctionIdentifier("bigram_hashes"), bigramInfo, bigramBuilder)
     reg.registerFunction(FunctionIdentifier("sig_matches"), matchesInfo, matchesBuilder)
+    reg.registerFunction(FunctionIdentifier("ngram_hashes"), ngramInfo, ngramBuilder)
   }
 }

@@ -77,6 +77,14 @@ class MinhashSpec extends AnyFunSuite {
     val two = Seq(Tuple1(Seq("x", "y", "z", "w")), Tuple1(Seq("y", "z", "w"))).toDF("w")
     val Array(h1, h2) = kernel(two, 3).collect().map(_.getSeq[Long](0).toSet)
     assert((h1 & h2).size == 1, s"shared (y,z,w) trigram must hash identically: $h1 / $h2")
+    // SQL-registry surface: same kernel reachable from spark.sql text.
+    Tables.prep(spark)
+    val viaSql = spark.sql(
+      "SELECT ngram_hashes(array('a','b','a','b','a','b'), 3) AS sh")
+      .head().getSeq[Long](0)
+    assert(viaSql.toSet == reps.toSet, "SQL-registered ngram_hashes diverged")
+    assert(spark.sql("SELECT char_ngrams('abcd', 2) AS g").head().getSeq[String](0)
+      == Seq("ab", "bc", "cd"))
     // Stays inside whole-stage codegen (literal inputs constant-fold to a
     // LocalTableScan, so probe the plan over a real scan).
     val plan = Tables.documents(spark, Sf0001)

@@ -108,35 +108,51 @@ object Runtime {
     val streamDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft-stream-flush-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     java.nio.file.Files.createDirectories(streamDir)
-    java.nio.file.Files.copy(src, streamDir.resolve("events_0.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val batch = spark.read.parquet(src.toString)
-    val maxTsNs = batch.agg(max(col("ts"))).head().getLong(0)
-    for ((name, offsetHours) <- Seq("events_1_flush.parquet" -> 2L,
-                                    "events_2_flush.parquet" -> 4L)) {
-      val flushNs = maxTsNs + offsetHours * 3600L * 1000000000L
-      batch.limit(1)
-        .select(lit(-1L).as("event_id"), lit(flushNs).as("ts"),
-          lit(-1L).as("user_id"), lit("flush").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(streamDir.resolve(name + ".dir").toString)
-      val listing = java.nio.file.Files.list(streamDir.resolve(name + ".dir"))
-      val part =
-        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally listing.close()
-      java.nio.file.Files.copy(part, streamDir.resolve(name),
+    val names = Seq("events_0.parquet", "events_1_flush.parquet",
+      "events_2_flush.parquet")
+    // IDEMPOTENT staging: the flush content is a pure function of the
+    // source file, so a marker recording the source's (size, mtime) lets
+    // repeat invocations (every Verify/Bench run) skip the max-ts job and
+    // the two flush-file writes entirely.
+    val attrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val sig = s"${attrs.size}:${attrs.lastModifiedTime.toMillis}:v2"
+    val marker = streamDir.resolve(".staged")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == sig &&
+      names.forall(n => java.nio.file.Files.exists(streamDir.resolve(n)))
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      java.nio.file.Files.copy(src, streamDir.resolve("events_0.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val batch = spark.read.parquet(src.toString)
+      val maxTsNs = batch.agg(max(col("ts"))).head().getLong(0)
+      for ((name, offsetHours) <- Seq("events_1_flush.parquet" -> 2L,
+                                      "events_2_flush.parquet" -> 4L)) {
+        val flushNs = maxTsNs + offsetHours * 3600L * 1000000000L
+        batch.limit(1)
+          .select(lit(-1L).as("event_id"), lit(flushNs).as("ts"),
+            lit(-1L).as("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(streamDir.resolve(name + ".dir").toString)
+        val listing = java.nio.file.Files.list(streamDir.resolve(name + ".dir"))
+        val part =
+          try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally listing.close()
+        java.nio.file.Files.copy(part, streamDir.resolve(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // Deterministic replay order: the file source replays oldest-mtime
+      // first; stamp strictly increasing mtimes so the flush batches always
+      // FOLLOW the data batch regardless of copy timing granularity.
+      for ((name, i) <- names.zipWithIndex)
+        java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      java.nio.file.Files.writeString(marker, sig)
     }
-    // Deterministic replay order: the file source replays oldest-mtime
-    // first; stamp strictly increasing mtimes so the flush batches always
-    // FOLLOW the data batch regardless of copy timing granularity.
-    for ((name, i) <- Seq("events_0.parquet", "events_1_flush.parquet",
-                          "events_2_flush.parquet").zipWithIndex)
-      java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-    val schema = batch.schema
+    val schema = spark.read.parquet(src.toString).schema
     // Two micro-batches suffice: (events + flush1) together, then flush2.
     // Timeouts in batch N fire against the watermark from batches < N, so
     // batch 2 runs with watermark = flush1 − delay > every real session's

@@ -56,7 +56,12 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Release query-internal persists OUTSIDE the timed window: the cache
+      // was consumed by this query's action; carrying it into the next
+      // query's timing would both leak memory and distort attribution.
+      graft.operators.ScaleOps.releaseTracked()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -40,7 +40,7 @@ object Oracle {
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_source_orc" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY source ORDER BY source""",
 
     "q_subquery_scalar" ->
@@ -80,7 +80,7 @@ object Oracle {
     // the JSON datasource parser; integral/string fields are lossless, so
     // the aggregate equals the same aggregate over the source table.
     "q_source_jsonl" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang ORDER BY lang""",
 
     "q_proj_compute" ->
@@ -634,7 +634,7 @@ object Oracle {
 
     "q_sample_split" ->
       """SELECT split, lang, count(*) AS n_docs,
-                count(DISTINCT text) AS n_uniq_texts, sum(n_chars) AS sum_chars
+                count(DISTINCT text) AS n_uniq_texts, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM (SELECT lang, text, n_chars,
                  CASE WHEN substring(md5(text), 1, 1) <= 'b' THEN 'train'
                       WHEN substring(md5(text), 1, 1) <= 'd' THEN 'val'
@@ -684,7 +684,7 @@ object Oracle {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
                     FROM t)
          SELECT shard, (running - tokens) // 2048 AS seq_id,
-                count(*) AS n_docs, sum(tokens) AS sum_tokens,
+                count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM r GROUP BY 1, 2 ORDER BY shard, seq_id""",
 
@@ -724,7 +724,7 @@ object Oracle {
                        ELSE 'test' END AS split,
                   len(string_split(text, ' ')) AS tokens
            FROM dd WHERE rn = 1)
-         SELECT split, count(*) AS n_docs, sum(tokens) AS sum_tokens,
+         SELECT split, count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens,
                 count(DISTINCT lang) AS n_langs
          FROM sp GROUP BY 1 ORDER BY 1""",
 

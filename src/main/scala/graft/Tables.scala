@@ -58,4 +58,29 @@ object Tables {
   def events(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Directory for operator-internal file staging (the ORC round-trip,
+    * stream arrival dirs). Root comes from the runtime conf
+    * `graft.stage.dir`; harness mains point it under their own output root
+    * and delete it when done, so staging shares the artifact lifecycle
+    * instead of accreting in java.io.tmpdir (the fallback for ad-hoc
+    * sessions). At cluster scale this conf must name a shared-filesystem
+    * path every executor can reach — local tmpdirs don't exist off-box. */
+  def stageDir(spark: SparkSession, sub: String): String = {
+    val root = spark.conf.get("graft.stage.dir",
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-stage").toString)
+    val p = java.nio.file.Paths.get(root, sub)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Best-effort recursive delete for a staging root (harness epilogue). */
+  def deleteRecursively(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () })
+    }
+  }
 }

@@ -26,6 +26,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Query-internal persists (ScaleOps registry) die with the query —
+      // without this, cached corpus derivatives accumulate across the run.
+      graft.operators.ScaleOps.releaseTracked()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -25,6 +25,35 @@ object ScaleOps {
   def maybeBroadcast(df: DataFrame, maxBytes: Long = graft.Conf.BroadcastMaxBytes): DataFrame =
     if (estimatedBytes(df) <= BigInt(maxBytes)) broadcast(df) else df
 
+  /** Registry of frames persisted inside query plans. A query function
+    * returns a LAZY DataFrame, so the operator that persisted a shared
+    * intermediate can never unpersist it itself — the caller's action
+    * hasn't run yet. Without a release hook, a long-lived session running
+    * many queries (exactly what Verify/Bench/tests do) accumulates cached
+    * corpus derivatives until the ContextCleaner happens to collect them.
+    * Harness mains and specs call `releaseTracked()` between queries. */
+  private val trackedPersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist (MEMORY_AND_DISK — spills instead of OOMing) and register for
+    * `releaseTracked`. All operator-internal persists go through here. */
+  def trackedPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedPersists.add(p)
+    p
+  }
+
+  /** Unpersist every registered frame (non-blocking). Safe to call while
+    * other queries are planning: unpersist only marks the cache entry; an
+    * in-flight plan that still references the frame recomputes it. */
+  def releaseTracked(): Unit = {
+    var df = trackedPersists.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = trackedPersists.poll()
+    }
+  }
+
   /** Persist a shared intermediate ONLY when recomputing it would be
     * expensive — gated on the estimated size of the SOURCE feeding the
     * derivation (`gate`), not the derivative itself. DataFrame reuse
@@ -37,9 +66,7 @@ object ScaleOps {
     * of the compact derivative wins by orders of magnitude. */
   def persistIfBig(df: DataFrame, gate: DataFrame,
                    gateBytes: Long = graft.Conf.OneTaskSortMaxBytes): DataFrame =
-    if (estimatedBytes(gate) > BigInt(gateBytes))
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df
+    if (estimatedBytes(gate) > BigInt(gateBytes)) trackedPersist(df) else df
 
   /** Compute-parallelism floor for SMALL inputs feeding heavy per-row work
     * (native kernels, n-gram explosion, signature passes). A sub-split-size
@@ -210,7 +237,9 @@ object ScaleOps {
     * (3) per-(group, bucket) totals prefix-summed over the ≤`buckets`-row
     * bucket table give each bucket its offset; offset + local = exact
     * prefix. Requires `o` unique within its group (ties would make ANY
-    * running sum order-ambiguous) and non-null. Appends `__run`.
+    * running sum order-ambiguous) and non-null; the GROUP key may be null —
+    * the equi-joins are null-safe (`<=>`), so a null group stays one
+    * partition exactly as the window form treats it. Appends `__run`.
     * Edge/offset side tables are size-gated broadcasts (maybeBroadcast)
     * — at extreme group cardinality they degrade to shuffle joins. */
   def groupedPrefixSum(df: DataFrame, part: Column, ord: Column, value: Column,
@@ -220,7 +249,7 @@ object ScaleOps {
       .agg(percentile_approx(ord, array(ps.map(lit): _*), lit(accuracy)).as("__edges"))
     val bucketExpr = (1 until buckets).map(i =>
       when(ord >= col("__edges")(i - 1), 1).otherwise(0)).reduce(_ + _)
-    val bucketed = df.join(maybeBroadcast(edges), part === col("__g"))
+    val bucketed = df.join(maybeBroadcast(edges), part <=> col("__g"))
       .withColumn("__bkt", bucketExpr).drop("__edges", "__g")
     val wLoc = Window.partitionBy(part, col("__bkt")).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -233,7 +262,7 @@ object ScaleOps {
       .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
       .select(col("__g2"), col("__b2"), col("__off"))
     local.join(maybeBroadcast(offsets),
-        part === col("__g2") && col("__bkt") === col("__b2"))
+        part <=> col("__g2") && col("__bkt") === col("__b2"))
       .withColumn("__run", col("__off") + col("__lsum"))
       .drop("__g2", "__b2", "__off", "__bkt", "__lsum")
   }

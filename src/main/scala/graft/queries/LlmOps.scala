@@ -294,9 +294,18 @@ object LlmOps {
       .select(col("doc_id"),
         expr("transform(fh, x -> x.h)").as("sh"),
         size(col("fh")).as("ns"),
-        expr(s"slice(fh, 1, cast(size(fh) - ceil(size(fh) * $s) + 1 AS INT))")
+        // Same 1e-9 roundoff backoff as the candidate filters below: at
+        // non-default thresholds (s = 0.7, ns = 10) float multiply can land
+        // at 7.000000000000001, and a bare ceil would shorten the prefix by
+        // one — silently missing true pairs. Backoff keeps ceil exact on
+        // exact-integer products and is far below any real threshold step.
+        expr(s"slice(fh, 1, cast(size(fh) - ceil(size(fh) * $s - 1e-9) + 1 AS INT))")
           .as("pfx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Registered with ScaleOps' persist registry: the returned plan is
+      // lazy, so THIS function can't unpersist after the caller's action —
+      // Verify/Bench/specs call ScaleOps.releaseTracked() between queries
+      // (the cache otherwise outlives the query in a long session).
+      .transform(graft.operators.ScaleOps.trackedPersist)
     // Postings carry (pos, ns): `pos` is the shingle's 1-based rank in the
     // doc's rarest-first order — the position filter below needs it.
     // Frequency-1 members leave the INDEX (not the prefix-length
@@ -444,11 +453,12 @@ object LlmOps {
     emb.select(col("vec_id"), col("embedding")).unionAll(planted)
   }
 
-  /** Embedding-cosine near-dup pairs over the planted corpus: LSH candidates
-    * + exact refine (cosineNearDupPairs). Output = the exact all-pairs
-    * cos ≥ 0.98 answer, which is what the DuckDB oracle computes; the
-    * planted pairs sit at Euclidean ≈ 0.13 on unit vectors vs the 0.20 LSH
-    * join radius, and a 10-table OR-amplified miss is ~3e-7 per pair. */
+  /** Embedding-cosine near-dup pairs over the planted corpus:
+    * sign-random-projection band candidates + exact refine
+    * (cosineNearDupPairs). Output = the exact all-pairs cos ≥ 0.98 answer,
+    * which is what the DuckDB oracle computes: a pair at the 0.98 boundary
+    * is missed by all 12 six-bit bands w.p. ≈ 1.5e-6, and the planted pairs
+    * at cos ≈ 0.991 w.p. ≈ 2e-8 (cosineNearDupPairs' own bound). */
   val qDedupEmbed: Q = (s, dir) =>
     cosineNearDupPairs(plantedNearDupEmbeddings(Tables.embeddings(s, dir)),
       minCos = 0.98)

@@ -117,8 +117,11 @@ object Relational {
     * lossless, so the aggregate oracle-checks against the source table —
     * the q_source_jsonl move for a file-based columnar format. */
   val qSourceOrc: Q = (s, dir) => {
-    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft-orc-${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+    // Staged under the harness-owned staging root (Tables.stageDir): the
+    // write/read pair shares the run's artifact lifecycle and is cleaned
+    // with it, instead of accreting in java.io.tmpdir. Keyed on the source
+    // dir so concurrent SFs never collide.
+    val tmp = Tables.stageDir(s, s"orc-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .write.mode("overwrite").orc(tmp)

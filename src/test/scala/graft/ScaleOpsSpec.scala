@@ -101,6 +101,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == exp, s"scale prefix-sum form diverged: got=${got.take(3)} exp=${exp.take(3)}")
   }
 
+  test("groupedPrefixSum keeps null group keys — matches the window form row-for-row") {
+    import org.apache.spark.sql.expressions.Window
+    import SparkFixture.spark.implicits._
+    val df = Seq(
+      (Option("a"), 1L, 10L), (Option("a"), 2L, 5L), (Option("a"), 5L, 3L),
+      (Option.empty[String], 1L, 7L), (Option.empty[String], 3L, 2L),
+      (Option("b"), 2L, 4L)).toDF("g", "o", "x")
+    val w = Window.partitionBy(col("g")).orderBy(col("o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("__run", sum(col("x")).over(w))
+      .collect().map(_.toSeq).toSet
+    val got = ScaleOps.groupedPrefixSum(df, col("g"), col("o"), col("x"), buckets = 4)
+      .select(col("g"), col("o"), col("x"), col("__run"))
+      .collect().map(_.toSeq).toSet
+    assert(got == exp, s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
+  test("operator-internal persists drain via releaseTracked — no cached RDDs survive a query") {
+    ScaleOps.releaseTracked() // drain anything earlier suites left behind
+    // q_dedup_ngram persists its per-doc shingle sets (diamond-shaped reuse).
+    SparkEntry.queries("q_dedup_ngram")(spark, Sf0001).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected the docSets cache to be live after the action")
+    ScaleOps.releaseTracked()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"cached RDDs leaked past releaseTracked: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("rangeBandAgg == exact range-frame window (bin-and-join is exact)") {
     val orders = Tables.orders(spark, Sf0001)
       .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))

@@ -23,6 +23,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Staging (ORC round-trip, stream arrival dirs) gets a per-process root
+    // deleted in the epilogue, so bench runs leave no tmpdir residue.
+    val stageRoot = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-stage-bench-${ProcessHandle.current().pid()}").toString
+    spark.conf.set("graft.stage.dir", stageRoot)
 
     // Untimed warmup: touch the scan + shuffle + window + broadcast-join
     // codepaths once so JIT/codegen warmup isn't billed to the first query.
@@ -72,6 +77,7 @@ object Bench {
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(json)
+    Tables.deleteRecursively(stageRoot)
     spark.stop()
   }
 }

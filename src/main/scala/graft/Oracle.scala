@@ -115,6 +115,17 @@ object Oracle {
           GROUP BY c_custkey, c_name
           ORDER BY spend DESC, c_custkey LIMIT 10""",
 
+    // Plain equi-join SQL: the Spark side's salting must be answer-invariant.
+    "q_join_skewed" ->
+      s"""WITH f AS (SELECT CAST(CASE WHEN o_orderkey % 4 <> 0 THEN 1
+                                      ELSE o_custkey END AS BIGINT) AS skew_key,
+                            o_totalprice
+                     FROM orders)
+          SELECT skew_key, c_name, c_mktsegment,
+                 count(*) AS n_orders, ${dsum("o_totalprice")} AS spend
+          FROM f JOIN customer ON skew_key = c_custkey
+          GROUP BY 1, 2, 3 ORDER BY skew_key""",
+
     "q_join_multiway" ->
       s"""SELECT r_name,
                  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
@@ -357,7 +368,22 @@ object Oracle {
            SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
            FROM documents)
          WHERE token <> ''
-         GROUP BY token ORDER BY n DESC, token LIMIT 20""")
+         GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+
+    // The map itself is checked through its sorted-entry JSON serialization:
+    // Spark to_json over a key-sorted map == DuckDB's ordered string_agg
+    // (event_type values are plain identifiers, so no JSON escaping differs).
+    "q_map_funcs" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_types,
+                '{' || string_agg('"' || event_type || '":' || n, ','
+                                  ORDER BY event_type) || '}' AS type_counts_json,
+                CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0)
+                     AS BIGINT) AS n_click,
+                CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN n END), 0)
+                     AS BIGINT) AS n_purchase
+         FROM c GROUP BY user_id ORDER BY user_id""")
 
   /** Oracle twin of Det.davg: exact decimal mean, rounded. */
   private def davg(x: String, scale: Int = 6): String =
@@ -433,7 +459,45 @@ object Oracle {
                    ${dsum("(p - y) * x2", 6)} AS g2,
                    ${dsum("(p - y) * x3", 6)} AS g3,
                    ${dsum("-(y * ln(p) + (1.0 - y) * ln(1.0 - p))", 6)} AS loss
-            FROM p""")
+            FROM p""",
+
+      // Unrolled twin of the Spark-side driver loop, generated from the SAME
+      // iteration count / lr / starting weights (MlSuffStats.logreg*).
+      // Every gradient goes through the dsum decimal path (6 dp) and every
+      // weight update is all-DOUBLE IEEE arithmetic in both engines, so the
+      // weight sequence is reproduced bit-for-bit.
+      "q_ml_logreg_converged" -> {
+        import graft.queries.MlSuffStats.{logregIters, logregLr, logregW0}
+        val sigma = "1.0 / (1.0 + exp(-(x0 * w0 + x1 * w1 + x2 * w2 + x3 * w3)))"
+        val w0Cte = "w_0 AS (SELECT " + logregW0.zipWithIndex
+          .map { case (v, i) => s"CAST($v AS DOUBLE) AS w$i" }.mkString(", ") + ")"
+        val steps = (1 to logregIters).map { k =>
+          s"""p_$k AS (SELECT t.*, $sigma AS p FROM t CROSS JOIN w_${k - 1}),
+              g_$k AS (SELECT count(*) AS n, ${(0 until 4)
+                .map(i => s"${dsum(s"(p - y) * x$i", 6)} AS g$i").mkString(", ")}
+                       FROM p_$k),
+              w_$k AS (SELECT ${(0 until 4)
+                .map(i => s"w$i - $logregLr * (g$i / n) AS w$i").mkString(", ")}
+                       FROM w_${k - 1} CROSS JOIN g_$k)"""
+        }.mkString(",\n              ")
+        s"""WITH t AS (
+              SELECT CAST(label % 2 AS DOUBLE) AS y,
+                     CAST(embedding[1] AS DOUBLE) AS x0,
+                     CAST(embedding[2] AS DOUBLE) AS x1,
+                     CAST(embedding[3] AS DOUBLE) AS x2,
+                     CAST(embedding[4] AS DOUBLE) AS x3
+              FROM embeddings),
+              $w0Cte,
+              $steps,
+              p_fin AS (SELECT t.*, $sigma AS p FROM t CROSS JOIN w_$logregIters),
+              fin AS (
+                SELECT count(*) AS n, ${(0 until 4)
+                  .map(i => s"${dsum(s"(p - y) * x$i", 6)} AS g$i").mkString(", ")},
+                       ${dsum("-(y * ln(p) + (1.0 - y) * ln(1.0 - p))", 6)} AS loss
+                FROM p_fin)
+            SELECT n, w0, w1, w2, w3, g0, g1, g2, g3, loss
+            FROM fin CROSS JOIN w_$logregIters"""
+      })
   }
 
   val llm: Map[String, String] = Map(
@@ -683,7 +747,7 @@ object Oracle {
                       (PARTITION BY shard ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
                     FROM t)
-         SELECT shard, (running - tokens) // 2048 AS seq_id,
+         SELECT shard, CAST((running - tokens) // 2048 AS BIGINT) AS seq_id,
                 count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS sum_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM r GROUP BY 1, 2 ORDER BY shard, seq_id""",

@@ -61,10 +61,10 @@ object Tables {
 
   /** Directory for operator-internal file staging (the ORC round-trip,
     * stream arrival dirs). Root comes from the runtime conf
-    * `graft.stage.dir`; harness mains point it under their own output root
-    * and delete it when done, so staging shares the artifact lifecycle
-    * instead of accreting in java.io.tmpdir (the fallback for ad-hoc
-    * sessions). At cluster scale this conf must name a shared-filesystem
+    * `graft.stage.dir`; harness mains (Verify, Bench) set it to a run-scoped
+    * root and `deleteRecursively` it in their epilogue, so staging shares the
+    * run's lifecycle instead of accreting in java.io.tmpdir (the fallback for
+    * ad-hoc sessions). At cluster scale this conf must name a shared-filesystem
     * path every executor can reach — local tmpdirs don't exist off-box. */
   def stageDir(spark: SparkSession, sub: String): String = {
     val root = spark.conf.get("graft.stage.dir",

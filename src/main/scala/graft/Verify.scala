@@ -18,6 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Staging (ORC round-trip, stream arrival dirs) lives under this run's
+    // output root and dies with it — see Tables.stageDir.
+    val stageRoot = Paths.get(outDir, "_stage").toString
+    spark.conf.set("graft.stage.dir", stageRoot)
     SparkEntry.queries
       .filter { case (name, _) => wanted.isEmpty || wanted(name) }
       .foreach { case (name, fn) =>
@@ -45,6 +49,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Tables.deleteRecursively(stageRoot)
     spark.stop()
   }
 }

@@ -36,7 +36,13 @@ object ScaleOps {
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Persist (MEMORY_AND_DISK — spills instead of OOMing) and register for
-    * `releaseTracked`. All operator-internal persists go through here. */
+    * `releaseTracked`. All operator-internal persists go through here.
+    *
+    * The registry assumes the one-query-at-a-time harness (Verify/Bench/
+    * specs drain between queries): a session running queries CONCURRENTLY
+    * would let one query's drain unpersist another's in-flight cache
+    * (correctness-safe — Spark recomputes — but a perf cliff), and a
+    * session that never drains holds strong references until it does. */
   def trackedPersist(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     trackedPersists.add(p)

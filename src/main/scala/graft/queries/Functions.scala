@@ -98,9 +98,10 @@ object Functions {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
       .orderBy("k_mod")
 
-  /** Map construction (no oracle — DuckDB MAP literal/ordering semantics
-    * differ; rows-only check + unit tests). Entries are sorted before
-    * map_from_entries so the result is deterministic. */
+  /** Map construction. Entries are sorted before map_from_entries so the
+    * result is deterministic; the map itself is oracle-checked through its
+    * sorted-entry JSON serialization (DuckDB rebuilds the same string with
+    * an ordered string_agg — MAP literals themselves aren't portable). */
   val qMapFuncs: Q = (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("user_id"), col("event_type"))
@@ -112,6 +113,7 @@ object Functions {
       .select(
         col("user_id"),
         size(col("type_counts")).cast("long").as("n_types"),
+        to_json(col("type_counts")).as("type_counts_json"),
         coalesce(element_at(col("type_counts"), "click"), lit(0L)).as("n_click"),
         coalesce(element_at(col("type_counts"), "purchase"), lit(0L)).as("n_purchase"))
       .orderBy("user_id")

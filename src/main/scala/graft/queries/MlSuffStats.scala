@@ -141,10 +141,58 @@ object MlSuffStats {
           (lit(1.0) - col("y")) * log(lit(1.0) - col("p"))), 6).as("loss"))
   }
 
+  /** Shared by the Spark side and the oracle generator so the two unrolled
+    * iteration chains can never drift apart. */
+  val logregIters = 4
+  val logregLr = 0.5
+  val logregW0: Seq[Double] = Seq(0.1, -0.2, 0.05, 0.15)
+
+  /** MULTI-ITERATION logistic descent (REF-P2's full loop, graded
+    * end-to-end): `logregIters` fixed gradient-descent steps on the mean
+    * gradient from `logregW0`, then the final-iterate statistics. Each
+    * iteration is one aggregation pass over a tracked-persisted projection
+    * (the reference re-submits a job per iteration; the weights ride back in
+    * as literals). Determinism composes per-step: every gradient goes
+    * through dsum's exact DECIMAL(38,10) path rounded at 6 dp, and the
+    * driver-side weight update `w − lr·(g/n)` is plain IEEE double
+    * arithmetic — so the oracle's unrolled SQL CTE chain (same dsum twin,
+    * same literal lr) reproduces the weight sequence bit-for-bit. The only
+    * driver traffic is O(d) doubles per iteration. */
+  val qMlLogregConverged: Q = (s, dir) => {
+    val x = (0 until 4).map(i => col("embedding")(i).cast("double"))
+    val base = Tables.embeddings(s, dir).select(
+      (col("label") % 2).cast("double").as("y") +:
+      (0 until 4).map(i => x(i).as(s"x$i")): _*)
+    val df = graft.operators.ScaleOps.trackedPersist(base)
+    def gradCols(w: Seq[Double]) = {
+      val z = (0 until 4).map(i => col(s"x$i") * lit(w(i))).reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      (count(lit(1)).as("n") +:
+        (0 until 4).map(i => dsum((p - col("y")) * col(s"x$i"), 6).as(s"g$i"))) :+
+        dsum(-(col("y") * log(p) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - p)), 6).as("loss")
+    }
+    var w = logregW0
+    for (_ <- 1 to logregIters) {
+      val aggs = gradCols(w)
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = r.getLong(0).toDouble
+      w = w.zipWithIndex.map { case (wi, i) =>
+        wi - logregLr * (r.getDouble(i + 1) / n)
+      }
+    }
+    val aggs = gradCols(w)
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n") +:
+        (0 until 4).map(i => lit(w(i)).as(s"w$i")) ++:
+        (0 until 4).map(i => col(s"g$i")) :+ col("loss"): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ml_linreg_normal" -> qMlLinregNormal,
     "q_ml_nb_train" -> qMlNbTrain,
     "q_ml_kmeans_step" -> qMlKmeansStep,
     "q_ml_gda_stats" -> qMlGdaStats,
-    "q_ml_logreg_step" -> qMlLogregStep)
+    "q_ml_logreg_step" -> qMlLogregStep,
+    "q_ml_logreg_converged" -> qMlLogregConverged)
 }

@@ -365,6 +365,28 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Skew-safe equi-join — the graded exposure of operators/SkewJoin.scala.
+    * The fixture plants the classic hot-key shape on real data: 3/4 of
+    * orders collapse onto skew_key 1, the rest keep their custkey. The salt
+    * value never reaches the result (every salt matches an exploded dim
+    * copy; LayoutSkewSpec asserts equality with the plain join AND that the
+    * hot key spreads across salt buckets), so the oracle is the PLAIN
+    * equi-join SQL. At 100 TB this is the portable rewrite when one key
+    * would funnel a shuffle join into a single giant task; AQE's runtime
+    * skew split only covers sort-merge joins. */
+  val qJoinSkewed: Q = (s, dir) => {
+    val fact = Tables.orders(s, dir).select(
+      when(col("o_orderkey") % 4 =!= 0, lit(1L))
+        .otherwise(col("o_custkey")).as("skew_key"),
+      col("o_totalprice"))
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey").as("skew_key"), col("c_name"), col("c_mktsegment"))
+    graft.operators.SkewJoin.saltedJoin(fact, dim, "skew_key", saltFactor = 8)
+      .groupBy(col("skew_key"), col("c_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      .orderBy("skew_key")
+  }
+
   // ----------------------------------------------------------- aggregates
 
   /** Flagship: TPC-H Q1-style 7-aggregate group-by (REF-P1: partial
@@ -546,6 +568,7 @@ object Relational {
     "q_join_anti" -> qJoinAnti,
     "q_join_theta" -> qJoinTheta,
     "q_join_asof" -> qJoinAsof,
+    "q_join_skewed" -> qJoinSkewed,
     "q_agg_pricing" -> qAggPricing,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_approx_distinct" -> qAggApproxDistinct,

@@ -2,11 +2,12 @@ package graft
 
 import graft.ml.{Iterative, Pipelines}
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** P2 iterative algorithms: logistic gradient loop decreases NLL and lands
   * near MLlib's optimum; GMM EM steps never decrease the log-likelihood. */
-class IterativeSpec extends AnyFunSuite {
+class IterativeSpec extends AnyFunSuite with BeforeAndAfterAll {
   import SparkFixture._
 
   /** Binary task derived from embeddings: y = (label >= 5), x = dims 0–1. */
@@ -16,6 +17,13 @@ class IterativeSpec extends AnyFunSuite {
       col("embedding")(0).cast("double").as("x0"),
       col("embedding")(1).cast("double").as("x1"))
     .cache()
+
+  // The fixture SparkSession is shared across suites — drop our caches so
+  // later suites (e.g. the ScaleOps persist-drain test) see a clean slate.
+  override def afterAll(): Unit = {
+    binDf.unpersist()
+    super.afterAll()
+  }
 
   test("logistic driver loop: NLL strictly decreases and tracks MLlib") {
     val (w, losses) = Iterative.logisticTrain(binDf, "y", Seq("x0", "x1"),
@@ -46,5 +54,6 @@ class IterativeSpec extends AnyFunSuite {
     val g = Pipelines.gmm(
       Tables.embeddings(spark, Sf0001).select(array(col("embedding")(0)).as("x1")), "x1", 2)
     assert(math.abs(g.weights.sum - 1.0) < 1e-9)
+    df.unpersist()
   }
 }

@@ -119,14 +119,17 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("operator-internal persists drain via releaseTracked — no cached RDDs survive a query") {
-    ScaleOps.releaseTracked() // drain anything earlier suites left behind
+    ScaleOps.releaseTracked() // drain anything this registry already tracks
+    // Other suites share this SparkSession and may hold their own untracked
+    // caches, so assert on the delta around the query, not global emptiness.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     // q_dedup_ngram persists its per-doc shingle sets (diamond-shaped reuse).
     SparkEntry.queries("q_dedup_ngram")(spark, Sf0001).count()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
       "expected the docSets cache to be live after the action")
     ScaleOps.releaseTracked()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      s"cached RDDs leaked past releaseTracked: ${spark.sparkContext.getPersistentRDDs.keys}")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"cached RDDs leaked past releaseTracked: $leaked")
   }
 
   test("rangeBandAgg == exact range-frame window (bin-and-join is exact)") {

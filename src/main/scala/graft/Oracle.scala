@@ -43,6 +43,15 @@ object Oracle {
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY source ORDER BY source""",
 
+    // Plain filtered SQL over the source table: the Spark side's partitioned
+    // write + pruned read-back must be a lossless round trip.
+    "q_layout_prune" ->
+      """SELECT lang, source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY 1, 2 ORDER BY lang, source""",
+
     "q_subquery_scalar" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
          FROM customer c

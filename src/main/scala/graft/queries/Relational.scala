@@ -131,6 +131,32 @@ object Relational {
       .orderBy("source")
   }
 
+  /** Partitioned-layout round trip — sources/Layout.scala graded through
+    * the correctness gate: documents written as a hive-partitioned parquet
+    * layout by `lang` (bounded files per partition), read back with a
+    * partition filter that prunes directories BEFORE any IO
+    * (PartitionFilters asserted in LayoutSkewSpec), then aggregated. The
+    * round trip is lossless and pruning is semantics-free, so the oracle is
+    * the plain filtered SQL over the source table. At 100 TB this layout is
+    * the difference between scanning the corpus and scanning two
+    * directories. */
+  val qLayoutPrune: Q = (s, dir) => {
+    val stage = Tables.stageDir(s, s"layout-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    graft.sources.Layout.writePartitioned(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      stage, "lang", filesPerPartition = 2)
+    graft.sources.Layout.readPartitioned(s, stage)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang", "source")
+  }
+
   /** PIVOT (long → wide): per-user event counts spread across one column
     * per event type. The value list is EXPLICIT — the schema is static, no
     * distinct-values pre-pass job runs, and the plan is an ordinary
@@ -554,6 +580,7 @@ object Relational {
     "q_source_csv" -> qSourceCsv,
     "q_source_jsonl" -> qSourceJsonl,
     "q_source_orc" -> qSourceOrc,
+    "q_layout_prune" -> qLayoutPrune,
     "q_pivot_events" -> qPivotEvents,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Explicit coverage for the four declared keys that have no DuckDB oracle
-  * (SURVEY §2's "—" rows): each is checked against an independent
-  * computation instead. */
+/** Explicit coverage for declared keys that have (or long had) no DuckDB
+  * oracle (SURVEY §2's "—" rows): each is checked against an independent
+  * computation instead. q_map_funcs gained an oracle in r9 but keeps its
+  * cross-check here — it exercises the map lookups directly. */
 class NoOracleSpec extends AnyFunSuite {
   import SparkFixture._
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Det.dsum
+import graft.functions.Det.{davg, dsum}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -74,7 +74,12 @@ object Relational {
     * explicit schema (SURVEY.md §2.2 q_source_csv). The CSV text is derived
     * deterministically from the embeddings table, then re-parsed through the
     * Spark CSV datasource — same parser as a file-based read, no tmp files.
-    */
+    *
+    * Oracle-checkable (upgraded r9): the float→text→double round trip is
+    * reproducible across engines — both Java and DuckDB emit the (unique)
+    * shortest round-trip decimal for a float, and both parse it to the same
+    * correctly-rounded double — and the mean goes through the davg decimal
+    * path, so the oracle replays CAST(CAST(f AS VARCHAR) AS DOUBLE). */
   val qSourceCsv: Q = (s, dir) => {
     import s.implicits._
     val csvLines = Tables.embeddings(s, dir)
@@ -88,7 +93,7 @@ object Relational {
     val schema = "vec_id LONG, label INT, f0 DOUBLE, f1 DOUBLE, f2 DOUBLE, f3 DOUBLE"
     s.read.schema(schema).csv(csvLines)
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("n"), round(avg(col("f0")), 6).as("mean_f0"))
+      .agg(count(lit(1)).as("n"), davg(col("f0")).as("mean_f0"))
       .orderBy("label")
   }
 

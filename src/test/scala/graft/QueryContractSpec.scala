@@ -15,9 +15,9 @@ class QueryContractSpec extends AnyFunSuite {
 
   test("declared contract covers all 78 SURVEY §2 keys") {
     assert(SparkEntry.queries.size == 78)
-    // 71 oracle-checked; the 7 declared non-oracle keys:
+    // 72 oracle-checked; the 6 declared non-oracle keys:
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_source_csv", "q_agg_approx_distinct",
+    assert(noOracle == Set("q_agg_approx_distinct",
       "q_sim_lsh_ann", "q_dedup_simhash", "q_sim_ivf_ann",
       "q_text_fingerprint", "q_media_features"))
   }

@@ -877,7 +877,13 @@ object Oracle {
           SELECT user_id, min(ts) AS s_start,
                  max(ts) + INTERVAL '30 minutes' AS s_end,
                  count(*) AS n_events, ${dsum("value", 6)} AS sum_value
-          FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""")
+          FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
+
+    // The Spark side ingests the events file TWICE through watermark dedup;
+    // the oracle aggregates the source ONCE — exactly-once must hold.
+    "q_stream_dedup" ->
+      s"""SELECT event_type, count(*) AS n, ${dsum("value", 6)} AS sum_value
+          FROM events GROUP BY event_type ORDER BY event_type""")
 
   /** All oracle strings, keyed like SparkEntry.queries. */
   def all: Map[String, String] =

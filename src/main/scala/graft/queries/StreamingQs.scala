@@ -91,10 +91,31 @@ object StreamingQs {
       .orderBy("user_id", "s_start")
   }
 
+  /** EXACTLY-ONCE streaming ingest over an at-least-once source, run as a
+    * REAL stream inside the correctness gate: the events file is replayed
+    * TWICE (two micro-batches, Runtime.eventsStreamWithRedelivery); the
+    * watermark dedup (dropDuplicatesWithinWatermark on event_id) must emit
+    * each event exactly once — redelivered rows are dropped as duplicates
+    * (state alive) or as late data (behind the watermark). The emitted rows
+    * are aggregated per type, and the oracle is the plain per-type
+    * aggregate over the SOURCE table — any leaked duplicate or lost row
+    * breaks the hash. State is evicted as the watermark passes each key, so
+    * it is bounded by the redelivery horizon, not stream lifetime. */
+  val qStreamDedup: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    SR.runToCompletionAppend(s,
+        SR.dedupedEvents(SR.eventsStreamWithRedelivery(s, dir)),
+        s"graft_dedup_${math.abs(dir.hashCode)}")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
     "q_stream_join" -> qStreamJoin,
-    "q_stream_stateful" -> qStreamStateful)
+    "q_stream_stateful" -> qStreamStateful,
+    "q_stream_dedup" -> qStreamDedup)
 }

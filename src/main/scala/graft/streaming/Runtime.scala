@@ -29,9 +29,8 @@ object Runtime {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     Tables.prep(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-stream-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(streamDir)
+    val streamDir = java.nio.file.Paths.get(Tables.stageDir(
+      spark, s"stream-${dir.replaceAll("[^A-Za-z0-9]", "_")}"))
     val dst = streamDir.resolve("events.parquet")
     // Always refresh: a stale copy from a previous run would silently
     // diverge from the batch side if the testdata were regenerated.
@@ -80,9 +79,8 @@ object Runtime {
   def eventsStreamWithRedelivery(spark: SparkSession, dir: String): DataFrame = {
     Tables.prep(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-stream-redeliver-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(streamDir)
+    val streamDir = java.nio.file.Paths.get(Tables.stageDir(
+      spark, s"stream-redeliver-${dir.replaceAll("[^A-Za-z0-9]", "_")}"))
     for (name <- Seq("events_a.parquet", "events_b.parquet"))
       java.nio.file.Files.copy(src, streamDir.resolve(name),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -105,9 +103,8 @@ object Runtime {
   def eventsStreamWithFlush(spark: SparkSession, dir: String): DataFrame = {
     Tables.prep(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-stream-flush-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(streamDir)
+    val streamDir = java.nio.file.Paths.get(Tables.stageDir(
+      spark, s"stream-flush-${dir.replaceAll("[^A-Za-z0-9]", "_")}"))
     val names = Seq("events_0.parquet", "events_1_flush.parquet",
       "events_2_flush.parquet")
     // IDEMPOTENT staging: the flush content is a pure function of the
@@ -174,9 +171,8 @@ object Runtime {
   def eventsStreamSplitByTime(spark: SparkSession, dir: String): DataFrame = {
     Tables.prep(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-stream-split-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(streamDir)
+    val streamDir = java.nio.file.Paths.get(Tables.stageDir(
+      spark, s"stream-split-${dir.replaceAll("[^A-Za-z0-9]", "_")}"))
     val batch = spark.read.parquet(src.toString)
     val bounds = batch.select(
       expr("approx_percentile(ts, 0.5)").as("mid"), max(col("ts")).as("mx")).head()

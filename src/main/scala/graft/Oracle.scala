@@ -43,13 +43,13 @@ object Oracle {
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY source ORDER BY source""",
 
-    // Replays the Spark side's float→text→double CSV round trip: both
-    // engines emit the unique shortest round-trip decimal for a float and
-    // parse it to the same correctly-rounded double. label arrives as INT
-    // through the CSV schema, so cast it here too.
+    // The Spark side serializes features as DOUBLE and Java's Double
+    // round trip is the identity, so the parsed values equal the widened
+    // source values exactly — the oracle reads them straight from parquet.
+    // label arrives as INT through the CSV schema, so cast it here too.
     "q_source_csv" ->
       s"""WITH src AS (SELECT CAST(label AS INTEGER) AS label,
-                              CAST(CAST(embedding[1] AS VARCHAR) AS DOUBLE) AS f0
+                              CAST(embedding[1] AS DOUBLE) AS f0
                        FROM embeddings ORDER BY vec_id LIMIT 200)
           SELECT label, count(*) AS n, ${davg("f0")} AS mean_f0
           FROM src GROUP BY label ORDER BY label""",

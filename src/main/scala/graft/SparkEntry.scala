@@ -22,6 +22,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q_source_csv, q_agg_approx_distinct, ... — see SURVEY.md §2). */
+    * (q_agg_approx_distinct, q_sim_lsh_ann, ... — see SURVEY.md §2's
+    * contract total for the current list). */
   def oracleSql: Map[String, String] = Oracle.all
 }

@@ -74,6 +74,12 @@ object Tables {
     p.toString
   }
 
+  /** stageDir keyed by an arbitrary string (e.g. the sf dir path): the key
+    * is sanitized here so no call site can leak path separators into the
+    * staging sub-path. */
+  def stageDir(spark: SparkSession, prefix: String, rawKey: String): String =
+    stageDir(spark, s"$prefix-${rawKey.replaceAll("[^A-Za-z0-9]", "_")}")
+
   /** Best-effort recursive delete for a staging root (harness epilogue). */
   def deleteRecursively(root: String): Unit = {
     val p = java.nio.file.Paths.get(root)

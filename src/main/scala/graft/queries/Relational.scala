@@ -75,11 +75,14 @@ object Relational {
     * deterministically from the embeddings table, then re-parsed through the
     * Spark CSV datasource — same parser as a file-based read, no tmp files.
     *
-    * Oracle-checkable (upgraded r9): the float→text→double round trip is
-    * reproducible across engines — both Java and DuckDB emit the (unique)
-    * shortest round-trip decimal for a float, and both parse it to the same
-    * correctly-rounded double — and the mean goes through the davg decimal
-    * path, so the oracle replays CAST(CAST(f AS VARCHAR) AS DOUBLE). */
+    * Oracle-checkable (upgraded r9): features are widened to DOUBLE before
+    * serialization, and Java's Double.toString guarantees its output parses
+    * back to the SAME double — so text→double→text is identity and the
+    * parsed values equal the source values exactly, no string-format parity
+    * needed (float→text would NOT be safe: the parse target, double,
+    * differs from the serialized type, and JDK 17 emits non-shortest float
+    * reprs for ~10% of floats). The mean goes through the davg decimal
+    * path, so the oracle is davg over the same widened column. */
   val qSourceCsv: Q = (s, dir) => {
     import s.implicits._
     val csvLines = Tables.embeddings(s, dir)
@@ -87,8 +90,8 @@ object Relational {
       .limit(200)
       .select(concat_ws(",",
         col("vec_id"), col("label"),
-        col("embedding")(0), col("embedding")(1),
-        col("embedding")(2), col("embedding")(3)).as("line"))
+        col("embedding")(0).cast("double"), col("embedding")(1).cast("double"),
+        col("embedding")(2).cast("double"), col("embedding")(3).cast("double")).as("line"))
       .as[String]
     val schema = "vec_id LONG, label INT, f0 DOUBLE, f1 DOUBLE, f2 DOUBLE, f3 DOUBLE"
     s.read.schema(schema).csv(csvLines)
@@ -126,7 +129,7 @@ object Relational {
     // write/read pair shares the run's artifact lifecycle and is cleaned
     // with it, instead of accreting in java.io.tmpdir. Keyed on the source
     // dir so concurrent SFs never collide.
-    val tmp = Tables.stageDir(s, s"orc-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val tmp = Tables.stageDir(s, "orc", dir)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
       .write.mode("overwrite").orc(tmp)
@@ -146,7 +149,7 @@ object Relational {
     * the difference between scanning the corpus and scanning two
     * directories. */
   val qLayoutPrune: Q = (s, dir) => {
-    val stage = Tables.stageDir(s, s"layout-${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val stage = Tables.stageDir(s, "layout", dir)
     graft.sources.Layout.writePartitioned(
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),

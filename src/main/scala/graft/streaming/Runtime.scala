@@ -29,8 +29,7 @@ object Runtime {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     Tables.prep(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val streamDir = java.nio.file.Paths.get(Tables.stageDir(
-      spark, s"stream-${dir.replaceAll("[^A-Za-z0-9]", "_")}"))
+    val streamDir = java.nio.file.Paths.get(Tables.stageDir(spark, "stream", dir))
     val dst = streamDir.resolve("events.parquet")
     // Always refresh: a stale copy from a previous run would silently
     // diverge from the batch side if the testdata were regenerated.
@@ -79,8 +78,8 @@ object Runtime {
   def eventsStreamWithRedelivery(spark: SparkSession, dir: String): DataFrame = {
     Tables.prep(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val streamDir = java.nio.file.Paths.get(Tables.stageDir(
-      spark, s"stream-redeliver-${dir.replaceAll("[^A-Za-z0-9]", "_")}"))
+    val streamDir = java.nio.file.Paths.get(
+      Tables.stageDir(spark, "stream-redeliver", dir))
     for (name <- Seq("events_a.parquet", "events_b.parquet"))
       java.nio.file.Files.copy(src, streamDir.resolve(name),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -103,14 +102,17 @@ object Runtime {
   def eventsStreamWithFlush(spark: SparkSession, dir: String): DataFrame = {
     Tables.prep(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val streamDir = java.nio.file.Paths.get(Tables.stageDir(
-      spark, s"stream-flush-${dir.replaceAll("[^A-Za-z0-9]", "_")}"))
+    val streamDir = java.nio.file.Paths.get(
+      Tables.stageDir(spark, "stream-flush", dir))
     val names = Seq("events_0.parquet", "events_1_flush.parquet",
       "events_2_flush.parquet")
     // IDEMPOTENT staging: the flush content is a pure function of the
     // source file, so a marker recording the source's (size, mtime) lets
-    // repeat invocations (every Verify/Bench run) skip the max-ts job and
-    // the two flush-file writes entirely.
+    // repeat invocations skip the max-ts job and the two flush-file writes.
+    // Staging roots are run-scoped (deleted in the harness epilogue), so
+    // the skip pays off WITHIN a run/JVM — several test suites and a
+    // Verify+query pair reuse the staging; across runs it re-stages once,
+    // a deliberate trade for zero tmpdir accretion.
     val attrs = java.nio.file.Files.readAttributes(
       src, classOf[java.nio.file.attribute.BasicFileAttributes])
     val sig = s"${attrs.size}:${attrs.lastModifiedTime.toMillis}:v2"
@@ -171,8 +173,8 @@ object Runtime {
   def eventsStreamSplitByTime(spark: SparkSession, dir: String): DataFrame = {
     Tables.prep(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val streamDir = java.nio.file.Paths.get(Tables.stageDir(
-      spark, s"stream-split-${dir.replaceAll("[^A-Za-z0-9]", "_")}"))
+    val streamDir = java.nio.file.Paths.get(
+      Tables.stageDir(spark, "stream-split", dir))
     val batch = spark.read.parquet(src.toString)
     val bounds = batch.select(
       expr("approx_percentile(ts, 0.5)").as("mid"), max(col("ts")).as("mx")).head()

@@ -11,7 +11,9 @@ re-run once on a quiet host and commit the saner result.
 Usage: python3 tools/bench_guard.py <candidate.json> [reference.json]
 
 The reference defaults to tools/bench_reference.json (adjudicated per-query
-times). Exit 0 = looks clean; exit 1 = suspect, re-run before committing.
+times). Suspect = any failed query, total >=1.3x the reference, or >=max(3,
+10% of shared queries) individually inflated >=2x. Exit 0 = looks clean;
+exit 1 = suspect, re-run before committing.
 """
 import json
 import sys
@@ -20,14 +22,21 @@ import sys
 def load(path):
     with open(path) as f:
         doc = json.load(f)
-    return doc["value"], doc["queries"]
+    return doc["value"], doc["queries"], doc.get("errors", [])
 
 
 def main():
     cand_path = sys.argv[1]
     ref_path = sys.argv[2] if len(sys.argv) > 2 else "tools/bench_reference.json"
-    cand_total, cand_q = load(cand_path)
-    ref_total, ref_q = load(ref_path)
+    cand_total, cand_q, cand_errors = load(cand_path)
+    ref_total, ref_q, _ = load(ref_path)
+
+    if cand_errors:
+        # A failed query records a near-zero time, which DEFLATES the total —
+        # the ratio checks below cannot be trusted, and the artifact is
+        # broken regardless of contention.
+        print(f"SUSPECT: candidate has failed queries: {cand_errors}")
+        return 1
 
     shared = sorted(set(cand_q) & set(ref_q))
     inflated = [q for q in shared if ref_q[q] >= 0.2 and cand_q[q] >= 2 * ref_q[q]]

@@ -883,7 +883,23 @@ object Oracle {
     // the oracle aggregates the source ONCE — exactly-once must hold.
     "q_stream_dedup" ->
       s"""SELECT event_type, count(*) AS n, ${dsum("value", 6)} AS sum_value
-          FROM events GROUP BY event_type ORDER BY event_type""")
+          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // Same planted header/footer construction and ". " segmentation as the
+    // Spark side (split is a literal two-char separator in both dialects).
+    "q_text_boilerplate" ->
+      """WITH b AS (SELECT doc_id,
+                           'SUBSCRIBE TO ' || upper(source) || ' TODAY. ' ||
+                           text || '. ALL RIGHTS RESERVED' AS boil
+                    FROM documents),
+              seg AS (SELECT doc_id, unnest(string_split(boil, '. ')) AS seg FROM b),
+              f AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+         SELECT doc_id, count(*) AS n_segs,
+                CAST(sum(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(coalesce(sum(CASE WHEN df < 3 THEN len(seg) END), 0) AS BIGINT)
+                  AS chars_kept
+         FROM seg JOIN f USING (seg)
+         GROUP BY doc_id ORDER BY doc_id""")
 
   /** All oracle strings, keyed like SparkEntry.queries. */
   def all: Map[String, String] =

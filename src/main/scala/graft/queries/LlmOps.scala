@@ -566,6 +566,35 @@ object LlmOps {
       .limit(100)
   }
 
+  /** C4-style BOILERPLATE removal audit: segments repeated across many
+    * documents (site headers, footers, legal lines) are cut; output is the
+    * per-doc kept/removed accounting a curation pipeline logs. The corpus
+    * has no natural repeated segments (one line per doc, all distinct), so
+    * boilerplate is PLANTED deterministically — a per-source header and a
+    * global footer around each text, segmented on ". " (the q_filter_null
+    * planted-edge move; the header repeats across each source's docs, the
+    * footer corpus-wide, the body never). Shape: narrow explode →
+    * map-side-combined distinct-doc frequency agg (vocab-sized) → gated
+    * broadcast join-back → per-doc agg — the same scale-correct diamond as
+    * tfidf; at 100 TB the frequency table is tiny vs the corpus. */
+  val qTextBoilerplate: Q = (s, dir) => {
+    val minDf = 3
+    val segs = graft.operators.ScaleOps.parallelizeSmall(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        explode(split(
+          concat(lit("SUBSCRIBE TO "), upper(col("source")), lit(" TODAY. "),
+            col("text"), lit(". ALL RIGHTS RESERVED")), "\\. ")).as("seg"))
+    val freq = segs.groupBy(col("seg")).agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(graft.operators.ScaleOps.maybeBroadcast(freq), Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("df") < minDf, 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("df") < minDf, length(col("seg")).cast("long"))), lit(0L))
+          .as("chars_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document heuristic quality score (TextOps.qualityScore): the
     * corpus-filtering signal a training-data pipeline ranks and cuts on.
     * Pure column arithmetic — a narrow codegen'd map over the scan, no
@@ -855,6 +884,7 @@ object LlmOps {
     "q_knn_bruteforce" -> qKnnBruteforce,
     "q_text_lang_stats" -> qTextLangStats,
     "q_text_tfidf" -> qTextTfidf,
+    "q_text_boilerplate" -> qTextBoilerplate,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangid,
     "q_dedup_simhash" -> qDedupSimhash,

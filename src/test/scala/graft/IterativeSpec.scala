@@ -39,6 +39,17 @@ class IterativeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"our NLL $nllOurs far from MLlib optimum $nllAtMllib")
   }
 
+  test("graded multi-iteration logreg key: final loss improves on the fixed-weight step loss") {
+    // q_ml_logreg_converged starts from q_ml_logreg_step's exact weights
+    // (MlSuffStats.logregW0), so its final-iterate loss must be strictly
+    // lower — the convergence witness for the graded loop.
+    val step = SparkEntry.queries("q_ml_logreg_step")(spark, Sf0001).collect()(0)
+    val conv = SparkEntry.queries("q_ml_logreg_converged")(spark, Sf0001).collect()(0)
+    val lossStep = step.getDouble(step.fieldIndex("loss"))
+    val lossConv = conv.getDouble(conv.fieldIndex("loss"))
+    assert(lossConv < lossStep, s"descent did not improve: $lossConv >= $lossStep")
+  }
+
   test("GMM EM steps are monotone in observed log-likelihood") {
     val df = Tables.embeddings(spark, Sf0001)
       .select(col("embedding")(0).cast("double").as("x")).cache()

@@ -573,25 +573,30 @@ object LlmOps {
     * boilerplate is PLANTED deterministically — a per-source header and a
     * global footer around each text, segmented on ". " (the q_filter_null
     * planted-edge move; the header repeats across each source's docs, the
-    * footer corpus-wide, the body never). Shape: narrow explode →
-    * map-side-combined distinct-doc frequency agg (vocab-sized) → gated
-    * broadcast join-back → per-doc agg — the same scale-correct diamond as
-    * tfidf; at 100 TB the frequency table is tiny vs the corpus. */
+    * footer corpus-wide, the body never). Shape — SINGLE-PASS, no join
+    * diamond: explode → (doc, seg) pre-aggregate (map-side combined) →
+    * document-frequency as a count window over the seg partition (the
+    * pre-agg rows are one-per-(doc,seg), so a plain count IS the distinct
+    * doc count — no countDistinct Expand) → per-doc agg. Four shuffles
+    * total (PlanShapeSpec pins it); the naive explode→distinct-freq→
+    * join-back form costs six. */
   val qTextBoilerplate: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     val minDf = 3
-    val segs = graft.operators.ScaleOps.parallelizeSmall(Tables.documents(s, dir))
+    val occ = graft.operators.ScaleOps.parallelizeSmall(Tables.documents(s, dir))
       .select(col("doc_id"),
         explode(split(
           concat(lit("SUBSCRIBE TO "), upper(col("source")), lit(" TODAY. "),
             col("text"), lit(". ALL RIGHTS RESERVED")), "\\. ")).as("seg"))
-    val freq = segs.groupBy(col("seg")).agg(countDistinct(col("doc_id")).as("df"))
-    segs.join(graft.operators.ScaleOps.maybeBroadcast(freq), Seq("seg"))
+      .groupBy(col("doc_id"), col("seg")).agg(count(lit(1)).as("n_rep"))
+    occ
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("seg"))))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_segs"),
-        sum(when(col("df") < minDf, 1L).otherwise(0L)).as("n_kept"),
-        coalesce(sum(when(col("df") < minDf, length(col("seg")).cast("long"))), lit(0L))
-          .as("chars_kept"))
+        sum(col("n_rep")).as("n_segs"),
+        sum(when(col("df") < minDf, col("n_rep")).otherwise(lit(0L))).as("n_kept"),
+        coalesce(sum(when(col("df") < minDf,
+          col("n_rep") * length(col("seg")).cast("long"))), lit(0L)).as("chars_kept"))
       .orderBy("doc_id")
   }
 
@@ -837,7 +842,11 @@ object LlmOps {
       .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
-        countDistinct(col("lang")).as("n_langs"))
+        // Exact distinct-lang count WITHOUT countDistinct's Expand rewrite
+        // (which costs a second aggregate shuffle): languages are a bounded
+        // vocabulary, so a map-side-combined set union is one shuffle and
+        // O(#langs) state. PlanShapeSpec pins the 3-shuffle budget.
+        size(collect_set(col("lang"))).cast("long").as("n_langs"))
       .orderBy("split")
   }
 

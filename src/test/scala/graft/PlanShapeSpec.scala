@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-count regression guard (SURVEY §2's scale-posture claims as
+  * assertions): each headline query's FINAL AQE plan must not shuffle more
+  * than its design says. A future edit that sneaks in an extra exchange —
+  * a lost map-side partial, a broken broadcast gate, a redundant
+  * repartition — fails here long before it shows up at 100 TB.
+  * ReusedExchange nodes don't count (reuse is the point); broadcast
+  * exchanges don't count (they don't scale with data).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def shuffles(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, Sf0001)
+    df.count() // finalize AQE so the executed plan is the real one
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val n = plan.collect { case e: ShuffleExchangeLike => e }.size
+    graft.operators.ScaleOps.releaseTracked()
+    n
+  }
+
+  /** (query, max shuffles) — the design budget, pinned from the current
+    * plans. A TakeOrderedAndProject orderBy+limit costs 0; a global sort
+    * costs 1; every groupBy/join/distinct costs at most 1 each. */
+  private val budgets = Seq(
+    "q_agg_pricing" -> 2,   // partial+final agg (1) + total-order sort (1)
+    "q_join_inner" -> 1,    // broadcast join (0) + agg (1) + top-k (0)
+    "q_join_skewed" -> 2,   // broadcast salted join (0) + agg (1) + sort (1)
+    "q_join_multiway" -> 3, // fact⋈orders (1-2 sides) + agg (1); dims broadcast
+    "q_dedup_exact" -> 2,   // md5 groupBy (1) + sort (1)
+    "q_window_rank" -> 2,   // window partitionBy (1) + sort (1)
+    "q_pipeline_curate" -> 3, // dedup window (1) + split agg (1) + sort (1)
+    // (doc,seg) agg (1) + df window (1) + per-doc agg (1) + sort (1), plus
+    // parallelizeSmall's round-robin repartition — a local-mode helper for
+    // the single-file input, not a data-scaling cost (many splits at 100 TB).
+    "q_text_boilerplate" -> 5
+  )
+
+  for ((name, budget) <- budgets)
+    test(s"$name stays within its shuffle budget ($budget)") {
+      val n = shuffles(name)
+      assert(n <= budget, s"$name shuffles $n times, budget $budget")
+    }
+}

@@ -545,20 +545,23 @@ object LlmOps {
 
   /** Exact relational TF-IDF, top-100 (doc, term) pairs:
     * tf = per-(doc, term) count, df = per-term doc count,
-    * tfidf = tf · ln((N+1)/(df+1)). Fully relational (explode → two grouped
-    * aggregates → equi-join) so both engines agree bit-for-bit after
-    * rounding. At scale: token explode is narrow; tf groups by (doc, term)
-    * — high cardinality but uniform; df is a tiny vocab-sized table that
-    * AQE broadcasts back onto tf. */
+    * tfidf = tf · ln((N+1)/(df+1)). Fully relational so both engines agree
+    * bit-for-bit after rounding. At scale: token explode is narrow; tf
+    * groups by (doc, term) — high cardinality but uniform; df is a count
+    * window over the term partition (tf rows are one-per-(doc,term), so a
+    * plain count IS the per-term doc count — no second aggregate, no
+    * join-back; the r9 reshape cut the plan from 6 shuffles to 4,
+    * PlanShapeSpec-pinned). */
   val qTextTfidf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val tok = graft.operators.ScaleOps.parallelizeSmall(docs)
+    val tf = graft.operators.ScaleOps.parallelizeSmall(docs)
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(df, "term").crossJoin(broadcast(n))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 6)
           .as("tfidf"))

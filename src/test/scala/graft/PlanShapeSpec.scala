@@ -41,12 +41,22 @@ class PlanShapeSpec extends AnyFunSuite {
     // (doc,seg) agg (1) + df window (1) + per-doc agg (1) + sort (1), plus
     // parallelizeSmall's round-robin repartition — a local-mode helper for
     // the single-file input, not a data-scaling cost (many splits at 100 TB).
-    "q_text_boilerplate" -> 5
+    "q_text_boilerplate" -> 5,
+    // Heavies pinned at their audited-good plans (these are nets against
+    // regressions, not exact claims — AQE may leave local-read exchanges
+    // in the plan that move no data across the network):
+    "q_dedup_minhash" -> 10,
+    "q_dedup_ngram" -> 5,
+    "q_text_tfidf" -> 4,  // parallelize (1) + tf agg (1) + df window (1) + top-k (0-1)
+    "q_dedup_embed" -> 6,
+    "q_pack_sequences" -> 2,
+    "q_join_asof" -> 3
   )
 
   for ((name, budget) <- budgets)
     test(s"$name stays within its shuffle budget ($budget)") {
       val n = shuffles(name)
+      info(s"$name: $n shuffles (budget $budget)")
       assert(n <= budget, s"$name shuffles $n times, budget $budget")
     }
 }

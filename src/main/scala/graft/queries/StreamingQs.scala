@@ -5,13 +5,15 @@ import graft.functions.Det.dsum
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Event-time windowed aggregations — SURVEY.md §2.10, batch forms.
+/** Event-time queries — SURVEY.md §2.10.
   *
-  * Each query uses the exact Structured Streaming time primitives
+  * Four keys use the exact Structured Streaming time primitives
   * (`window()`, `session_window()`) executed in batch mode: event-time logic
   * is identical in both modes, which is what makes these hash-checkable
   * against a SQL oracle while streaming/Runtime.scala runs the same
   * aggregations as real incremental streams (equivalence asserted in tests).
+  * Two keys (q_stream_stateful, q_stream_dedup) run REAL incremental
+  * streams inside the correctness gate itself.
   *
   * Scale posture: tumbling/sliding windows group by (window, type) — pure
   * hash-partitioned aggregation with map-side partials; session windows

@@ -54,6 +54,14 @@ object Oracle {
           SELECT label, count(*) AS n, ${davg("f0")} AS mean_f0
           FROM src GROUP BY label ORDER BY label""",
 
+    // Plain aggregate over the source table: the Spark side's fragment →
+    // compact → read-back chain must be content-preserving.
+    "q_layout_compact" ->
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY lang ORDER BY lang""",
+
     // Plain filtered SQL over the source table: the Spark side's partitioned
     // write + pruned read-back must be a lossless round trip.
     "q_layout_prune" ->

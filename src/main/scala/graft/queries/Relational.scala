@@ -165,6 +165,32 @@ object Relational {
       .orderBy("lang", "source")
   }
 
+  /** Small-files COMPACTION round trip — Layout.compact graded through the
+    * correctness gate: documents deliberately fragmented into 64 small
+    * files (the shape a streaming/incremental writer accretes), compacted
+    * to byte-size-targeted outputs, read back and aggregated. Compaction
+    * must be content-preserving, so the oracle is the plain aggregate over
+    * the source table; LayoutSkewSpec asserts the file count actually
+    * shrinks. At 100 TB this is the maintenance pass that keeps scan
+    * planning and footer reads from drowning in file-count growth. */
+  val qLayoutCompact: Q = (s, dir) => {
+    val frag = Tables.stageDir(s, "fragments", dir)
+    val compacted = Tables.stageDir(s, "compacted", dir)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    graft.sources.Layout.compact(s, frag, compacted, targetBytes = 256L * 1024)
+    s.read.parquet(compacted)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang")
+  }
+
   /** PIVOT (long → wide): per-user event counts spread across one column
     * per event type. The value list is EXPLICIT — the schema is static, no
     * distinct-values pre-pass job runs, and the plan is an ordinary
@@ -589,6 +615,7 @@ object Relational {
     "q_source_jsonl" -> qSourceJsonl,
     "q_source_orc" -> qSourceOrc,
     "q_layout_prune" -> qLayoutPrune,
+    "q_layout_compact" -> qLayoutCompact,
     "q_pivot_events" -> qPivotEvents,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,

@@ -35,4 +35,22 @@ object Layout {
     * node — asserted in LayoutSpec). */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a directory of small files into ~targetBytes outputs — the
+    * table-maintenance pass every long-lived 100 TB layout needs: streaming
+    * and incremental writers accrete small files, and file-count growth
+    * degrades scan planning, footer reading and shuffle fan-in. The output
+    * file count comes from the ACTUAL on-disk byte size (not row counts —
+    * compression ratios vary), and the rewrite is a full-width round-robin
+    * shuffle, so every executor writes. Returns the output file count. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
 }

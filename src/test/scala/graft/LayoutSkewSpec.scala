@@ -103,6 +103,23 @@ class LayoutSkewSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("Layout.compact shrinks the file count and preserves content byte-for-byte") {
+    val frag = Tables.stageDir(spark, "spec-fragments", Sf0001)
+    val compacted = Tables.stageDir(spark, "spec-compacted", Sf0001)
+    val src = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    src.repartition(32).write.mode("overwrite").parquet(frag)
+    val nOut = Layout.compact(spark, frag, compacted, targetBytes = 10L * 1024 * 1024)
+    def parquetFiles(path: String): Int =
+      spark.read.parquet(path).inputFiles.length
+    assert(parquetFiles(frag) >= 32, s"fixture not fragmented: ${parquetFiles(frag)} files")
+    assert(parquetFiles(compacted) == nOut)
+    assert(nOut < parquetFiles(frag), s"compaction did not shrink: $nOut files")
+    val got = spark.read.parquet(compacted).collect().map(_.toSeq).toSet
+    val exp = src.collect().map(_.toSeq).toSet
+    assert(got == exp, s"content changed: missing=${(exp -- got).take(3)}")
+  }
+
   test("salted join spreads the hot key across salt buckets — even for byte-identical rows") {
     import spark.implicits._
     // Every hot row identical: a content-hash salt would collapse to ONE

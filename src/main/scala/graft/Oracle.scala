@@ -525,6 +525,44 @@ object Oracle {
                 FROM p_fin)
             SELECT n, w0, w1, w2, w3, g0, g1, g2, g3, loss
             FROM fin CROSS JOIN w_$logregIters"""
+      },
+
+      // Unrolled twin of the Spark-side EM driver loop (q_ml_logreg_converged
+      // pattern), generated from the SAME iteration count / initial params.
+      // All M-step arithmetic is all-DOUBLE IEEE in both engines; Gaussian
+      // exp/ln ulps are absorbed by the dsum decimal path per iteration.
+      "q_ml_gmm_converged" -> {
+        import graft.queries.MlSuffStats.{gmmIters, gmmInit}
+        val g0 = "(exp((x - mu0) * (x - mu0) * (-0.5 / v0)) * (1.0 / sqrt(2 * pi() * v0)))"
+        val g1 = "(exp((x - mu1) * (x - mu1) * (-0.5 / v1)) * (1.0 / sqrt(2 * pi() * v1)))"
+        val p0e = s"($g0 * (1.0 - w1))"
+        val p1e = s"($g1 * w1)"
+        val r1e = s"($p1e / ($p0e + $p1e))"
+        val w0Cte = {
+          val (w1v, m0, m1, v0v, v1v) = gmmInit
+          s"w_0 AS (SELECT CAST($w1v AS DOUBLE) AS w1, CAST($m0 AS DOUBLE) AS mu0, " +
+            s"CAST($m1 AS DOUBLE) AS mu1, CAST($v0v AS DOUBLE) AS v0, CAST($v1v AS DOUBLE) AS v1)"
+        }
+        val nD = "CAST(n AS DOUBLE)"
+        val steps = (1 to gmmIters).map { k =>
+          s"""e_$k AS (SELECT x, $r1e AS r1 FROM t CROSS JOIN w_${k - 1}),
+              a_$k AS (SELECT count(*) AS n, ${dsum("r1", 6)} AS n1,
+                              ${dsum("(1.0 - r1) * x", 6)} AS s0, ${dsum("r1 * x", 6)} AS s1,
+                              ${dsum("(1.0 - r1) * x * x", 6)} AS q0, ${dsum("r1 * x * x", 6)} AS q1
+                       FROM e_$k),
+              w_$k AS (SELECT n1 / $nD AS w1,
+                              s0 / ($nD - n1) AS mu0, s1 / n1 AS mu1,
+                              greatest(q0 / ($nD - n1) - (s0 / ($nD - n1)) * (s0 / ($nD - n1)), 1e-9) AS v0,
+                              greatest(q1 / n1 - (s1 / n1) * (s1 / n1), 1e-9) AS v1
+                       FROM a_$k)"""
+        }.mkString(",\n              ")
+        s"""WITH t AS (SELECT CAST(embedding[1] AS DOUBLE) AS x FROM embeddings),
+              $w0Cte,
+              $steps,
+              fin AS (SELECT count(*) AS n, ${dsum(s"ln($p0e + $p1e)", 6)} AS loglik
+                      FROM t CROSS JOIN w_$gmmIters)
+            SELECT n, w1, mu0, mu1, v0, v1, loglik
+            FROM fin CROSS JOIN w_$gmmIters"""
       })
   }
 

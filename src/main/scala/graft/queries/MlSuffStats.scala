@@ -188,11 +188,61 @@ object MlSuffStats {
         (0 until 4).map(i => col(s"g$i")) :+ col("loss"): _*)
   }
 
+  /** Shared by the Spark side and the oracle generator (q_ml_gmm_converged):
+    * EM iteration count and initial (w1, mu0, mu1, var0, var1). */
+  val gmmIters = 3
+  val gmmInit: (Double, Double, Double, Double, Double) = (0.5, -0.05, 0.05, 0.01, 0.01)
+
+  /** MULTI-ITERATION GMM EM (the second P2 loop graded end-to-end, the
+    * q_ml_logreg_converged pattern): `gmmIters` EM steps of a 1-D
+    * two-component mixture over embedding dim 0, then the final parameters
+    * and observed log-likelihood. Per-iteration: responsibilities as
+    * expressions, six dsum sufficient statistics in ONE aggregation pass,
+    * M-step arithmetic driver-side in plain IEEE doubles — so the oracle's
+    * unrolled CTE chain (same dsum twins, same literal constants, same
+    * association order) reproduces the parameter sequence bit-for-bit.
+    * Gaussian exp/ln ulp differences between engines are absorbed by the
+    * per-row DECIMAL(38,10) cast before the exact sum (SURVEY §2.9). */
+  val qMlGmmConverged: Q = (s, dir) => {
+    val df = graft.operators.ScaleOps.trackedPersist(
+      Tables.embeddings(s, dir).select(col("embedding")(0).cast("double").as("x")))
+    val x = col("x")
+    def gauss(mu: Double, v: Double) =
+      exp((x - lit(mu)) * (x - lit(mu)) * lit(-0.5 / v)) *
+        lit(1.0 / math.sqrt(2 * math.Pi * v))
+    var (w1, mu0, mu1, v0, v1) = gmmInit
+    for (_ <- 1 to gmmIters) {
+      val p0 = gauss(mu0, v0) * lit(1.0 - w1)
+      val p1 = gauss(mu1, v1) * lit(w1)
+      val r1 = p1 / (p0 + p1)
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        dsum(r1, 6).as("n1"),
+        dsum((lit(1.0) - r1) * x, 6).as("s0"),
+        dsum(r1 * x, 6).as("s1"),
+        dsum((lit(1.0) - r1) * x * x, 6).as("q0"),
+        dsum(r1 * x * x, 6).as("q1")).collect()(0)
+      val n = r.getLong(0).toDouble
+      val n1 = r.getDouble(1); val n0 = n - n1
+      w1 = n1 / n
+      mu0 = r.getDouble(2) / n0
+      mu1 = r.getDouble(3) / n1
+      v0 = math.max(r.getDouble(4) / n0 - mu0 * mu0, 1e-9)
+      v1 = math.max(r.getDouble(5) / n1 - mu1 * mu1, 1e-9)
+    }
+    val p0 = gauss(mu0, v0) * lit(1.0 - w1)
+    val p1 = gauss(mu1, v1) * lit(w1)
+    df.agg(count(lit(1)).as("n"), dsum(log(p0 + p1), 6).as("loglik"))
+      .select(col("n"), lit(w1).as("w1"), lit(mu0).as("mu0"), lit(mu1).as("mu1"),
+        lit(v0).as("v0"), lit(v1).as("v1"), col("loglik"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ml_linreg_normal" -> qMlLinregNormal,
     "q_ml_nb_train" -> qMlNbTrain,
     "q_ml_kmeans_step" -> qMlKmeansStep,
     "q_ml_gda_stats" -> qMlGdaStats,
     "q_ml_logreg_step" -> qMlLogregStep,
-    "q_ml_logreg_converged" -> qMlLogregConverged)
+    "q_ml_logreg_converged" -> qMlLogregConverged,
+    "q_ml_gmm_converged" -> qMlGmmConverged)
 }

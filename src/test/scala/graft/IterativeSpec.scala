@@ -50,6 +50,19 @@ class IterativeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lossConv < lossStep, s"descent did not improve: $lossConv >= $lossStep")
   }
 
+  test("graded multi-iteration GMM key: final loglik improves on the initial params") {
+    // EM never decreases the observed-data log-likelihood; the graded key's
+    // 3-step final loglik must beat the gmmInit starting point.
+    import graft.queries.MlSuffStats.gmmInit
+    val df = Tables.embeddings(spark, Sf0001)
+      .select(col("embedding")(0).cast("double").as("x"))
+    val ll0 = Iterative.gmmLogLik(df, "x",
+      gmmInit._1, gmmInit._2, gmmInit._3, gmmInit._4, gmmInit._5)
+    val r = SparkEntry.queries("q_ml_gmm_converged")(spark, Sf0001).collect()(0)
+    val llN = r.getDouble(r.fieldIndex("loglik"))
+    assert(llN >= ll0 - 1e-6, s"EM loop decreased loglik: $ll0 -> $llN")
+  }
+
   test("GMM EM steps are monotone in observed log-likelihood") {
     val df = Tables.embeddings(spark, Sf0001)
       .select(col("embedding")(0).cast("double").as("x")).cache()

@@ -50,7 +50,15 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_text_tfidf" -> 4,  // parallelize (1) + tf agg (1) + df window (1) + top-k (0-1)
     "q_dedup_embed" -> 6,
     "q_pack_sequences" -> 2,
-    "q_join_asof" -> 3
+    "q_join_asof" -> 3,
+    "q_stream_tumbling" -> 2,   // window agg (1) + sort (1)
+    "q_agg_groupingsets" -> 2,  // Expand agg (1) + sort (1)
+    "q_topk" -> 0,              // TakeOrderedAndProject — no shuffle at all
+    "q_knn_bruteforce" -> 2,    // per-query window (1) + sort (1); dims broadcast
+    "q_sample_split" -> 3,
+    "q_text_langid" -> 10,      // shared-explode gram table, profile join, argmax
+    "q_ml_gmm_converged" -> 1,  // one partial+final agg per EM pass (same cached scan)
+    "q_split_contamination" -> 3
   )
 
   for ((name, budget) <- budgets)

@@ -547,20 +547,42 @@ object LlmOps {
     * tf = per-(doc, term) count, df = per-term doc count,
     * tfidf = tf · ln((N+1)/(df+1)). Fully relational so both engines agree
     * bit-for-bit after rounding. At scale: token explode is narrow; tf
-    * groups by (doc, term) — high cardinality but uniform; df is a count
-    * window over the term partition (tf rows are one-per-(doc,term), so a
-    * plain count IS the per-term doc count — no second aggregate, no
-    * join-back; the r9 reshape cut the plan from 6 shuffles to 4,
-    * PlanShapeSpec-pinned). */
-  val qTextTfidf: Q = (s, dir) => {
+    * groups by (doc, term) — high cardinality but uniform. The df step is
+    * SIZE-ROUTED (the Windows-router convention): a count window over the
+    * term partition is the cheapest plan while the corpus fits one sort
+    * task, but a stop-word's partition holds one row per containing doc —
+    * a single-task sort on the hottest key at 100 TB. Past the gate the
+    * router switches to the map-side-combined `groupBy(term).count()` +
+    * size-gated broadcast join-back (the ngram-freq pattern above): same
+    * rows bit-for-bit (TextRouteSpec), no whole-partition sort anywhere. */
+  private def tfidfPlan(s: SparkSession, dir: String, scaleForm: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val tf = graft.operators.ScaleOps.parallelizeSmall(docs)
+    val tfRaw = graft.operators.ScaleOps.parallelizeSmall(docs)
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val withDf =
+      if (scaleForm) {
+        // tf rows are one-per-(doc, term), so a plain count per term IS the
+        // per-term doc count. The tf frame feeds both the df aggregate and
+        // the join probe (a diamond): persist it past the gate instead of
+        // re-running the corpus explode. Join-back broadcast is gated on
+        // the INPUT size (distinct-(doc,term) bytes are corpus-bounded, the
+        // distinct-term table far smaller) — past the gate it degrades to a
+        // shuffle-by-term join, which AQE's skew split can break up; never
+        // a single-task SORT.
+        val tf = graft.operators.ScaleOps.persistIfBig(tfRaw, docs)
+        val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val gated =
+          if (graft.operators.ScaleOps.estimatedBytes(docs) <=
+              BigInt(graft.Conf.BroadcastMaxBytes / 4)) broadcast(dfTab)
+          else dfTab
+        tf.join(gated, "term")
+      } else tfRaw.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    withDf
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")), 6)
@@ -569,6 +591,19 @@ object LlmOps {
       .limit(100)
   }
 
+  private[graft] val tfidfWindowForm: Q = (s, dir) => tfidfPlan(s, dir, scaleForm = false)
+  private[graft] val tfidfScaleForm: Q = (s, dir) => tfidfPlan(s, dir, scaleForm = true)
+
+  /** Size-routed q_text_tfidf — same contract as Windows.rangeRouted: both
+    * forms produce identical rows, so routing never changes results, only
+    * the plan shape. */
+  def tfidfRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q = (s, dir) =>
+    if (graft.operators.ScaleOps.estimatedBytes(Tables.documents(s, dir)) <=
+        BigInt(maxOneTaskBytes)) tfidfWindowForm(s, dir)
+    else tfidfScaleForm(s, dir)
+
+  val qTextTfidf: Q = tfidfRouted()
+
   /** C4-style BOILERPLATE removal audit: segments repeated across many
     * documents (site headers, footers, legal lines) are cut; output is the
     * per-doc kept/removed accounting a curation pipeline logs. The corpus
@@ -576,24 +611,43 @@ object LlmOps {
     * boilerplate is PLANTED deterministically — a per-source header and a
     * global footer around each text, segmented on ". " (the q_filter_null
     * planted-edge move; the header repeats across each source's docs, the
-    * footer corpus-wide, the body never). Shape — SINGLE-PASS, no join
-    * diamond: explode → (doc, seg) pre-aggregate (map-side combined) →
-    * document-frequency as a count window over the seg partition (the
-    * pre-agg rows are one-per-(doc,seg), so a plain count IS the distinct
-    * doc count — no countDistinct Expand) → per-doc agg. Four shuffles
-    * total (PlanShapeSpec pins it); the naive explode→distinct-freq→
-    * join-back form costs six. */
-  val qTextBoilerplate: Q = (s, dir) => {
+    * footer corpus-wide, the body never). Shape: explode → (doc, seg)
+    * pre-aggregate (map-side combined) → document frequency (the pre-agg
+    * rows are one-per-(doc,seg), so a plain count per seg IS the distinct
+    * doc count — no countDistinct Expand) → per-doc agg. The df step is
+    * SIZE-ROUTED: the count window over the seg partition is the cheapest
+    * single-pass plan while the corpus fits one sort task, but here the
+    * skew is STRUCTURAL — the planted global footer occurs in every doc,
+    * so that one window partition is the whole corpus in one task at
+    * scale. Past the gate: `groupBy(seg).count()` + size-gated broadcast
+    * join-back, same rows bit-for-bit (TextRouteSpec). */
+  private def boilerplatePlan(s: SparkSession, dir: String, scaleForm: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val minDf = 3
-    val occ = graft.operators.ScaleOps.parallelizeSmall(Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
+    val occRaw = graft.operators.ScaleOps.parallelizeSmall(docs)
       .select(col("doc_id"),
         explode(split(
           concat(lit("SUBSCRIBE TO "), upper(col("source")), lit(" TODAY. "),
             col("text"), lit(". ALL RIGHTS RESERVED")), "\\. ")).as("seg"))
       .groupBy(col("doc_id"), col("seg")).agg(count(lit(1)).as("n_rep"))
-    occ
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("seg"))))
+    val withDf =
+      if (scaleForm) {
+        // Same routed shape as tfidfPlan: persist the twice-consumed
+        // pre-agg past the gate, broadcast the seg-frequency table while
+        // the input says it's safe, degrade to a shuffle join (AQE skew
+        // split) past the broadcast budget — never a single-task sort on
+        // the footer's partition.
+        val occ = graft.operators.ScaleOps.persistIfBig(occRaw, docs)
+        val dfTab = occ.groupBy(col("seg")).agg(count(lit(1)).as("df"))
+        val gated =
+          if (graft.operators.ScaleOps.estimatedBytes(docs) <=
+              BigInt(graft.Conf.BroadcastMaxBytes / 4)) broadcast(dfTab)
+          else dfTab
+        occ.join(gated, "seg")
+      } else occRaw.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("seg"))))
+    withDf
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n_rep")).as("n_segs"),
@@ -602,6 +656,17 @@ object LlmOps {
           col("n_rep") * length(col("seg")).cast("long"))), lit(0L)).as("chars_kept"))
       .orderBy("doc_id")
   }
+
+  private[graft] val boilerplateWindowForm: Q = (s, dir) => boilerplatePlan(s, dir, scaleForm = false)
+  private[graft] val boilerplateScaleForm: Q = (s, dir) => boilerplatePlan(s, dir, scaleForm = true)
+
+  /** Size-routed q_text_boilerplate — same contract as tfidfRouted. */
+  def boilerplateRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q = (s, dir) =>
+    if (graft.operators.ScaleOps.estimatedBytes(Tables.documents(s, dir)) <=
+        BigInt(maxOneTaskBytes)) boilerplateWindowForm(s, dir)
+    else boilerplateScaleForm(s, dir)
+
+  val qTextBoilerplate: Q = boilerplateRouted()
 
   /** Per-document heuristic quality score (TextOps.qualityScore): the
     * corpus-filtering signal a training-data pipeline ranks and cuts on.

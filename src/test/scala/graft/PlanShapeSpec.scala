@@ -1,7 +1,9 @@
 package graft
 
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shuffle-count regression guard (SURVEY §2's scale-posture claims as
@@ -15,17 +17,33 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanShapeSpec extends AnyFunSuite {
   import SparkFixture._
 
-  private def shuffles(name: String): Int = {
-    val df = SparkEntry.queries(name)(spark, Sf0001)
-    df.count() // finalize AQE so the executed plan is the real one
+  /** Shuffles in the finalized adaptive plan. The df is EXECUTED through its
+    * OWN QueryExecution (collect(), not count() — count() builds a separate
+    * QueryExecution and leaves this one's AdaptiveSparkPlanExec at the
+    * initial plan), so AQE's runtime re-planning (broadcast conversions,
+    * stage reuse) is what gets counted. Materialized exchanges hide behind
+    * leaf ShuffleQueryStageExec nodes — counted unless they wrap a
+    * ReusedExchange. */
+  private def countShuffles(plan: SparkPlan): Int =
+    plan.collect {
+      case s: ShuffleQueryStageExec =>
+        s.plan match { case _: ReusedExchangeExec => 0; case _ => 1 }
+      case _: ShuffleExchangeLike => 1
+    }.sum
+
+  private def shufflesOf(df: DataFrame): Int = {
+    df.collect() // finalize THIS df's adaptive plan (sf0.001 results are tiny)
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val n = plan.collect { case e: ShuffleExchangeLike => e }.size
+    val n = countShuffles(plan)
     graft.operators.ScaleOps.releaseTracked()
     n
   }
+
+  private def shuffles(name: String): Int =
+    shufflesOf(SparkEntry.queries(name)(spark, Sf0001))
 
   /** (query, max shuffles) — the design budget, pinned from the current
     * plans. A TakeOrderedAndProject orderBy+limit costs 0; a global sort
@@ -66,5 +84,28 @@ class PlanShapeSpec extends AnyFunSuite {
       val n = shuffles(name)
       info(s"$name: $n shuffles (budget $budget)")
       assert(n <= budget, s"$name shuffles $n times, budget $budget")
+    }
+
+  /** The hot-key-safe ROUTED forms of the two text queries (what actually
+    * runs above Conf.OneTaskSortMaxBytes) have their own budgets: at
+    * sf0.001 the tf/occ pre-agg sits below the persistIfBig gate, so its
+    * subtree is duplicated into both diamond branches (at scale the persist
+    * collapses it); the df table joins back as a broadcast (0). */
+  private val scaleFormBudgets = Seq(
+    // parallelize (2, duplicated) + tf agg (2, duplicated) + term agg (1) +
+    // broadcast join-back (0) + top-k (0-1)
+    ("q_text_tfidf scale form",
+      () => graft.queries.LlmOps.tfidfScaleForm(spark, Sf0001), 6),
+    // parallelize (2) + (doc,seg) agg (2) + seg agg (1) + broadcast
+    // join-back (0) + per-doc agg (1) + sort (1)
+    ("q_text_boilerplate scale form",
+      () => graft.queries.LlmOps.boilerplateScaleForm(spark, Sf0001), 7)
+  )
+
+  for ((label, mk, budget) <- scaleFormBudgets)
+    test(s"$label stays within its shuffle budget ($budget)") {
+      val n = shufflesOf(mk())
+      info(s"$label: $n shuffles (budget $budget)")
+      assert(n <= budget, s"$label shuffles $n times, budget $budget")
     }
 }

@@ -67,6 +67,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(scaled01 == exact01, "sf0.01 bucketed quantiles diverged")
   }
 
+  test("tfidf router: scale form bit-matches the window form; threshold picks the plan") {
+    import graft.queries.LlmOps
+    // Above the gate (maxBytes = 0 forces it) the router must emit the
+    // groupBy+join-back plan — no per-term count window (a stop-word's
+    // partition would be a single-task sort at 100 TB).
+    val scaled = LlmOps.tfidfRouted(maxOneTaskBytes = 0L)(spark, Sf0001)
+    val scaledPlan = scaled.queryExecution.executedPlan.toString
+    assert(!scaledPlan.contains("windowspecdefinition"),
+      s"router kept the df count window:\n$scaledPlan")
+    val declaredPlan = LlmOps.tfidfRouted(maxOneTaskBytes = Long.MaxValue)(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(declaredPlan.contains("windowspecdefinition"),
+      "router dropped the declared form below threshold")
+    // Integer tf/df + one shared rounded double: row-for-row equality on the
+    // totally-ordered top-100 (tfidf desc, doc_id, term — unique key).
+    val exact = LlmOps.tfidfWindowForm(spark, Sf0001).collect().toSeq
+    assert(scaled.collect().toSeq == exact, "scale tfidf form diverged from window form")
+    ScaleOps.releaseTracked()
+  }
+
+  test("boilerplate router: scale form bit-matches the window form; threshold picks the plan") {
+    import graft.queries.LlmOps
+    val scaled = LlmOps.boilerplateRouted(maxOneTaskBytes = 0L)(spark, Sf0001)
+    val scaledPlan = scaled.queryExecution.executedPlan.toString
+    assert(!scaledPlan.contains("windowspecdefinition"),
+      s"router kept the seg count window:\n$scaledPlan")
+    val declaredPlan = LlmOps.boilerplateRouted(maxOneTaskBytes = Long.MaxValue)(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(declaredPlan.contains("windowspecdefinition"),
+      "router dropped the declared form below threshold")
+    // All-integer output ordered by unique doc_id: row-for-row equality.
+    val exact = LlmOps.boilerplateWindowForm(spark, Sf0001).collect().toSeq
+    assert(scaled.collect().toSeq == exact, "scale boilerplate form diverged from window form")
+    ScaleOps.releaseTracked()
+  }
+
   test("groupedQuantilesExact handles 1-row and single-value groups") {
     import spark.implicits._
     val df = Seq(("a", 10.0), ("b", 5.0), ("b", 5.0), ("b", 5.0),

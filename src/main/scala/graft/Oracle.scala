@@ -527,6 +527,56 @@ object Oracle {
             FROM fin CROSS JOIN w_$logregIters"""
       },
 
+      // Unrolled twin of the Spark-side Lloyd driver loop
+      // (q_ml_logreg_converged pattern), generated from the SAME iteration
+      // count / starting centroids. Assignment ties break through the same
+      // `<=` cascade; coordinate sums go through the dsum decimal path, so
+      // the centroid sequence reproduces bit-for-bit; an empty cluster
+      // keeps its previous centroid (coalesce) exactly as the driver does.
+      "q_ml_kmeans_converged" -> {
+        import graft.queries.MlSuffStats.{kmeansCentroids, kmeansConvIters}
+        def dists(prefix: String) = (0 until 4).map(i =>
+          s"(e0 - ${prefix}c${i}x) * (e0 - ${prefix}c${i}x) + " +
+            s"(e1 - ${prefix}c${i}y) * (e1 - ${prefix}c${i}y) AS d$i").mkString(", ")
+        val assign =
+          """CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+                       WHEN d1 <= d2 AND d1 <= d3 THEN 1
+                       WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT)"""
+        val w0Cte = "w_0 AS (SELECT " + kmeansCentroids.zipWithIndex.map {
+          case ((cx, cy), i) =>
+            s"CAST($cx AS DOUBLE) AS c${i}x, CAST($cy AS DOUBLE) AS c${i}y"
+        }.mkString(", ") + ")"
+        val steps = (1 to kmeansConvIters).map { k =>
+          val update = (0 until 4).flatMap { i =>
+            Seq(
+              s"coalesce(max(CASE WHEN cluster = $i THEN s0 / n END), max(c${i}x)) AS c${i}x",
+              s"coalesce(max(CASE WHEN cluster = $i THEN s1 / n END), max(c${i}y)) AS c${i}y")
+          }.mkString(", ")
+          s"""d_$k AS (SELECT e0, e1, ${dists("")} FROM t CROSS JOIN w_${k - 1}),
+              a_$k AS (SELECT e0, e1, $assign AS cluster FROM d_$k),
+              g_$k AS (SELECT cluster, count(*) AS n,
+                              ${dsum("e0", 6)} AS s0, ${dsum("e1", 6)} AS s1
+                       FROM a_$k GROUP BY cluster),
+              w_$k AS (SELECT $update FROM g_$k CROSS JOIN w_${k - 1})"""
+        }.mkString(",\n              ")
+        s"""WITH t AS (SELECT CAST(embedding[1] AS DOUBLE) AS e0,
+                              CAST(embedding[2] AS DOUBLE) AS e1 FROM embeddings),
+              $w0Cte,
+              $steps,
+              d_fin AS (SELECT e0, e1, ${dists("")} FROM t CROSS JOIN w_$kmeansConvIters),
+              a_fin AS (SELECT $assign AS cluster,
+                               least(d0, d1, d2, d3) AS d2 FROM d_fin),
+              fin AS (SELECT cluster, count(*) AS n, ${dsum("d2", 6)} AS wssq
+                      FROM a_fin GROUP BY cluster)
+            SELECT f.cluster, f.n,
+                   CASE f.cluster WHEN 0 THEN c0x WHEN 1 THEN c1x
+                                  WHEN 2 THEN c2x ELSE c3x END AS cx,
+                   CASE f.cluster WHEN 0 THEN c0y WHEN 1 THEN c1y
+                                  WHEN 2 THEN c2y ELSE c3y END AS cy,
+                   f.wssq
+            FROM fin f CROSS JOIN w_$kmeansConvIters ORDER BY f.cluster"""
+      },
+
       // Unrolled twin of the Spark-side EM driver loop (q_ml_logreg_converged
       // pattern), generated from the SAME iteration count / initial params.
       // All M-step arithmetic is all-DOUBLE IEEE in both engines; Gaussian

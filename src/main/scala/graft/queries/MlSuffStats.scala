@@ -64,17 +64,27 @@ object MlSuffStats {
   val kmeansCentroids: Seq[(Double, Double)] =
     Seq((-0.1, -0.1), (-0.1, 0.1), (0.1, -0.1), (0.1, 0.1))
 
+  /** Squared distances of (x, y) to each of 4 centroids. */
+  private def distTo(cs: Seq[(Double, Double)],
+                     x: org.apache.spark.sql.Column,
+                     y: org.apache.spark.sql.Column) =
+    cs.map { case (cx, cy) => (x - cx) * (x - cx) + (y - cy) * (y - cy) }
+
   /** Nearest-centroid id for (x, y) — explicit `<=` cascade so ties break to
     * the lowest cluster id identically in Spark and the SQL oracle. */
-  private def nearest(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = {
-    val ds = kmeansCentroids.map { case (cx, cy) =>
-      (x - cx) * (x - cx) + (y - cy) * (y - cy)
-    }
+  private def nearestTo(cs: Seq[(Double, Double)],
+                        x: org.apache.spark.sql.Column,
+                        y: org.apache.spark.sql.Column) = {
+    val ds = distTo(cs, x, y)
     when(ds(0) <= ds(1) && ds(0) <= ds(2) && ds(0) <= ds(3), 0L)
       .when(ds(1) <= ds(2) && ds(1) <= ds(3), 1L)
       .when(ds(2) <= ds(3), 2L)
       .otherwise(3L)
   }
+
+  private def nearest(x: org.apache.spark.sql.Column,
+                      y: org.apache.spark.sql.Column) =
+    nearestTo(kmeansCentroids, x, y)
 
   /** One deterministic k-means Lloyd step (REF-P2): assign each embedding to
     * the nearest fixed centroid, then recompute centroids + cluster sizes.
@@ -237,6 +247,75 @@ object MlSuffStats {
         lit(v0).as("v0"), lit(v1).as("v1"), col("loglik"))
   }
 
+  /** Shared by the Spark side and the oracle generator
+    * (q_ml_kmeans_converged): fixed Lloyd iteration count; the starting
+    * centroids are [[kmeansCentroids]]. */
+  val kmeansConvIters = 3
+
+  /** MULTI-ITERATION k-means (REF-P2's flagship loop, graded end-to-end —
+    * the q_ml_logreg_converged / q_ml_gmm_converged machinery applied to
+    * Lloyd's algorithm): `iters` fixed assign/update steps from the shared
+    * starting centroids, then the final per-cluster statistics — size,
+    * centroid, within-cluster sum of squared distances. Each iteration is
+    * one narrow projection + one 4-row grouped aggregate over a tracked-
+    * persisted projection; the centroid update `s/n` happens driver-side in
+    * plain IEEE doubles (O(k·d) doubles of driver traffic per iteration —
+    * the reference re-submits a MapReduce job per iteration with centroids
+    * riding along in the job conf). Determinism composes per step: both
+    * coordinate sums go through dsum's exact DECIMAL(38,10) path rounded at
+    * 6 dp, assignment ties break through the same `<=` cascade in both
+    * engines, so the oracle's unrolled CTE chain reproduces the centroid
+    * sequence bit-for-bit. The single-step sibling (q_ml_kmeans_step) keeps
+    * the one-pass sufficient-statistics grade; the MLlib KMeans cross-check
+    * lives in MlCrossCheckSpec. */
+  def kmeansConvergedQ(iters: Int): Q = (s, dir) => {
+    val df = graft.operators.ScaleOps.trackedPersist(
+      Tables.embeddings(s, dir).select(
+        col("embedding")(0).cast("double").as("e0"),
+        col("embedding")(1).cast("double").as("e1")))
+    var cs = kmeansCentroids
+    for (_ <- 1 to iters) {
+      val rows = df
+        .select(nearestTo(cs, col("e0"), col("e1")).as("cluster"),
+          col("e0"), col("e1"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("e0"), 6).as("s0"), dsum(col("e1"), 6).as("s1"))
+        .collect()
+      val stats = rows.map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      // An empty cluster keeps its previous centroid (the oracle's
+      // coalesce(..., previous) mirror) — with this data/init all 4 stay
+      // populated, but the rule must be identical in both engines.
+      cs = cs.zipWithIndex.map { case (prev, i) =>
+        stats.get(i.toLong) match {
+          case Some((n, s0, s1)) if n > 0L => (s0 / n, s1 / n)
+          case _ => prev
+        }
+      }
+    }
+    val ds = distTo(cs, col("e0"), col("e1"))
+    // The assigned centroid's distance IS the minimum (ties share the
+    // value), so least() gives the per-point WSSQ contribution without a
+    // second cascade.
+    val cx = when(col("cluster") === 0L, lit(cs(0)._1))
+      .when(col("cluster") === 1L, lit(cs(1)._1))
+      .when(col("cluster") === 2L, lit(cs(2)._1))
+      .otherwise(lit(cs(3)._1))
+    val cy = when(col("cluster") === 0L, lit(cs(0)._2))
+      .when(col("cluster") === 1L, lit(cs(1)._2))
+      .when(col("cluster") === 2L, lit(cs(2)._2))
+      .otherwise(lit(cs(3)._2))
+    df.select(nearestTo(cs, col("e0"), col("e1")).as("cluster"),
+        least(ds: _*).as("d2"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), dsum(col("d2"), 6).as("wssq"))
+      .select(col("cluster"), col("n"), cx.as("cx"), cy.as("cy"), col("wssq"))
+      .orderBy("cluster")
+  }
+
+  val qMlKmeansConverged: Q = kmeansConvergedQ(kmeansConvIters)
+
   val queries: Map[String, Q] = Map(
     "q_ml_linreg_normal" -> qMlLinregNormal,
     "q_ml_nb_train" -> qMlNbTrain,
@@ -244,5 +323,6 @@ object MlSuffStats {
     "q_ml_gda_stats" -> qMlGdaStats,
     "q_ml_logreg_step" -> qMlLogregStep,
     "q_ml_logreg_converged" -> qMlLogregConverged,
-    "q_ml_gmm_converged" -> qMlGmmConverged)
+    "q_ml_gmm_converged" -> qMlGmmConverged,
+    "q_ml_kmeans_converged" -> qMlKmeansConverged)
 }

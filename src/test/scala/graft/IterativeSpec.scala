@@ -63,6 +63,25 @@ class IterativeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(llN >= ll0 - 1e-6, s"EM loop decreased loglik: $ll0 -> $llN")
   }
 
+  test("graded multi-iteration k-means key: WSSQ is non-increasing in Lloyd iterations") {
+    import graft.queries.MlSuffStats
+    // Lloyd's algorithm monotonically decreases the within-cluster sum of
+    // squares; the graded key's objective at 1, 2, 3 iterations must be a
+    // non-increasing sequence (and the first step a strict improvement on
+    // the fixed starting centroids).
+    def totalWssq(iters: Int): Double = {
+      val v = MlSuffStats.kmeansConvergedQ(iters)(spark, Sf0001)
+        .agg(sum(col("wssq"))).collect()(0).getDouble(0)
+      graft.operators.ScaleOps.releaseTracked()
+      v
+    }
+    val w = (0 to MlSuffStats.kmeansConvIters).map(totalWssq)
+    w.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"Lloyd step increased WSSQ: $a -> $b")
+    }
+    assert(w(1) < w(0), s"first Lloyd step did not improve WSSQ: ${w(0)} -> ${w(1)}")
+  }
+
   test("GMM EM steps are monotone in observed log-likelihood") {
     val df = Tables.embeddings(spark, Sf0001)
       .select(col("embedding")(0).cast("double").as("x")).cache()

@@ -428,6 +428,23 @@ object Oracle {
                    ${dsum(s"$q * $y")} AS s_qy, ${dsum(s"$d * $y", 4)} AS s_dy
             FROM lineitem""",
 
+      // Same weight expression / association order as the Spark side; every
+      // input column is a parquet DOUBLE, so w is the same IEEE double in
+      // both engines before the per-row decimal cast.
+      "q_ml_wls" ->
+        s"""WITH t AS (
+              SELECT CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + $q) AS w,
+                     $q AS q, $d AS d, $y AS y
+              FROM lineitem)
+            SELECT count(*) AS n,
+                   ${dsum("w", 4)} AS s_w,
+                   ${dsum("w * q", 4)} AS s_wq, ${dsum("w * d", 4)} AS s_wd,
+                   ${dsum("w * q * q", 4)} AS s_wqq, ${dsum("w * q * d", 4)} AS s_wqd,
+                   ${dsum("w * d * d", 6)} AS s_wdd,
+                   ${dsum("w * y")} AS s_wy, ${dsum("w * q * y")} AS s_wqy,
+                   ${dsum("w * d * y", 4)} AS s_wdy
+            FROM t""",
+
       "q_ml_nb_train" ->
         s"""SELECT label, count(*) AS n,
                    ${davg("CAST(embedding[1] AS DOUBLE)")} AS m0,

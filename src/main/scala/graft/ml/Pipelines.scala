@@ -36,6 +36,16 @@ object Pipelines {
       .setLabelCol(labelCol).setFeaturesCol("features")
       .fit(withFeatureCols(df, featureCols))
 
+  /** Weighted least squares (REF-P1's weighted/locally-weighted variant;
+    * cross-check target for q_ml_wls' sufficient statistics). */
+  def linregWeighted(df: DataFrame, labelCol: String, featureCols: Seq[String],
+                     weightCol: String): LinearRegressionModel =
+    new LinearRegression()
+      .setSolver("normal").setRegParam(0.0).setElasticNetParam(0.0)
+      .setWeightCol(weightCol)
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .fit(withFeatureCols(df, featureCols))
+
   /** Gaussian Naive Bayes (reference P1; MLlib modelType "gaussian"). */
   def gaussianNb(df: DataFrame, labelCol: String, arrayCol: String): NaiveBayesModel =
     new NaiveBayes().setModelType("gaussian")

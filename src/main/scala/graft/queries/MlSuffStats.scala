@@ -42,6 +42,33 @@ object MlSuffStats {
         dsum(d * y, 4).as("s_dy"))
   }
 
+  /** WEIGHTED normal-equation sufficient statistics (REF-P1's weighted /
+    * locally-weighted linear-regression variant): every entry of XᵀWX and
+    * XᵀWy for x = (1, q, d), y = extendedprice, with the deterministic
+    * per-row weight w = 1/(1+q) — the literal stand-in for a locally-
+    * weighted kernel (swap the expression, the plan is identical). Still
+    * ONE scan + one shuffle of a single grouped row at any scale; the 3×3
+    * weighted solve is a host-side epilogue cross-checked against MLlib
+    * `LinearRegression(weightCol)` in MlCrossCheckSpec. All weighted sums
+    * go through dsum's exact decimal path (w is the same IEEE double in
+    * both engines: all inputs are parquet DOUBLEs). */
+  val qMlWls: Q = (s, dir) => {
+    val q = col("l_quantity"); val d = col("l_discount"); val y = col("l_extendedprice")
+    val w = lit(1.0) / (lit(1.0) + q)
+    Tables.lineitem(s, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(w, 4).as("s_w"),
+        dsum(w * q, 4).as("s_wq"),
+        dsum(w * d, 4).as("s_wd"),
+        dsum(w * q * q, 4).as("s_wqq"),
+        dsum(w * q * d, 4).as("s_wqd"),
+        dsum(w * d * d, 6).as("s_wdd"),
+        dsum(w * y).as("s_wy"),
+        dsum(w * q * y).as("s_wqy"),
+        dsum(w * d * y, 4).as("s_wdy"))
+  }
+
   /** Gaussian Naive Bayes training statistics over embeddings: per class →
     * prior count + mean/variance of dims 0–3. Means go through the exact
     * decimal path; variances are rounded central moments. (DuckDB lists are
@@ -318,6 +345,7 @@ object MlSuffStats {
 
   val queries: Map[String, Q] = Map(
     "q_ml_linreg_normal" -> qMlLinregNormal,
+    "q_ml_wls" -> qMlWls,
     "q_ml_nb_train" -> qMlNbTrain,
     "q_ml_kmeans_step" -> qMlKmeansStep,
     "q_ml_gda_stats" -> qMlGdaStats,

@@ -51,6 +51,24 @@ class MlCrossCheckSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ml_wls sums solve to MLlib weighted-regression coefficients") {
+    val r = SparkEntry.queries("q_ml_wls")(spark, Sf0001).collect()(0)
+    val Seq(sw, swq, swd, swqq, swqd, swdd, swy, swqy, swdy) =
+      (1 to 9).map(r.getDouble)
+    val beta = solve3(
+      Array(Array(sw, swq, swd), Array(swq, swqq, swqd), Array(swd, swqd, swdd)),
+      Array(swy, swqy, swdy))
+    val df = Tables.lineitem(spark, Sf0001)
+      .withColumn("w", lit(1.0) / (lit(1.0) + col("l_quantity")))
+    val m = graft.ml.Pipelines.linregWeighted(
+      df, "l_extendedprice", Seq("l_quantity", "l_discount"), "w")
+    val exp = Array(m.intercept, m.coefficients(0), m.coefficients(1))
+    beta.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) / math.max(1.0, math.abs(e)) < 1e-3,
+        s"wls beta($i): sums→$g mllib→$e")
+    }
+  }
+
   test("q_ml_nb_train matches plain-Scala per-class moments and MLlib theta") {
     val rows = SparkEntry.queries("q_ml_nb_train")(spark, Sf0001).collect()
     val byLabel = emb.groupBy(_._1)

@@ -7,13 +7,13 @@ import org.apache.spark.sql.functions._
 
 /** Event-time queries — SURVEY.md §2.10.
   *
-  * Four keys use the exact Structured Streaming time primitives
+  * Three keys use the exact Structured Streaming time primitives
   * (`window()`, `session_window()`) executed in batch mode: event-time logic
   * is identical in both modes, which is what makes these hash-checkable
   * against a SQL oracle while streaming/Runtime.scala runs the same
   * aggregations as real incremental streams (equivalence asserted in tests).
-  * Two keys (q_stream_stateful, q_stream_dedup) run REAL incremental
-  * streams inside the correctness gate itself.
+  * Three keys (q_stream_session, q_stream_stateful, q_stream_dedup) run
+  * REAL incremental streams inside the correctness gate itself.
   *
   * Scale posture: tumbling/sliding windows group by (window, type) — pure
   * hash-partitioned aggregation with map-side partials; session windows
@@ -42,18 +42,38 @@ object StreamingQs {
       .select(col("w.start").as("w_start"), col("n"), col("sum_value"))
       .orderBy("w_start")
 
-  /** Per-user sessions with a 30-minute inactivity gap. Spark's
-    * session_window end = last event + gap, and a gap of EXACTLY the
-    * duration starts a new session (merge requires strict overlap) — the
-    * gaps-and-islands oracle mirrors both conventions (`>=` on the gap,
-    * `max(ts) + 30 min` as the end). */
-  val qStreamSession: Q = (s, dir) =>
+  /** Per-user sessions with a 30-minute inactivity gap — batch form of the
+    * streaming primitive, kept as the runtime twin's comparison target in
+    * StreamingEquivSpec. Spark's session_window end = last event + gap, and
+    * a gap of EXACTLY the duration starts a new session (merge requires
+    * strict overlap) — the gaps-and-islands oracle mirrors both conventions
+    * (`>=` on the gap, `max(ts) + 30 min` as the end). */
+  private[graft] val sessionBatchForm: Q = (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
       .select(col("user_id"), col("sw.start").as("s_start"), col("sw.end").as("s_end"),
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "s_start")
+
+  /** The SAME session_window aggregation run as a REAL incremental stream
+    * inside the correctness gate (the q_stream_stateful pattern): replayed
+    * file source, 1-hour watermark, APPEND mode — each session row is
+    * emitted exactly once, when the watermark passes its end. The two
+    * trailing flush batches advance the watermark past every real session's
+    * end (the replay-side stand-in for a production stream's continuously
+    * advancing watermark); their sentinel user's own sessions are dropped
+    * after the sink. Hash-matching the gaps-and-islands oracle proves the
+    * incremental emission path reproduces the relational answer — not just
+    * the batch-mode twin. */
+  val qStreamSession: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    SR.runToCompletionAppend(s,
+        SR.sessionCounts(SR.eventsStreamWithFlush(s, dir)),
+        s"graft_session_${Integer.toHexString(dir.hashCode)}")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "s_start")
+  }
 
   /** Stream-stream interval join, batch form (runtime twin:
     * streaming/Runtime.clickPurchaseJoin, stream == batch asserted in
@@ -89,7 +109,7 @@ object StreamingQs {
     import graft.streaming.{Runtime => SR}
     SR.runToCompletionAppend(s,
         SR.statefulSessions(SR.eventsStreamWithFlush(s, dir)),
-        s"graft_stateful_${math.abs(dir.hashCode)}")
+        s"graft_stateful_${Integer.toHexString(dir.hashCode)}")
       .orderBy("user_id", "s_start")
   }
 
@@ -107,7 +127,7 @@ object StreamingQs {
     import graft.streaming.{Runtime => SR}
     SR.runToCompletionAppend(s,
         SR.dedupedEvents(SR.eventsStreamWithRedelivery(s, dir)),
-        s"graft_dedup_${math.abs(dir.hashCode)}")
+        s"graft_dedup_${Integer.toHexString(dir.hashCode)}")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
       .orderBy("event_type")

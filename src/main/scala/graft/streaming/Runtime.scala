@@ -62,14 +62,16 @@ object Runtime {
       .select(col("w.start").as("w_start"), col("n"), col("sum_value"))
 
   /** Per-user 30-minute-gap sessions with watermark — streaming
-    * session_window requires one. */
+    * session_window requires one. Same output columns as the batch form
+    * (StreamingQs.sessionBatchForm) so the q_stream_session gate run and
+    * the equivalence tests compare full rows. */
   def sessionCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), 6).as("sum_value"))
       .select(col("user_id"), col("sw.start").as("s_start"),
-        col("sw.end").as("s_end"), col("n_events"))
+        col("sw.end").as("s_end"), col("n_events"), col("sum_value"))
 
   /** The events stream with every file staged TWICE (two arrival files →
     * two micro-batches under maxFilesPerTrigger=1) — the at-least-once

@@ -253,14 +253,29 @@ class StreamingEquivSpec extends AnyFunSuite {
   }
 
   test("session window: stream result == batch result") {
+    // The gate key itself now runs the append-mode stream; this test keeps
+    // the complete-mode runtime pinned against the declared batch form.
     val stream = SRuntime.runToCompletion(spark,
       SRuntime.sessionCounts(SRuntime.eventsStream(spark, Sf0001)), "t_session")
-    val batch = SparkEntry.queries("q_stream_session")(spark, Sf0001)
-      .select("user_id", "s_start", "s_end", "n_events")
+    val batch = graft.queries.StreamingQs.sessionBatchForm(spark, Sf0001)
     val got = stream.collect().map(_.toSeq).toSet
     val exp = batch.collect().map(_.toSeq).toSet
     assert(got.nonEmpty)
     assert(got == exp,
       s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
+  test("events fixture invariant: event_id unique (q_stream_dedup oracle dependency)") {
+    // q_stream_dedup's oracle is the plain per-type aggregate over the
+    // SOURCE table, which equals the deduped stream only because event_id
+    // is unique in the fixture. Check the invariant instead of assuming it,
+    // at both the spec SF and the graded SF — a regenerated testdata set
+    // with duplicate ids should fail HERE, not as an opaque hash mismatch.
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val ev = Tables.events(spark, sf).select("event_id")
+      val (total, distinct) = (ev.count(), ev.distinct().count())
+      assert(total == distinct,
+        s"$sf: ${total - distinct} duplicate event_ids break the dedup oracle")
+    }
   }
 }

@@ -120,6 +120,48 @@ class LayoutSkewSpec extends AnyFunSuite {
     assert(got == exp, s"content changed: missing=${(exp -- got).take(3)}")
   }
 
+  test("adaptive salt factor: tuned from the measured hot-key share at two skew profiles") {
+    import spark.implicits._
+    def spreadOf(fact: org.apache.spark.sql.DataFrame, hotKey: Long, salt: Int): Map[Int, Long] =
+      fact.withColumn("__salt",
+          pmod(monotonically_increasing_id(), lit(salt)).cast("int"))
+        .filter(col("k") === hotKey)
+        .groupBy("__salt").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // Profile 1: one key holds 64× the average key's rows (6400 vs 100 over
+    // 64 keys — ~50% share). The derived factor must ask for real spread...
+    val hot64 = spark.range(0, 6400).select(lit(0L).as("k"), col("id").as("payload"))
+      .union(spark.range(0, 6300)
+        .select((pmod(col("id"), lit(63L)) + 1L).as("k"), col("id").as("payload")))
+    val salt64 = SkewJoin.adaptiveSaltFactor(hot64, "k")
+    assert(salt64 > 1, s"64× hot key derived salt $salt64 — would not spread")
+    // ...and the hot key's rows must actually land in every salt bucket,
+    // none holding more than twice the fair share.
+    val buckets64 = spreadOf(hot64, 0L, salt64)
+    assert(buckets64.keySet == (0 until salt64).toSet, s"empty salt buckets: $buckets64")
+    assert(buckets64.values.max < 2L * 6400 / salt64, buckets64.toString)
+    // Profile 2: 90% of rows on the hot key — a larger derived factor, and
+    // the adaptive join still equals the plain join.
+    val hot90 = spark.range(0, 10000).select(
+      when(col("id") % 10 =!= 0, lit(5L)).otherwise(pmod(col("id"), lit(64L))).as("k"),
+      col("id").as("payload"))
+    val salt90 = SkewJoin.adaptiveSaltFactor(hot90, "k")
+    assert(salt90 >= salt64, s"90% share derived $salt90 < 64×-profile $salt64")
+    val buckets90 = spreadOf(hot90, 5L, salt90)
+    assert(buckets90.keySet == (0 until salt90).toSet, s"empty salt buckets: $buckets90")
+    val dim = (0L until 64L).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = hot90.join(dim, "k").select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val adaptive = SkewJoin.saltedJoinAdaptive(hot90, dim, "k")
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(adaptive == plain, s"sizes: adaptive=${adaptive.size} plain=${plain.size}")
+    // A uniform fact collapses to salt 1 — no dim explosion, no extra work.
+    val uniform = spark.range(0, 8000)
+      .select(pmod(col("id"), lit(64L)).as("k"), col("id").as("payload"))
+    assert(SkewJoin.adaptiveSaltFactor(uniform, "k") == 1,
+      "uniform fact should not pay for salting")
+  }
+
   test("salted join spreads the hot key across salt buckets — even for byte-identical rows") {
     import spark.implicits._
     // Every hot row identical: a content-hash salt would collapse to ONE

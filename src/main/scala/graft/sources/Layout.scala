@@ -47,7 +47,12 @@ object Layout {
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(p).getLength
+    // Only *.parquet data files count toward the size — a content summary
+    // would also include _SUCCESS markers and local-FS .crc checksums,
+    // inflating the computed file count relative to actual data bytes.
+    val bytes = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inPath).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(outPath)

@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
 
 /** Event-time queries — SURVEY.md §2.10.
   *
-  * Three keys use the exact Structured Streaming time primitives
-  * (`window()`, `session_window()`) executed in batch mode: event-time logic
-  * is identical in both modes, which is what makes these hash-checkable
-  * against a SQL oracle while streaming/Runtime.scala runs the same
-  * aggregations as real incremental streams (equivalence asserted in tests).
-  * Three keys (q_stream_session, q_stream_stateful, q_stream_dedup) run
-  * REAL incremental streams inside the correctness gate itself.
+  * Five keys (q_stream_tumbling, q_stream_sliding, q_stream_session,
+  * q_stream_stateful, q_stream_dedup) run REAL incremental streams inside
+  * the correctness gate itself — replayed file source, watermark, append
+  * mode — so the hash check proves the incremental emission path, not just
+  * batch-mode event-time logic. Their batch forms stay as the semantic
+  * definitions and equivalence-test twins (StreamingEquivSpec). The
+  * stream-stream join enters in batch form (runtime twin asserted in tests):
+  * inner interval joins emit identically in both modes.
   *
   * Scale posture: tumbling/sliding windows group by (window, type) — pure
   * hash-partitioned aggregation with map-side partials; session windows
@@ -24,23 +25,57 @@ object StreamingQs {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** 1-hour tumbling windows: count + value sum per (window, event_type). */
-  val qStreamTumbling: Q = (s, dir) =>
+  /** 1-hour tumbling counts+sum, batch form — the semantic definition and
+    * the equivalence tests' comparison target (StreamingEquivSpec). */
+  private[graft] val tumblingBatchForm: Q = (s, dir) =>
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("w_start", "event_type")
 
-  /** 1-hour windows sliding every 30 minutes — each event lands in exactly
-    * two windows (epoch-aligned starts, same grid as the oracle's
-    * time_bucket arithmetic). */
-  val qStreamSliding: Q = (s, dir) =>
+  /** 1-hour tumbling windows run as a REAL incremental stream inside the
+    * correctness gate (the q_stream_session pattern): replayed file source,
+    * 1-hour watermark, APPEND mode — each (window, type) row is emitted
+    * exactly once when the watermark passes the window's end. The flush
+    * batches advance the watermark past every real window; their sentinel
+    * rows group under event_type "flush" and are dropped after the sink
+    * (filtering before the watermark would be pushed below it and stop the
+    * flush rows from advancing anything — see Runtime.statefulSessions). */
+  val qStreamTumbling: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    SR.runToCompletionAppend(s,
+        SR.tumblingCounts(SR.eventsStreamWithFlush(s, dir)),
+        s"graft_tumbling_${Integer.toHexString(dir.hashCode)}")
+      .filter(col("event_type") =!= "flush")
+      .orderBy("w_start", "event_type")
+  }
+
+  /** 1-hour/30-minute sliding windows, batch form — each event lands in
+    * exactly two windows (epoch-aligned starts, same grid as the oracle's
+    * time_bucket arithmetic). Equivalence tests' comparison target. */
+  private[graft] val slidingBatchForm: Q = (s, dir) =>
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
       .select(col("w.start").as("w_start"), col("n"), col("sum_value"))
       .orderBy("w_start")
+
+  /** Sliding windows as a REAL incremental stream in the gate. The sliding
+    * output has no event_type column to mark the flush sentinels, but every
+    * window they land in starts strictly AFTER the last real event (flush ts
+    * = max + 2h/4h, window length 1h), so the real/sentinel boundary is the
+    * source's max timestamp — one scalar fetched from the batch table (a
+    * parameter, like the ANN query vector) and applied after the sink. */
+  val qStreamSliding: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    val maxTs = Tables.events(s, dir).agg(max(col("ts"))).head().getTimestamp(0)
+    SR.runToCompletionAppend(s,
+        SR.slidingCounts(SR.eventsStreamWithFlush(s, dir)),
+        s"graft_sliding_${Integer.toHexString(dir.hashCode)}")
+      .filter(col("w_start") <= maxTs)
+      .orderBy("w_start")
+  }
 
   /** Per-user sessions with a 30-minute inactivity gap — batch form of the
     * streaming primitive, kept as the runtime twin's comparison target in

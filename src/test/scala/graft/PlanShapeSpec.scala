@@ -69,7 +69,6 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_dedup_embed" -> 6,
     "q_pack_sequences" -> 2,
     "q_join_asof" -> 3,
-    "q_stream_tumbling" -> 2,   // window agg (1) + sort (1)
     "q_agg_groupingsets" -> 2,  // Expand agg (1) + sort (1)
     "q_topk" -> 0,              // TakeOrderedAndProject — no shuffle at all
     "q_knn_bruteforce" -> 2,    // per-query window (1) + sort (1); dims broadcast
@@ -99,7 +98,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // parallelize (2) + (doc,seg) agg (2) + seg agg (1) + broadcast
     // join-back (0) + per-doc agg (1) + sort (1)
     ("q_text_boilerplate scale form",
-      () => graft.queries.LlmOps.boilerplateScaleForm(spark, Sf0001), 7)
+      () => graft.queries.LlmOps.boilerplateScaleForm(spark, Sf0001), 7),
+    // q_stream_tumbling's gate form runs a real stream into a memory sink,
+    // so the plan under the graded key is just the sink readback; the
+    // shuffle budget belongs to the BATCH form — window agg (1) + sort (1) —
+    // which is also the plan shape of the streaming aggregation itself.
+    ("q_stream_tumbling batch form",
+      () => graft.queries.StreamingQs.tumblingBatchForm(spark, Sf0001), 2)
   )
 
   for ((label, mk, budget) <- scaleFormBudgets)

@@ -10,9 +10,11 @@ class StreamingEquivSpec extends AnyFunSuite {
   import SparkFixture._
 
   test("tumbling window: stream result == batch result") {
+    // The gate key itself now runs the append-mode stream; this test keeps
+    // the complete-mode runtime pinned against the declared batch form.
     val stream = SRuntime.runToCompletion(spark,
       SRuntime.tumblingCounts(SRuntime.eventsStream(spark, Sf0001)), "t_tumbling")
-    val batch = SparkEntry.queries("q_stream_tumbling")(spark, Sf0001)
+    val batch = graft.queries.StreamingQs.tumblingBatchForm(spark, Sf0001)
     val got = stream.collect().map(_.toSeq).toSet
     val exp = batch.collect().map(_.toSeq).toSet
     assert(got.nonEmpty)
@@ -23,12 +25,29 @@ class StreamingEquivSpec extends AnyFunSuite {
   test("sliding window: stream result == batch result") {
     val stream = SRuntime.runToCompletion(spark,
       SRuntime.slidingCounts(SRuntime.eventsStream(spark, Sf0001)), "t_sliding")
-    val batch = SparkEntry.queries("q_stream_sliding")(spark, Sf0001)
+    val batch = graft.queries.StreamingQs.slidingBatchForm(spark, Sf0001)
     val got = stream.collect().map(_.toSeq).toSet
     val exp = batch.collect().map(_.toSeq).toSet
     assert(got.nonEmpty)
     assert(got == exp,
       s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
+  test("gate forms: append-mode tumbling/sliding streams == batch forms") {
+    // The graded keys run append-mode streams with flush sentinels; the
+    // sentinel-drop step (event_type filter / max-ts cutoff) must leave
+    // exactly the batch answer — no real window lost to the watermark, no
+    // flush window leaking through.
+    val qs = graft.queries.StreamingQs
+    for ((gate, batch, name) <- Seq(
+        (qs.qStreamTumbling, qs.tumblingBatchForm, "tumbling"),
+        (qs.qStreamSliding, qs.slidingBatchForm, "sliding"))) {
+      val got = gate(spark, Sf0001).collect().map(_.toSeq).toSet
+      val exp = batch(spark, Sf0001).collect().map(_.toSeq).toSet
+      assert(got.nonEmpty, name)
+      assert(got == exp,
+        s"$name: missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    }
   }
 
   test("late rows beyond the watermark are dropped in append mode") {
@@ -173,7 +192,7 @@ class StreamingEquivSpec extends AnyFunSuite {
       SRuntime.tumblingCounts(SRuntime.eventsStream(spark, Sf0001)),
       sink.toString, ckpt.toString, partitionCol = "event_type",
       outputMode = "complete", saveMode = org.apache.spark.sql.SaveMode.Overwrite)
-    val batch = SparkEntry.queries("q_stream_tumbling")(spark, Sf0001)
+    val batch = graft.queries.StreamingQs.tumblingBatchForm(spark, Sf0001)
     val cols = Seq("w_start", "event_type", "n", "sum_value")
     val got = graft.sources.Layout.readPartitioned(spark, sink.toString)
       .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet

@@ -7,14 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Event-time queries — SURVEY.md §2.10.
   *
-  * Five keys (q_stream_tumbling, q_stream_sliding, q_stream_session,
-  * q_stream_stateful, q_stream_dedup) run REAL incremental streams inside
-  * the correctness gate itself — replayed file source, watermark, append
-  * mode — so the hash check proves the incremental emission path, not just
-  * batch-mode event-time logic. Their batch forms stay as the semantic
-  * definitions and equivalence-test twins (StreamingEquivSpec). The
-  * stream-stream join enters in batch form (runtime twin asserted in tests):
-  * inner interval joins emit identically in both modes.
+  * ALL SIX keys run REAL incremental streams inside the correctness gate
+  * itself — replayed file source, watermark, append mode — so the hash
+  * check proves the incremental emission path (and, for the join, the
+  * cross-batch state buffering), not just batch-mode event-time logic.
+  * The batch forms stay as the semantic definitions and equivalence-test
+  * twins (StreamingEquivSpec).
   *
   * Scale posture: tumbling/sliding windows group by (window, type) — pure
   * hash-partitioned aggregation with map-side partials; session windows
@@ -110,12 +108,12 @@ object StreamingQs {
       .orderBy("user_id", "s_start")
   }
 
-  /** Stream-stream interval join, batch form (runtime twin:
-    * streaming/Runtime.clickPurchaseJoin, stream == batch asserted in
-    * StreamingEquivSpec): every click attributed to each same-user purchase
-    * within the following hour. An equi-join on user_id with the time band
-    * as a residual predicate — one hash shuffle per side at any scale. */
-  val qStreamJoin: Q = (s, dir) => {
+  /** Stream-stream interval join, batch form — the semantic definition and
+    * equivalence-test twin: every click attributed to each same-user
+    * purchase within the following hour. An equi-join on user_id with the
+    * time band as a residual predicate — one hash shuffle per side at any
+    * scale. */
+  private[graft] val joinBatchForm: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
@@ -128,6 +126,22 @@ object StreamingQs {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 60 MINUTES"))
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         col("c_ts"), col("p_ts"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** The interval join run as a REAL incremental stream in the gate, over
+    * the TIME-SPLIT replay (early half / late half / flush batches) so the
+    * hash check exercises cross-batch join-state buffering: a batch-1 click
+    * must still be in state to meet its batch-2 purchase, and state behind
+    * the watermark's reachable range is evicted without losing a pair
+    * (inner interval joins emit as soon as both rows arrive, so completeness
+    * never waits on the watermark). Flush sentinels are neither clicks nor
+    * purchases and drop out in the source filters. */
+  val qStreamJoin: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    SR.runToCompletionAppend(s,
+        SR.clickPurchaseJoin(SR.eventsStreamSplitByTime(s, dir)),
+        s"graft_ssjoin_${Integer.toHexString(dir.hashCode)}")
       .orderBy("purchase_id", "click_id")
   }
 

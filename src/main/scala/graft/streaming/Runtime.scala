@@ -177,37 +177,54 @@ object Runtime {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val streamDir = java.nio.file.Paths.get(
       Tables.stageDir(spark, "stream-split", dir))
-    val batch = spark.read.parquet(src.toString)
-    val bounds = batch.select(
-      expr("approx_percentile(ts, 0.5)").as("mid"), max(col("ts")).as("mx")).head()
-    val (midNs, maxTsNs) = (bounds.getLong(0), bounds.getLong(1))
-    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val tmp = streamDir.resolve(name + ".dir")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = java.nio.file.Files.list(tmp)
-      val part =
-        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally listing.close()
-      java.nio.file.Files.copy(part, streamDir.resolve(name),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val names = Seq("events_0_early.parquet", "events_1_late.parquet",
+      "events_2_flush.parquet", "events_3_flush.parquet")
+    // Same idempotent-staging marker as eventsStreamWithFlush: the split is
+    // a pure function of the source file, so repeat invocations within a
+    // run (the stateful split spec + the q_stream_join gate) skip the
+    // percentile job and the four stage writes.
+    val attrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val sig = s"${attrs.size}:${attrs.lastModifiedTime.toMillis}:v1"
+    val marker = streamDir.resolve(".staged")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == sig &&
+      names.forall(n => java.nio.file.Files.exists(streamDir.resolve(n)))
+    val schema = spark.read.parquet(src.toString).schema
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      val batch = spark.read.parquet(src.toString)
+      val bounds = batch.select(
+        expr("approx_percentile(ts, 0.5)").as("mid"), max(col("ts")).as("mx")).head()
+      val (midNs, maxTsNs) = (bounds.getLong(0), bounds.getLong(1))
+      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = streamDir.resolve(name + ".dir")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        val part =
+          try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally listing.close()
+        java.nio.file.Files.copy(part, streamDir.resolve(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      stage(batch.filter(col("ts") <= midNs), "events_0_early.parquet")
+      stage(batch.filter(col("ts") > midNs), "events_1_late.parquet")
+      for ((name, offsetHours) <- Seq("events_2_flush.parquet" -> 2L,
+                                      "events_3_flush.parquet" -> 4L)) {
+        val flushNs = maxTsNs + offsetHours * 3600L * 1000000000L
+        stage(batch.limit(1)
+          .select(lit(-1L).as("event_id"), lit(flushNs).as("ts"),
+            lit(-1L).as("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props")), name)
+      }
+      for ((name, i) <- names.zipWithIndex)
+        java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      java.nio.file.Files.writeString(marker, sig)
     }
-    stage(batch.filter(col("ts") <= midNs), "events_0_early.parquet")
-    stage(batch.filter(col("ts") > midNs), "events_1_late.parquet")
-    for ((name, offsetHours) <- Seq("events_2_flush.parquet" -> 2L,
-                                    "events_3_flush.parquet" -> 4L)) {
-      val flushNs = maxTsNs + offsetHours * 3600L * 1000000000L
-      stage(batch.limit(1)
-        .select(lit(-1L).as("event_id"), lit(flushNs).as("ts"),
-          lit(-1L).as("user_id"), lit("flush").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props")), name)
-    }
-    for ((name, i) <- Seq("events_0_early.parquet", "events_1_late.parquet",
-                          "events_2_flush.parquet", "events_3_flush.parquet").zipWithIndex)
-      java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
     spark.readStream
-      .schema(batch.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString + "/events_*.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -41,7 +41,8 @@ class StreamingEquivSpec extends AnyFunSuite {
     val qs = graft.queries.StreamingQs
     for ((gate, batch, name) <- Seq(
         (qs.qStreamTumbling, qs.tumblingBatchForm, "tumbling"),
-        (qs.qStreamSliding, qs.slidingBatchForm, "sliding"))) {
+        (qs.qStreamSliding, qs.slidingBatchForm, "sliding"),
+        (qs.qStreamJoin, qs.joinBatchForm, "join-split-replay"))) {
       val got = gate(spark, Sf0001).collect().map(_.toSeq).toSet
       val exp = batch(spark, Sf0001).collect().map(_.toSeq).toSet
       assert(got.nonEmpty, name)
@@ -220,9 +221,11 @@ class StreamingEquivSpec extends AnyFunSuite {
   }
 
   test("stream-stream interval join: stream result == batch result") {
+    // Single-batch replay (both sides arrive together); the gate key runs
+    // the time-split replay, pinned in the gate-forms test below.
     val stream = SRuntime.runToCompletionAppend(spark,
       SRuntime.clickPurchaseJoin(SRuntime.eventsStream(spark, Sf0001)), "t_ssjoin")
-    val batch = SparkEntry.queries("q_stream_join")(spark, Sf0001)
+    val batch = graft.queries.StreamingQs.joinBatchForm(spark, Sf0001)
     val got = stream.collect().map(_.toSeq).toSet
     val exp = batch.collect().map(_.toSeq).toSet
     assert(got.nonEmpty, "interval join should emit pairs on this corpus")

@@ -75,6 +75,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_sample_split" -> 3,
     "q_text_langid" -> 10,      // shared-explode gram table, profile join, argmax
     "q_ml_gmm_converged" -> 1,  // one partial+final agg per EM pass (same cached scan)
+    "q_ml_wls" -> 1,            // one partial+final agg, single grouped row out
+    "q_ml_kmeans_converged" -> 2, // per-pass assign projection + 4-row agg, final sort
     "q_split_contamination" -> 3
   )
 

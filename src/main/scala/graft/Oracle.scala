@@ -71,6 +71,37 @@ object Oracle {
          FROM documents WHERE lang IN ('en', 'de')
          GROUP BY 1, 2 ORDER BY lang, source""",
 
+    // The Spark side's scale → morton → z-clustered write → read-back chain
+    // is lossless and integer-exact, so the oracle recomputes the same
+    // z-buckets straight from the source: min-max scale to 16 bits with
+    // floor division, then the 4-step magic-number bit spread (masks
+    // 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555) on each column,
+    // interleave, and bucket by z >> 26. All BIGINT, bit-for-bit.
+    "q_layout_zorder" ->
+      """WITH b AS (SELECT min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+                           min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+                    FROM lineitem),
+          s AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                       ((CAST(l_partkey AS BIGINT) - pk_min) * 65535)
+                         // greatest(pk_max - pk_min, 1) AS px,
+                       ((CAST(l_suppkey AS BIGINT) - sk_min) * 65535)
+                         // greatest(sk_max - sk_min, 1) AS sx
+                FROM lineitem, b),
+          p0 AS (SELECT pk, sk, (px & 65535) AS x, (sx & 65535) AS y FROM s),
+          p1 AS (SELECT pk, sk, ((x | (x << 8)) & 16711935) AS x,
+                                ((y | (y << 8)) & 16711935) AS y FROM p0),
+          p2 AS (SELECT pk, sk, ((x | (x << 4)) & 252645135) AS x,
+                                ((y | (y << 4)) & 252645135) AS y FROM p1),
+          p3 AS (SELECT pk, sk, ((x | (x << 2)) & 858993459) AS x,
+                                ((y | (y << 2)) & 858993459) AS y FROM p2),
+          p4 AS (SELECT pk, sk, ((x | (x << 1)) & 1431655765) AS x,
+                                ((y | (y << 1)) & 1431655765) AS y FROM p3),
+          z AS (SELECT pk, sk, (x | (y << 1)) AS zv FROM p4)
+          SELECT zv // 67108864 AS zbucket, count(*) AS n,
+                 CAST(min(pk) AS BIGINT) AS min_pk, CAST(max(pk) AS BIGINT) AS max_pk,
+                 CAST(min(sk) AS BIGINT) AS min_sk, CAST(max(sk) AS BIGINT) AS max_sk
+          FROM z GROUP BY 1 ORDER BY zbucket""",
+
     "q_subquery_scalar" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
          FROM customer c

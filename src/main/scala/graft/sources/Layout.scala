@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout helpers — the 100 TB on-disk posture (SURVEY §4's
@@ -35,6 +35,42 @@ object Layout {
     * node — asserted in LayoutSpec). */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Interleave the low 16 bits of `c` across even bit positions (the
+    * classic magic-number spread — 4 shift/mask steps, pure codegen'd
+    * integer arithmetic, exactly mirrored by the oracle's CTE chain). */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton (Z-order) code of two 16-bit non-negative ints: `a`'s
+    * bits land on even positions, `b`'s on odd. Locality property: points
+    * close in (a, b) are usually close in z, so range-partitioning by z
+    * co-locates 2-D neighborhoods — which is what makes per-file min/max
+    * ranges tight in BOTH dimensions at once (multi-column data skipping,
+    * where a single-column sort only tightens one). */
+  def morton16(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Write `df` Z-ORDER CLUSTERED by `z` (a [[morton16]]-style code):
+    * range-repartition into `numFiles` z-ranges, sort within each, drop the
+    * helper column. At 100 TB this is the table-maintenance pass that makes
+    * parquet row-group/file min-max statistics selective for TWO filter
+    * columns simultaneously — the scan skips files whose (a, b) envelope
+    * misses the predicate, without hive partitioning on either column.
+    * Shuffle shape: one range exchange (plus Spark's range-bounds sampling
+    * pass); every executor writes its own z-slice. */
+  def zorderWrite(df: DataFrame, path: String, z: Column,
+                  numFiles: Int): Unit =
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Compact a directory of small files into ~targetBytes outputs — the
     * table-maintenance pass every long-lived 100 TB layout needs: streaming

@@ -162,6 +162,44 @@ class LayoutSkewSpec extends AnyFunSuite {
       "uniform fact should not pay for salting")
   }
 
+  test("z-order clustering tightens per-file envelopes in BOTH dimensions at once") {
+    // Deterministic 64×64 grid, one row per cell: after scaling to 16 bits
+    // and Morton interleaving, 8 z-range files must cover ~1/2 of the
+    // even-bit dimension and ~1/4 of the odd-bit dimension each (the top 3
+    // z bits are y15, x15, y14) — while a hash-fragmented baseline sees
+    // nearly the full range of both in every file. Tight envelopes are
+    // what parquet min/max data skipping prunes on.
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("pk"), (col("id") / 64).cast("long").as("sk"))
+    val withZ = grid
+      .withColumn("px", expr("(pk * 65535) div 63"))
+      .withColumn("sx", expr("(sk * 65535) div 63"))
+      .select(col("pk"), col("sk"),
+        Layout.morton16(col("px"), col("sx")).as("z"))
+    val zPath = Tables.stageDir(spark, "spec-zorder", Sf0001)
+    val basePath = Tables.stageDir(spark, "spec-zorder-base", Sf0001)
+    Layout.zorderWrite(withZ, zPath, col("z"), numFiles = 8)
+    withZ.repartition(8).write.mode("overwrite").parquet(basePath)
+
+    def avgRanges(path: String): (Double, Double) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("pk")) - min(col("pk"))).as("pkr"),
+          (max(col("sk")) - min(col("sk"))).as("skr"))
+        .select(avg(col("pkr")), avg(col("skr"))).head()
+      (perFile.getDouble(0), perFile.getDouble(1))
+    }
+    val (zPk, zSk) = avgRanges(zPath)
+    val (bPk, bSk) = avgRanges(basePath)
+    assert(spark.read.parquet(zPath).inputFiles.length == 8)
+    assert(zPk <= 0.6 * bPk, s"pk envelope not tightened: z=$zPk base=$bPk")
+    assert(zSk <= 0.35 * bSk, s"sk envelope not tightened: z=$zSk base=$bSk")
+    // The clustered round trip is lossless.
+    val got = spark.read.parquet(zPath).select("pk", "sk").collect().map(_.toSeq).toSet
+    val exp = grid.collect().map(_.toSeq).toSet
+    assert(got == exp, s"content changed: missing=${(exp -- got).take(3)}")
+  }
+
   test("salted join spreads the hot key across salt buckets — even for byte-identical rows") {
     import spark.implicits._
     // Every hot row identical: a content-hash salt would collapse to ONE

@@ -1029,6 +1029,17 @@ object Oracle {
       s"""SELECT event_type, count(*) AS n, ${dsum("value", 6)} AS sum_value
           FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // Single-pass aggregate over the source: the Spark side refreshes the
+    // same answer by merging a materialized per-(type, day) decimal-partial
+    // rollup with the newest day's delta — dsumPartial/dsumMerge keep the
+    // full DECIMAL(38,10) until the one final rounding, so merge-of-partials
+    // is byte-identical to this from-scratch sum and the hash match proves
+    // the incremental path lossless.
+    "q_agg_incremental" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 ${dsum("value", 6)} AS sum_value
+          FROM events GROUP BY event_type ORDER BY event_type""",
+
     // Same planted header/footer construction and ". " segmentation as the
     // Spark side (split is a literal two-char separator in both dialects).
     "q_text_boilerplate" ->

@@ -41,6 +41,23 @@ object Det {
   def davg(c: Column, scale: Int = 6): Column =
     round(dsum(c, scale) / count(lit(1)), scale)
 
+  /** The MERGEABLE half of dsum — a partial exact decimal sum that a
+    * materialized rollup can store (parquet DECIMAL(38,10)) and
+    * [[dsumMerge]] can later combine losslessly: decimal addition is
+    * associative and exact, so merge-of-partials equals the single-pass sum
+    * bit-for-bit, whatever the partial boundaries (day files, micro-batches,
+    * backfill chunks). Rounding happens only at merge time. */
+  def dsumPartial(c: Column): Column = sum(c.cast(Dec))
+
+  /** Merge [[dsumPartial]] columns exactly and finish with dsum's
+    * round → scale-to-integer → single-double-division dance, so the merged
+    * result is byte-identical to a from-scratch dsum over the raw rows. */
+  def dsumMerge(c: Column, scale: Int = 2): Column = {
+    val p = math.pow(10, scale)
+    (round(sum(c), scale) * lit(p.toLong))
+      .cast(LongType).cast(DoubleType) / lit(p)
+  }
+
   /** Windowed twin of dsum: exact decimal sum over a window frame, surfaced
     * as a deterministic double. Window aggregation engines differ in partial-
     * sum order (DuckDB uses segment trees, Spark accumulates in frame order)

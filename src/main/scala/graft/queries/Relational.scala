@@ -560,6 +560,37 @@ object Relational {
         round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"))
       .orderBy("l_returnflag")
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-rollup refresh
+    * pattern every 100 TB pipeline needs: per-(type, day) partials for all
+    * but the newest day are computed once and MATERIALIZED to parquet (the
+    * standing rollup), the newest day's partials come from a pruned delta
+    * scan, and the final per-type answer is a merge of partials — the
+    * full-history raw rows are never rescanned at refresh time. Exactness
+    * is the dsumPartial/dsumMerge contract: partials store the full
+    * DECIMAL(38,10) sum (no rounding), decimal addition is associative, so
+    * the merge is byte-identical to a from-scratch aggregate — which is
+    * exactly what the oracle computes (single-pass over the source), so the
+    * hash match PROVES the incremental path is lossless. The day cutover is
+    * one scalar fetched from the source (a parameter, like the ANN query
+    * vector). */
+  val qAggIncremental: Q = (s, dir) => {
+    import graft.functions.Det
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), to_date(col("ts")).as("day"))
+    val cutover = ev.agg(max(col("day"))).head().getDate(0)
+    def partials(df: DataFrame) =
+      df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("pn"), Det.dsumPartial(col("value")).as("pdec"))
+    val rollup = Tables.stageDir(s, "rollup", dir)
+    partials(ev.filter(col("day") < cutover))
+      .write.mode("overwrite").parquet(rollup)
+    s.read.parquet(rollup)
+      .unionByName(partials(ev.filter(col("day") >= cutover)))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), Det.dsumMerge(col("pdec"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Declared form — exact interpolated median + p90 (Spark `percentile` ≡
     * DuckDB `quantile_cont`). Spark's exact percentile buffers the whole
     * per-group value histogram in ONE aggregation buffer — fine below the
@@ -675,6 +706,7 @@ object Relational {
     "q_agg_approx_distinct" -> qAggApproxDistinct,
     "q_agg_groupingsets" -> qAggGroupingSets,
     "q_agg_stats" -> qAggStats,
+    "q_agg_incremental" -> qAggIncremental,
     "q_agg_median" -> qAggMedian,
     "q_sort_multi" -> qSortMulti,
     "q_topk" -> qTopk,

@@ -51,6 +51,23 @@ class DetPropSpec extends AnyFunSuite {
     }
   }
 
+  test("dsumPartial → dsumMerge over arbitrary chunkings == direct dsum (bit-identical)") {
+    import spark.implicits._
+    // The materialized-rollup contract (q_agg_incremental): partials keep
+    // the full decimal, so merge-of-partials must equal the from-scratch
+    // sum whatever the chunk boundaries — day files, micro-batches,
+    // backfill chunks.
+    samples(8).zipWithIndex.foreach { case (xs, i) =>
+      val df = xs.zipWithIndex.map { case (v, j) => (v, j % (i + 2)) }
+        .toDF("x", "chunk")
+      val direct = df.agg(Det.dsum(col("x"), 4)).collect()(0).getDouble(0)
+      val merged = df.groupBy(col("chunk"))
+        .agg(Det.dsumPartial(col("x")).as("p"))
+        .agg(Det.dsumMerge(col("p"), 4)).collect()(0).getDouble(0)
+      assert(merged == direct, s"chunked merge drifted: $merged != $direct for $xs")
+    }
+  }
+
   test("raw double sum IS partition-sensitive on adversarial input (control)") {
     import spark.implicits._
     // Control experiment documenting WHY dsum exists: catastrophic-

@@ -76,6 +76,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_text_langid" -> 10,      // shared-explode gram table, profile join, argmax
     "q_ml_gmm_converged" -> 1,  // one partial+final agg per EM pass (same cached scan)
     "q_ml_wls" -> 1,            // one partial+final agg, single grouped row out
+    "q_agg_incremental" -> 3,   // delta partial agg (1) + merge agg (1) + sort (1)
     "q_ml_kmeans_converged" -> 2, // per-pass assign projection + 4-row agg, final sort
     "q_split_contamination" -> 3
   )

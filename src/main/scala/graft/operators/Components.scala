@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed CONNECTED COMPONENTS over an edge list — the step between
+  * near-dup PAIR generation and production dedup: duplicate pairs chain
+  * (A~B, B~C), so choosing one canonical document per duplicate CLUSTER
+  * requires the transitive closure, not the pair list.
+  *
+  * Algorithm: iterated min-label propagation. Every node starts labeled
+  * with its own id; each round, a node adopts the minimum label among
+  * itself and its neighbors (one equi-join on the symmetrized edge list +
+  * one min-aggregate — both hash-partitioned, no driver data). Labels are
+  * monotonically non-increasing and reach the component minimum in
+  * O(diameter) rounds; convergence is detected by the label-sum fixpoint
+  * (non-increasing, so equal sums mean no label moved) — one scalar to the
+  * driver per round, the P2-loop pattern.
+  *
+  * 100 TB posture: each round is two shuffles on (id, long) rows — tiny
+  * beside the pair-generation stage feeding it — and dup-cluster diameters
+  * are small in practice (near-dup graphs are dense cliques plus short
+  * chains), so the loop converges in a handful of rounds. For adversarial
+  * long-chain graphs the classic large-star/small-star variant halves the
+  * round count; min-propagation is the right default at this fan-in.
+  */
+object Components {
+
+  /** (id, comp) for every node that appears in `pairs`; comp is the
+    * minimum node id reachable from the node (including itself). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val edges = ScaleOps.trackedPersist(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+        .distinct())
+    // Each round's frame is LINEAGE-TRUNCATED (localCheckpoint, eager):
+    // without it the logical plan nests one join deeper per round and
+    // analysis cost grows without bound — the classic iterative-lineage
+    // explosion. On a cluster the same call site takes a reliable
+    // checkpoint (HDFS/object store) so a lost executor replays one round,
+    // not the whole loop.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var round = 0
+    var done = false
+    while (!done && round < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("id"))
+        .agg(min(col("comp")).as("nbr"))
+      val next = labels.as("L")
+        .join(nbrMin.as("N"), col("L.id") === col("N.id"), "left")
+        .select(col("L.id").as("id"),
+          least(col("L.comp"), coalesce(col("N.nbr"), col("L.comp"))).as("comp"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      labels = next
+      done = s == prevSum
+      prevSum = s
+      round += 1
+    }
+    labels
+  }
+}

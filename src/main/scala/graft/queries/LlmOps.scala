@@ -114,6 +114,22 @@ object LlmOps {
     */
   val qDedupMinhash: Q = (s, dir) => minhashPairs(Tables.documents(s, dir))
 
+  /** DUPLICATE-CLUSTER resolution — connected components over the minhash
+    * near-dup pairs (operators/Components.scala: iterated min-label
+    * propagation, label-sum fixpoint): near-dup pairs chain (A~B, B~C), so
+    * canonical-document selection needs the transitive closure, not the
+    * pair list. Output per cluster: the canonical (minimum) doc_id, member
+    * count, and the max member id. The oracle walks the same closure with
+    * a recursive CTE over the identical exact pair set — so the hash match
+    * proves the distributed propagation loop lands on the same components
+    * as a textbook transitive closure. */
+  val qDedupComponents: Q = (s, dir) =>
+    graft.operators.Components.connectedComponents(
+        minhashPairs(Tables.documents(s, dir)), "doc_a", "doc_b")
+      .groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+      .orderBy("comp_id")
+
   /** Near-duplicate pairs for any (doc_id, text) DataFrame — the full
     * shingle→minhash→band→bucket→exact-refine pipeline, factored out so
     * tests can run it over planted-duplicate fixtures. */
@@ -951,6 +967,7 @@ object LlmOps {
     "q_pipeline_curate" -> qPipelineCurate,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_components" -> qDedupComponents,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,
     "q_text_tokens" -> qTextTokens,

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Components
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components (operators/Components.scala): the min-label
+  * propagation loop must land on the textbook transitive closure for every
+  * graph shape — chains (diameter stress), cliques (the dup-cluster shape),
+  * and seeded random graphs checked against a driver-side union-find. */
+class ComponentsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val got = Components.connectedComponents(
+        pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.ScaleOps.releaseTracked()
+    got
+  }
+
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chain: labels propagate across the full diameter") {
+    val got = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    assert(got == (1L to 6L).map(_ -> 1L).toMap)
+  }
+
+  test("two cliques stay separate components") {
+    val got = run(Seq((10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("property: components == driver union-find on seeded random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val graphGen = for {
+      nNodes <- Gen.choose(2, 30)
+      nEdges <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, nNodes - 1)
+        b <- Gen.choose(0, nNodes - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges.filter(e => e._1 != e._2)
+    (1 to 5).foreach { i =>
+      val pairs = graphGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+        .distinct
+      if (pairs.nonEmpty) {
+        val got = run(pairs)
+        val exp = unionFind(pairs)
+        assert(got == exp, s"seed $i: got=$got exp=$exp pairs=$pairs")
+      }
+    }
+  }
+}

@@ -30,9 +30,15 @@ object Components {
     * minimum node id reachable from the node (including itself). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 50): DataFrame = {
+    // Symmetrize in ONE pass over `pairs` (explode of the two orientations),
+    // not a union of two selects — a union would reference the pair plan
+    // twice and recompute the (expensive) pair-generation pipeline per side.
     val edges = ScaleOps.trackedPersist(
-      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-        .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      pairs.select(explode(array(
+          struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+          struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
     // Each round's frame is LINEAGE-TRUNCATED (localCheckpoint, eager):
     // without it the logical plan nests one join deeper per round and

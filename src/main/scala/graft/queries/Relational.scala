@@ -561,31 +561,46 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-rollup refresh
-    * pattern every 100 TB pipeline needs: per-(type, day) partials for all
-    * but the newest day are computed once and MATERIALIZED to parquet (the
-    * standing rollup), the newest day's partials come from a pruned delta
-    * scan, and the final per-type answer is a merge of partials — the
-    * full-history raw rows are never rescanned at refresh time. Exactness
-    * is the dsumPartial/dsumMerge contract: partials store the full
-    * DECIMAL(38,10) sum (no rounding), decimal addition is associative, so
-    * the merge is byte-identical to a from-scratch aggregate — which is
-    * exactly what the oracle computes (single-pass over the source), so the
-    * hash match PROVES the incremental path is lossless. The day cutover is
-    * one scalar fetched from the source (a parameter, like the ANN query
-    * vector). */
+    * pattern every 100 TB pipeline needs. The source is staged as a
+    * DAY-PARTITIONED layout (what any event table at scale already is):
+    * per-(type, day) partials for all but the newest day are computed once
+    * and MATERIALIZED to parquet (the standing rollup), the newest day's
+    * partials come from a delta scan whose day predicate is a PARTITION
+    * FILTER — directories pruned before IO, asserted in LayoutSkewSpec —
+    * and the final per-type answer is a merge of partials. The raw history
+    * is never rescanned at refresh time, and the delta read touches one
+    * directory, not the table. Exactness is the dsumPartial/dsumMerge
+    * contract: partials store the full DECIMAL(38,10) sum (no rounding),
+    * decimal addition is associative, so the merge is byte-identical to a
+    * from-scratch aggregate — which is exactly what the oracle computes
+    * (single-pass over the source), so the hash match PROVES the
+    * incremental path is lossless. The day cutover is one scalar fetched
+    * from the source (a parameter, like the ANN query vector). */
   val qAggIncremental: Q = (s, dir) => {
     import graft.functions.Det
     val ev = Tables.events(s, dir)
-      .select(col("event_type"), col("value"), to_date(col("ts")).as("day"))
-    val cutover = ev.agg(max(col("day"))).head().getDate(0)
+      .select(col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val cutover = ev.agg(max(col("day"))).head().getString(0)
+    // Stage the day-partitioned source once (at scale the events table
+    // already lives in this layout; Layout.writePartitioned keeps full
+    // write parallelism with bounded files per day directory).
+    val partitioned = Tables.stageDir(s, "events-by-day", dir)
+    graft.sources.Layout.writePartitioned(ev, partitioned, "day")
+    // Partition-column type inference reads the day dir values back as
+    // DATE; normalize to string so the rollup parquet and the delta agree
+    // on the group key type across Spark config changes.
     def partials(df: DataFrame) =
-      df.groupBy(col("event_type"), col("day"))
+      df.groupBy(col("event_type"), col("day").cast("string").as("day"))
         .agg(count(lit(1)).as("pn"), Det.dsumPartial(col("value")).as("pdec"))
     val rollup = Tables.stageDir(s, "rollup", dir)
-    partials(ev.filter(col("day") < cutover))
+    partials(graft.sources.Layout.readPartitioned(s, partitioned)
+        .filter(col("day") < cutover))
       .write.mode("overwrite").parquet(rollup)
+    val delta = graft.sources.Layout.readPartitioned(s, partitioned)
+      .filter(col("day") >= cutover) // partition filter: one directory read
     s.read.parquet(rollup)
-      .unionByName(partials(ev.filter(col("day") >= cutover)))
+      .unionByName(partials(delta))
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n"), Det.dsumMerge(col("pdec"), 6).as("sum_value"))
       .orderBy("event_type")

@@ -103,6 +103,24 @@ class LayoutSkewSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("q_agg_incremental's delta scan prunes day partitions in its plan") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // The refresh claim is that the delta read touches one day directory,
+    // not the table: the day predicate must land in the partitioned scan's
+    // partitionFilters (the rollup scan has no partition columns).
+    val df = SparkEntry.queries("q_agg_incremental")(spark, Sf0001)
+    val root = df.queryExecution.executedPlan
+    val plan = root match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, s"no file scan in:\n$plan")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      s"day cutover not pushed to partition pruning:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("Layout.compact shrinks the file count and preserves content byte-for-byte") {
     val frag = Tables.stageDir(spark, "spec-fragments", Sf0001)
     val compacted = Tables.stageDir(spark, "spec-compacted", Sf0001)

@@ -899,6 +899,22 @@ object Oracle {
                FROM documents) t
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // Rank-window definition of the quota sample; the Spark side routes to
+    // an exact bucketed-threshold rewrite above the one-task gate, which
+    // must land on the identical sample (total order on (md5, doc_id)).
+    // The quota constant is shared with the Spark side so the two can
+    // never drift.
+    "q_sample_quota" ->
+      s"""WITH r AS (SELECT lang, doc_id, n_chars,
+                            row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(text), doc_id) AS rn
+                     FROM documents)
+          SELECT lang, count(*) AS n_sampled,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM r WHERE rn <= ${graft.queries.LlmOps.QuotaK}
+          GROUP BY lang ORDER BY lang""",
+
     // Counts literal bigram STRINGS where the Spark side counts 64-bit
     // bigram hashes — identical aggregates modulo hash collisions (the
     // q_dedup_minhash noise-floor argument).

@@ -811,6 +811,95 @@ object LlmOps {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("split", "lang")
 
+  /** Quota size shared by both route forms and the spec. */
+  val QuotaK = 20
+
+  private def quotaSummary(sample: DataFrame): DataFrame =
+    sample.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("lang")
+
+  /** Declared form — per-language rank window over the content-hash order.
+    * A language's partition is the whole language at 100 TB (the hot-key
+    * single-task sort), so this form holds only below the one-task gate. */
+  private[graft] val quotaWindowForm: Q = (s, dir) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    quotaSummary(Tables.documents(s, dir)
+      .withColumn("h", md5(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= QuotaK))
+  }
+
+  /** Scale form — the per-language k smallest (hash, doc_id) entries found
+    * WITHOUT sorting any language partition: bucket the hash space per
+    * language (approx edges), count per bucket, locate the single bucket
+    * covering rank k from the cumulative offsets, sort ONLY that bucket's
+    * rows (bounded by ~n/buckets per task) to pull the exact k-th entry,
+    * and filter the corpus against the per-language threshold triple
+    * (numeric prefix, full hash, doc_id — a total order, so the sample is
+    * EXACTLY the window form's even under hash-prefix ties). Languages
+    * with fewer than k documents have no covering bucket and pass whole. */
+  def quotaSample(docs: DataFrame, k: Int, buckets: Int = 256): DataFrame = {
+    import graft.operators.ScaleOps
+    // Numeric bucket key: the first 15 hex chars as a long. Hex chars sort
+    // lexicographically by value, so (v, h, doc_id) order == (h, doc_id).
+    val d = ScaleOps.trackedPersist(docs
+      .withColumn("h", md5(col("text")))
+      .withColumn("v", conv(substring(col("h"), 1, 15), 16, 10).cast("long")))
+    val nb = buckets
+    val edgePs = (1 until nb).map(i => i.toDouble / nb)
+    val edges = d.groupBy(col("lang")).agg(
+      percentile_approx(col("v"), array(edgePs.map(lit): _*), lit(10000))
+        .as("__edges"))
+    val bucketExpr = (1 until nb).map(i =>
+      when(col("v") >= col("__edges")(i - 1), 1).otherwise(0)).reduce(_ + _)
+    val bucketed = d.join(ScaleOps.maybeBroadcast(edges), "lang")
+      .withColumn("__bkt", bucketExpr).drop("__edges")
+    val bc = bucketed.groupBy(col("lang"), col("__bkt")).agg(count(lit(1)).as("__bc"))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = bc
+      .withColumn("__off", coalesce(sum(col("__bc")).over(wOff), lit(0L)))
+      .filter(col("__off") < k && col("__off") + col("__bc") >= k)
+      .select(col("lang"), col("__bkt"), col("__off"))
+    // Sort only the boundary bucket per language; its row at in-bucket rank
+    // (k − offset) is the exact global k-th entry.
+    val wIn = Window.partitionBy(col("lang"))
+      .orderBy(col("v"), col("h"), col("doc_id"))
+    val thr = bucketed.join(ScaleOps.maybeBroadcast(boundary), Seq("lang", "__bkt"))
+      .withColumn("__rn", row_number().over(wIn))
+      .filter(col("__rn") === lit(k.toLong) - col("__off"))
+      .select(col("lang"), col("v").as("__tv"), col("h").as("__th"),
+        col("doc_id").as("__tid"))
+    d.join(ScaleOps.maybeBroadcast(thr), Seq("lang"), "left")
+      .filter(col("__tv").isNull ||
+        col("v") < col("__tv") ||
+        (col("v") === col("__tv") && (col("h") < col("__th") ||
+          (col("h") === col("__th") && col("doc_id") <= col("__tid")))))
+      .drop("v", "__tv", "__th", "__tid")
+  }
+
+  private[graft] val quotaScaleForm: Q = (s, dir) =>
+    quotaSummary(quotaSample(Tables.documents(s, dir), QuotaK))
+
+  /** Per-language QUOTA SAMPLING — the per-language cap every corpus
+    * pipeline applies (balance languages, bound a crawl's share): the first
+    * `QuotaK` documents per language in CONTENT-HASH order (md5(text),
+    * doc_id tiebreak) — content-addressed like q_sample_split, so the
+    * sample is reproducible across runs/engines, carries no RNG state, and
+    * is immune to input order. SIZE-ROUTED like q_agg_median: the rank
+    * window below the one-task gate, the exact bucketed-threshold rewrite
+    * (no full-partition sort anywhere) above it — bit-identical either way
+    * (ScaleOpsSpec), so routing never changes results. */
+  def quotaRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q =
+    (s, dir) =>
+      if (graft.operators.ScaleOps.estimatedBytes(Tables.documents(s, dir))
+          <= BigInt(maxOneTaskBytes)) quotaWindowForm(s, dir)
+      else quotaScaleForm(s, dir)
+
+  val qSampleQuota: Q = quotaRouted()
+
   /** Within-document REPETITION signals (the Gopher-family quality rules):
     * duplicate-bigram fraction and top-bigram fraction per document.
     * Bigram identity via the native ngram_hashes kernel with
@@ -960,6 +1049,7 @@ object LlmOps {
 
   val queries: Map[String, Q] = Map(
     "q_sample_split" -> qSampleSplit,
+    "q_sample_quota" -> qSampleQuota,
     "q_split_contamination" -> qSplitContamination,
     "q_pack_sequences" -> qPackSequences,
     "q_text_repetition" -> qTextRepetition,

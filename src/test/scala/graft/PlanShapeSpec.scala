@@ -73,6 +73,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_topk" -> 0,              // TakeOrderedAndProject — no shuffle at all
     "q_knn_bruteforce" -> 2,    // per-query window (1) + sort (1); dims broadcast
     "q_sample_split" -> 3,
+    "q_sample_quota" -> 3,      // lang rank window (1) + agg (1) + sort (1)
     "q_text_langid" -> 10,      // shared-explode gram table, profile join, argmax
     "q_ml_gmm_converged" -> 1,  // one partial+final agg per EM pass (same cached scan)
     "q_ml_wls" -> 1,            // one partial+final agg, single grouped row out

@@ -103,6 +103,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     ScaleOps.releaseTracked()
   }
 
+  test("quota router: bucketed-threshold scale form bit-matches the window form") {
+    import graft.queries.LlmOps
+    // sf0.001: ~10 docs/lang < k — every language takes the no-threshold
+    // path; sf0.01: ~100 docs/lang — the quota binds everywhere.
+    val scaled = LlmOps.quotaRouted(maxOneTaskBytes = 0L)(spark, Sf0001)
+    val declared = LlmOps.quotaRouted(maxOneTaskBytes = Long.MaxValue)(spark, Sf0001)
+    assert(scaled.collect().toSeq == declared.collect().toSeq,
+      "scale quota form diverged from window form at sf0.001")
+    val s01 = LlmOps.quotaScaleForm(spark, Sf001).collect().toSeq
+    val w01 = LlmOps.quotaWindowForm(spark, Sf001).collect().toSeq
+    assert(s01 == w01, "scale quota form diverged from window form at sf0.01")
+    // Exact sample cardinality: min(k, n_lang) rows per language.
+    val perLang = Tables.documents(spark, Sf001).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = LlmOps.quotaSample(Tables.documents(spark, Sf001), LlmOps.QuotaK)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(sampled(lang) == math.min(LlmOps.QuotaK.toLong, n),
+        s"$lang: sampled ${sampled(lang)} of $n (k=${LlmOps.QuotaK})")
+    }
+    ScaleOps.releaseTracked()
+  }
+
   test("groupedQuantilesExact handles 1-row and single-value groups") {
     import spark.implicits._
     val df = Seq(("a", 10.0), ("b", 5.0), ("b", 5.0), ("b", 5.0),

@@ -48,9 +48,13 @@ object Components {
     // not the whole loop.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    // coalesce(…, 0): an empty pair set must yield an empty result, not an
+    // NPE from reading a null SUM aggregate.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var round = 0
-    var done = false
+    var done = prevSum == 0L && labels.isEmpty
     while (!done && round < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("id"))
@@ -60,12 +64,19 @@ object Components {
         .select(col("L.id").as("id"),
           least(col("L.comp"), coalesce(col("N.nbr"), col("L.comp"))).as("comp"))
         .localCheckpoint()
-      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      val s = labelSum(next)
       labels = next
       done = s == prevSum
       prevSum = s
       round += 1
     }
+    // Exhausting the round budget without reaching the fixpoint means the
+    // labels are NOT the transitive closure (a >maxIters-diameter chain) —
+    // fail loudly rather than return silently wrong components.
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          "the graph's diameter exceeds the budget; raise maxIters")
     labels
   }
 }

@@ -85,10 +85,16 @@ object Layout {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Only *.parquet data files count toward the size — a content summary
     // would also include _SUCCESS markers and local-FS .crc checksums,
-    // inflating the computed file count relative to actual data bytes.
-    val bytes = fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // inflating the computed file count relative to actual data bytes. The
+    // listing is RECURSIVE: the small-files shape this pass exists for is
+    // often a hive-partitioned tree (col=value/part-*.parquet), whose data
+    // files a top-level listing would miss entirely (bytes=0 → 1 output).
+    var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inPath).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(outPath)

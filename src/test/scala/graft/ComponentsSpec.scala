@@ -10,13 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class ComponentsSpec extends AnyFunSuite {
   import SparkFixture._
 
-  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def run(pairs: Seq[(Long, Long)], maxIters: Int = 50): Map[Long, Long] = {
     import spark.implicits._
-    val got = Components.connectedComponents(
-        pairs.toDF("a", "b"), "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    graft.operators.ScaleOps.releaseTracked()
-    got
+    try {
+      Components.connectedComponents(pairs.toDF("a", "b"), "a", "b", maxIters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally graft.operators.ScaleOps.releaseTracked()
   }
 
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
@@ -40,6 +39,23 @@ class ComponentsSpec extends AnyFunSuite {
   test("two cliques stay separate components") {
     val got = run(Seq((10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("empty pair set yields an empty result, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(empty, "a", "b").isEmpty)
+    graft.operators.ScaleOps.releaseTracked()
+  }
+
+  test("exhausting the round budget fails loudly instead of returning wrong labels") {
+    // A 12-node chain needs ~11 rounds; a 3-round budget must throw (a
+    // silent return would be a wrong transitive closure), and a sufficient
+    // budget must converge to the single component.
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] { run(chain, maxIters = 3) }
+    assert(e.getMessage.contains("did not converge"))
+    assert(run(chain, maxIters = 20) == (1L to 12L).map(_ -> 1L).toMap)
   }
 
   test("property: components == driver union-find on seeded random graphs") {

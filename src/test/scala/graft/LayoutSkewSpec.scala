@@ -180,6 +180,36 @@ class LayoutSkewSpec extends AnyFunSuite {
       "uniform fact should not pay for salting")
   }
 
+  test("Layout.compact sizes a hive-partitioned tree from its nested data files") {
+    // The small-files shape compaction exists for is often a partitioned
+    // tree; a top-level-only listing would measure 0 bytes and collapse
+    // everything to one file regardless of targetBytes.
+    val part = Tables.stageDir(spark, "spec-compact-part", Sf0001)
+    val out = Tables.stageDir(spark, "spec-compact-part-out", Sf0001)
+    val src = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Layout.writePartitioned(src, part, "lang", filesPerPartition = 4)
+    // Independent byte count of the nested data files: compact's output
+    // count must reflect it (a top-level-only listing would see 0 bytes).
+    val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(part)).iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var total = 0L
+    while (bytes.hasNext) {
+      val f = bytes.next()
+      if (f.toString.endsWith(".parquet")) total += java.nio.file.Files.size(f)
+    }
+    val target = 2048L
+    val expected = math.max(1L, (total + target - 1) / target).toInt
+    val nOut = Layout.compact(spark, part, out, targetBytes = target)
+    assert(total > target, s"fixture too small to exercise sizing: $total bytes")
+    assert(nOut == expected,
+      s"compact sized $nOut files from a $total-byte partitioned tree (expected $expected)")
+    val got = spark.read.parquet(out).select("doc_id", "n_chars")
+      .collect().map(_.toSeq).toSet
+    val exp = src.select("doc_id", "n_chars").collect().map(_.toSeq).toSet
+    assert(got == exp, s"content changed: missing=${(exp -- got).take(3)}")
+  }
+
   test("z-order clustering tightens per-file envelopes in BOTH dimensions at once") {
     // Deterministic 64×64 grid, one row per cell: after scaling to 16 bits
     // and Morton interleaving, 8 z-range files must cover ~1/2 of the

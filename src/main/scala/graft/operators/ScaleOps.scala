@@ -25,6 +25,25 @@ object ScaleOps {
   def maybeBroadcast(df: DataFrame, maxBytes: Long = graft.Conf.BroadcastMaxBytes): DataFrame =
     if (estimatedBytes(df) <= BigInt(maxBytes)) broadcast(df) else df
 
+  /** Broadcast a small DERIVED table (per-key counts, thresholds) gated on
+    * its SOURCE's size estimate: post-aggregation estimates are unreliable
+    * (Catalyst can't size a distinct-key count), so the gate is the source
+    * corpus at a quarter-budget safety factor. Above the gate the hint is
+    * omitted and the join stays co-partitioned. One rule for every
+    * join-back site, so the safety factor can't drift per copy. */
+  def broadcastIfSourceSmall(df: DataFrame, source: DataFrame,
+                             maxBytes: Long = graft.Conf.BroadcastMaxBytes / 4): DataFrame =
+    if (estimatedBytes(source) <= BigInt(maxBytes)) broadcast(df) else df
+
+  /** The SIZE-ROUTER convention shared by every routed query (median,
+    * range-frame, ntile, tfidf, boilerplate, quota): the declared one-task
+    * form while `gate`'s Catalyst estimate fits a single sort task, the
+    * scale rewrite past it. Route forms are bit-identical (ScaleOpsSpec),
+    * so routing never changes results — only the plan shape. */
+  def routeBySize(gate: DataFrame, maxOneTaskBytes: Long)
+                 (below: => DataFrame)(above: => DataFrame): DataFrame =
+    if (estimatedBytes(gate) <= BigInt(maxOneTaskBytes)) below else above
+
   /** Registry of frames persisted inside query plans. A query function
     * returns a LAZY DataFrame, so the operator that persisted a shared
     * intermediate can never unpersist it itself — the caller's action

@@ -298,11 +298,8 @@ object LlmOps {
     // multiple of corpus bytes, so a quarter of the broadcast budget on
     // the corpus keeps the freq table safely inside it). Past the gate the
     // join degrades to the same shuffle-by-h the window did — never worse.
-    val freqRaw = postings.groupBy(col("h")).agg(count(lit(1)).as("f"))
-    val freq =
-      if (graft.operators.ScaleOps.estimatedBytes(docs) <=
-          BigInt(graft.Conf.BroadcastMaxBytes / 4)) broadcast(freqRaw)
-      else freqRaw
+    val freq = graft.operators.ScaleOps.broadcastIfSourceSmall(
+      postings.groupBy(col("h")).agg(count(lit(1)).as("f")), docs)
     val ex = postings.join(freq, "h")
     val docSets = ex
       .groupBy(col("doc_id"))
@@ -590,11 +587,7 @@ object LlmOps {
         // a single-task SORT.
         val tf = graft.operators.ScaleOps.persistIfBig(tfRaw, docs)
         val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val gated =
-          if (graft.operators.ScaleOps.estimatedBytes(docs) <=
-              BigInt(graft.Conf.BroadcastMaxBytes / 4)) broadcast(dfTab)
-          else dfTab
-        tf.join(gated, "term")
+        tf.join(graft.operators.ScaleOps.broadcastIfSourceSmall(dfTab, docs), "term")
       } else tfRaw.withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("term"))))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -614,9 +607,8 @@ object LlmOps {
     * forms produce identical rows, so routing never changes results, only
     * the plan shape. */
   def tfidfRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q = (s, dir) =>
-    if (graft.operators.ScaleOps.estimatedBytes(Tables.documents(s, dir)) <=
-        BigInt(maxOneTaskBytes)) tfidfWindowForm(s, dir)
-    else tfidfScaleForm(s, dir)
+    graft.operators.ScaleOps.routeBySize(Tables.documents(s, dir), maxOneTaskBytes)(
+      tfidfWindowForm(s, dir))(tfidfScaleForm(s, dir))
 
   val qTextTfidf: Q = tfidfRouted()
 
@@ -656,11 +648,7 @@ object LlmOps {
         // the footer's partition.
         val occ = graft.operators.ScaleOps.persistIfBig(occRaw, docs)
         val dfTab = occ.groupBy(col("seg")).agg(count(lit(1)).as("df"))
-        val gated =
-          if (graft.operators.ScaleOps.estimatedBytes(docs) <=
-              BigInt(graft.Conf.BroadcastMaxBytes / 4)) broadcast(dfTab)
-          else dfTab
-        occ.join(gated, "seg")
+        occ.join(graft.operators.ScaleOps.broadcastIfSourceSmall(dfTab, docs), "seg")
       } else occRaw.withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("seg"))))
     withDf
@@ -678,9 +666,8 @@ object LlmOps {
 
   /** Size-routed q_text_boilerplate — same contract as tfidfRouted. */
   def boilerplateRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q = (s, dir) =>
-    if (graft.operators.ScaleOps.estimatedBytes(Tables.documents(s, dir)) <=
-        BigInt(maxOneTaskBytes)) boilerplateWindowForm(s, dir)
-    else boilerplateScaleForm(s, dir)
+    graft.operators.ScaleOps.routeBySize(Tables.documents(s, dir), maxOneTaskBytes)(
+      boilerplateWindowForm(s, dir))(boilerplateScaleForm(s, dir))
 
   val qTextBoilerplate: Q = boilerplateRouted()
 
@@ -894,9 +881,8 @@ object LlmOps {
     * (ScaleOpsSpec), so routing never changes results. */
   def quotaRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q =
     (s, dir) =>
-      if (graft.operators.ScaleOps.estimatedBytes(Tables.documents(s, dir))
-          <= BigInt(maxOneTaskBytes)) quotaWindowForm(s, dir)
-      else quotaScaleForm(s, dir)
+      graft.operators.ScaleOps.routeBySize(Tables.documents(s, dir), maxOneTaskBytes)(
+        quotaWindowForm(s, dir))(quotaScaleForm(s, dir))
 
   val qSampleQuota: Q = quotaRouted()
 

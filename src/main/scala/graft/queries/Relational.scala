@@ -640,9 +640,8 @@ object Relational {
     * way, so routing never changes results — only the plan shape. */
   def medianRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q =
     (s, dir) =>
-      if (graft.operators.ScaleOps.estimatedBytes(Tables.orders(s, dir))
-          <= BigInt(maxOneTaskBytes)) medianAggForm(s, dir)
-      else medianScaleForm(s, dir)
+      graft.operators.ScaleOps.routeBySize(Tables.orders(s, dir), maxOneTaskBytes)(
+        medianAggForm(s, dir))(medianScaleForm(s, dir))
 
   val qAggMedian: Q = medianRouted()
 

@@ -115,9 +115,8 @@ object Windows {
     * past it. Both forms produce identical rows, so routing never changes
     * results — only the plan shape. */
   def rangeRouted(maxOneTaskBytes: Long = Conf.OneTaskSortMaxBytes): Q = (s, dir) =>
-    if (ScaleOps.estimatedBytes(Tables.orders(s, dir)) <= BigInt(maxOneTaskBytes))
-      rangeWindowForm(s, dir)
-    else rangeScaleForm(s, dir)
+    ScaleOps.routeBySize(Tables.orders(s, dir), maxOneTaskBytes)(
+      rangeWindowForm(s, dir))(rangeScaleForm(s, dir))
 
   val qWindowRange: Q = rangeRouted()
 
@@ -170,9 +169,8 @@ object Windows {
 
   /** Size-routed q_window_ntile — same contract as rangeRouted. */
   def ntileRouted(maxOneTaskBytes: Long = Conf.OneTaskSortMaxBytes): Q = (s, dir) =>
-    if (ScaleOps.estimatedBytes(Tables.customer(s, dir)) <= BigInt(maxOneTaskBytes))
-      ntileWindowForm(s, dir)
-    else ntileScaleForm(s, dir)
+    ScaleOps.routeBySize(Tables.customer(s, dir), maxOneTaskBytes)(
+      ntileWindowForm(s, dir))(ntileScaleForm(s, dir))
 
   val qWindowNtile: Q = ntileRouted()
 

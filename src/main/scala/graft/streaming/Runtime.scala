@@ -93,6 +93,60 @@ object Runtime {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Write `df` as a single parquet file at streamDir/name (coalesce into
+    * a temp dir, copy the one part file out) — the replay-fixture writer
+    * shared by the flush and time-split stagings. */
+  private def stageOne(df: DataFrame, streamDir: java.nio.file.Path,
+                       name: String): Unit = {
+    val tmp = streamDir.resolve(name + ".dir")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = java.nio.file.Files.list(tmp)
+    val part =
+      try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
+    java.nio.file.Files.copy(part, streamDir.resolve(name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One far-future sentinel row (user_id = −1, event_type "flush") that
+    * advances the event-time watermark past every real session/window. */
+  private def flushFrame(batch: DataFrame, flushNs: Long): DataFrame =
+    batch.limit(1)
+      .select(lit(-1L).as("event_id"), lit(flushNs).as("ts"),
+        lit(-1L).as("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+
+  /** IDEMPOTENT staging driver shared by both replay fixtures: the staged
+    * content is a pure function of the source file, so a marker recording
+    * the source's (size, mtime, layout-version) lets repeat invocations
+    * skip the staging jobs entirely. Staging roots are run-scoped (deleted
+    * in the harness epilogue), so the skip pays off WITHIN a run/JVM —
+    * several suites and a Verify+query pair reuse the staging; across runs
+    * it re-stages once, a deliberate trade for zero tmpdir accretion.
+    * After `write`, strictly increasing mtimes are stamped in `names`
+    * order — the file source replays oldest-mtime first, so flush batches
+    * always FOLLOW the data batches regardless of copy timing. */
+  private def stageIdempotent(src: java.nio.file.Path,
+                              streamDir: java.nio.file.Path, version: String,
+                              names: Seq[String])(write: => Unit): Unit = {
+    val attrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val sig = s"${attrs.size}:${attrs.lastModifiedTime.toMillis}:$version"
+    val marker = streamDir.resolve(".staged")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == sig &&
+      names.forall(n => java.nio.file.Files.exists(streamDir.resolve(n)))
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(marker)
+      write
+      for ((name, i) <- names.zipWithIndex)
+        java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      java.nio.file.Files.writeString(marker, sig)
+    }
+  }
+
   /** The events stream staged with two trailing FLUSH files (single
     * far-future rows for a sentinel user), replayed as two micro-batches.
     * The flush rows advance the event-time
@@ -108,50 +162,15 @@ object Runtime {
       Tables.stageDir(spark, "stream-flush", dir))
     val names = Seq("events_0.parquet", "events_1_flush.parquet",
       "events_2_flush.parquet")
-    // IDEMPOTENT staging: the flush content is a pure function of the
-    // source file, so a marker recording the source's (size, mtime) lets
-    // repeat invocations skip the max-ts job and the two flush-file writes.
-    // Staging roots are run-scoped (deleted in the harness epilogue), so
-    // the skip pays off WITHIN a run/JVM — several test suites and a
-    // Verify+query pair reuse the staging; across runs it re-stages once,
-    // a deliberate trade for zero tmpdir accretion.
-    val attrs = java.nio.file.Files.readAttributes(
-      src, classOf[java.nio.file.attribute.BasicFileAttributes])
-    val sig = s"${attrs.size}:${attrs.lastModifiedTime.toMillis}:v2"
-    val marker = streamDir.resolve(".staged")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == sig &&
-      names.forall(n => java.nio.file.Files.exists(streamDir.resolve(n)))
-    if (!fresh) {
-      java.nio.file.Files.deleteIfExists(marker)
+    stageIdempotent(src, streamDir, "v3", names) {
       java.nio.file.Files.copy(src, streamDir.resolve("events_0.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val batch = spark.read.parquet(src.toString)
       val maxTsNs = batch.agg(max(col("ts"))).head().getLong(0)
       for ((name, offsetHours) <- Seq("events_1_flush.parquet" -> 2L,
-                                      "events_2_flush.parquet" -> 4L)) {
-        val flushNs = maxTsNs + offsetHours * 3600L * 1000000000L
-        batch.limit(1)
-          .select(lit(-1L).as("event_id"), lit(flushNs).as("ts"),
-            lit(-1L).as("user_id"), lit("flush").as("event_type"),
-            lit(0.0).as("value"), lit("{}").as("props"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(streamDir.resolve(name + ".dir").toString)
-        val listing = java.nio.file.Files.list(streamDir.resolve(name + ".dir"))
-        val part =
-          try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally listing.close()
-        java.nio.file.Files.copy(part, streamDir.resolve(name),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-      // Deterministic replay order: the file source replays oldest-mtime
-      // first; stamp strictly increasing mtimes so the flush batches always
-      // FOLLOW the data batch regardless of copy timing granularity.
-      for ((name, i) <- names.zipWithIndex)
-        java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      java.nio.file.Files.writeString(marker, sig)
+                                      "events_2_flush.parquet" -> 4L))
+        stageOne(flushFrame(batch, maxTsNs + offsetHours * 3600L * 1000000000L),
+          streamDir, name)
     }
     val schema = spark.read.parquet(src.toString).schema
     // Two micro-batches suffice: (events + flush1) together, then flush2.
@@ -179,52 +198,20 @@ object Runtime {
       Tables.stageDir(spark, "stream-split", dir))
     val names = Seq("events_0_early.parquet", "events_1_late.parquet",
       "events_2_flush.parquet", "events_3_flush.parquet")
-    // Same idempotent-staging marker as eventsStreamWithFlush: the split is
-    // a pure function of the source file, so repeat invocations within a
-    // run (the stateful split spec + the q_stream_join gate) skip the
-    // percentile job and the four stage writes.
-    val attrs = java.nio.file.Files.readAttributes(
-      src, classOf[java.nio.file.attribute.BasicFileAttributes])
-    val sig = s"${attrs.size}:${attrs.lastModifiedTime.toMillis}:v1"
-    val marker = streamDir.resolve(".staged")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == sig &&
-      names.forall(n => java.nio.file.Files.exists(streamDir.resolve(n)))
-    val schema = spark.read.parquet(src.toString).schema
-    if (!fresh) {
-      java.nio.file.Files.deleteIfExists(marker)
+    stageIdempotent(src, streamDir, "v2", names) {
       val batch = spark.read.parquet(src.toString)
       val bounds = batch.select(
         expr("approx_percentile(ts, 0.5)").as("mid"), max(col("ts")).as("mx")).head()
       val (midNs, maxTsNs) = (bounds.getLong(0), bounds.getLong(1))
-      def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-        val tmp = streamDir.resolve(name + ".dir")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val listing = java.nio.file.Files.list(tmp)
-        val part =
-          try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally listing.close()
-        java.nio.file.Files.copy(part, streamDir.resolve(name),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-      stage(batch.filter(col("ts") <= midNs), "events_0_early.parquet")
-      stage(batch.filter(col("ts") > midNs), "events_1_late.parquet")
+      stageOne(batch.filter(col("ts") <= midNs), streamDir, "events_0_early.parquet")
+      stageOne(batch.filter(col("ts") > midNs), streamDir, "events_1_late.parquet")
       for ((name, offsetHours) <- Seq("events_2_flush.parquet" -> 2L,
-                                      "events_3_flush.parquet" -> 4L)) {
-        val flushNs = maxTsNs + offsetHours * 3600L * 1000000000L
-        stage(batch.limit(1)
-          .select(lit(-1L).as("event_id"), lit(flushNs).as("ts"),
-            lit(-1L).as("user_id"), lit("flush").as("event_type"),
-            lit(0.0).as("value"), lit("{}").as("props")), name)
-      }
-      for ((name, i) <- names.zipWithIndex)
-        java.nio.file.Files.setLastModifiedTime(streamDir.resolve(name),
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-      java.nio.file.Files.writeString(marker, sig)
+                                      "events_3_flush.parquet" -> 4L))
+        stageOne(flushFrame(batch, maxTsNs + offsetHours * 3600L * 1000000000L),
+          streamDir, name)
     }
     spark.readStream
-      .schema(schema)
+      .schema(spark.read.parquet(src.toString).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString + "/events_*.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

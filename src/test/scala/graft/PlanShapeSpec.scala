@@ -108,7 +108,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // shuffle budget belongs to the BATCH form — window agg (1) + sort (1) —
     // which is also the plan shape of the streaming aggregation itself.
     ("q_stream_tumbling batch form",
-      () => graft.queries.StreamingQs.tumblingBatchForm(spark, Sf0001), 2)
+      () => graft.queries.StreamingQs.tumblingBatchForm(spark, Sf0001), 2),
+    // The threshold subplans (edges/bucket counts/offsets/boundary rank)
+    // materialize inside broadcast stages at this size, so the countable
+    // top-level budget is small: summary agg (1) + sort (1) + slack for
+    // the gated joins degrading to shuffles past the broadcast budget.
+    ("q_sample_quota scale form",
+      () => graft.queries.LlmOps.quotaScaleForm(spark, Sf0001), 6)
   )
 
   for ((label, mk, budget) <- scaleFormBudgets)

@@ -80,6 +80,55 @@ object Tables {
   def stageDir(spark: SparkSession, prefix: String, rawKey: String): String =
     stageDir(spark, s"$prefix-${rawKey.replaceAll("[^A-Za-z0-9]", "_")}")
 
+  /** Root for CONTENT-KEYED replay fixtures (the streaming gate's staged
+    * arrival files, the incremental-agg's day-partitioned source). Unlike
+    * [[stageDir]]'s run-scoped root, this one is SHARED and stable across
+    * JVMs (conf `graft.replay.dir`, default java.io.tmpdir/graft-replay):
+    * a fixture here is a pure function of its source table, validated by a
+    * `.staged` signature marker, so a fresh process REUSES the staged files
+    * instead of re-running the staging jobs — per-JVM restaging is what
+    * made q_stream_join's bench cost vary 3× between runs. Disk use is
+    * bounded: one fixture set per (kind, table), cleared and rewritten when
+    * the source (or fixture version) changes. */
+  def replayDir(spark: SparkSession, prefix: String, rawKey: String): String = {
+    val root = spark.conf.get("graft.replay.dir",
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-replay").toString)
+    val p = java.nio.file.Paths.get(
+      root, s"$prefix-${rawKey.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Idempotent staging driver for [[replayDir]] fixtures: `write` runs only
+    * when the signature marker (source size + mtime + fixture version) is
+    * stale. Stale contents are CLEARED first — the shared root outlives
+    * fixture-version changes, and a leftover file from an older layout would
+    * otherwise still match a file-source glob and replay as a spurious
+    * micro-batch. The marker is written LAST, so a crash mid-staging leaves
+    * no marker and the next call restages. (Concurrent stagings of the same
+    * fixture from two JVMs could interleave — the quiet-run convention the
+    * bench already requires also keeps stagings serial.) Returns the
+    * fixture directory. */
+  def stagedFixture(spark: SparkSession, src: String, prefix: String,
+                    rawKey: String, version: String)
+                   (write: String => Unit): String = {
+    val dir = replayDir(spark, prefix, rawKey)
+    val attrs = java.nio.file.Files.readAttributes(
+      java.nio.file.Paths.get(src),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val sig = s"${attrs.size}:${attrs.lastModifiedTime.toMillis}:$version"
+    val marker = java.nio.file.Paths.get(dir, ".staged")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == sig
+    if (!fresh) {
+      deleteRecursively(dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      write(dir)
+      java.nio.file.Files.writeString(marker, sig)
+    }
+    dir
+  }
+
   /** Best-effort recursive delete for a staging root (harness epilogue). */
   def deleteRecursively(root: String): Unit = {
     val p = java.nio.file.Paths.get(root)

@@ -35,8 +35,8 @@ object StreamingQs {
   /** 1-hour tumbling windows run as a REAL incremental stream inside the
     * correctness gate (the q_stream_session pattern): replayed file source,
     * 1-hour watermark, APPEND mode — each (window, type) row is emitted
-    * exactly once when the watermark passes the window's end. The flush
-    * batches advance the watermark past every real window; their sentinel
+    * exactly once when the watermark passes the window's end. The trailing
+    * flush sentinel advances the watermark past every real window; its
     * rows group under event_type "flush" and are dropped after the sink
     * (filtering before the watermark would be pushed below it and stop the
     * flush rows from advancing anything — see Runtime.statefulSessions). */
@@ -62,7 +62,7 @@ object StreamingQs {
   /** Sliding windows as a REAL incremental stream in the gate. The sliding
     * output has no event_type column to mark the flush sentinels, but every
     * window they land in starts strictly AFTER the last real event (flush ts
-    * = max + 2h/4h, window length 1h), so the real/sentinel boundary is the
+    * = max + 4h, window length 1h), so the real/sentinel boundary is the
     * source's max timestamp — one scalar fetched from the batch table (a
     * parameter, like the ANN query vector) and applied after the sink. */
   val qStreamSliding: Q = (s, dir) => {
@@ -92,10 +92,10 @@ object StreamingQs {
   /** The SAME session_window aggregation run as a REAL incremental stream
     * inside the correctness gate (the q_stream_stateful pattern): replayed
     * file source, 1-hour watermark, APPEND mode — each session row is
-    * emitted exactly once, when the watermark passes its end. The two
-    * trailing flush batches advance the watermark past every real session's
-    * end (the replay-side stand-in for a production stream's continuously
-    * advancing watermark); their sentinel user's own sessions are dropped
+    * emitted exactly once, when the watermark passes its end. The trailing
+    * flush sentinel advances the watermark past every real session's end
+    * (the replay-side stand-in for a production stream's continuously
+    * advancing watermark); the sentinel user's own sessions are dropped
     * after the sink. Hash-matching the gaps-and-islands oracle proves the
     * incremental emission path reproduces the relational answer — not just
     * the batch-mode twin. */
@@ -130,7 +130,7 @@ object StreamingQs {
   }
 
   /** The interval join run as a REAL incremental stream in the gate, over
-    * the TIME-SPLIT replay (early half / late half / flush batches) so the
+    * the TIME-SPLIT replay (early half / late half by median timestamp) so the
     * hash check exercises cross-batch join-state buffering: a batch-1 click
     * must still be in state to meet its batch-2 purchase, and state behind
     * the watermark's reachable range is evicted without losing a pair
@@ -147,7 +147,8 @@ object StreamingQs {
 
   /** ARBITRARY STATEFUL sessionization, run as a REAL incremental stream:
     * flatMapGroupsWithState with event-time timeout over the replayed
-    * events source (plus watermark-advancing flush batches), memory sink.
+    * events source (plus the watermark-advancing flush sentinel), memory
+    * sink.
     * Unlike the other q_stream_* keys (batch forms of streaming
     * primitives), this key exercises the streaming RUNTIME inside the
     * correctness gate: its oracle is the same gaps-and-islands SQL shape

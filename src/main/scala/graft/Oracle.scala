@@ -1074,6 +1074,18 @@ object Oracle {
       s"""SELECT event_type, count(*) AS n, ${dsum("value", 6)} AS sum_value
           FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // The Spark side streams the time-split replay through the foreachBatch
+    // partitioned sink (two append micro-batches into an event_type= layout)
+    // and re-reads the layout with a partition filter; the round trip is
+    // lossless and exactly-once, so the oracle is the plain filtered
+    // aggregate over the SOURCE — a duplicated or dropped row from either
+    // micro-batch, or a row filed under the wrong partition, breaks it.
+    "q_stream_sink" ->
+      s"""SELECT event_type, user_id, count(*) AS n,
+                 ${dsum("value", 6)} AS sum_value
+          FROM events WHERE event_type IN ('click', 'purchase')
+          GROUP BY event_type, user_id ORDER BY event_type, user_id""",
+
     // Single-pass aggregate over the source: the Spark side refreshes the
     // same answer by merging a materialized per-(type, day) decimal-partial
     // rollup with the newest day's delta — dsumPartial/dsumMerge keep the

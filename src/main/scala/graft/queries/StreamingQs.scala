@@ -183,11 +183,45 @@ object StreamingQs {
       .orderBy("event_type")
   }
 
+  /** STREAMING → PARTITIONED PARQUET SINK, graded end-to-end: the
+    * time-split replay (two data micro-batches) runs through the
+    * PRODUCTION sink path — `foreachBatch` → Layout.writePartitioned,
+    * checkpointed, SaveMode.Append — landing each batch's rows exactly
+    * once in a hive-partitioned layout by event_type; the layout is read
+    * back with a partition filter that prunes directories before any IO
+    * (the q_layout_prune machinery) and aggregated per (type, user). The
+    * sink round trip is lossless and exactly-once, so the oracle is the
+    * plain filtered aggregate over the SOURCE table — a duplicated,
+    * dropped, or misfiled row from either micro-batch breaks the hash.
+    * This is how every real pipeline lands streaming data at 100 TB:
+    * arriving micro-batches append into the pruning-friendly layout that
+    * downstream batch readers scan. Sink + checkpoint are cleared first so
+    * the append-mode directory is born empty (a re-run in the same
+    * process would otherwise double rows). */
+  val qStreamSink: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    val sink = Tables.stageDir(s, "stream-sink", dir)
+    val ckpt = Tables.stageDir(s, "stream-sink-ckpt", dir)
+    Tables.deleteRecursively(sink)
+    Tables.deleteRecursively(ckpt)
+    SR.runToPartitionedParquet(
+      SR.eventsStreamSplitByTime(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value")),
+      sink, ckpt, partitionCol = "event_type",
+      outputMode = "append", saveMode = org.apache.spark.sql.SaveMode.Append)
+    graft.sources.Layout.readPartitioned(s, sink)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy("event_type", "user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
     "q_stream_join" -> qStreamJoin,
     "q_stream_stateful" -> qStreamStateful,
-    "q_stream_dedup" -> qStreamDedup)
+    "q_stream_dedup" -> qStreamDedup,
+    "q_stream_sink" -> qStreamSink)
 }

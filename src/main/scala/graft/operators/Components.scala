@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * itself and its neighbors (one equi-join on the symmetrized edge list +
   * one min-aggregate — both hash-partitioned, no driver data). Labels are
   * monotonically non-increasing and reach the component minimum in
-  * O(diameter) rounds; convergence is detected by the label-sum fixpoint
-  * (non-increasing, so equal sums mean no label moved) — one scalar to the
-  * driver per round, the P2-loop pattern.
+  * O(diameter) rounds; convergence is detected by COUNTING changed labels
+  * (zero changes = fixpoint) — one scalar to the driver per round, the
+  * P2-loop pattern. A count cannot alias: the earlier label-SUM fixpoint
+  * could in principle declare a moving round converged when its total
+  * label decrease is ≡ 0 mod 2⁶⁴ (billions of large 64-bit ids at 100 TB
+  * make sum wraparound a real, silent-wrong-answer hazard).
   *
   * 100 TB posture: each round is two shuffles on (id, long) rows — tiny
   * beside the pair-generation stage feeding it — and dup-cluster diameters
@@ -40,34 +43,35 @@ object Components {
         .as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
-    // Each round's frame is LINEAGE-TRUNCATED (localCheckpoint, eager):
-    // without it the logical plan nests one join deeper per round and
-    // analysis cost grows without bound — the classic iterative-lineage
-    // explosion. On a cluster the same call site takes a reliable
-    // checkpoint (HDFS/object store) so a lost executor replays one round,
-    // not the whole loop.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
-    // coalesce(…, 0): an empty pair set must yield an empty result, not an
-    // NPE from reading a null SUM aggregate.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
+    // Each round's frame is LINEAGE-TRUNCATED (eager checkpoint): without
+    // it the logical plan nests one join deeper per round and analysis cost
+    // grows without bound — the classic iterative-lineage explosion. When a
+    // checkpoint dir is configured (any cluster deployment: HDFS/object
+    // store), the truncation is a RELIABLE checkpoint, so a lost executor
+    // replays one round, not the whole loop; locally (no checkpoint dir) it
+    // falls back to executor-block localCheckpoint, whose non-recoverability
+    // doesn't matter in a single-JVM run.
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var round = 0
-    var done = prevSum == 0L && labels.isEmpty
+    var done = labels.isEmpty // empty pair set: fixpoint by definition
     while (!done && round < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("id"))
         .agg(min(col("comp")).as("nbr"))
-      val next = labels.as("L")
+      // Carry the previous label through the checkpoint so the convergence
+      // probe is a plain changed-row COUNT over the materialized frame (no
+      // recompute, no overflow-aliasing); labels are non-increasing, so
+      // "changed" is exactly comp < prev.
+      val next = truncate(labels.as("L")
         .join(nbrMin.as("N"), col("L.id") === col("N.id"), "left")
-        .select(col("L.id").as("id"),
-          least(col("L.comp"), coalesce(col("N.nbr"), col("L.comp"))).as("comp"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      labels = next
-      done = s == prevSum
-      prevSum = s
+        .select(col("L.id").as("id"), col("L.comp").as("prev"),
+          least(col("L.comp"), coalesce(col("N.nbr"), col("L.comp"))).as("comp")))
+      done = next.filter(col("comp") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       round += 1
     }
     // Exhausting the round budget without reaching the fixpoint means the

@@ -839,8 +839,10 @@ object LlmOps {
     val edges = d.groupBy(col("lang")).agg(
       percentile_approx(col("v"), array(edgePs.map(lit): _*), lit(10000))
         .as("__edges"))
-    val bucketExpr = (1 until nb).map(i =>
-      when(col("v") >= col("__edges")(i - 1), 1).otherwise(0)).reduce(_ + _)
+    // Bucket = how many edges are ≤ v, as ONE array expression (a chained
+    // sum of nb−1 when() terms would grow the codegen'd method linearly
+    // with `buckets` and risk the 64KB/interpreted-fallback cliff).
+    val bucketExpr = size(filter(col("__edges"), e => col("v") >= e))
     val bucketed = d.join(ScaleOps.maybeBroadcast(edges), "lang")
       .withColumn("__bkt", bucketExpr).drop("__edges")
     val bc = bucketed.groupBy(col("lang"), col("__bkt")).agg(count(lit(1)).as("__bc"))

@@ -581,7 +581,16 @@ object Relational {
     val ev = Tables.events(s, dir)
       .select(col("event_type"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
-    val cutover = ev.agg(max(col("day"))).head().getString(0)
+    // max(day) is NULL on an empty source — yield the (empty) aggregate
+    // frame directly rather than NPE on the scalar fetch; sibling queries
+    // stay well-defined on empty input and so must the refresh.
+    val maxDay = ev.agg(max(col("day"))).head().getString(0)
+    if (maxDay == null) {
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value"), 6).as("sum_value"))
+        .orderBy("event_type")
+    } else {
+    val cutover = maxDay
     // Stage the day-partitioned source once (at scale the events table
     // already lives in this layout; Layout.writePartitioned keeps full
     // write parallelism with bounded files per day directory).
@@ -604,6 +613,7 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n"), Det.dsumMerge(col("pdec"), 6).as("sum_value"))
       .orderBy("event_type")
+    }
   }
 
   /** Declared form — exact interpolated median + p90 (Spark `percentile` ≡

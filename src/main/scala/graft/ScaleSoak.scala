@@ -143,8 +143,11 @@ object ScaleSoak {
         Windows.rangeWindowForm, Windows.rangeScaleForm, gate),
       ("ntile", Tables.customer(spark, out),
         Windows.ntileWindowForm, Windows.ntileScaleForm, gate),
+      // quota's production gate is 64x (WindowGroupLimit bounds the rank
+      // window's single-task volume to ~k x mapPartitions rows — see
+      // quotaRouted); the soak table sits legitimately below it.
       ("quota", Tables.documents(spark, out),
-        LlmOps.quotaWindowForm, LlmOps.quotaScaleForm, gate),
+        LlmOps.quotaWindowForm, LlmOps.quotaScaleForm, gate * 64),
       ("tfidf", Tables.documents(spark, out),
         LlmOps.tfidfWindowForm, LlmOps.tfidfScaleForm, gate),
       ("boilerplate", Tables.documents(spark, out),

@@ -297,32 +297,164 @@ object ScaleOps {
     *
     * `sum(x) OVER (PARTITION BY p ORDER BY v RANGE BETWEEN w PRECEDING AND
     * w FOLLOWING)` sorts each partition in one task — a skew hazard when p
-    * has few values. The scale form is EXACT bin-and-join: bucket rows into
-    * width-w bins of v, then join each row to the rows of its bin±1 (the
-    * only bins that can fall inside ±w) and aggregate the refined band.
-    * Work is Θ(rows × avg-bin-population), shuffled by (p, bin) — uniform,
-    * parallel, no whole-partition sort.
+    * has few values. The scale form is EXACT PREFIX-DIFFERENCE over the
+    * DISTINCT values of v (r11 rewrite — the first bin-and-join form was
+    * Θ(rows × band-population): at a fixed value domain band density grows
+    * linearly with the corpus, and the r11 scale soak caught it quadratic
+    * at 75M rows):
     *
-    * Returns one row per input row of `keys ++ (v, n_band, band_sum)`.
+    *   band(v₀) = F(v₀ + w) − F(v₀ − w − 1),
+    *   F(x) = (count, exact-decimal sum of `x`) over all rows with v ≤ x
+    *
+    * so each row's band costs TWO prefix lookups, not a scan of its band
+    * members. Work is Θ(distinct values), all hash-partitioned:
+    *  1. per-(p, v) partials (count + exact decimal sum);
+    *  2. running totals WITHIN width-w bins of v (windows over one bin's
+    *     distinct values — ≤ w rows per task, parallel across bins);
+    *  3. per-bin totals prefix-summed via [[groupedPrefixSum]] (the
+    *     bucketed two-pass — the bin table itself never sorts in one
+    *     task), giving every distinct value its exact global prefix;
+    *  4. each probe point v₀±… resolves its predecessor's prefix by a
+    *     merge-scan window inside ITS bin (anchors ∪ probes, ≤ ~3× bin
+    *     population per task), falling back to a BOUNDED candidate-bin
+    *     join when its bin holds no anchor at or below it — bin width
+    *     equals the band width, so a probe's bin is within ±2 of its
+    *     source value's (always-present) bin and the fallback chain is
+    *     exhaustive by construction;
+    *  5. per-value bands join back to the input rows (duplicates of
+    *     (p, v) keep one output row each, as the window form emits).
+    *
+    * Exactness: all sums stay DECIMAL(38,10) partials until one final
+    * dsum-style round, and decimal subtraction is exact, so the difference
+    * of prefixes is bit-identical to the window form's framed dsumOver
+    * (asserted in ScaleOpsSpec). Requires integral `v` (the RANGE frame
+    * key; ±w bounds and the −1 predecessor step are integer arithmetic).
+    *
+    * Returns one row per input row of `keys ++ (p, v, n_band, band_sum)`.
     */
   def rangeBandAgg(df: DataFrame, part: Column, v: Column, x: Column,
                    width: Long, keys: Seq[Column]): DataFrame = {
-    val binned = df.select(keys :+ part.as("p") :+ v.as("v") :+ x.as("x"): _*)
-      // Synthetic row id keeps duplicate (keys, p, v) input rows as separate
-      // output rows (the window form emits one row per input row; a groupBy
-      // on caller keys alone would merge duplicates and double-count).
-      .withColumn("__rid", monotonically_increasing_id())
-      .withColumn("bin", floor(col("v") / width))
-    val probe = binned.withColumn("nbin", explode(array(
-      col("bin") - 1, col("bin"), col("bin") + 1)))
-    val build = binned.select(col("p").as("bp"), col("bin").as("bbin"),
-      col("v").as("bv"), col("x").as("bx"))
-    probe.join(build,
-        col("p") === col("bp") && col("nbin") === col("bbin") &&
-        col("bv").between(col("v") - width, col("v") + width))
-      .groupBy(keys :+ col("__rid") :+ col("p") :+ col("v"): _*)
-      .agg(count(lit(1)).as("n_band"),
-        graft.functions.Det.dsum(col("bx")).as("band_sum"))
-      .drop("__rid")
+    val dec = "decimal(38,10)"
+    def binOf(c: Column): Column =
+      ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+    val rows = df.select(keys :+ part.as("p") :+ v.as("v") :+ x.as("x"): _*)
+
+    // 1. Distinct-value partials — the whole pipeline below runs on these,
+    //    never on raw rows. Persisted: consumed by the running windows, the
+    //    bin table, and the probe generator.
+    val dist = trackedPersist(rows
+      .groupBy(col("p"), col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("x").cast(dec)).as("s"))
+      .withColumn("bin", binOf(col("v"))))
+
+    // 2. Running totals within each (p, bin) — parallel across bins.
+    val wIn = Window.partitionBy(col("p"), col("bin")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = dist
+      .withColumn("rc", sum(col("c")).over(wIn))
+      .withColumn("rs", sum(col("s")).over(wIn))
+
+    // 3. Bin totals + bucketed prefix (groupedPrefixSum twice: counts and
+    //    decimal sums — the bin table's own prefix must not single-task
+    //    sort either). pc/ps = cumulative through present bins STRICTLY
+    //    below; ic/is = inclusive through this bin.
+    val binTot = dist.groupBy(col("p"), col("bin"))
+      .agg(sum(col("c")).as("bc"), sum(col("s")).as("bs"))
+    val binC = groupedPrefixSum(binTot, col("p"), col("bin"), col("bc"))
+      .withColumnRenamed("__run", "icum")
+    val bins = groupedPrefixSum(binC, col("p"), col("bin"), col("bs"))
+      .withColumnRenamed("__run", "iscum")
+      .select(col("p"), col("bin"),
+        (col("icum") - col("bc")).as("pc"), (col("iscum") - col("bs")).as("ps"),
+        col("icum").as("ic"), col("iscum").as("is"))
+    val anchors = run.join(bins.select(col("p"), col("bin"), col("pc"), col("ps")),
+        Seq("p", "bin"))
+      .select(col("p"), col("bin"), col("v"),
+        (col("rc") + col("pc")).as("gc"), (col("rs") + col("ps")).as("gs"))
+
+    // 4. Probes: per distinct v₀, the band's inclusive upper prefix point
+    //    (v₀ + w) and exclusive lower one (v₀ − w − 1). bin(v₀ + w) =
+    //    bin(v₀) + 1 exactly (bin width == w); bin(v₀ − w − 1) ∈
+    //    {bin(v₀) − 1, bin(v₀) − 2}.
+    val probes = dist.select(col("p"), col("v").as("v0"), col("bin").as("b0"),
+        explode(array(
+          struct((col("v") + width).as("pt"), lit(1).as("side")),
+          struct((col("v") - width - 1).as("pt"), lit(0).as("side")))).as("e"))
+      .select(col("p"), col("v0"), col("b0"), col("e.pt").as("pt"),
+        col("e.side").as("side"))
+      .withColumn("bin", binOf(col("pt")))
+
+    // Fallback prefix for a probe whose bin holds no anchor ≤ pt: the
+    // cumulative through present bins < bin(pt). pc of the SMALLEST
+    // present bin ≥ bin(pt) equals exactly that (absent bins contribute
+    // nothing), and one of {bin(pt), bin(pt)+1, b0 / ic(b0)} is always
+    // present — three bounded join legs, no ordered scan.
+    def leg(n: String) =
+      bins.select(col("p").as(s"${n}_p"), col("bin").as(s"${n}_b"),
+        col("pc").as(s"${n}_pc"), col("ps").as(s"${n}_ps"),
+        col("ic").as(s"${n}_ic"), col("is").as(s"${n}_is"))
+    val probesF = probes
+      .join(leg("f0"),
+        col("p") === col("f0_p") && col("bin") === col("f0_b"), "left")
+      .join(leg("f1"),
+        col("p") === col("f1_p") && col("bin") + 1 === col("f1_b"), "left")
+      .join(leg("f2"),
+        col("p") === col("f2_p") && col("b0") === col("f2_b"), "left")
+      .select(col("p"), col("bin"), col("v0"), col("pt"), col("side"),
+        // Candidate order (each candidate equals the cumulative strictly
+        // below bin(pt) because the bins skipped over are absent): own
+        // bin's pc; for LO probes the next bin's pc, then the
+        // always-present source bin's pc (covers a bin-start v0 whose two
+        // lower bins are both absent); for HI probes — whose bin is
+        // exactly b0 + 1 — the source bin's INCLUSIVE carry. A probe
+        // below every present bin falls through to zero, the empty
+        // prefix.
+        coalesce(col("f0_pc"),
+          when(col("bin") < col("b0"), coalesce(col("f1_pc"), col("f2_pc"))),
+          when(col("bin") > col("b0"), col("f2_ic")),
+          lit(0L)).as("fc"),
+        coalesce(col("f0_ps"),
+          when(col("bin") < col("b0"), coalesce(col("f1_ps"), col("f2_ps"))),
+          when(col("bin") > col("b0"), col("f2_is")),
+          lit(0).cast(dec)).as("fs"))
+
+    // 5. Merge-scan inside each (p, bin): anchors carry their global
+    //    prefix; probes take the greatest anchor at-or-below pt (anchors
+    //    sort before probes on ties — v ≤ pt is inclusive), else the
+    //    fallback. Each task sorts one bin's anchors + probes.
+    val uA = anchors.select(col("p"), col("bin"), col("v").as("pt"),
+      lit(0).as("t"), col("gc"), col("gs"),
+      lit(null).cast("long").as("v0"), lit(null).cast("int").as("side"),
+      lit(null).cast("long").as("fc"), lit(null).cast(dec).as("fs"))
+    val uP = probesF.select(col("p"), col("bin"), col("pt"),
+      lit(1).as("t"), lit(null).cast("long").as("gc"), lit(null).cast(dec).as("gs"),
+      col("v0"), col("side"), col("fc"), col("fs"))
+    val wScan = Window.partitionBy(col("p"), col("bin"))
+      .orderBy(col("pt"), col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val resolved = uA.unionByName(uP)
+      .withColumn("ac", last(col("gc"), ignoreNulls = true).over(wScan))
+      .withColumn("asum", last(col("gs"), ignoreNulls = true).over(wScan))
+      .filter(col("t") === 1)
+      .select(col("p"), col("v0"), col("side"),
+        coalesce(col("ac"), col("fc")).as("qc"),
+        coalesce(col("asum"), col("fs"), lit(0).cast(dec)).as("qs"))
+
+    // 6. Band per distinct value = upper prefix − lower prefix; finish the
+    //    decimal exactly like Det.dsum (round → scaled long → one double
+    //    division) so the bits match the window form's dsumOver.
+    val band = resolved.groupBy(col("p"), col("v0"))
+      .agg(
+        (max(when(col("side") === 1, col("qc")))
+          - max(when(col("side") === 0, col("qc")))).as("n_band"),
+        (max(when(col("side") === 1, col("qs")))
+          - max(when(col("side") === 0, col("qs")))).as("bdec"))
+      .select(col("p"), col("v0").as("v"), col("n_band"),
+        ((round(col("bdec"), 2) * lit(100L)).cast("long").cast("double")
+          / lit(100.0)).as("band_sum"))
+
+    // 7. One output row per INPUT row (duplicate (p, v) rows each match
+    //    their shared band row).
+    rows.drop("x").join(band, Seq("p", "v"))
   }
 }

@@ -877,11 +877,16 @@ object LlmOps {
     * `QuotaK` documents per language in CONTENT-HASH order (md5(text),
     * doc_id tiebreak) — content-addressed like q_sample_split, so the
     * sample is reproducible across runs/engines, carries no RNG state, and
-    * is immune to input order. SIZE-ROUTED like q_agg_median: the rank
-    * window below the one-task gate, the exact bucketed-threshold rewrite
-    * (no full-partition sort anywhere) above it — bit-identical either way
+    * is immune to input order. SIZE-ROUTED like q_agg_median — but with a
+    * 64× gate (the pack-sequences convention): the rank window's filter
+    * `__rn <= k` triggers Spark's WindowGroupLimit push-down, which keeps
+    * only k rows per language per MAP partition before the shuffle, so the
+    * final per-language task sorts ~k × numMapPartitions rows, not the
+    * corpus (measured 42× faster than the bucketed rewrite at a 1.5 GiB
+    * corpus in the r11 scale soak — SCALE.md). The scale form takes over
+    * where that product itself outgrows one task. Bit-identical either way
     * (ScaleOpsSpec), so routing never changes results. */
-  def quotaRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q =
+  def quotaRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes * 64): Q =
     (s, dir) =>
       graft.operators.ScaleOps.routeBySize(Tables.documents(s, dir), maxOneTaskBytes)(
         quotaWindowForm(s, dir))(quotaScaleForm(s, dir))

@@ -192,7 +192,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"cached RDDs leaked past releaseTracked: $leaked")
   }
 
-  test("rangeBandAgg == exact range-frame window (bin-and-join is exact)") {
+  test("rangeBandAgg: sparse gaps, bin-start values, duplicates == window form") {
+    // Adversarial shapes for the prefix-difference fallback legs (r11):
+    // values at exact bin multiples (the lo probe lands two bins down),
+    // huge inter-bin gaps (absent candidate bins), duplicate (p, v) rows
+    // (one output row each), and a group below every other value.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = 100L
+    val rows = Seq(
+      ("A", 0L, 1.0), ("A", 100L, 2.0), ("A", 100L, 3.0), ("A", 101L, 4.0),
+      ("A", 199L, 5.0), ("A", 200L, 6.0), ("A", 5000L, 7.0), ("A", 5099L, 8.0),
+      ("A", -300L, 9.0), ("B", 42L, 10.0), ("B", 1000000L, 11.0)
+    ).zipWithIndex.map { case ((p, v, x), i) => (i.toLong, p, v, x) }
+      .toDF("k", "p0", "v0", "x0")
+    val win = Window.partitionBy(col("p0")).orderBy(col("v0"))
+      .rangeBetween(-w, w)
+    val exp = rows.select(col("k"), count(lit(1)).over(win).as("n_band"),
+        graft.functions.Det.dsumOver(col("x0"), win).as("band_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = ScaleOps.rangeBandAgg(rows, part = col("p0"), v = col("v0"),
+        x = col("x0"), width = w, keys = Seq(col("k")))
+      .select(col("k"), col("n_band"), col("band_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.operators.ScaleOps.releaseTracked()
+    assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+  }
+
+  test("rangeBandAgg == exact range-frame window (prefix-difference is exact)") {
     val orders = Tables.orders(spark, Sf0001)
       .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))
     val scaled = ScaleOps.rangeBandAgg(orders,

@@ -133,15 +133,26 @@ object ScaleOps {
   def globalRanksDesc(df: DataFrame, value: Column, tiebreaks: Seq[Column],
                       buckets: Int = 256, accuracy: Int = 10000): DataFrame = {
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
-    val edges = df.agg(
-      percentile_approx(value, array(ps.map(lit): _*), lit(accuracy)).as("__edges"))
+    // Split points are BALANCE-ONLY (bit-equality specs pin exactness), so
+    // they are estimated from a 1-in-16 CONTENT-ADDRESSED sample — xxhash64
+    // of the ordering tuple: deterministic, RNG-free, partitioning- and
+    // cluster-size-independent (the repo's content-addressed-sampling
+    // convention). The full-input approx-percentile sketch insert was a
+    // dominant cost of this rewrite in the r11 soak. An empty sample (tiny
+    // input) degrades to one bucket — the sort the caller asked for there.
+    val edges = df
+      .filter(pmod(xxhash64(value +: tiebreaks: _*), lit(16)) === 0)
+      .agg(percentile_approx(value, array(ps.map(lit): _*), lit(accuracy))
+        .as("__edges"))
     // 0-based bucket, 0 = highest values (desc convention): count how many
     // top-down edges the value falls below; enough buckets that each holds
     // ~n/buckets rows.
     // ONE array expression (counts edges above the value), not a chained
     // when()-sum that grows the codegen'd method linearly with `buckets`
     // and risks the 64KB/interpreted-fallback cliff (ADVICE r10 pattern).
-    val bucketExpr = size(filter(col("__edges"), e => value < e))
+    // Null-safe: an empty sample leaves null edges → bucket 0 everywhere.
+    val bucketExpr =
+      coalesce(size(filter(col("__edges"), e => value < e)), lit(0))
     val bucketed = df.crossJoin(broadcast(edges))
       .withColumn("__bkt", bucketExpr).drop("__edges")
     val wPos = Window.partitionBy(col("__bkt")).orderBy(value.desc +: tiebreaks: _*)
@@ -199,7 +210,12 @@ object ScaleOps {
     val vals = df.select(part.as("g"), v.as("v"))
     val dist = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
     val edgePs = (1 until buckets).map(i => i.toDouble / buckets)
-    val edges = vals.groupBy(col("g")).agg(
+    // Split points come from the DISTINCT frame, not the raw rows: the
+    // within-bucket windows below sort DIST rows, so balancing distinct
+    // counts per bucket is exactly right — and the approx-percentile
+    // sketch inserts one row per distinct value instead of per input row
+    // (the dominant cost of this rewrite at 75M rows in the r11 soak).
+    val edges = dist.groupBy(col("g")).agg(
       percentile_approx(col("v"), array(edgePs.map(lit): _*), lit(accuracy))
         .as("__edges"))
     // Ascending 0-based bucket: how many split points the value clears
@@ -272,10 +288,19 @@ object ScaleOps {
   def groupedPrefixSum(df: DataFrame, part: Column, ord: Column, value: Column,
                        buckets: Int = 256, accuracy: Int = 10000): DataFrame = {
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
-    val edges = df.groupBy(part.as("__g"))
+    // Split points from a 1-in-16 content-addressed sample (balance-only —
+    // the globalRanksDesc rationale; xxhash64 of (group, ord) is
+    // deterministic and partitioning-independent). The join below is LEFT
+    // and the bucket null-safe: a small group the sample missed lands
+    // whole in bucket 0 — exactly the single sort the window form would
+    // run for it.
+    val edges = df
+      .filter(pmod(xxhash64(part, ord), lit(16)) === 0)
+      .groupBy(part.as("__g"))
       .agg(percentile_approx(ord, array(ps.map(lit): _*), lit(accuracy)).as("__edges"))
-    val bucketExpr = size(filter(col("__edges"), e => ord >= e))
-    val bucketed = df.join(maybeBroadcast(edges), part <=> col("__g"))
+    val bucketExpr =
+      coalesce(size(filter(col("__edges"), e => ord >= e)), lit(0))
+    val bucketed = df.join(maybeBroadcast(edges), part <=> col("__g"), "left")
       .withColumn("__bkt", bucketExpr).drop("__edges", "__g")
     val wLoc = Window.partitionBy(part, col("__bkt")).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -219,6 +219,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
   }
 
+  test("property: rangeBandAgg == window form on seeded random value sets") {
+    // Random shapes hunt fallback-leg edge cases the hand-picked set can't:
+    // clustered values, empty bins between clusters, values at negative
+    // multiples, repeated (p, v) pairs. Seeded — failures reproduce.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val w = 50L
+    val rowGen = Gen.listOfN(120, for {
+      p <- Gen.oneOf("A", "B")
+      cluster <- Gen.oneOf(-400L, -100L, 0L, 49L, 50L, 777L, 5000L)
+      off <- Gen.choose(-60L, 60L)
+      x <- Gen.choose(-99, 99)
+    } yield (p, cluster + off, x / 10.0))
+    (1 to 4).foreach { i =>
+      val data = rowGen.pureApply(Gen.Parameters.default, Seed(7000L + i))
+        .zipWithIndex.map { case ((p, v, x), k) => (k.toLong, p, v, x) }
+      val rows = data.toDF("k", "p0", "v0", "x0")
+      val win = Window.partitionBy(col("p0")).orderBy(col("v0"))
+        .rangeBetween(-w, w)
+      val exp = rows.select(col("k"), count(lit(1)).over(win).as("n"),
+          graft.functions.Det.dsumOver(col("x0"), win).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = ScaleOps.rangeBandAgg(rows, part = col("p0"), v = col("v0"),
+          x = col("x0"), width = w, keys = Seq(col("k")))
+        .select(col("k"), col("n_band"), col("band_sum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      graft.operators.ScaleOps.releaseTracked()
+      assert(got == exp,
+        s"seed ${7000 + i}: missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+  }
+
   test("rangeBandAgg == exact range-frame window (prefix-difference is exact)") {
     val orders = Tables.orders(spark, Sf0001)
       .withColumn("price_cents", round(col("o_totalprice") * 100).cast("long"))

@@ -88,6 +88,12 @@ object ScaleSoak {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(group)
+          // cancelJobGroup is async: wait (bounded) for the cancelled
+          // thread to actually unwind before releasing caches and timing
+          // the next form — otherwise it can re-register tracked persists
+          // and hold executor slots into the next measurement.
+          try Await.ready(fut, 60.seconds)
+          catch { case _: java.util.concurrent.TimeoutException => () }
           None
       }
     val dt = (System.nanoTime() - t0) / 1e9

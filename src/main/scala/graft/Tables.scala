@@ -105,28 +105,55 @@ object Tables {
     * fixture-version changes, and a leftover file from an older layout would
     * otherwise still match a file-source glob and replay as a spurious
     * micro-batch. The marker is written LAST, so a crash mid-staging leaves
-    * no marker and the next call restages. (Concurrent stagings of the same
-    * fixture from two JVMs could interleave — the quiet-run convention the
-    * bench already requires also keeps stagings serial.) Returns the
+    * no marker and the next call restages. Concurrent stagings of the same
+    * fixture from two JVMs are serialized by an exclusive sibling lock file
+    * (`createFile` is atomic O_EXCL on every filesystem we stage to): the
+    * loser waits, re-checks the marker, and usually returns the winner's
+    * fixture without staging at all. A crashed winner's stale lock (>15 min
+    * old) is taken over; a wait past 10 min fails loudly rather than
+    * certifying a fixture someone may still be writing. Returns the
     * fixture directory. */
   def stagedFixture(spark: SparkSession, src: String, prefix: String,
                     rawKey: String, version: String)
                    (write: String => Unit): String = {
+    import java.nio.file.{Files, Paths, FileAlreadyExistsException}
     val dir = replayDir(spark, prefix, rawKey)
-    val attrs = java.nio.file.Files.readAttributes(
-      java.nio.file.Paths.get(src),
+    val attrs = Files.readAttributes(
+      Paths.get(src),
       classOf[java.nio.file.attribute.BasicFileAttributes])
     val sig = s"${attrs.size}:${attrs.lastModifiedTime.toMillis}:$version"
-    val marker = java.nio.file.Paths.get(dir, ".staged")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == sig
-    if (!fresh) {
-      deleteRecursively(dir)
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      write(dir)
-      java.nio.file.Files.writeString(marker, sig)
-    }
-    dir
+    val marker = Paths.get(dir, ".staged")
+    def fresh = // a concurrent restage can delete the marker mid-read
+      try Files.exists(marker) && Files.readString(marker) == sig
+      catch { case _: java.io.IOException => false }
+    if (fresh) return dir
+    val lock = Paths.get(dir + ".lock")
+    val deadline = System.nanoTime() + 600L * 1000L * 1000L * 1000L
+    var locked = false
+    try {
+      while (!locked) {
+        if (fresh) return dir // the lock holder staged exactly what we need
+        try { Files.createFile(lock); locked = true }
+        catch {
+          case _: FileAlreadyExistsException =>
+            val age = try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            catch { case _: Throwable => 0L } // lock vanished — retry now
+            if (age > 15L * 60 * 1000) Files.deleteIfExists(lock)
+            else if (System.nanoTime() > deadline)
+              sys.error(s"stagedFixture: lock $lock held > 600 s — " +
+                "another staging is stuck (or its host died mid-write)")
+            else Thread.sleep(200)
+        }
+      }
+      if (!fresh) { // double-checked: winner may have finished as we locked
+        deleteRecursively(dir)
+        Files.createDirectories(Paths.get(dir))
+        write(dir)
+        Files.writeString(marker, sig)
+      }
+      dir
+    } finally if (locked) Files.deleteIfExists(lock)
   }
 
   /** Best-effort recursive delete for a staging root (harness epilogue). */

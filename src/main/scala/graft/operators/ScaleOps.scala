@@ -358,10 +358,16 @@ object ScaleOps {
     * Returns one row per input row of `keys ++ (p, v, n_band, band_sum)`.
     */
   def rangeBandAgg(df: DataFrame, part: Column, v: Column, x: Column,
-                   width: Long, keys: Seq[Column]): DataFrame = {
+                   width: Long, keys: Seq[Column], scale: Int = 2): DataFrame = {
     val dec = "decimal(38,10)"
-    def binOf(c: Column): Column =
-      ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+    // Floor-div by the band width in LONG arithmetic: `div` is Catalyst's
+    // IntegralDivide, exact over the full long range. Spark's `/` would
+    // promote both operands to double, and above ~2^53 the inexact quotient
+    // can break bin(v+w) == bin(v)+1 — the invariant the fallback legs'
+    // exhaustiveness proof rests on. Name-keyed because `div` has no
+    // Column-API surface; both call sites pass plain projected columns.
+    def binOf(name: String): Column =
+      expr(s"(`$name` - pmod(`$name`, ${width}L)) div ${width}L")
     val rows = df.select(keys :+ part.as("p") :+ v.as("v") :+ x.as("x"): _*)
 
     // 1. Distinct-value partials — the whole pipeline below runs on these,
@@ -370,7 +376,7 @@ object ScaleOps {
     val dist = trackedPersist(rows
       .groupBy(col("p"), col("v"))
       .agg(count(lit(1)).as("c"), sum(col("x").cast(dec)).as("s"))
-      .withColumn("bin", binOf(col("v"))))
+      .withColumn("bin", binOf("v")))
 
     // 2. Running totals within each (p, bin) — parallel across bins.
     val wIn = Window.partitionBy(col("p"), col("bin")).orderBy(col("v"))
@@ -407,7 +413,7 @@ object ScaleOps {
           struct((col("v") - width - 1).as("pt"), lit(0).as("side")))).as("e"))
       .select(col("p"), col("v0"), col("b0"), col("e.pt").as("pt"),
         col("e.side").as("side"))
-      .withColumn("bin", binOf(col("pt")))
+      .withColumn("bin", binOf("pt"))
 
     // Fallback prefix for a probe whose bin holds no anchor ≤ pt: the
     // cumulative through present bins < bin(pt). pc of the SMALLEST
@@ -467,16 +473,20 @@ object ScaleOps {
 
     // 6. Band per distinct value = upper prefix − lower prefix; finish the
     //    decimal exactly like Det.dsum (round → scaled long → one double
-    //    division) so the bits match the window form's dsumOver.
+    //    division) so the bits match the window form's dsumOver. `scale`
+    //    MUST equal the dsumOver scale of the window form this replaces
+    //    (default 2 — the price convention; events values use 6).
     val band = resolved.groupBy(col("p"), col("v0"))
       .agg(
         (max(when(col("side") === 1, col("qc")))
           - max(when(col("side") === 0, col("qc")))).as("n_band"),
         (max(when(col("side") === 1, col("qs")))
           - max(when(col("side") === 0, col("qs")))).as("bdec"))
-      .select(col("p"), col("v0").as("v"), col("n_band"),
-        ((round(col("bdec"), 2) * lit(100L)).cast("long").cast("double")
-          / lit(100.0)).as("band_sum"))
+      .select(col("p"), col("v0").as("v"), col("n_band"), {
+        val p10 = math.pow(10, scale)
+        ((round(col("bdec"), scale) * lit(p10.toLong)).cast("long").cast("double")
+          / lit(p10)).as("band_sum")
+      })
 
     // 7. One output row per INPUT row (duplicate (p, v) rows each match
     //    their shared band row).

@@ -219,6 +219,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
   }
 
+  test("rangeBandAgg: magnitudes above 2^53 keep exact bins (ADVICE r11)") {
+    // Spark's `/` promotes long operands to double; above ~2^53 the inexact
+    // quotient can violate bin(v+w) == bin(v)+1 and silently break the
+    // fallback legs' exhaustiveness. binOf now uses integral `div` — this
+    // pins values where double arithmetic DOES misassign bins.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = 1000L
+    val base = 1L << 60 // 1.15e18: double spacing here is 256 — / is inexact
+    val rows = Seq(
+      ("A", base, 1.0), ("A", base + 1, 2.0), ("A", base + 999, 3.0),
+      ("A", base + 1000, 4.0), ("A", base + 2500, 5.0),
+      ("A", -base, 6.0), ("A", -base + 1001, 7.0), ("B", base + 7, 8.0)
+    ).zipWithIndex.map { case ((p, v, x), i) => (i.toLong, p, v, x) }
+      .toDF("k", "p0", "v0", "x0")
+    val win = Window.partitionBy(col("p0")).orderBy(col("v0"))
+      .rangeBetween(-w, w)
+    val exp = rows.select(col("k"), count(lit(1)).over(win).as("n_band"),
+        graft.functions.Det.dsumOver(col("x0"), win).as("band_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = ScaleOps.rangeBandAgg(rows, part = col("p0"), v = col("v0"),
+        x = col("x0"), width = w, keys = Seq(col("k")))
+      .select(col("k"), col("n_band"), col("band_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.operators.ScaleOps.releaseTracked()
+    assert(got == exp, s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+  }
+
   test("property: rangeBandAgg == window form on seeded random value sets") {
     // Random shapes hunt fallback-leg edge cases the hand-picked set can't:
     // clustered values, empty bins between clusters, values at negative

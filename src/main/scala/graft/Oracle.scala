@@ -71,6 +71,53 @@ object Oracle {
          FROM documents WHERE lang IN ('en', 'de')
          GROUP BY 1, 2 ORDER BY lang, source""",
 
+    // The oracle rebuilds the same deterministic changeset from customer and
+    // applies MERGE semantics the declarative way: latest change per key via
+    // row_number, full outer join against the base, deletes filtered, change
+    // payload preferred. Raw IEEE double adds — no rounding needed.
+    "q_merge_upsert" ->
+      """WITH chg AS (
+           SELECT c_custkey AS k, 1 AS seq, 'U' AS op, c_name, c_nationkey,
+                  c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+             FROM customer WHERE c_custkey % 10 IN (1, 2)
+           UNION ALL
+           SELECT c_custkey, 2, 'U', c_name, c_nationkey,
+                  c_acctbal + 300.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 1
+           UNION ALL
+           SELECT c_custkey, 1, 'D', NULL, NULL, NULL, NULL
+             FROM customer WHERE c_custkey % 10 = 7
+           UNION ALL
+           SELECT CAST(c_custkey + 10000000 AS BIGINT), 1, 'U',
+                  'ins_' || CAST(c_custkey AS VARCHAR), c_nationkey,
+                  0.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 5),
+         latest AS (
+           SELECT * FROM (
+             SELECT chg.*,
+                    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+             FROM chg) t WHERE rn = 1)
+         SELECT CAST(COALESCE(l.k, c.c_custkey) AS BIGINT) AS c_custkey,
+                CASE WHEN l.k IS NULL THEN c.c_name ELSE l.c_name END AS c_name,
+                CAST(CASE WHEN l.k IS NULL THEN c.c_nationkey
+                          ELSE l.c_nationkey END AS INTEGER) AS c_nationkey,
+                CASE WHEN l.k IS NULL THEN c.c_acctbal
+                     ELSE l.c_acctbal END AS c_acctbal,
+                CASE WHEN l.k IS NULL THEN c.c_mktsegment
+                     ELSE l.c_mktsegment END AS c_mktsegment
+         FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k
+         WHERE l.op IS NULL OR l.op <> 'D'
+         ORDER BY c_custkey""",
+
+    // Bucketed write + catalog read-back are lossless (bucketing only fixes
+    // WHERE rows land, never what they are), so the oracle is the plain
+    // join aggregate over the source tables.
+    "q_layout_bucketed" ->
+      s"""SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+                 ${dsum("o_totalprice")} AS spend
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderstatus""",
+
     // The Spark side's scale → morton → z-clustered write → read-back chain
     // is lossless and integer-exact, so the oracle recomputes the same
     // z-buckets straight from the source: min-max scale to 16 bits with

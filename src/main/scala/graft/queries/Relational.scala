@@ -226,6 +226,80 @@ object Relational {
       .orderBy("zbucket")
   }
 
+  /** BUCKETED CO-LOCATED JOIN — sources/Layout.writeBucketed graded through
+    * the correctness gate: orders and customer are written as external
+    * parquet tables bucketed (and bucket-sorted) by their join key with the
+    * SAME bucket count, then joined straight off the catalog tables. The
+    * bucket spec makes each scan's output partitioning already satisfy the
+    * join's distribution requirement, so the sort-merge join runs with ZERO
+    * Exchange on either side (asserted against a non-bucketed twin in
+    * LayoutSkewSpec). At 100 TB this is the layout decision that deletes a
+    * fact-to-fact join's two corpus-sized shuffles from EVERY downstream
+    * run — the write-once shuffle is amortized across all of them. The
+    * merge hint pins the strategy the layout exists for (at real scale
+    * neither side fits any broadcast budget; without the hint the sf0.01
+    * customer table would broadcast and grade the wrong plan). Bucketed
+    * write and read-back are lossless, so the oracle is the plain join
+    * aggregate over the source tables. */
+  val qLayoutBucketed: Q = (s, dir) => {
+    val stage = Tables.stageDir(s, "bucketed", dir)
+    // Catalog names are keyed like the staging dir: two SF dirs verified in
+    // one session must not collide on table identity.
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ordersT = s"graft_bkt_orders_$key"
+    val custT = s"graft_bkt_customer_$key"
+    graft.sources.Layout.writeBucketed(
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice")),
+      ordersT, s"$stage/orders", "o_custkey", numBuckets = 8)
+    graft.sources.Layout.writeBucketed(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+      custT, s"$stage/customer", "c_custkey", numBuckets = 8)
+    s.table(ordersT).hint("merge")
+      .join(s.table(custT), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      .orderBy("c_mktsegment", "o_orderstatus")
+  }
+
+  /** CDC MERGE / UPSERT graded end-to-end (operators/Merge.applyCdc): a
+    * deterministic changeset — two-version updates (latest must win),
+    * deletes, and inserts of new keys, all derived from the customer table
+    * itself so the oracle can rebuild it — is folded into the customer
+    * snapshot. Exercises every MERGE INTO arm: update-latest-wins,
+    * delete-existing, insert-absent. Arithmetic is raw IEEE double adds
+    * (no rounding, no aggregation), so both engines produce identical
+    * bits. Scale posture is applyCdc's: the changeset reduces to
+    * latest-per-key on its own (small) shuffle, then joins the base under
+    * a gated broadcast — the snapshot itself is never shuffled below the
+    * gate, and a bucketed base skips the above-gate exchange too. */
+  val qMergeUpsert: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val mod = col("c_custkey") % 10
+    val nullPayload = Seq(
+      lit(null).cast("string").as("c_name"), lit(null).cast("int").as("c_nationkey"),
+      lit(null).cast("double").as("c_acctbal"), lit(null).cast("string").as("c_mktsegment"))
+    val upd1 = cust.filter(mod.isin(1, 2))
+      .select(col("c_custkey"), lit(1).as("seq"), lit("U").as("op"),
+        col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), col("c_mktsegment"))
+    val upd2 = cust.filter(mod === 1) // supersedes upd1 for these keys
+      .select(col("c_custkey"), lit(2).as("seq"), lit("U").as("op"),
+        col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + 300.0).as("c_acctbal"), col("c_mktsegment"))
+    val dels = cust.filter(mod === 7)
+      .select(col("c_custkey") +: lit(1).as("seq") +: lit("D").as("op") +:
+        nullPayload: _*)
+    val ins = cust.filter(mod === 5)
+      .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+        lit(1).as("seq"), lit("U").as("op"),
+        concat(lit("ins_"), col("c_custkey").cast("string")).as("c_name"),
+        col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"))
+    val changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    graft.operators.Merge.applyCdc(cust, changes, "c_custkey", "seq", "op")
+      .orderBy("c_custkey")
+  }
+
   /** PIVOT (long → wide): per-user event counts spread across one column
     * per event type. The value list is EXPLICIT — the schema is static, no
     * distinct-values pre-pass job runs, and the plan is an ordinary
@@ -715,6 +789,8 @@ object Relational {
     "q_layout_prune" -> qLayoutPrune,
     "q_layout_compact" -> qLayoutCompact,
     "q_layout_zorder" -> qLayoutZorder,
+    "q_layout_bucketed" -> qLayoutBucketed,
+    "q_merge_upsert" -> qMergeUpsert,
     "q_pivot_events" -> qPivotEvents,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,

@@ -100,4 +100,33 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     n
   }
+
+  /** Write `df` as a BUCKETED external parquet table: rows hash-partitioned
+    * by `bucketCol` into `numBuckets` files, sorted by the key within each,
+    * with the bucket spec recorded in the session catalog. Joining two
+    * tables bucketed the same way (same key semantics, same bucket count)
+    * is Spark's shuffle-FREE co-located join: the scan's output partitioning
+    * already satisfies the join's requirement, so neither side exchanges —
+    * at 100 TB that deletes the two largest shuffles a fact-to-fact join
+    * would otherwise pay, and the per-bucket sort makes the merge join's
+    * sort step cheap. (Hive-partitioning answers pruning; bucketing answers
+    * JOIN/AGG co-location — complementary layout decisions.)
+    *
+    * The pre-write `repartition(numBuckets, bucketCol)` uses the same
+    * Murmur3 hash as the bucket-file assignment, so each task holds exactly
+    * one bucket and the layout is numBuckets files — not tasks×buckets
+    * small-file dust. Table metadata is overwritten if the name exists
+    * (re-runs in one session are idempotent). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.repartition(numBuckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .saveAsTable(table)
+  }
 }

@@ -248,6 +248,39 @@ class LayoutSkewSpec extends AnyFunSuite {
     assert(got == exp, s"content changed: missing=${(exp -- got).take(3)}")
   }
 
+  test("bucketed layout: co-located join runs with zero join-side exchanges; plain twin shuffles both") {
+    // AQE-final shuffle count (reused and broadcast exchanges don't count).
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = PlanCheck.shufflesOf(df)
+    // The graded query: bucketed writes + catalog join. Its only shuffles
+    // are the post-join groupBy (1) and the total-order sort (1) — the join
+    // itself reads both bucket layouts pre-partitioned.
+    val bucketed = SparkEntry.queries("q_layout_bucketed")(spark, Sf0001)
+    assert(shuffles(bucketed) <= 2,
+      "bucketed join must not exchange its inputs: the bucket spec IS the distribution")
+    // Non-bucketed twin, same plan otherwise (merge hint forbids the
+    // broadcast escape): both join inputs must pay a full shuffle.
+    val twin = Tables.orders(spark, Sf0001)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .hint("merge")
+      .join(Tables.customer(spark, Sf0001).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment", "o_orderstatus")
+    assert(shuffles(twin) >= 4,
+      "twin lost its join shuffles — the bucketed comparison is no longer meaningful")
+    // And the bucketed result equals the plain-source join (losslessness —
+    // the oracle argument in miniature).
+    val exp = Tables.orders(spark, Sf0001)
+      .join(Tables.customer(spark, Sf0001), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = bucketed.select("c_mktsegment", "o_orderstatus", "n_orders")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == exp, s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
   test("salted join spreads the hot key across salt buckets — even for byte-identical rows") {
     import spark.implicits._
     // Every hot row identical: a content-hash salt would collapse to ONE

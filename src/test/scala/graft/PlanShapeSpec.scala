@@ -1,9 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
-import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shuffle-count regression guard (SURVEY §2's scale-posture claims as
@@ -17,30 +14,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanShapeSpec extends AnyFunSuite {
   import SparkFixture._
 
-  /** Shuffles in the finalized adaptive plan. The df is EXECUTED through its
-    * OWN QueryExecution (collect(), not count() — count() builds a separate
-    * QueryExecution and leaves this one's AdaptiveSparkPlanExec at the
-    * initial plan), so AQE's runtime re-planning (broadcast conversions,
-    * stage reuse) is what gets counted. Materialized exchanges hide behind
-    * leaf ShuffleQueryStageExec nodes — counted unless they wrap a
-    * ReusedExchange. */
-  private def countShuffles(plan: SparkPlan): Int =
-    plan.collect {
-      case s: ShuffleQueryStageExec =>
-        s.plan match { case _: ReusedExchangeExec => 0; case _ => 1 }
-      case _: ShuffleExchangeLike => 1
-    }.sum
-
-  private def shufflesOf(df: DataFrame): Int = {
-    df.collect() // finalize THIS df's adaptive plan (sf0.001 results are tiny)
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val n = countShuffles(plan)
-    graft.operators.ScaleOps.releaseTracked()
-    n
-  }
+  /** Shuffles in the finalized adaptive plan — PlanCheck.shufflesOf, which
+    * executes the df's own QueryExecution and descends through Spark 4's
+    * leaf query-stage wrappers (see PlanCheck's header for why a collect()
+    * pattern silently counts zero). */
+  private def shufflesOf(df: DataFrame): Int = PlanCheck.shufflesOf(df)
 
   private def shuffles(name: String): Int =
     shufflesOf(SparkEntry.queries(name)(spark, Sf0001))
@@ -110,11 +88,12 @@ class PlanShapeSpec extends AnyFunSuite {
     ("q_stream_tumbling batch form",
       () => graft.queries.StreamingQs.tumblingBatchForm(spark, Sf0001), 2),
     // The threshold subplans (edges/bucket counts/offsets/boundary rank)
-    // materialize inside broadcast stages at this size, so the countable
-    // top-level budget is small: summary agg (1) + sort (1) + slack for
-    // the gated joins degrading to shuffles past the broadcast budget.
+    // partly materialize inside broadcast stages at this size; the rest —
+    // summary agg, sort, and the gated joins that degrade to shuffles when
+    // their side outgrows the broadcast budget — re-pinned at 7 when the
+    // r12 counter fix started counting stage-wrapped exchanges for real.
     ("q_sample_quota scale form",
-      () => graft.queries.LlmOps.quotaScaleForm(spark, Sf0001), 6)
+      () => graft.queries.LlmOps.quotaScaleForm(spark, Sf0001), 7)
   )
 
   for ((label, mk, budget) <- scaleFormBudgets)

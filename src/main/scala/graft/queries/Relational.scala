@@ -601,6 +601,30 @@ object Relational {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
         count(lit(1)).as("n_rows"))
 
+  /** RE-AGGREGATABLE SKETCH PARTIALS — the two-level distinct-count pattern
+    * every 100 TB metrics pipeline lands on: per-(type, day) DataSketches
+    * HLL sketches built once (the shape you'd MATERIALIZE as a sketch
+    * table), then merged across days per type with `hll_union_agg` and
+    * estimated. The day-level pass shuffles partials, never raw user_ids;
+    * adding a day later means sketching ONE day and re-merging — history is
+    * never rescanned (the q_agg_incremental argument, for a metric exact
+    * partials can't serve). Register-max union is order-independent, so the
+    * estimates are deterministic across partitionings; merged-vs-single-pass
+    * agreement and the error bound vs exact counts are spec-asserted
+    * (NoOracleSpec) — the estimate itself has no DuckDB twin, hence
+    * no-oracle. */
+  val qAggSketchMerge: Q = (s, dir) => {
+    val daily = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"),
+        count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+  }
+
   /** GROUPING SETS ((nation, segment), (nation), ()) with grouping flags. */
   val qAggGroupingSets: Q = (s, dir) => {
     val joined = Tables.customer(s, dir)
@@ -809,6 +833,7 @@ object Relational {
     "q_agg_pricing" -> qAggPricing,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_approx_distinct" -> qAggApproxDistinct,
+    "q_agg_sketch_merge" -> qAggSketchMerge,
     "q_agg_groupingsets" -> qAggGroupingSets,
     "q_agg_stats" -> qAggStats,
     "q_agg_incremental" -> qAggIncremental,

@@ -37,6 +37,42 @@ class NoOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_sketch_merge: day-merged sketches ≈ single-pass, error bounded, deterministic") {
+    val got = SparkEntry.queries("q_agg_sketch_merge")(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // Single-pass twin: sketch the raw column per type in one aggregation.
+    // The merged estimate may differ slightly (union drops the HIP
+    // estimator's single-stream refinement) but must stay within the
+    // sketch's error envelope of both the twin and the exact count.
+    val single = Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    for ((t, est, _) <- got) {
+      assert(math.abs(est - exact(t)).toDouble / exact(t) < 0.05,
+        s"$t: merged $est vs exact ${exact(t)}")
+      assert(math.abs(est - single(t)).toDouble / single(t) < 0.05,
+        s"$t: merged $est vs single-pass ${single(t)}")
+    }
+    // Register-max union is order-independent: the same rows under a
+    // deliberately different partitioning must produce IDENTICAL estimates.
+    val scrambled = Tables.events(spark, Sf0001).repartition(7)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    for ((t, est, _) <- got)
+      assert(est == scrambled(t),
+        s"$t: estimate not partition-deterministic ($est vs ${scrambled(t)})")
+  }
+
   test("q_map_funcs: map lookups match direct per-type counts") {
     val got = SparkEntry.queries("q_map_funcs")(spark, Sf0001)
       .select("user_id", "n_click", "n_purchase")

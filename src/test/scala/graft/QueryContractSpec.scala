@@ -13,11 +13,11 @@ class QueryContractSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("declared contract covers all 91 SURVEY §2 keys") {
-    assert(SparkEntry.queries.size == 91)
-    // 85 oracle-checked; the 6 declared non-oracle keys:
+  test("declared contract covers all 92 SURVEY §2 keys") {
+    assert(SparkEntry.queries.size == 92)
+    // 85 oracle-checked; the 7 declared non-oracle keys:
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_agg_approx_distinct",
+    assert(noOracle == Set("q_agg_approx_distinct", "q_agg_sketch_merge",
       "q_sim_lsh_ann", "q_dedup_simhash", "q_sim_ivf_ann",
       "q_text_fingerprint", "q_media_features"))
   }

@@ -57,7 +57,16 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_ml_wls" -> 1,            // one partial+final agg, single grouped row out
     "q_agg_incremental" -> 3,   // delta partial agg (1) + merge agg (1) + sort (1)
     "q_ml_kmeans_converged" -> 2, // per-pass assign projection + 4-row agg, final sort
-    "q_split_contamination" -> 3
+    "q_split_contamination" -> 3,
+    // r12 keys: merge = changeset latest agg (1) + anti-join legs on
+    // changeset-sized inputs (2) + total-order sort (1); the BASE snapshot
+    // contributes zero (MergeSpec asserts no exchange over its scan).
+    "q_merge_upsert" -> 4,
+    // day-partials agg (1) + cross-day union agg (1) + sort (1)
+    "q_agg_sketch_merge" -> 3,
+    // post-join groupBy (1) + sort (1); the bucketed join itself exchanges
+    // nothing (LayoutSkewSpec pins it against the non-bucketed twin)
+    "q_layout_bucketed" -> 2
   )
 
   for ((name, budget) <- budgets)

@@ -109,6 +109,36 @@ object Oracle {
          WHERE l.op IS NULL OR l.op <> 'D'
          ORDER BY c_custkey""",
 
+    // Same deterministic change-history construction as q_merge_upsert's
+    // changeset, expanded to versions by the identical LEAD window; 'D'
+    // rows contribute interval closure only.
+    "q_scd2_snapshot" ->
+      """WITH chg AS (
+           SELECT c_custkey AS k, 0 AS seq, 'U' AS op, c_acctbal, c_mktsegment
+             FROM customer
+           UNION ALL
+           SELECT c_custkey, 1, 'U', c_acctbal + 100.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 IN (1, 2)
+           UNION ALL
+           SELECT c_custkey, 2, 'U', c_acctbal + 300.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 1
+           UNION ALL
+           SELECT c_custkey, 3, 'D', NULL, NULL
+             FROM customer WHERE c_custkey % 10 = 7
+           UNION ALL
+           SELECT c_custkey, 4, 'U', 0.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 7 AND c_custkey % 3 = 1),
+         v AS (SELECT chg.*,
+                      lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+               FROM chg)
+         SELECT CAST(k AS BIGINT) AS c_custkey,
+                CAST(seq AS INTEGER) AS valid_from,
+                CAST(valid_to AS INTEGER) AS valid_to,
+                valid_to IS NULL AS is_current,
+                c_acctbal, c_mktsegment
+         FROM v WHERE op = 'U'
+         ORDER BY c_custkey, valid_from""",
+
     // Bucketed write + catalog read-back are lossless (bucketing only fixes
     // WHERE rows land, never what they are), so the oracle is the plain
     // join aggregate over the source tables.
@@ -222,6 +252,18 @@ object Oracle {
           ORDER BY spend DESC, c_custkey LIMIT 10""",
 
     // Plain equi-join SQL: the Spark side's salting must be answer-invariant.
+    // The Bloom prefilter is semantically invisible (false positives are
+    // removed by the real join, false negatives impossible), so the oracle
+    // is the plain three-table join aggregate.
+    "q_join_bloom" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+                 ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q_join_skewed" ->
       s"""WITH f AS (SELECT CAST(CASE WHEN o_orderkey % 4 <> 0 THEN 1
                                       ELSE o_custkey END AS BIGINT) AS skew_key,
@@ -945,6 +987,26 @@ object Oracle {
                       ELSE 'test' END AS split
                FROM documents) t
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Numerator/denominator go DECIMAL → scaled BIGINT → DOUBLE (exact at
+    // every step, per the dsum rule) so both engines divide identical
+    // doubles; sqrt is correctly rounded IEEE in both.
+    "q_sample_mixture" ->
+      """WITH per AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                  CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6)
+                       AS DECIMAL(38,6)) AS w_num
+           FROM documents GROUP BY source),
+         d AS (SELECT CAST(sum(w_num) * 1000000 AS BIGINT) AS w_den_l FROM per),
+         w AS (SELECT per.*,
+                      round(CAST(CAST(w_num * 1000000 AS BIGINT) AS DOUBLE) /
+                            CAST(w_den_l AS DOUBLE), 6) AS weight
+               FROM per, d),
+         e AS (SELECT w.*, round(100000.0 * weight, 3) AS expected_docs FROM w)
+         SELECT source, n_docs, sum_chars, weight, expected_docs,
+                round(expected_docs / CAST(n_docs AS DOUBLE), 6) AS oversample
+         FROM e ORDER BY source""",
 
     // Rank-window definition of the quota sample; the Spark side routes to
     // an exact bucketed-threshold rewrite above the one-task gate, which

@@ -798,6 +798,43 @@ object LlmOps {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("split", "lang")
 
+  /** SOURCE-MIXTURE WEIGHTS — the data-mixing step every multi-source
+    * training corpus runs before sampling: per-source doc/char counts,
+    * α-scaled multinomial weights (α = 0.5, the up-weight-the-tail
+    * convention from multilingual/multi-corpus training recipes:
+    * wᵢ ∝ nᵢ^α), the expected draw under a fixed document budget, and the
+    * implied per-source oversampling factor. One map-side-combined
+    * aggregation over the corpus; everything after runs on one row per
+    * source. Float determinism: each source's √n is rounded then summed as
+    * DECIMAL (order-independent in both engines), and numerator/denominator
+    * convert to doubles through exact scaled LONGS — never a direct
+    * DECIMAL→DOUBLE cast, which DuckDB double-rounds (the dsum rule,
+    * Oracle.scala) — so the weight division divides two bit-identical
+    * doubles. */
+  val qSampleMixture: Q = (s, dir) => {
+    val budget = lit(100000.0)
+    val per = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .withColumn("w_num",
+        round(sqrt(col("n_docs").cast("double")), 6).cast("decimal(38,6)"))
+    // Denominator via an unpartitioned window over the PER-SOURCE rows —
+    // one row per source by construction (thousands at most), so the
+    // single-task window is fine and the corpus is scanned exactly once
+    // (a separate .agg denominator would re-run the corpus aggregation).
+    val denomW = Window.partitionBy()
+    per.withColumn("w_den", sum(col("w_num")).over(denomW))
+      .withColumn("weight",
+        round((col("w_num") * 1000000).cast("long").cast("double") /
+          (col("w_den") * 1000000).cast("long").cast("double"), 6))
+      .withColumn("expected_docs", round(budget * col("weight"), 3))
+      .withColumn("oversample",
+        round(col("expected_docs") / col("n_docs").cast("double"), 6))
+      .select("source", "n_docs", "sum_chars", "weight", "expected_docs",
+        "oversample")
+      .orderBy("source")
+  }
+
   /** Quota size shared by both route forms and the spec. */
   val QuotaK = 20
 
@@ -1043,6 +1080,7 @@ object LlmOps {
   val queries: Map[String, Q] = Map(
     "q_sample_split" -> qSampleSplit,
     "q_sample_quota" -> qSampleQuota,
+    "q_sample_mixture" -> qSampleMixture,
     "q_split_contamination" -> qSplitContamination,
     "q_pack_sequences" -> qPackSequences,
     "q_text_repetition" -> qTextRepetition,

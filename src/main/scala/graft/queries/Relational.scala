@@ -300,6 +300,40 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** SCD TYPE-2 dimension build (operators/Scd.buildType2): the customer
+    * dimension's deterministic change history — initial load at seq 0,
+    * updates at seq 1–2 (latest supersedes), deletes at seq 3, and a
+    * close-reopen re-insert at seq 4 — expanded into version rows with
+    * `[valid_from, valid_to)` seq intervals and an `is_current` flag.
+    * History-keeping sibling of q_merge_upsert's latest-wins fold; the AS
+    * OF join against facts is then an ordinary range predicate. One hash
+    * shuffle of the change log by key + per-key windows — a dimension op,
+    * never the fact corpus, with no global sort at any scale. Payload
+    * arithmetic is raw IEEE adds, so both engines agree bit-for-bit. */
+  val qScd2Snapshot: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val mod = col("c_custkey") % 10
+    val init = cust.select(col("c_custkey"), lit(0).as("seq"),
+      lit("U").as("op"), col("c_acctbal"), col("c_mktsegment"))
+    val u1 = cust.filter(mod.isin(1, 2))
+      .select(col("c_custkey"), lit(1).as("seq"), lit("U").as("op"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"), col("c_mktsegment"))
+    val u2 = cust.filter(mod === 1)
+      .select(col("c_custkey"), lit(2).as("seq"), lit("U").as("op"),
+        (col("c_acctbal") + 300.0).as("c_acctbal"), col("c_mktsegment"))
+    val d3 = cust.filter(mod === 7)
+      .select(col("c_custkey"), lit(3).as("seq"), lit("D").as("op"),
+        lit(null).cast("double").as("c_acctbal"),
+        lit(null).cast("string").as("c_mktsegment"))
+    val u4 = cust.filter(mod === 7 && col("c_custkey") % 3 === 1)
+      .select(col("c_custkey"), lit(4).as("seq"), lit("U").as("op"),
+        lit(0.0).as("c_acctbal"), col("c_mktsegment"))
+    val log = init.unionByName(u1).unionByName(u2)
+      .unionByName(d3).unionByName(u4)
+    graft.operators.Scd.buildType2(log, "c_custkey", "seq", "op")
+      .orderBy("c_custkey", "valid_from")
+  }
+
   /** PIVOT (long → wide): per-user event counts spread across one column
     * per event type. The value list is EXPLICIT — the schema is static, no
     * distinct-values pre-pass job runs, and the plan is an ordinary
@@ -559,6 +593,38 @@ object Relational {
       .orderBy("skew_key")
   }
 
+  /** BLOOM-FILTER SEMI-JOIN REDUCTION graded end-to-end
+    * (operators/BloomJoin.prefilter + functions/BloomMightContain):
+    * revenue of lineitems whose order belongs to a BUILDING-segment
+    * customer. The dim side (orders semi-joined to the segment's
+    * customers — ~1/5 of orderkeys) builds a Bloom filter; the fact scan
+    * probes it BEFORE the join, so ~4/5 of lineitem never enters the
+    * exchange. The real join removes the filter's false positives, so the
+    * result is EXACTLY the plain three-table join — which is the oracle.
+    * At 100 TB this is the semi-join reduction that turns "shuffle the
+    * corpus" into "shuffle the matching 20%"; BloomJoinSpec asserts
+    * bit-equality with the unfiltered twin, the probe's presence in the
+    * executed plan, and the gate's identity fallback. */
+  val qJoinBloom: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val dimKeys = Tables.orders(s, dir)
+      .join(graft.operators.ScaleOps.maybeBroadcast(cust),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    val fact = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_returnflag"),
+      col("l_extendedprice"), col("l_discount"))
+    graft.operators.BloomJoin.prefilter(fact, "l_orderkey", dimKeys)
+      .join(dimKeys, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   // ----------------------------------------------------------- aggregates
 
   /** Flagship: TPC-H Q1-style 7-aggregate group-by (REF-P1: partial
@@ -815,6 +881,7 @@ object Relational {
     "q_layout_zorder" -> qLayoutZorder,
     "q_layout_bucketed" -> qLayoutBucketed,
     "q_merge_upsert" -> qMergeUpsert,
+    "q_scd2_snapshot" -> qScd2Snapshot,
     "q_pivot_events" -> qPivotEvents,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,
@@ -830,6 +897,7 @@ object Relational {
     "q_join_theta" -> qJoinTheta,
     "q_join_asof" -> qJoinAsof,
     "q_join_skewed" -> qJoinSkewed,
+    "q_join_bloom" -> qJoinBloom,
     "q_agg_pricing" -> qAggPricing,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_approx_distinct" -> qAggApproxDistinct,

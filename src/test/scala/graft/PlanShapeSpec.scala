@@ -66,7 +66,17 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_agg_sketch_merge" -> 3,
     // post-join groupBy (1) + sort (1); the bucketed join itself exchanges
     // nothing (LayoutSkewSpec pins it against the non-bucketed twin)
-    "q_layout_bucketed" -> 2
+    "q_layout_bucketed" -> 2,
+    // change-log window by key (1) + total-order sort (1); the log includes
+    // the initial load, so there is no separate base-side cost
+    "q_scd2_snapshot" -> 2,
+    // dim semi-join (≤1; customer side broadcasts) + fact⋈dim join (≤2) +
+    // agg (1) + sort (1); the bloom PROBE adds zero — it rides the scan's
+    // Filter. (The filter-build agg runs in its own job, not this plan.)
+    "q_join_bloom" -> 5,
+    // corpus agg (1) + 1-row denominator agg (1) + sort (1); the
+    // denominator joins back as a broadcast (0)
+    "q_sample_mixture" -> 3
   )
 
   for ((name, budget) <- budgets)

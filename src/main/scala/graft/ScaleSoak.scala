@@ -33,12 +33,15 @@ object ScaleSoak {
     * a copies-count marker (the soak dataset is a pure function of the
     * source table and the copy count). */
   private def stage(spark: SparkSession, src: String, out: String,
-                    table: String, copies: Int)
+                    table: String, copies: Int, recipe: String = "v1")
                    (perturb: DataFrame => DataFrame): Unit = {
     val dst = Paths.get(out, s"$table.parquet")
     val marker = Paths.get(out, s".$table.copies")
+    // Marker = copies + recipe version: staged content must be a pure
+    // function of the marker, so a perturbation change MUST bump `recipe`
+    // or a stale staging silently serves the old columns.
     if (Files.exists(dst) && Files.exists(marker) &&
-        Files.readString(marker) == copies.toString) return
+        Files.readString(marker) == s"$copies:$recipe") return
     println(s"[soak] staging $table x$copies ...")
     val t0 = System.nanoTime()
     // Repartition BEFORE the explode: the small source is one input split,
@@ -51,7 +54,7 @@ object ScaleSoak {
       .withColumn("__c", explode(sequence(lit(0L), lit(copies - 1L))))
     perturb(df).drop("__c")
       .write.mode("overwrite").parquet(dst.toString)
-    Files.writeString(marker, copies.toString)
+    Files.writeString(marker, s"$copies:$recipe")
     println(f"[soak] staged $table in ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }
 
@@ -126,18 +129,31 @@ object ScaleSoak {
     // routed plans care about: text gets a per-copy suffix token (planted
     // boilerplate header/footer segments stay corpus-hot), keys get a
     // per-copy offset, prices/balances a 64-step cent perturbation.
-    stage(spark, src, out, "documents", copies = 2500)(df => df
-      .withColumn("doc_id", col("doc_id") + col("__c") * lit(100000000L))
-      .withColumn("text", concat(col("text"), lit(" c"), col("__c").cast("string")))
-      .withColumn("n_chars", length(col("text"))))
-    stage(spark, src, out, "orders", copies = 500)(df => df
-      .withColumn("o_orderkey", col("o_orderkey") + col("__c") * lit(100000000L))
-      .withColumn("o_totalprice",
-        round(col("o_totalprice") + (col("__c") % 64).cast("double") * 0.01, 2)))
-    stage(spark, src, out, "customer", copies = 5000)(df => df
-      .withColumn("c_custkey", col("c_custkey") + col("__c") * lit(100000000L))
-      .withColumn("c_acctbal",
-        round(col("c_acctbal") + (col("__c") % 64).cast("double") * 0.01, 2)))
+    // Each table stages only if a wanted key reads it — a bloom-only run
+    // must not pay the (slow) documents expansion.
+    val docKeys = Set("quota", "tfidf", "boilerplate", "pack")
+    val ordKeys = Set("median", "range", "bloom")
+    val custKeys = Set("ntile", "bloom")
+    def needs(ks: Set[String]) = wanted.isEmpty || (wanted & ks).nonEmpty
+    if (needs(docKeys))
+      stage(spark, src, out, "documents", copies = 2500)(df => df
+        .withColumn("doc_id", col("doc_id") + col("__c") * lit(100000000L))
+        .withColumn("text", concat(col("text"), lit(" c"), col("__c").cast("string")))
+        .withColumn("n_chars", length(col("text"))))
+    if (needs(ordKeys))
+      // v2: o_custkey gets the same per-copy offset as the customer
+      // staging, so orders copy c joins customer copy c — the realistic
+      // fact→dim relationship the bloom A/B needs.
+      stage(spark, src, out, "orders", copies = 500, recipe = "v2")(df => df
+        .withColumn("o_orderkey", col("o_orderkey") + col("__c") * lit(100000000L))
+        .withColumn("o_custkey", col("o_custkey") + col("__c") * lit(100000000L))
+        .withColumn("o_totalprice",
+          round(col("o_totalprice") + (col("__c") % 64).cast("double") * 0.01, 2)))
+    if (needs(custKeys))
+      stage(spark, src, out, "customer", copies = 5000)(df => df
+        .withColumn("c_custkey", col("c_custkey") + col("__c") * lit(100000000L))
+        .withColumn("c_acctbal",
+          round(col("c_acctbal") + (col("__c") % 64).cast("double") * 0.01, 2)))
 
     val gate = Conf.OneTaskSortMaxBytes
     import graft.queries.{LlmOps, Relational, Windows}

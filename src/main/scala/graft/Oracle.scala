@@ -139,6 +139,50 @@ object Oracle {
          FROM v WHERE op = 'U'
          ORDER BY c_custkey, valid_from""",
 
+    // The oracle KNOWS NOTHING of the incremental fold: it rebuilds the
+    // dimension from scratch over the concatenated epoch-1 + epoch-2 log
+    // with the identical LEAD window — so the hash match proves
+    // refresh-per-tick (Scd.refreshType2) == backfill (Scd.buildType2).
+    "q_scd2_merge" ->
+      """WITH chg AS (
+           SELECT c_custkey AS k, 0 AS seq, 'U' AS op, c_acctbal, c_mktsegment
+             FROM customer
+           UNION ALL
+           SELECT c_custkey, 1, 'U', c_acctbal + 100.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 IN (1, 2)
+           UNION ALL
+           SELECT c_custkey, 2, 'U', c_acctbal + 300.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 1
+           UNION ALL
+           SELECT c_custkey, 3, 'D', NULL, NULL
+             FROM customer WHERE c_custkey % 10 = 7
+           UNION ALL
+           SELECT c_custkey, 4, 'U', 0.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 7 AND c_custkey % 3 = 1
+           UNION ALL
+           SELECT c_custkey, 5, 'U', c_acctbal + 500.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 IN (2, 3)
+           UNION ALL
+           SELECT c_custkey, 6, 'D', NULL, NULL
+             FROM customer WHERE c_custkey % 10 = 2 AND c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey, 5, 'U', 0.5, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 7 AND c_custkey % 3 = 2
+           UNION ALL
+           SELECT CAST(c_custkey + 20000000 AS BIGINT), 5, 'U',
+                  0.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 4),
+         v AS (SELECT chg.*,
+                      lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+               FROM chg)
+         SELECT CAST(k AS BIGINT) AS c_custkey,
+                CAST(seq AS INTEGER) AS valid_from,
+                CAST(valid_to AS INTEGER) AS valid_to,
+                valid_to IS NULL AS is_current,
+                c_acctbal, c_mktsegment
+         FROM v WHERE op = 'U'
+         ORDER BY c_custkey, valid_from""",
+
     // Bucketed write + catalog read-back are lossless (bucketing only fixes
     // WHERE rows land, never what they are), so the oracle is the plain
     // join aggregate over the source tables.

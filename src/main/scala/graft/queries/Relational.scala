@@ -310,8 +310,11 @@ object Relational {
     * shuffle of the change log by key + per-key windows — a dimension op,
     * never the fact corpus, with no global sort at any scale. Payload
     * arithmetic is raw IEEE adds, so both engines agree bit-for-bit. */
-  val qScd2Snapshot: Q = (s, dir) => {
-    val cust = Tables.customer(s, dir)
+  /** Epoch-1 change history for the SCD-2 keys (q_scd2_snapshot builds the
+    * dimension from it; q_scd2_merge folds epoch 2 into that dimension):
+    * initial load at seq 0, updates at seq 1–2, deletes at seq 3, a
+    * close-reopen re-insert at seq 4. */
+  private def scd2LogEpoch1(cust: DataFrame): DataFrame = {
     val mod = col("c_custkey") % 10
     val init = cust.select(col("c_custkey"), lit(0).as("seq"),
       lit("U").as("op"), col("c_acctbal"), col("c_mktsegment"))
@@ -328,9 +331,56 @@ object Relational {
     val u4 = cust.filter(mod === 7 && col("c_custkey") % 3 === 1)
       .select(col("c_custkey"), lit(4).as("seq"), lit("U").as("op"),
         lit(0.0).as("c_acctbal"), col("c_mktsegment"))
-    val log = init.unionByName(u1).unionByName(u2)
-      .unionByName(d3).unionByName(u4)
-    graft.operators.Scd.buildType2(log, "c_custkey", "seq", "op")
+    init.unionByName(u1).unionByName(u2).unionByName(d3).unionByName(u4)
+  }
+
+  /** Epoch-2 changeset (all seqs > every epoch-1 seq): updates that close
+    * currently-open versions (seq 5 over mod 2/3), a delete of a key whose
+    * current version epoch 2 itself opened (seq 6 over a mod-2 slice), a
+    * re-open of a key epoch 1 deleted and never revived (mod 7 ∩ %3==2),
+    * and brand-new keys the base has never seen. */
+  private def scd2LogEpoch2(cust: DataFrame): DataFrame = {
+    val mod = col("c_custkey") % 10
+    val u5 = cust.filter(mod.isin(2, 3))
+      .select(col("c_custkey"), lit(5).as("seq"), lit("U").as("op"),
+        (col("c_acctbal") + 500.0).as("c_acctbal"), col("c_mktsegment"))
+    val d6 = cust.filter(mod === 2 && col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), lit(6).as("seq"), lit("D").as("op"),
+        lit(null).cast("double").as("c_acctbal"),
+        lit(null).cast("string").as("c_mktsegment"))
+    val r5 = cust.filter(mod === 7 && col("c_custkey") % 3 === 2)
+      .select(col("c_custkey"), lit(5).as("seq"), lit("U").as("op"),
+        lit(0.5).as("c_acctbal"), col("c_mktsegment"))
+    val ins = cust.filter(mod === 4)
+      .select((col("c_custkey") + lit(20000000L)).as("c_custkey"),
+        lit(5).as("seq"), lit("U").as("op"),
+        lit(0.0).as("c_acctbal"), col("c_mktsegment"))
+    u5.unionByName(d6).unionByName(r5).unionByName(ins)
+  }
+
+  val qScd2Snapshot: Q = (s, dir) =>
+    graft.operators.Scd.buildType2(
+        scd2LogEpoch1(Tables.customer(s, dir)), "c_custkey", "seq", "op")
+      .orderBy("c_custkey", "valid_from")
+
+  /** INCREMENTAL SCD-2 REFRESH (operators/Scd.refreshType2): fold the
+    * epoch-2 changeset into the Type-2 dimension built from epoch 1 —
+    * close the open version of each changed key at the epoch's first seq,
+    * append the epoch's own version rows — touching the dimension only
+    * through a gated-broadcast left join. The per-tick maintenance op;
+    * q_scd2_snapshot is the one-time backfill sibling. The oracle rebuilds
+    * from scratch over the CONCATENATED log with the proven LEAD window,
+    * so the hash match proves refresh-per-tick == backfill. Plan: the
+    * epoch-1 build pays the backfill's one log shuffle; the refresh itself
+    * adds one changeset-sized window + one changeset-sized aggregation +
+    * a broadcast join — the dimension is never re-shuffled and never
+    * re-windowed, at any scale (ScdSpec + PlanShapeSpec budget). */
+  val qScd2Merge: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val dim = graft.operators.Scd.buildType2(
+      scd2LogEpoch1(cust), "c_custkey", "seq", "op")
+    graft.operators.Scd.refreshType2(
+        dim, scd2LogEpoch2(cust), "c_custkey", "seq", "op")
       .orderBy("c_custkey", "valid_from")
   }
 
@@ -882,6 +932,7 @@ object Relational {
     "q_layout_bucketed" -> qLayoutBucketed,
     "q_merge_upsert" -> qMergeUpsert,
     "q_scd2_snapshot" -> qScd2Snapshot,
+    "q_scd2_merge" -> qScd2Merge,
     "q_pivot_events" -> qPivotEvents,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,

@@ -70,6 +70,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // change-log window by key (1) + total-order sort (1); the log includes
     // the initial load, so there is no separate base-side cost
     "q_scd2_snapshot" -> 2,
+    // epoch-1 backfill window (1) + epoch-2 window (1) + closers agg (1) +
+    // total-order sort (1); the dim side of the refresh joins under the
+    // broadcast gate, so the REFRESH itself adds no dim-side exchange
+    // (ScdSpec pins that claim on a parquet-backed dim directly)
+    "q_scd2_merge" -> 4,
     // dim semi-join (≤1; customer side broadcasts) + fact⋈dim join (≤2) +
     // agg (1) + sort (1); the bloom PROBE adds zero — it rides the scan's
     // Filter. (The filter-build agg runs in its own job, not this plan.)

@@ -179,7 +179,23 @@ object ScaleSoak {
       // parameter for the timing/equality comparison.
       ("pack", Tables.documents(spark, out),
         LlmOps.packSequencesRouted(Long.MaxValue),
-        LlmOps.packSequencesRouted(0L), gate * 8))
+        LlmOps.packSequencesRouted(0L), gate * 8),
+      // bloom is an A/B pair, not a size-routed form: "window" = the plain
+      // fact⋈dim join, "scale" = the same join behind BloomJoin.prefilter.
+      // Bit-equal by construction (the probe is semantically invisible);
+      // the measurement is the fact-side exchange volume. The organic-route
+      // print is n/a — Long.MaxValue keeps it reading WINDOW (= plain).
+      ("bloom", Tables.orders(spark, out),
+        Relational.bloomPlainForm, Relational.bloomFilteredForm,
+        Long.MaxValue))
+
+    // A wanted key with no pair would otherwise time NOTHING and still
+    // write a soak_results.json that reads as a completed A/B (ADVICE r12).
+    val unknown = wanted -- pairs.map(_._1).toSet
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"ScaleSoak: no A/B pair for wanted key(s): ${unknown.mkString(",")} " +
+          s"— known: ${pairs.map(_._1).mkString(",")}")
 
     val results = pairs
       .filter(p => wanted.isEmpty || wanted(p._1))

@@ -33,7 +33,10 @@ case class BloomMightContain(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean = left.nullable
+  // Always nullable: a null key OR a null serialized-filter literal yields
+  // null (the latter is registry-reachable SQL — bloom_might_contain(k,
+  // CAST(NULL AS BINARY)) must not NPE at codegen).
+  override def nullable: Boolean = true
   override def prettyName: String = "bloom_might_contain"
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -43,15 +46,26 @@ case class BloomMightContain(left: Expression, right: Expression)
       "bloom_might_contain requires (bigint, foldable binary), got " +
         s"(${left.dataType.sql}, ${right.dataType.sql}, foldable=${right.foldable})")
 
-  @transient private lazy val bloom: BloomFilter = {
-    val bytes = right.eval(null).asInstanceOf[Array[Byte]]
-    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
-  }
+  // The foldable right is evaluated once per expression instance on the
+  // driver; a NULL literal is legal and short-circuits both eval paths to
+  // null (BinaryExpression.eval already returns null before nullSafeEval
+  // when the right child is null, so only codegen needs the guard).
+  @transient private lazy val filterBytes: Array[Byte] =
+    right.eval(null).asInstanceOf[Array[Byte]]
+
+  @transient private lazy val bloom: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
 
   override def nullSafeEval(key: Any, ignored: Any): Any =
     bloom.mightContainLong(key.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (filterBytes == null) {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      return ev.copy(code = code"""
+        boolean ${ev.isNull} = true;
+        boolean ${ev.value} = false;""")
+    }
     val bf = ctx.addReferenceObj("bloomFilter", bloom, classOf[BloomFilter].getName)
     nullSafeCodeGen(ctx, ev, (key, _) => s"${ev.value} = $bf.mightContainLong($key);")
   }

@@ -26,31 +26,54 @@ object BloomJoin {
   val MaxBuildKeys = 4000000L
 
   /** Prefilter `fact` to rows whose `factKey` MIGHT appear in `dimKeys`'s
-    * single (long-castable) column. Semantically invisible: false
-    * positives survive and must be removed by the real join downstream;
-    * false negatives cannot occur. Returns `fact` unchanged when the build
-    * side is empty (the join output is empty anyway, no filter needed) or
-    * above `maxBuildKeys` (a filter that big costs more than it saves).
+    * single column. Both key columns must be INTEGRAL types (byte/short/
+    * int/long — widened to long for the probe): a lossy cast (string,
+    * decimal, …) can turn a real key into null and silently DROP rows the
+    * join would match — a false-negative hazard, so it throws instead.
+    * Semantically invisible otherwise: false positives survive and must be
+    * removed by the real join downstream; false negatives cannot occur.
+    * Returns `fact` unchanged when the build side is empty (the join
+    * output is empty anyway, no filter needed) or above `maxBuildKeys`
+    * DISTINCT keys (a filter that big costs more than it saves).
     *
-    * Cost: one column-pruned count + one aggregation job over the DIM side
-    * (both trivially parallel, both tiny next to one avoided corpus
-    * shuffle), and a driver-held filter of ~1.2 bytes/key at fpp 0.01 that
-    * ships to executors once in the codegen reference array. */
+    * Cost: ONE aggregation job over the persisted dim-key column (count +
+    * sizing estimate together) + the filter-build job over the same cache
+    * (both tiny next to one avoided corpus shuffle), and a driver-held
+    * filter of ~1.2 bytes/distinct-key at fpp 0.01 that ships to executors
+    * once in the codegen reference array. The filter is SIZED from the
+    * distinct-key estimate, not the row count — a dim side carrying
+    * duplicate keys (post-join derivations) no longer over-allocates. The
+    * downstream join re-evaluates the caller's own dim subtree; callers
+    * joining an expensive derivation should persist it themselves. */
   def prefilter(fact: DataFrame, factKey: String, dimKeys: DataFrame,
                 maxBuildKeys: Long = MaxBuildKeys,
                 fpp: Double = 0.01): DataFrame = {
     val keyName = dimKeys.columns.head
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val dimType = dimKeys.schema.head.dataType
+    val factType = fact.schema(factKey).dataType
+    require(integral(dimType) && integral(factType),
+      s"BloomJoin.prefilter needs integral join keys; got dim $keyName: " +
+        s"${dimType.sql}, fact $factKey: ${factType.sql} — a lossy cast " +
+        "could null out real keys and drop matching rows")
     val keys = dimKeys.select(col(keyName).cast("long").as(keyName))
-    val n = keys.count()
-    if (n == 0L || n > maxBuildKeys) return fact
-    val bf = keys.stat.bloomFilter(keyName, n, fpp)
-    val bytes = {
-      val bos = new ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    BloomMightContain.register(fact.sparkSession)
-    fact.filter(call_function("bloom_might_contain",
-      col(factKey).cast("long"), lit(bytes)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val row = keys.agg(count(lit(1)).as("n"),
+        approx_count_distinct(col(keyName)).as("nd")).head()
+      val (n, nd) = (row.getLong(0), row.getLong(1))
+      if (n == 0L || nd > maxBuildKeys) return fact
+      val bf = keys.stat.bloomFilter(keyName, math.max(nd, 1L), fpp)
+      val bytes = {
+        val bos = new ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      BloomMightContain.register(fact.sparkSession)
+      fact.filter(call_function("bloom_might_contain",
+        col(factKey).cast("long"), lit(bytes)))
+    } finally keys.unpersist(blocking = false)
   }
 }

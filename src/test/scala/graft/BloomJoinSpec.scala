@@ -60,6 +60,33 @@ class BloomJoinSpec extends AnyFunSuite {
       .exists(_.toString.contains("bloom_might_contain")))
   }
 
+  test("non-integral join keys are rejected, not silently cast") {
+    // A lossy cast (string → long) nulls out unparseable keys and the probe
+    // would DROP rows the real join matches — the operator must throw.
+    val strDim = dim.select(col("o_orderkey").cast("string").as("k"))
+    assertThrows[IllegalArgumentException] {
+      BloomJoin.prefilter(fact, "l_orderkey", strDim)
+    }
+    val strFact = fact.select(col("l_orderkey").cast("string").as("l_orderkey"))
+    assertThrows[IllegalArgumentException] {
+      BloomJoin.prefilter(strFact, "l_orderkey", dim)
+    }
+  }
+
+  test("a NULL serialized-filter literal yields null, not an NPE") {
+    // bloom_might_contain is registered session-wide; arbitrary SQL can
+    // hand it a null filter — both codegen and interpreted paths must
+    // treat that as null-in-null-out.
+    graft.functions.BloomMightContain.register(spark)
+    val sqlRows = spark.sql(
+      "SELECT bloom_might_contain(CAST(7 AS BIGINT), CAST(NULL AS BINARY)) AS r"
+    ).collect()
+    assert(sqlRows.head.isNullAt(0))
+    val interp = graft.functions.BloomMightContain(
+      Literal(7L), Literal(null, org.apache.spark.sql.types.BinaryType))
+    assert(interp.eval(null) == null)
+  }
+
   test("interpreted eval agrees with the filter (codegen-off twin)") {
     val bf = dim.select(col("o_orderkey").cast("long").as("k"))
       .stat.bloomFilter("k", 1000L, 0.01)

@@ -35,10 +35,16 @@ object Merge {
     * second (single-column) scan is noise next to one corpus shuffle.
     * Above the gate both arms degrade to co-partitioned shuffle joins, and
     * a base laid out with [[graft.sources.Layout.writeBucketed]] on `key`
-    * skips even those. Never a window over base ∪ changes: that sorts the
-    * corpus to fold in a trickle. */
+    * skips even those — its scan already satisfies the join's
+    * distribution, so only the changeset exchanges (MergeSpec composes the
+    * two and pins zero base-side exchanges with the gate forced off).
+    * Never a window over base ∪ changes: that sorts the corpus to fold in
+    * a trickle. `broadcastGateBytes` exists for that spec and for callers
+    * with measured executor budgets; the default is the repo-wide
+    * quarter-broadcast-budget convention. */
   def applyCdc(base: DataFrame, changes: DataFrame, key: String,
-               seqCol: String, opCol: String): DataFrame = {
+               seqCol: String, opCol: String,
+               broadcastGateBytes: Long = graft.Conf.BroadcastMaxBytes / 4): DataFrame = {
     val payload = base.columns.filterNot(_ == key).toSeq
     val latest = changes
       .groupBy(col(key))
@@ -47,13 +53,14 @@ object Merge {
         col(seqCol)).as("__m"))
       .select(col(key) +: col("__m.__op").as("__op") +:
         payload.map(p => col(s"__m.`$p`").as(s"__u_$p")): _*)
-    val gated = ScaleOps.broadcastIfSourceSmall(latest, changes)
+    val gated = ScaleOps.broadcastIfSourceSmall(latest, changes, broadcastGateBytes)
     val merged = base.join(gated, Seq(key), "left_outer")
       .filter(col("__op").isNull || col("__op") =!= "D")
       .select(col(key) +: payload.map(p =>
         when(col("__op").isNotNull, col(s"__u_$p")).otherwise(col(p)).as(p)): _*)
     val existing = base.select(col(key)).join(
-      ScaleOps.broadcastIfSourceSmall(latest.select(col(key)), changes),
+      ScaleOps.broadcastIfSourceSmall(latest.select(col(key)), changes,
+        broadcastGateBytes),
       Seq(key), "left_semi")
     val inserts = latest.filter(col("__op") =!= "D")
       .join(existing, Seq(key), "left_anti")

@@ -65,4 +65,42 @@ class MergeSpec extends AnyFunSuite {
     }
     assert(baseShuffles == 0, s"base snapshot was shuffled:\n$plan")
   }
+
+  test("above the broadcast gate, a BUCKETED base still exchanges nothing") {
+    // The Merge.scala claim composed end-to-end: with the broadcast gate
+    // forced OFF (broadcastGateBytes = 0 — what a corpus-sized changeset
+    // does organically), a base laid out with Layout.writeBucketed on the
+    // merge key joins from its bucket layout — only the changeset side may
+    // exchange. This is the 100 TB shape: base scan → zero exchanges, CDC
+    // trickle → tiny shuffles.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = sys.props("java.io.tmpdir") + "/graft-merge-bucketed-base"
+    graft.sources.Layout.writeBucketed(
+      Tables.documents(spark, SparkFixture.Sf0001)
+        .select(col("doc_id").as("k"), col("lang").as("name"),
+          col("n_chars").cast("double").as("v")),
+      "merge_bucketed_base", path, "k", 8)
+    val base = spark.table("merge_bucketed_base")
+    val df = Merge.applyCdc(base, changes, "k", "seq", "op",
+      broadcastGateBytes = 0L)
+    // Same rows as the gated-broadcast path over the same base.
+    val viaBroadcast = Merge.applyCdc(base, changes, "k", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == viaBroadcast)
+    val plan = PlanCheck.finalPlan(df)
+    def scansBase(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      PlanCheck.flatten(p).exists {
+        case s: FileSourceScanExec => s.relation.bucketSpec.isDefined
+        case _ => false
+      }
+    assert(scansBase(plan), s"expected the bucketed base scan in:\n$plan")
+    val baseShuffles = PlanCheck.flatten(plan).count {
+      case e: ShuffleExchangeLike => scansBase(e)
+      case _ => false
+    }
+    assert(baseShuffles == 0,
+      s"bucketed base was exchanged above the gate:\n$plan")
+  }
 }

@@ -200,4 +200,36 @@ class MinhashSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
     assert(math.abs(pairs(0)._3 - jaccardDist(base, nearDup)) < 1e-6)
   }
+
+  test("staged pair artifact: equals the direct pipeline and is staged ONCE for both consumers") {
+    import java.nio.file.{Files, Paths}
+    // Throwaway replay root so this test owns the artifact's lifecycle.
+    val prev = spark.conf.getOption("graft.replay.dir")
+    val root = Files.createTempDirectory("minhash-staged-spec").toString
+    spark.conf.set("graft.replay.dir", root)
+    try {
+      val direct = LlmOps.minhashPairs(
+          Tables.documents(spark, Sf0001).select("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaArtifact = SparkEntry.queries("q_dedup_minhash")(spark, Sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaArtifact == direct,
+        "staged round trip changed the pair set")
+      // Both graded consumers share ONE staging: the marker written by the
+      // q_dedup_minhash run must be untouched after q_dedup_components.
+      val marker = Paths.get(
+        Tables.replayDir(spark, "minhash-pairs", Sf0001), ".staged")
+      assert(Files.exists(marker), "artifact marker missing after staging")
+      val stagedAt = Files.getLastModifiedTime(marker)
+      assert(SparkEntry.queries("q_dedup_components")(spark, Sf0001).count() > 0)
+      assert(Files.getLastModifiedTime(marker) == stagedAt,
+        "q_dedup_components restaged the artifact instead of reusing it")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.replay.dir", v)
+        case None => spark.conf.unset("graft.replay.dir")
+      }
+      Tables.deleteRecursively(root)
+    }
+  }
 }

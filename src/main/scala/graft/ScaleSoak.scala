@@ -157,27 +157,29 @@ object ScaleSoak {
 
     val gate = Conf.OneTaskSortMaxBytes
     import graft.queries.{LlmOps, Relational, Windows}
-    // (key, gate table, window form, scale form, organic gate for the key)
-    val pairs: Seq[(String, DataFrame, Q, Q, Long)] = Seq(
-      ("median", Tables.orders(spark, out),
+    // (key, gate table THUNK, window form, scale form, organic gate for the
+    // key). The gate frame is lazy: resolving it eagerly would read tables
+    // a subset run never staged (a median-only run has no customer.parquet).
+    val pairs: Seq[(String, () => DataFrame, Q, Q, Long)] = Seq(
+      ("median", () => Tables.orders(spark, out),
         Relational.medianAggForm, Relational.medianScaleForm, gate),
-      ("range", Tables.orders(spark, out),
+      ("range", () => Tables.orders(spark, out),
         Windows.rangeWindowForm, Windows.rangeScaleForm, gate),
-      ("ntile", Tables.customer(spark, out),
+      ("ntile", () => Tables.customer(spark, out),
         Windows.ntileWindowForm, Windows.ntileScaleForm, gate),
       // quota's production gate is 64x (WindowGroupLimit bounds the rank
       // window's single-task volume to ~k x mapPartitions rows — see
       // quotaRouted); the soak table sits legitimately below it.
-      ("quota", Tables.documents(spark, out),
+      ("quota", () => Tables.documents(spark, out),
         LlmOps.quotaWindowForm, LlmOps.quotaScaleForm, gate * 64),
-      ("tfidf", Tables.documents(spark, out),
+      ("tfidf", () => Tables.documents(spark, out),
         LlmOps.tfidfWindowForm, LlmOps.tfidfScaleForm, gate),
-      ("boilerplate", Tables.documents(spark, out),
+      ("boilerplate", () => Tables.documents(spark, out),
         LlmOps.boilerplateWindowForm, LlmOps.boilerplateScaleForm, gate),
       // pack's own gate is 8x (fixed 8 shards sort n/8 per task), so the
       // soak table sits legitimately BELOW it; forms forced via the router
       // parameter for the timing/equality comparison.
-      ("pack", Tables.documents(spark, out),
+      ("pack", () => Tables.documents(spark, out),
         LlmOps.packSequencesRouted(Long.MaxValue),
         LlmOps.packSequencesRouted(0L), gate * 8),
       // bloom is an A/B pair, not a size-routed form: "window" = the plain
@@ -185,7 +187,7 @@ object ScaleSoak {
       // Bit-equal by construction (the probe is semantically invisible);
       // the measurement is the fact-side exchange volume. The organic-route
       // print is n/a — Long.MaxValue keeps it reading WINDOW (= plain).
-      ("bloom", Tables.orders(spark, out),
+      ("bloom", () => Tables.orders(spark, out),
         Relational.bloomPlainForm, Relational.bloomFilteredForm,
         Long.MaxValue))
 
@@ -200,7 +202,7 @@ object ScaleSoak {
     val results = pairs
       .filter(p => wanted.isEmpty || wanted(p._1))
       .map { case (key, gateDf, winForm, sclForm, keyGate) =>
-      val est = graft.operators.ScaleOps.estimatedBytes(gateDf)
+      val est = graft.operators.ScaleOps.estimatedBytes(gateDf())
       val organic = est > BigInt(keyGate)
       println(s"[soak] $key: gate-table estimate $est bytes vs gate $keyGate " +
         s"-> organic route = ${if (organic) "SCALE" else "WINDOW"} form")

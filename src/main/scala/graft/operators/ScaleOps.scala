@@ -204,28 +204,71 @@ object ScaleOps {
     * `ps` order, un-rounded (callers own output rounding). Requires
     * non-null `v`. ScaleOpsSpec asserts bit-equality with `percentile`.
     */
+  /** Broadcast-budget charge per GROUP for groupedQuantilesExact's helper
+    * frames at the default 256 buckets: the widest helper is the per-group
+    * offsets table (≤256 rows × ~24 B) plus the 255-double edge array —
+    * ~8 KiB with row overhead, rounded up. Scaled linearly for non-default
+    * bucket counts at the gate. */
+  private val TinyPerGroupBytes = 8L * 1024L
+
   def groupedQuantilesExact(df: DataFrame, part: Column, v: Column,
                             ps: Seq[Double], buckets: Int = 256,
-                            accuracy: Int = 10000): DataFrame = {
+                            accuracy: Int = 10000,
+                            sampleMod: Int = 64): DataFrame = {
     val vals = df.select(part.as("g"), v.as("v"))
-    val dist = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    // The distinct histogram is the COMPACT DERIVATIVE every later pass
+    // reads (edges, bucket assignment, per-bucket counts, positions) — four
+    // consumers. Persist it: recomputing it means re-scanning and
+    // re-shuffling the full input per consumer (the r13 soak measured the
+    // unpersisted form at 3× the persisted one).
+    val dist = trackedPersist(
+      vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c")))
+    // One exact scalar to the driver (the P2-loop pattern): the per-group
+    // helper frames below (edges: 1 row/group; offsets: ≤`buckets`
+    // rows/group; rank table: |ps| rows/group) are structurally bounded by
+    // the GROUP COUNT, which Catalyst cannot see — its post-agg/window
+    // estimates stay corpus-sized, so maybeBroadcast never fired and all
+    // five helper joins ran as sort-merge joins keyed on `g`. With FEW
+    // groups that is the skew catastrophe (every row lands in one task per
+    // group: the r13 soak measured 215 s where the window form took 28 s);
+    // with MANY groups hash joins distribute fine and broadcast would be
+    // the executor-memory hazard. The duality makes the gate exact: count
+    // the groups, broadcast the helpers only when few.
+    val nGroups = dist.select(col("g")).distinct().count()
+    val fewGroups =
+      nGroups * TinyPerGroupBytes * buckets.toLong / 256L <=
+        graft.Conf.BroadcastMaxBytes / 4
+    def hintTiny(helper: DataFrame): DataFrame =
+      if (fewGroups) broadcast(helper) else helper
     val edgePs = (1 until buckets).map(i => i.toDouble / buckets)
     // Split points come from the DISTINCT frame, not the raw rows: the
     // within-bucket windows below sort DIST rows, so balancing distinct
     // counts per bucket is exactly right — and the approx-percentile
     // sketch inserts one row per distinct value instead of per input row
     // (the dominant cost of this rewrite at 75M rows in the r11 soak).
-    val edges = dist.groupBy(col("g")).agg(
+    // Further (r13): split points only BALANCE buckets — ANY values give a
+    // correct result — so the sketch reads a deterministic 1/sampleMod
+    // hash-sample of the distinct values (xxhash64 on v: content-keyed, no
+    // RNG, no partition sensitivity). That pass was still the dominant
+    // cost at the r12 soak (the router's scale form ran 1.25× the window
+    // form it exists to replace); sampling cuts its input ~64× while the
+    // exact position/interpolation passes below are untouched.
+    val sampled = dist.filter(pmod(xxhash64(col("v")), lit(sampleMod)) === 0)
+    val edges = sampled.groupBy(col("g")).agg(
       percentile_approx(col("v"), array(edgePs.map(lit): _*), lit(accuracy))
         .as("__edges"))
     // Ascending 0-based bucket: how many split points the value clears
     // (ties compare on the value only, so equal values share a bucket) —
-    // one array expression, same rationale as globalRanksDesc's.
-    val bucketExpr = size(filter(col("__edges"), e => col("v") >= e))
-    // One ~buckets-double row PER GROUP — small for low group cardinality,
-    // but a corpus-derived frame at high cardinality: size-gate the hint
-    // (falls back to a co-partitioned shuffle join past the budget).
-    val bucketed = dist.join(maybeBroadcast(edges), "g")
+    // one array expression, same rationale as globalRanksDesc's. A group
+    // whose every distinct value sampled away has NO edges row (the
+    // left join below yields null): all its values land in bucket 0 — one
+    // task sorts that group whole, which is the right plan for a group
+    // small enough to vanish under a 1/64 sample.
+    val bucketExpr = when(col("__edges").isNull, lit(0))
+      .otherwise(size(filter(col("__edges"), e => col("v") >= e)))
+    // One ~buckets-double row PER GROUP — broadcast under the exact
+    // nGroups gate above, co-partitioned shuffle join past it.
+    val bucketed = dist.join(hintTiny(edges), Seq("g"), "left_outer")
       .withColumn("__bkt", bucketExpr).drop("__edges")
     val bc = bucketed.groupBy(col("g"), col("__bkt")).agg(sum(col("c")).as("__bc"))
     val wOff = Window.partitionBy(col("g")).orderBy(col("__bkt"))
@@ -234,7 +277,7 @@ object ScaleOps {
       .select(col("g"), col("__bkt"), col("__off"))
     val gn = bc.groupBy(col("g")).agg(sum(col("__bc")).as("__n"))
     val wb = Window.partitionBy(col("g"), col("__bkt")).orderBy(col("v"))
-    val pos = bucketed.join(boff, Seq("g", "__bkt"))
+    val pos = bucketed.join(hintTiny(boff), Seq("g", "__bkt"))
       .withColumn("__cum", col("__off") + sum(col("c")).over(wb))
     // Bracketing ranks per (group, quantile): Spark's Percentile formula —
     // 0-based position p·(n−1), lower index ⌊·⌋, interpolation fraction the
@@ -253,7 +296,7 @@ object ScaleOps {
     // of k1 and k2 (possibly the same row) and interpolate.
     def covers(k: Column): Column =
       k > col("__cum") - col("c") && k <= col("__cum")
-    val hits = pos.join(maybeBroadcast(ranks), Seq("g"))
+    val hits = pos.join(hintTiny(ranks), Seq("g"))
       .filter(covers(col("__k1")) || covers(col("__k2")))
       .groupBy(col("g"), col("__n"), col("__pi"), col("__frac"))
       .agg(

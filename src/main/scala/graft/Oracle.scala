@@ -183,6 +183,53 @@ object Oracle {
          FROM v WHERE op = 'U'
          ORDER BY c_custkey, valid_from""",
 
+    // AS-OF consumption of the Type-2 dimension: the oracle rebuilds the
+    // full-epoch dimension with the proven LEAD window and applies the
+    // identical equi-key + interval predicate; the inner join IS the
+    // point-in-time existence check (deleted-as-of keys drop).
+    "q_scd2_asof" ->
+      s"""WITH chg AS (
+           SELECT c_custkey AS k, 0 AS seq, 'U' AS op, c_acctbal, c_mktsegment
+             FROM customer
+           UNION ALL
+           SELECT c_custkey, 1, 'U', c_acctbal + 100.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 IN (1, 2)
+           UNION ALL
+           SELECT c_custkey, 2, 'U', c_acctbal + 300.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 1
+           UNION ALL
+           SELECT c_custkey, 3, 'D', NULL, NULL
+             FROM customer WHERE c_custkey % 10 = 7
+           UNION ALL
+           SELECT c_custkey, 4, 'U', 0.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 7 AND c_custkey % 3 = 1
+           UNION ALL
+           SELECT c_custkey, 5, 'U', c_acctbal + 500.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 IN (2, 3)
+           UNION ALL
+           SELECT c_custkey, 6, 'D', NULL, NULL
+             FROM customer WHERE c_custkey % 10 = 2 AND c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey, 5, 'U', 0.5, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 7 AND c_custkey % 3 = 2
+           UNION ALL
+           SELECT CAST(c_custkey + 20000000 AS BIGINT), 5, 'U',
+                  0.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 4),
+         v AS (SELECT chg.*,
+                      lead(seq) OVER (PARTITION BY k ORDER BY seq) AS valid_to
+               FROM chg),
+         dim AS (SELECT k, seq AS valid_from, valid_to, c_acctbal,
+                        c_mktsegment
+                 FROM v WHERE op = 'U')
+         SELECT CAST(o.o_orderkey % 7 AS INTEGER) AS as_of, d.c_mktsegment,
+                count(*) AS n_orders, ${dsum("d.c_acctbal")} AS bal
+         FROM orders o JOIN dim d
+           ON o.o_custkey = d.k
+          AND d.valid_from <= o.o_orderkey % 7
+          AND (d.valid_to IS NULL OR o.o_orderkey % 7 < d.valid_to)
+         GROUP BY 1, 2 ORDER BY as_of, c_mktsegment""",
+
     // Bucketed write + catalog read-back are lossless (bucketing only fixes
     // WHERE rows land, never what they are), so the oracle is the plain
     // join aggregate over the source tables.

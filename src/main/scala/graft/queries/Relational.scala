@@ -384,6 +384,36 @@ object Relational {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** AS-OF consumption of the Type-2 dimension — the promise in
+    * q_scd2_snapshot's doc ("AS-OF fact joins become a range predicate
+    * against these intervals") made a graded key, completing the SCD
+    * family: build (q_scd2_snapshot) → refresh (q_scd2_merge) → consume.
+    * Each order reads the customer dimension AS OF its own derived epoch
+    * (`o_orderkey % 7` spans seqs 0–6: before, between, and after every
+    * change), keyed by an EQUI-join on c_custkey with the
+    * `[valid_from, valid_to)` interval as a residual filter — never a
+    * broadcast-nested-loop: the hash join runs on the key and the residual
+    * touches the ≤5 version rows each key matched. Orders whose customer
+    * is deleted AS OF their epoch match no interval and drop (the inner
+    * join IS the point-in-time existence check). The dimension broadcasts
+    * under the source-size gate; above it the join co-partitions on the
+    * key — one fact-side shuffle at most, at any scale. */
+  val qScd2Asof: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val dim = graft.operators.Scd.buildType2(
+      scd2LogEpoch1(cust).unionByName(scd2LogEpoch2(cust)),
+      "c_custkey", "seq", "op")
+    val facts = Tables.orders(s, dir).select(
+      col("o_custkey"), (col("o_orderkey") % 7).cast("int").as("as_of"))
+    facts.join(graft.operators.ScaleOps.broadcastIfSourceSmall(dim, cust),
+        col("o_custkey") === col("c_custkey") &&
+          col("valid_from") <= col("as_of") &&
+          (col("valid_to").isNull || col("as_of") < col("valid_to")))
+      .groupBy(col("as_of"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("c_acctbal")).as("bal"))
+      .orderBy("as_of", "c_mktsegment")
+  }
+
   /** PIVOT (long → wide): per-user event counts spread across one column
     * per event type. The value list is EXPLICIT — the schema is static, no
     * distinct-values pre-pass job runs, and the plan is an ordinary
@@ -965,6 +995,7 @@ object Relational {
     "q_merge_upsert" -> qMergeUpsert,
     "q_scd2_snapshot" -> qScd2Snapshot,
     "q_scd2_merge" -> qScd2Merge,
+    "q_scd2_asof" -> qScd2Asof,
     "q_pivot_events" -> qPivotEvents,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,

@@ -75,6 +75,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast gate, so the REFRESH itself adds no dim-side exchange
     // (ScdSpec pins that claim on a parquet-backed dim directly)
     "q_scd2_merge" -> 4,
+    // dim build window (1) + fact⋈dim join (≤1 — dim broadcasts under the
+    // source gate, so the fact side stays unshuffled) + agg (1) + sort (1)
+    "q_scd2_asof" -> 4,
     // dim semi-join (≤1; customer side broadcasts) + fact⋈dim join (≤2) +
     // agg (1) + sort (1); the bloom PROBE adds zero — it rides the scan's
     // Filter. (The filter-build agg runs in its own job, not this plan.)

@@ -25,6 +25,24 @@ object BloomJoin {
     * own runtime bloom filter creation threshold. */
   val MaxBuildKeys = 4000000L
 
+  /** Byte budget for the FPP-ESCALATED build past `maxBuildKeys` (r12
+    * stretch): giving up the reduction exactly when the fact shuffle is
+    * biggest wastes the regime where it pays most, so past the cap the
+    * filter is rebuilt at whatever fpp this budget affords
+    * (bits-per-key = budget×8 / distinct keys; expected fpp ≈
+    * 0.6185^(bits/key) at the optimal hash count). A fpp-0.3 filter still
+    * deletes 70% of the non-matching fact scan before the exchange. The
+    * 16 MiB ships ONCE per executor through the codegen reference array —
+    * heap noise beside a corpus shuffle — and keeps the escalation useful
+    * to ~90M distinct keys (fpp 0.5 floor below); beyond that the probe
+    * passes most rows and the operator degrades to identity as before. */
+  val EscalationBudgetBytes: Long = 16L << 20
+
+  /** Expected fpp past which an escalated filter stops paying: at 0.5
+    * every second non-matching row survives the probe anyway, so the
+    * per-row probe cost outweighs the shuffle reduction. */
+  val EscalationMaxFpp = 0.5
+
   /** Prefilter `fact` to rows whose `factKey` MIGHT appear in `dimKeys`'s
     * single column. Both key columns must be INTEGRAL types (byte/short/
     * int/long — widened to long for the probe): a lossy cast (string,
@@ -33,8 +51,12 @@ object BloomJoin {
     * Semantically invisible otherwise: false positives survive and must be
     * removed by the real join downstream; false negatives cannot occur.
     * Returns `fact` unchanged when the build side is empty (the join
-    * output is empty anyway, no filter needed) or above `maxBuildKeys`
-    * DISTINCT keys (a filter that big costs more than it saves).
+    * output is empty anyway, no filter needed). Above `maxBuildKeys`
+    * DISTINCT keys the build ESCALATES instead of giving up: the filter is
+    * rebuilt inside `escalationBudgetBytes` at the fpp those bits afford
+    * (see [[EscalationBudgetBytes]]); only past the [[EscalationMaxFpp]]
+    * floor — where the probe passes most rows anyway — does the operator
+    * fall back to identity.
     *
     * Cost: ONE aggregation job over the persisted dim-key column (count +
     * sizing estimate together) + the filter-build job over the same cache
@@ -47,7 +69,8 @@ object BloomJoin {
     * joining an expensive derivation should persist it themselves. */
   def prefilter(fact: DataFrame, factKey: String, dimKeys: DataFrame,
                 maxBuildKeys: Long = MaxBuildKeys,
-                fpp: Double = 0.01): DataFrame = {
+                fpp: Double = 0.01,
+                escalationBudgetBytes: Long = EscalationBudgetBytes): DataFrame = {
     val keyName = dimKeys.columns.head
     val integral: Set[org.apache.spark.sql.types.DataType] = Set(
       org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
@@ -64,8 +87,17 @@ object BloomJoin {
       val row = keys.agg(count(lit(1)).as("n"),
         approx_count_distinct(col(keyName)).as("nd")).head()
       val (n, nd) = (row.getLong(0), row.getLong(1))
-      if (n == 0L || nd > maxBuildKeys) return fact
-      val bf = keys.stat.bloomFilter(keyName, math.max(nd, 1L), fpp)
+      if (n == 0L) return fact
+      val bf =
+        if (nd <= maxBuildKeys) keys.stat.bloomFilter(keyName, math.max(nd, 1L), fpp)
+        else {
+          val bits = escalationBudgetBytes * 8L
+          // Optimal-hash-count fpp for m bits over n keys: (1/2)^(m/n·ln2)
+          // = 0.6185^(m/n).
+          val expFpp = math.pow(0.6185, bits.toDouble / nd)
+          if (expFpp > EscalationMaxFpp) return fact
+          keys.stat.bloomFilter(keyName, math.max(nd, 1L), bits)
+        }
       val bytes = {
         val bos = new ByteArrayOutputStream()
         bf.writeTo(bos)

@@ -46,14 +46,24 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(bloom.toSeq == twin.toSeq)
   }
 
-  test("the probe is in the executed plan, under the gate only") {
+  test("the probe is in the executed plan; gates escalate then fall back") {
     val reduced = BloomJoin.prefilter(fact, "l_orderkey", dim)
     assert(PlanCheck.flatten(PlanCheck.finalPlan(reduced))
       .exists(_.toString.contains("bloom_might_contain")))
-    // Above the cap (or empty build side) the operator must be an identity,
-    // not a degraded filter.
-    val gated = BloomJoin.prefilter(fact, "l_orderkey", dim, maxBuildKeys = 1L)
-    assert(!PlanCheck.flatten(PlanCheck.finalPlan(gated))
+    // Above the key cap the build ESCALATES: still a filter (the default
+    // 16 MiB budget affords a tiny fpp for this dim), still no false
+    // negatives.
+    val escalated = BloomJoin.prefilter(fact, "l_orderkey", dim, maxBuildKeys = 1L)
+    assert(PlanCheck.flatten(PlanCheck.finalPlan(escalated))
+      .exists(_.toString.contains("bloom_might_contain")))
+    val matching = fact.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    assert(matching.join(escalated, Seq("l_orderkey", "l_extendedprice"), "left_anti").count() == 0)
+    // Past the escalation budget's useful fpp (1 byte over thousands of
+    // keys), and on an empty build side, the operator must be an identity —
+    // not a degraded filter that passes everything at real probe cost.
+    val exhausted = BloomJoin.prefilter(fact, "l_orderkey", dim,
+      maxBuildKeys = 1L, escalationBudgetBytes = 1L)
+    assert(!PlanCheck.flatten(PlanCheck.finalPlan(exhausted))
       .exists(_.toString.contains("bloom_might_contain")))
     val empty = BloomJoin.prefilter(fact, "l_orderkey", dim.filter(lit(false)))
     assert(!PlanCheck.flatten(PlanCheck.finalPlan(empty))

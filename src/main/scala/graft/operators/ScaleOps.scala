@@ -326,11 +326,28 @@ object ScaleOps {
     * running sum order-ambiguous) and non-null; the GROUP key may be null —
     * the equi-joins are null-safe (`<=>`), so a null group stays one
     * partition exactly as the window form treats it. Appends `__run`.
-    * Edge/offset side tables are size-gated broadcasts (maybeBroadcast)
-    * — at extreme group cardinality they degrade to shuffle joins. */
+    * Edge/offset side tables broadcast under the same exact GROUP-COUNT
+    * gate as groupedQuantilesExact (r13): Catalyst cannot size these
+    * post-agg helpers (its estimates stay corpus-sized, so the previous
+    * estimate-gated hint never fired and the helper joins sort-merged on
+    * `part` — with few groups that sorts the corpus in ~one task per
+    * group, the exact skew this rewrite exists to avoid; measured 73 s vs
+    * the window form's 11 s on the r11 pack soak). Few groups is
+    * simultaneously when the helpers are provably tiny and when the
+    * co-partitioned fallback skews, so one approx-distinct scalar gates
+    * both directions; at extreme group cardinality the joins stay
+    * co-partitioned shuffle joins — the right plan there. */
   def groupedPrefixSum(df: DataFrame, part: Column, ord: Column, value: Column,
                        buckets: Int = 256, accuracy: Int = 10000): DataFrame = {
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    // +1 covers a possible all-null group (approx_count_distinct ignores
+    // nulls; the joins below are null-safe and keep it).
+    val nGroups = df.agg(approx_count_distinct(part)).head().getLong(0) + 1L
+    val fewGroups =
+      nGroups * TinyPerGroupBytes * buckets.toLong / 256L <=
+        graft.Conf.BroadcastMaxBytes / 4
+    def hintTiny(helper: DataFrame): DataFrame =
+      if (fewGroups) broadcast(helper) else helper
     // Split points from a 1-in-16 content-addressed sample (balance-only —
     // the globalRanksDesc rationale; xxhash64 of (group, ord) is
     // deterministic and partitioning-independent). The join below is LEFT
@@ -343,7 +360,7 @@ object ScaleOps {
       .agg(percentile_approx(ord, array(ps.map(lit): _*), lit(accuracy)).as("__edges"))
     val bucketExpr =
       coalesce(size(filter(col("__edges"), e => ord >= e)), lit(0))
-    val bucketed = df.join(maybeBroadcast(edges), part <=> col("__g"), "left")
+    val bucketed = df.join(hintTiny(edges), part <=> col("__g"), "left")
       .withColumn("__bkt", bucketExpr).drop("__edges", "__g")
     val wLoc = Window.partitionBy(part, col("__bkt")).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -355,7 +372,7 @@ object ScaleOps {
       .agg(sum(value).as("__bsum"))
       .withColumn("__off", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
       .select(col("__g2"), col("__b2"), col("__off"))
-    local.join(maybeBroadcast(offsets),
+    local.join(hintTiny(offsets),
         part <=> col("__g2") && col("__bkt") === col("__b2"))
       .withColumn("__run", col("__off") + col("__lsum"))
       .drop("__g2", "__b2", "__off", "__bkt", "__lsum")

@@ -204,12 +204,37 @@ object ScaleOps {
     * `ps` order, un-rounded (callers own output rounding). Requires
     * non-null `v`. ScaleOpsSpec asserts bit-equality with `percentile`.
     */
-  /** Broadcast-budget charge per GROUP for groupedQuantilesExact's helper
+  /** Broadcast-budget charge per GROUP for the bucketed rewrites' helper
     * frames at the default 256 buckets: the widest helper is the per-group
     * offsets table (≤256 rows × ~24 B) plus the 255-double edge array —
     * ~8 KiB with row overhead, rounded up. Scaled linearly for non-default
     * bucket counts at the gate. */
-  private val TinyPerGroupBytes = 8L * 1024L
+  val TinyPerGroupBytes = 8L * 1024L
+
+  /** The GROUP-COUNT broadcast gate (r13) shared by the bucketed rewrites
+    * (groupedQuantilesExact, groupedPrefixSum, LlmOps.quotaSample): their
+    * helper frames (split-point edges, bucket offsets, rank/threshold
+    * tables) are structurally bounded PER GROUP, but Catalyst cannot see
+    * that — post-agg/window size estimates stay corpus-sized, so an
+    * estimate-gated hint never fires and every helper join sort-merges on
+    * the group key. With FEW groups that is the skew catastrophe (the
+    * corpus sorts in ~one task per group — the r13 soak measured the
+    * median form at 7.7× and the pack form at 6.9× their window twins
+    * from exactly this); with MANY groups hash joins distribute fine and
+    * broadcast would be the executor-memory hazard. The duality makes ONE
+    * scalar gate both directions: count the groups (approx, one
+    * driver-side job over `df` — the P2-loop pattern), broadcast the
+    * helpers only when few. `perGroupBytes` bounds the widest helper's
+    * per-group weight. */
+  def perGroupBroadcastHint(df: DataFrame, part: Column,
+                            perGroupBytes: Long = TinyPerGroupBytes): DataFrame => DataFrame = {
+    // +1 covers a possible all-null group (approx_count_distinct ignores
+    // nulls; null-safe callers keep it as a real group).
+    val nGroups = df.agg(approx_count_distinct(part)).head().getLong(0) + 1L
+    if (nGroups * perGroupBytes <= graft.Conf.BroadcastMaxBytes / 4)
+      (helper: DataFrame) => broadcast(helper)
+    else identity
+  }
 
   def groupedQuantilesExact(df: DataFrame, part: Column, v: Column,
                             ps: Seq[Double], buckets: Int = 256,
@@ -223,23 +248,12 @@ object ScaleOps {
     // unpersisted form at 3× the persisted one).
     val dist = trackedPersist(
       vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c")))
-    // One exact scalar to the driver (the P2-loop pattern): the per-group
-    // helper frames below (edges: 1 row/group; offsets: ≤`buckets`
-    // rows/group; rank table: |ps| rows/group) are structurally bounded by
-    // the GROUP COUNT, which Catalyst cannot see — its post-agg/window
-    // estimates stay corpus-sized, so maybeBroadcast never fired and all
-    // five helper joins ran as sort-merge joins keyed on `g`. With FEW
-    // groups that is the skew catastrophe (every row lands in one task per
-    // group: the r13 soak measured 215 s where the window form took 28 s);
-    // with MANY groups hash joins distribute fine and broadcast would be
-    // the executor-memory hazard. The duality makes the gate exact: count
-    // the groups, broadcast the helpers only when few.
-    val nGroups = dist.select(col("g")).distinct().count()
-    val fewGroups =
-      nGroups * TinyPerGroupBytes * buckets.toLong / 256L <=
-        graft.Conf.BroadcastMaxBytes / 4
-    def hintTiny(helper: DataFrame): DataFrame =
-      if (fewGroups) broadcast(helper) else helper
+    // Group-count broadcast gate for the helper frames (edges: 1
+    // row/group; offsets: ≤`buckets` rows/group; rank table: |ps|
+    // rows/group) — see perGroupBroadcastHint. Counted on the PERSISTED
+    // histogram, so the scalar job reads the cache.
+    val hintTiny = perGroupBroadcastHint(dist, col("g"),
+      TinyPerGroupBytes * buckets.toLong / 256L)
     val edgePs = (1 until buckets).map(i => i.toDouble / buckets)
     // Split points come from the DISTINCT frame, not the raw rows: the
     // within-bucket windows below sort DIST rows, so balancing distinct
@@ -340,14 +354,8 @@ object ScaleOps {
   def groupedPrefixSum(df: DataFrame, part: Column, ord: Column, value: Column,
                        buckets: Int = 256, accuracy: Int = 10000): DataFrame = {
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
-    // +1 covers a possible all-null group (approx_count_distinct ignores
-    // nulls; the joins below are null-safe and keep it).
-    val nGroups = df.agg(approx_count_distinct(part)).head().getLong(0) + 1L
-    val fewGroups =
-      nGroups * TinyPerGroupBytes * buckets.toLong / 256L <=
-        graft.Conf.BroadcastMaxBytes / 4
-    def hintTiny(helper: DataFrame): DataFrame =
-      if (fewGroups) broadcast(helper) else helper
+    val hintTiny = perGroupBroadcastHint(df, part,
+      TinyPerGroupBytes * buckets.toLong / 256L)
     // Split points from a 1-in-16 content-addressed sample (balance-only —
     // the globalRanksDesc rationale; xxhash64 of (group, ord) is
     // deterministic and partitioning-independent). The join below is LEFT

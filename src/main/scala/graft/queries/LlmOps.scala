@@ -905,6 +905,14 @@ object LlmOps {
       .withColumn("v", conv(substring(col("h"), 1, 15), 16, 10).cast("long")))
     val nb = buckets
     val edgePs = (1 until nb).map(i => i.toDouble / nb)
+    // Group-count broadcast gate for the per-language helper frames
+    // (edges/boundary/threshold are ≤1 row + one edge array per lang):
+    // estimate-gated hints never fired on these post-agg frames and the
+    // joins sort-merged the corpus on `lang` — few languages is exactly
+    // the skew case AND the safe-broadcast case (ScaleOps
+    // .perGroupBroadcastHint; counted on the persisted frame).
+    val hintTiny = ScaleOps.perGroupBroadcastHint(d, col("lang"),
+      ScaleOps.TinyPerGroupBytes * nb.toLong / 256L)
     val edges = d.groupBy(col("lang")).agg(
       percentile_approx(col("v"), array(edgePs.map(lit): _*), lit(10000))
         .as("__edges"))
@@ -912,7 +920,7 @@ object LlmOps {
     // sum of nb−1 when() terms would grow the codegen'd method linearly
     // with `buckets` and risk the 64KB/interpreted-fallback cliff).
     val bucketExpr = size(filter(col("__edges"), e => col("v") >= e))
-    val bucketed = d.join(ScaleOps.maybeBroadcast(edges), "lang")
+    val bucketed = d.join(hintTiny(edges), "lang")
       .withColumn("__bkt", bucketExpr).drop("__edges")
     val bc = bucketed.groupBy(col("lang"), col("__bkt")).agg(count(lit(1)).as("__bc"))
     val wOff = Window.partitionBy(col("lang")).orderBy(col("__bkt"))
@@ -925,12 +933,12 @@ object LlmOps {
     // (k − offset) is the exact global k-th entry.
     val wIn = Window.partitionBy(col("lang"))
       .orderBy(col("v"), col("h"), col("doc_id"))
-    val thr = bucketed.join(ScaleOps.maybeBroadcast(boundary), Seq("lang", "__bkt"))
+    val thr = bucketed.join(hintTiny(boundary), Seq("lang", "__bkt"))
       .withColumn("__rn", row_number().over(wIn))
       .filter(col("__rn") === lit(k.toLong) - col("__off"))
       .select(col("lang"), col("v").as("__tv"), col("h").as("__th"),
         col("doc_id").as("__tid"))
-    d.join(ScaleOps.maybeBroadcast(thr), Seq("lang"), "left")
+    d.join(hintTiny(thr), Seq("lang"), "left")
       .filter(col("__tv").isNull ||
         col("v") < col("__tv") ||
         (col("v") === col("__tv") && (col("h") < col("__th") ||

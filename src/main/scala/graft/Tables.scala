@@ -20,9 +20,11 @@ object Tables {
     */
   def prep(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // events.parquet carries Parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    // by default (PARQUET_TYPE_ILLEGAL). With this flag `ts` arrives as
-    // LongType epoch-nanos; decode recipe in `events` below. SURVEY.md §1.3.
+    // Older testdata generations shipped events.ts as Parquet
+    // TIMESTAMP(NANOS), which Spark 4 rejects by default
+    // (PARQUET_TYPE_ILLEGAL). Under this flag such a column arrives as
+    // LongType epoch-nanos and [[decodeEventTs]] recognizes it; current
+    // generations write TIMESTAMP(MICROS), where the flag is inert.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Native codegen'd expressions (functions/VecDot.scala,
     // functions/MinHash.scala); registration is idempotent.
@@ -47,17 +49,39 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 
-  /** `events` with `ts` decoded from epoch-nanos (LongType under
-    * `nanosAsLong`) to a microsecond TimestampType.
-    *
-    * Integer `div` ONLY: `(ts/1000).cast("long")` routes through Double,
-    * whose 53-bit mantissa cannot hold 61-bit epoch-nanos and corrupts the
-    * microsecond (verified in SURVEY.md §1.3). DuckDB reads the same column
-    * natively at microsecond precision, so both engines agree after this.
-    */
+  /** `events` with `ts` normalized to a session-zoned microsecond
+    * TimestampType whatever the on-disk representation — the driver has
+    * regenerated testdata across rounds with `ts` as Parquet
+    * TIMESTAMP(NANOS) (arrives as LongType epoch-nanos under `nanosAsLong`)
+    * and as TIMESTAMP(MICROS) without UTC adjustment (arrives as
+    * TIMESTAMP_NTZ). Downstream operators see ONE type either way. */
   def events(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    decodeEventTs(table(s, dir, "events"))
+
+  /** The `ts` normalization shared by every reader of an events-shaped
+    * frame, batch or streaming (the streaming replay fixtures in
+    * streaming/Runtime go through it too, so raw and decoded stagings are
+    * interchangeable).
+    *
+    *  - LongType (epoch-nanos): integer `div` ONLY — `(ts/1000)
+    *    .cast("long")` routes through Double, whose 53-bit mantissa cannot
+    *    hold 61-bit epoch-nanos and corrupts the microsecond (verified in
+    *    SURVEY.md §1.3).
+    *  - TIMESTAMP_NTZ (micros, no UTC adjustment): the session zone is
+    *    pinned to UTC in [[prep]], so the cast to TimestampType is
+    *    wall-clock-preserving and Spark's micros equal what DuckDB reads
+    *    from the same file natively.
+    *  - TimestampType: already normalized (the decoded-fixture read-back
+    *    path) — untouched.
+    */
+  def decodeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Directory for operator-internal file staging (the ORC round-trip,
     * stream arrival dirs). Root comes from the runtime conf
@@ -95,7 +119,22 @@ object Tables {
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-replay").toString)
     val p = java.nio.file.Paths.get(
       root, s"$prefix-${rawKey.replaceAll("[^A-Za-z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(p)
+    // createDirectories racing a concurrent stager's restage (stagedFixture
+    // deletes + recreates this dir under its lock) can surface a spurious
+    // FileAlreadyExistsException: the JDK's exists-and-is-directory recheck
+    // runs AFTER the winner's delete has removed the entry again. The state
+    // is transient by construction, so a short bounded retry converges.
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try { java.nio.file.Files.createDirectories(p); done = true }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1
+          if (attempts > 100) throw e
+          Thread.sleep(20)
+      }
+    }
     p.toString
   }
 

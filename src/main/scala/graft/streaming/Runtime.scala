@@ -19,8 +19,9 @@ object Runtime {
 
   /** The events table as a file-source stream (one file → one micro-batch;
     * `maxFilesPerTrigger=1` keeps replay deterministic). Schema comes from a
-    * batch peek — required by file streaming sources. The raw nanos `ts`
-    * long is decoded exactly like the batch path.
+    * batch peek — required by file streaming sources. `ts` is normalized
+    * exactly like the batch path (Tables.decodeEventTs — raw-nanos long and
+    * native-timestamp testdata generations both work).
     *
     * File streaming sources watch a DIRECTORY for arriving files; the
     * testdata table is a single parquet file, so it is staged (once) into a
@@ -38,11 +39,10 @@ object Runtime {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val schema = spark.read.parquet(src.toString).schema
-    spark.readStream
+    Tables.decodeEventTs(spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(streamDir.toString))
   }
 
   /** 1-hour tumbling count+sum with a 1-hour watermark (late rows beyond
@@ -89,11 +89,10 @@ object Runtime {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     val schema = spark.read.parquet(src.toString).schema
-    spark.readStream
+    Tables.decodeEventTs(spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(streamDir.toString))
   }
 
   /** Write `df` as a single parquet file at streamDir/name (coalesce into
@@ -116,10 +115,13 @@ object Runtime {
   }
 
   /** One far-future sentinel row (user_id = −1, event_type "flush") that
-    * advances the event-time watermark past every real session/window. */
-  private def flushFrame(batch: DataFrame, flushNs: Long): DataFrame =
+    * advances the event-time watermark past every real session/window.
+    * `flushUs` is epoch-micros; the frame matches the DECODED events schema
+    * (ts already a TimestampType), which is what the flush/split fixtures
+    * stage. */
+  private def flushFrame(batch: DataFrame, flushUs: Long): DataFrame =
     batch.limit(1)
-      .select(lit(-1L).as("event_id"), lit(flushNs).as("ts"),
+      .select(lit(-1L).as("event_id"), timestamp_micros(lit(flushUs)).as("ts"),
         lit(-1L).as("user_id"), lit("flush").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
 
@@ -163,18 +165,20 @@ object Runtime {
     Tables.prep(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val names = Seq("events_0_flush.parquet")
-    val streamDir = stageReplay(spark, dir, "stream-flush", "v5", names) { d =>
-      val batch = spark.read.parquet(src.toString)
-      val maxTsNs = batch.agg(max(col("ts"))).head().getLong(0)
+    // The fixture stages the DECODED frame (ts normalized to TimestampType
+    // micros) so the sentinel arithmetic below is representation-agnostic;
+    // v6 marks the decoded layout (v5 staged raw nanos).
+    val streamDir = stageReplay(spark, dir, "stream-flush", "v6", names) { d =>
+      val batch = Tables.decodeEventTs(spark.read.parquet(src.toString))
+      val maxTsUs = batch.agg(max(unix_micros(col("ts")))).head().getLong(0)
       stageOne(batch.unionByName(
-          flushFrame(batch, maxTsNs + 4L * 3600L * 1000000000L)),
+          flushFrame(batch, maxTsUs + 4L * 3600L * 1000000L)),
         d, "events_0_flush.parquet")
     }
-    val schema = spark.read.parquet(src.toString).schema
-    spark.readStream
+    val schema = Tables.decodeEventTs(spark.read.parquet(src.toString)).schema
+    Tables.decodeEventTs(spark.readStream
       .schema(schema)
-      .parquet(streamDir.toString + "/events_*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(streamDir.toString + "/events_*.parquet"))
   }
 
   /** The events stream staged as TWO time-split files (early half / late
@@ -193,21 +197,24 @@ object Runtime {
     Tables.prep(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val names = Seq("events_0_early.parquet", "events_1_late.parquet")
-    val streamDir = stageReplay(spark, dir, "stream-split", "v4", names) { d =>
-      val batch = spark.read.parquet(src.toString)
+    // Decoded-layout fixture (see eventsStreamWithFlush); the median split
+    // runs over epoch-micros of the normalized ts.
+    val streamDir = stageReplay(spark, dir, "stream-split", "v5", names) { d =>
+      val batch = Tables.decodeEventTs(spark.read.parquet(src.toString))
       val bounds = batch.select(
-        expr("approx_percentile(ts, 0.5)").as("mid"), max(col("ts")).as("mx")).head()
-      val (midNs, maxTsNs) = (bounds.getLong(0), bounds.getLong(1))
-      stageOne(batch.filter(col("ts") <= midNs), d, "events_0_early.parquet")
-      stageOne(batch.filter(col("ts") > midNs)
-        .unionByName(flushFrame(batch, maxTsNs + 2L * 3600L * 1000000000L)),
+        expr("approx_percentile(unix_micros(ts), 0.5)").as("mid"),
+        max(unix_micros(col("ts"))).as("mx")).head()
+      val (midUs, maxTsUs) = (bounds.getLong(0), bounds.getLong(1))
+      stageOne(batch.filter(unix_micros(col("ts")) <= midUs),
+        d, "events_0_early.parquet")
+      stageOne(batch.filter(unix_micros(col("ts")) > midUs)
+        .unionByName(flushFrame(batch, maxTsUs + 2L * 3600L * 1000000L)),
         d, "events_1_late.parquet")
     }
-    spark.readStream
-      .schema(spark.read.parquet(src.toString).schema)
+    Tables.decodeEventTs(spark.readStream
+      .schema(Tables.decodeEventTs(spark.read.parquet(src.toString)).schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(streamDir.toString + "/events_*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(streamDir.toString + "/events_*.parquet"))
   }
 
   /** Streaming ingest DEDUPLICATION — the stream-side member of the dedup

@@ -55,9 +55,10 @@ class StreamingEquivSpec extends AnyFunSuite {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.functions._
     Tables.prep(spark)
-    val raw = spark.read.parquet(s"$Sf0001/events.parquet") // ts = epoch-nanos long
-    val minNs = raw.agg(min(col("ts"))).collect()(0).getLong(0)
-    val cutoffNs = minNs + 2L * 24 * 3600 * 1000000000L // min + 2 days
+    val raw = Tables.events(spark, Sf0001) // ts normalized to TimestampType
+    val minUs = raw.agg(min(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val cutoffUs = minUs + 2L * 24 * 3600 * 1000000L // min + 2 days
+    val cutoff = timestamp_micros(lit(cutoffUs))
 
     val watch = Paths.get(sys.props("java.io.tmpdir"), "graft-late-test")
     if (Files.exists(watch)) {
@@ -85,8 +86,8 @@ class StreamingEquivSpec extends AnyFunSuite {
     // The memory sink cannot recover from a checkpoint; the parquet file
     // sink can — which is also the production shape (append to a table).
     def runOnce() = {
-      val stream = spark.readStream.schema(raw.schema).parquet(watch.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val stream = Tables.decodeEventTs(
+        spark.readStream.schema(raw.schema).parquet(watch.toString))
       val agg = stream.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -105,35 +106,33 @@ class StreamingEquivSpec extends AnyFunSuite {
 
     // Run 1: only the on-time file exists → watermark advances to
     // (max on-time ts − 1h), persisted in the checkpoint.
-    stage(raw.filter(col("ts") >= cutoffNs), "b1_ontime", System.currentTimeMillis())
+    stage(raw.filter(col("ts") >= cutoff), "b1_ontime", System.currentTimeMillis())
     runOnce()
     val onTime = emitted()
     assert(onTime.nonEmpty, "run 1 emitted nothing")
 
     // Run 2: only the LATE file is new (2 days of events far older than
     // the persisted watermark) → every row must be dropped.
-    stage(raw.filter(col("ts") < cutoffNs), "b2_late", System.currentTimeMillis())
+    stage(raw.filter(col("ts") < cutoff), "b2_late", System.currentTimeMillis())
     val q2 = runOnce()
     // Late input reaches the stateful operator pre-aggregated map-side, so
     // the drop counter counts (window, type) partial groups — bounded by
     // [distinct groups, raw rows]; zero would mean late data got in.
-    val lateRows = raw.filter(col("ts") < cutoffNs).count()
-    val lateGroups = raw.filter(col("ts") < cutoffNs)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val lateRows = raw.filter(col("ts") < cutoff).count()
+    val lateGroups = raw.filter(col("ts") < cutoff)
       .select(window(col("ts"), "1 hour"), col("event_type")).distinct().count()
     val dropped = q2.recentProgress
       .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
     assert(dropped >= lateGroups && dropped <= lateRows,
       s"watermark dropped $dropped, expected within [$lateGroups, $lateRows]")
-    val cutoffMs = cutoffNs / 1000000L
+    val cutoffMs = cutoffUs / 1000L
     val emitted2 = emitted()
     assert(emitted2.forall(_._1.getTime >= cutoffMs - 3600 * 1000),
       s"late windows emitted: ${emitted2.filter(_._1.getTime < cutoffMs - 3600 * 1000).take(3).mkString(",")}")
 
     // The on-time emission equals the batch aggregation over the on-time
     // subset alone (late rows contributed nothing anywhere).
-    val batch = raw.filter(col("ts") >= cutoffNs)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = raw.filter(col("ts") >= cutoff)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
@@ -166,9 +165,7 @@ class StreamingEquivSpec extends AnyFunSuite {
       shape(SRuntime.eventsStream(spark, Sf0001)),
       sink.toString, ckpt.toString, partitionCol = "event_type",
       outputMode = "append", saveMode = org.apache.spark.sql.SaveMode.Append)
-    val batch = shape(
-      spark.read.parquet(s"$Sf0001/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+    val batch = shape(Tables.events(spark, Sf0001))
     val got = graft.sources.Layout.readPartitioned(spark, sink.toString)
       .select("event_id", "event_type", "user_id", "value")
       .collect().map(_.toSeq).toSet

@@ -239,6 +239,17 @@ object Oracle {
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderstatus""",
 
+    // The manifest-planned read (file subset from per-file min/max stats)
+    // plus the re-applied predicate is lossless, so the oracle is the plain
+    // range aggregate over the source table.
+    "q_layout_manifest" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1 ORDER BY l_returnflag""",
+
     // The Spark side's scale → morton → z-clustered write → read-back chain
     // is lossless and integer-exact, so the oracle recomputes the same
     // z-buckets straight from the source: min-max scale to 16 bits with

@@ -262,6 +262,42 @@ object Relational {
       .orderBy("c_mktsegment", "o_orderstatus")
   }
 
+  /** FILE-SKIPPING MANIFEST (sources/Layout.writeManifested +
+    * manifestPrunedRead) graded through the correctness gate — the
+    * Delta/Iceberg planning primitive re-expressed: lineitem is CLUSTERED
+    * by l_shipdate into range files with a per-file (min, max, n_rows)
+    * stats manifest maintained at write time, and the graded query plans a
+    * one-year range scan FROM the manifest — only files whose envelope
+    * intersects 1997 are opened; the predicate is re-applied on the pruned
+    * read for the boundary files. At 100 TB the manifest replaces the
+    * directory LIST + footer-read planning cost (O(millions of files) on
+    * an object store) with one small-table read, and the clustering makes
+    * the envelopes disjoint so ~6/7 of the data files are never opened.
+    * Complements the layout family: hive partitioning prunes directories
+    * (q_layout_prune), Z-order tightens two-column envelopes
+    * (q_layout_zorder), the manifest makes one-column skipping a PLANNING
+    * step instead of a scan-time one. The layout+manifest write is
+    * content-keyed fixture setup (the table's storage posture, built once
+    * per corpus snapshot — the q_agg_incremental argument); the graded op
+    * is the manifest-planned read. Pruning soundness, file-subset
+    * selection, and the empty-selection path are spec-asserted
+    * (ManifestSpec); pruned-read + re-filter is lossless, so the oracle is
+    * the plain range aggregate over the source table. */
+  val qLayoutManifest: Q = (s, dir) => {
+    val staged = Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest", dir, "v1") { d =>
+      graft.sources.Layout.writeManifested(
+        Tables.lineitem(s, dir), d, "l_shipdate", numFiles = 16)
+    }
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, staged, lo, hi)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** CDC MERGE / UPSERT graded end-to-end (operators/Merge.applyCdc): a
     * deterministic changeset — two-version updates (latest must win),
     * deletes, and inserts of new keys, all derived from the customer table
@@ -992,6 +1028,7 @@ object Relational {
     "q_layout_compact" -> qLayoutCompact,
     "q_layout_zorder" -> qLayoutZorder,
     "q_layout_bucketed" -> qLayoutBucketed,
+    "q_layout_manifest" -> qLayoutManifest,
     "q_merge_upsert" -> qMergeUpsert,
     "q_scd2_snapshot" -> qScd2Snapshot,
     "q_scd2_merge" -> qScd2Merge,

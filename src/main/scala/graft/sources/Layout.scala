@@ -101,6 +101,56 @@ object Layout {
     n
   }
 
+  /** Write `df` CLUSTERED by `statsCol` (range-repartition + within-file
+    * sort) alongside a FILE-STATS MANIFEST — the Delta/Iceberg-style
+    * planning primitive: a small table of (file_path, min, max, n_rows)
+    * per data file, maintained at WRITE time, so query planning selects
+    * files from the manifest instead of listing the directory and reading
+    * every parquet footer. At 100 TB the listing alone is the bottleneck
+    * manifests exist to delete (millions of files; object-store LIST is
+    * O(files) round-trips), and clustering is what makes the per-file
+    * [min,max] envelopes disjoint enough to skip most of them.
+    *
+    * Shuffle shape of the maintenance pass: one range exchange (plus
+    * Spark's range-bounds sampling) for the clustered write; the manifest
+    * build re-reads ONLY `statsCol` (column pruning reaches the scan) and
+    * aggregates per input file — a map-side-combined shuffle of one row
+    * per (task, file). */
+  def writeManifested(df: DataFrame, path: String, statsCol: String,
+                      numFiles: Int): Unit = {
+    val spark = df.sparkSession
+    df.repartitionByRange(numFiles, col(statsCol))
+      .sortWithinPartitions(statsCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/data")
+    spark.read.parquet(s"$path/data")
+      .select(col(statsCol))
+      .groupBy(input_file_name().as("file_path"))
+      .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+  }
+
+  /** Plan a range-predicate scan FROM the manifest written by
+    * [[writeManifested]]: keep the files whose [min_v, max_v] envelope
+    * intersects `[lo, hi]`, read only those. The file selection is a
+    * DRIVER-side decision over the manifest — exactly how Delta/Iceberg
+    * plan scans (log/manifest replay on the coordinator); the manifest is
+    * O(data files), orders of magnitude smaller than the data, and the
+    * alternative (footer-read per file at planning time) is the cost being
+    * skipped. Boundary files still hold out-of-range rows, so callers
+    * re-apply the predicate on the pruned read (it lands in PushedFilters
+    * against only the selected files' row groups). */
+  def manifestPrunedRead(spark: SparkSession, path: String,
+                         lo: Column, hi: Column): DataFrame = {
+    val hits = spark.read.parquet(s"$path/manifest")
+      .filter(col("max_v") >= lo && col("min_v") <= hi)
+      .select(col("file_path"))
+      .collect().map(_.getString(0))
+    if (hits.isEmpty) spark.read.parquet(s"$path/data").limit(0)
+    else spark.read.parquet(hits.toIndexedSeq: _*)
+  }
+
   /** Write `df` as a BUCKETED external parquet table: rows hash-partitioned
     * by `bucketCol` into `numBuckets` files, sorted by the key within each,
     * with the bucket spec recorded in the session catalog. Joining two

@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-stats manifest (sources/Layout.writeManifested /
+  * manifestPrunedRead — the q_layout_manifest surface): the manifest must
+  * describe the data files exactly, the planned read must SKIP files, and
+  * skipping must be sound (no in-range row lives in a skipped file). */
+class ManifestSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private lazy val root: String = {
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-spec"
+    Layout.writeManifested(Tables.lineitem(spark, Sf0001), d, "l_shipdate", 8)
+    d
+  }
+  private def dataFiles = spark.read.parquet(s"$root/data").inputFiles
+  private val lo = lit("1997-01-01").cast("timestamp")
+  private val hi = lit("1998-01-01").cast("timestamp")
+
+  test("manifest rows describe every data file with true stats") {
+    val man = spark.read.parquet(s"$root/manifest").collect()
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    assert(man.map(r => base(r.getAs[String]("file_path"))).toSet ==
+      dataFiles.map(base).toSet, "manifest file set != data file set")
+    var rows = 0L
+    for (r <- man) {
+      val f = spark.read.parquet(r.getAs[String]("file_path"))
+        .agg(min(col("l_shipdate")), max(col("l_shipdate")), count(lit(1))).head()
+      assert(f.get(0) == r.getAs[Any]("min_v") && f.get(1) == r.getAs[Any]("max_v"),
+        s"stats drift for ${r.getAs[String]("file_path")}")
+      rows += f.getLong(2)
+      assert(f.getLong(2) == r.getAs[Long]("n_rows"))
+    }
+    assert(rows == Tables.lineitem(spark, Sf0001).count())
+  }
+
+  test("pruned read opens a strict subset of files; result equals the full-scan twin") {
+    val pruned = Layout.manifestPrunedRead(spark, root, lo, hi)
+    assert(pruned.inputFiles.length > 0 &&
+      pruned.inputFiles.length < dataFiles.length,
+      s"no skipping: ${pruned.inputFiles.length} of ${dataFiles.length} files")
+    val inRange = (d: org.apache.spark.sql.DataFrame) =>
+      d.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    assert(inRange(pruned) == inRange(Tables.lineitem(spark, Sf0001)),
+      "pruned read + re-filter diverges from the direct filter")
+  }
+
+  test("skipping is sound: skipped files hold zero in-range rows") {
+    val kept = Layout.manifestPrunedRead(spark, root, lo, hi).inputFiles.toSet
+    val skipped = dataFiles.filterNot(kept)
+    assert(skipped.nonEmpty, "nothing was skipped — soundness check is vacuous")
+    val leaked = spark.read.parquet(skipped.toIndexedSeq: _*)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi).count()
+    assert(leaked == 0L, s"$leaked in-range rows in skipped files")
+  }
+
+  test("empty selection: a predicate outside the span yields an empty, well-typed frame") {
+    val out = Layout.manifestPrunedRead(spark, root,
+      lit("1800-01-01").cast("timestamp"), lit("1801-01-01").cast("timestamp"))
+    assert(out.count() == 0L)
+    assert(out.schema == spark.read.parquet(s"$root/data").schema)
+  }
+
+  test("q_layout_manifest equals its direct-filter twin (sf0.001)") {
+    val got = SparkEntry.queries("q_layout_manifest")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val exp = Tables.lineitem(spark, Sf0001)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    assert(got == exp)
+  }
+}

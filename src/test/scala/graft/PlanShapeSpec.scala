@@ -84,7 +84,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_join_bloom" -> 5,
     // corpus agg (1) + 1-row denominator agg (1) + sort (1); the
     // denominator joins back as a broadcast (0)
-    "q_sample_mixture" -> 3
+    "q_sample_mixture" -> 3,
+    // manifest-planned read: partial+final agg (1) + total-order sort (1);
+    // file selection happens on the driver before the plan exists, so the
+    // pruned scan contributes zero exchanges
+    "q_layout_manifest" -> 2
   )
 
   for ((name, budget) <- budgets)

@@ -901,6 +901,26 @@ object Oracle {
          WHERE 1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) <= 0.5
          ORDER BY doc_a, doc_b""",
 
+    // Exact batch×corpus bigram-Jaccard pairs (batch = doc_id % 10 == 3,
+    // corpus = the rest): the Spark side's index probe + signature
+    // prefilter + exact refine emits the same exact pair set without
+    // re-running the corpus pipeline.
+    "q_dedup_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 2),
+              s AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+                    FROM w, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+              n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS corpus_doc, b.doc_id AS batch_doc, count(*) AS inter
+                    FROM s a JOIN s b ON a.sh = b.sh
+                    WHERE a.doc_id % 10 <> 3 AND b.doc_id % 10 = 3
+                    GROUP BY 1, 2)
+         SELECT corpus_doc, batch_doc,
+                round(1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard_dist
+         FROM p JOIN n na ON corpus_doc = na.doc_id JOIN n nb ON batch_doc = nb.doc_id
+         WHERE 1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) <= 0.5
+         ORDER BY corpus_doc, batch_doc""",
+
     // Transitive closure over the SAME exact near-dup pair set as
     // q_dedup_minhash (bigram Jaccard dist <= 0.5), walked with a recursive
     // CTE: each node's component id is the minimum reachable doc_id. The

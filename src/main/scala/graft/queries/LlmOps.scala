@@ -133,6 +133,23 @@ object LlmOps {
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
       .orderBy("comp_id")
 
+  /** INCREMENTAL ingest dedup — the per-batch maintenance member of the
+    * dedup family (the corpus-vs-corpus members above are the backfill):
+    * which documents of an ARRIVING batch (doc_id % 10 == 3, derived
+    * deterministically so the oracle can rebuild the split) near-duplicate
+    * the standing corpus (the rest), answered by probing the corpus's
+    * STORED minhash index ([[stagedCorpusIndex]]) with signatures computed
+    * for the batch alone — per-ingest cost O(batch + hits), the corpus
+    * pipeline never re-runs ([[incrementalDedupPairs]]). Signature
+    * prefilter + exact-Jaccard refine keep the output equal to the exact
+    * batch×corpus answer, which is what the DuckDB oracle computes. */
+  val qDedupIncremental: Q = (s, dir) => {
+    val (idxMeta, idxBuckets) = stagedCorpusIndex(s, dir)
+    incrementalDedupPairs(idxMeta, idxBuckets,
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 3))
+      .orderBy("corpus_doc", "batch_doc")
+  }
+
   /** The near-dup pair ARTIFACT: [[minhashPairs]] materialized ONCE per
     * (documents source, pipeline version) via Tables.stagedFixture and
     * shared by every consumer — q_dedup_minhash reads it back sorted,
@@ -201,11 +218,7 @@ object LlmOps {
     //    bucket across tasks. least/greatest normalize the collect_list
     //    pairs' order; the self-join emits a < b directly; distinct
     //    collapses the up-to-32 band hits per pair.
-    val buckets = mh.select(col("doc_id"), explode(expr(
-      s"""transform(sequence(0, ${NumHashes / BandRows - 1}),
-            b -> struct(b AS band, element_at(sig, 2 * b + 1) AS x, element_at(sig, 2 * b + 2) AS y))"""))
-      .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.x").as("x"), col("bk.y").as("y"))
+    val buckets = bandBuckets(mh)
     val grouped = buckets.groupBy(col("band"), col("x"), col("y"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -257,6 +270,95 @@ object LlmOps {
       // No trailing distinct: cand is already unique and each side of the
       // refine join matches exactly one docMeta row.
       .select(col("doc_a"), col("doc_b"), round(col("jd"), 6).as("jaccard_dist"))
+  }
+
+  /** LSH band-bucket keys for a (doc_id, sig) frame: one row per band with
+    * the band's two signature slots as the bucket key — shared by the
+    * corpus-vs-corpus pipeline ([[minhashPairsRaw]]) and the
+    * batch-probes-index incremental path ([[incrementalDedupPairs]]). */
+  private def bandBuckets(mh: DataFrame): DataFrame =
+    mh.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, ${NumHashes / BandRows - 1}),
+            b -> struct(b AS band, element_at(sig, 2 * b + 1) AS x, element_at(sig, 2 * b + 2) AS y))"""))
+      .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.x").as("x"), col("bk.y").as("y"))
+
+  /** (doc_id, sig, hs, ns) for any (doc_id, text) frame — the per-doc
+    * MinHash record the index stores and the refine joins consume. */
+  private def minhashMeta(docs: DataFrame): DataFrame = {
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    shingleHashes(graft.operators.ScaleOps.parallelizeSmall(docs))
+      .select(col("doc_id"), expr("minhash_sig(sh)").as("sig"),
+        col("sh").as("hs"), size(col("sh")).as("ns"))
+  }
+
+  /** The corpus MINHASH INDEX for the incremental-dedup scenario, staged
+    * once per corpus snapshot (Tables.stagedFixture): `meta` — one
+    * (doc_id, sig, shingle-hash set, set size) record per corpus doc — and
+    * `buckets` — the exploded LSH band-bucket postings. This is the stored
+    * artifact a 100 TB ingest pipeline maintains so that deduping a NEW
+    * batch costs O(batch) signature work + one index probe, instead of
+    * re-running the corpus pipeline per ingest; adding the accepted batch
+    * to the index later is appending its meta/bucket rows (the
+    * q_agg_incremental argument, applied to dedup). The graded scenario
+    * splits `documents` deterministically — doc_id % 10 == 3 is the
+    * arriving batch, the rest is the standing corpus — so the oracle can
+    * rebuild both sides. */
+  /** In-memory (meta, buckets) index for any (doc_id, text) corpus — the
+    * unstaged form [[stagedCorpusIndex]] persists, factored out so tests
+    * can probe planted corpora directly. */
+  def corpusIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val meta = minhashMeta(corpus)
+    (meta, bandBuckets(meta.select(col("doc_id"), col("sig"))))
+  }
+
+  def stagedCorpusIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val staged = Tables.stagedFixture(s, s"$dir/documents.parquet",
+      "minhash-index", dir, IndexVersion) { d =>
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 3)
+      minhashMeta(corpus).write.mode("overwrite").parquet(s"$d/meta")
+      bandBuckets(s.read.parquet(s"$d/meta").select(col("doc_id"), col("sig")))
+        .write.mode("overwrite").parquet(s"$d/buckets")
+    }
+    (s.read.parquet(s"$staged/meta"), s.read.parquet(s"$staged/buckets"))
+  }
+
+  /** Bump to invalidate staged index artifacts when the index layout or
+    * the batch/corpus split changes. */
+  private val IndexVersion = "v1"
+
+  /** INCREMENTAL batch-vs-corpus near-dup pairs: signatures are computed
+    * for the BATCH ONLY, its band buckets probe the stored corpus index,
+    * and candidates refine against the index's per-doc records with the
+    * signature prefilter + exact bigram Jaccard — so the output equals the
+    * exact batch×corpus answer while per-ingest work stays O(batch + hits).
+    *
+    * Shuffle shape at 100 TB: the bucket probe co-partitions both sides on
+    * the band-bucket key — at scale the stored `buckets` artifact is
+    * WRITTEN bucketed by that key, so only the batch side (small) moves;
+    * the refine joins hash on doc ids, with the BATCH meta side under the
+    * gated broadcast (the corpus meta is the big side and is never
+    * broadcast). A degenerate hot bucket (mass-duplicate corpus) is AQE
+    * skew-join territory — candidates are exact, so no cap may drop them. */
+  def incrementalDedupPairs(idxMeta: DataFrame, idxBuckets: DataFrame,
+                            batch: DataFrame): DataFrame = {
+    val bMeta = minhashMeta(batch)
+    val cand = bandBuckets(bMeta.select(col("doc_id"), col("sig")))
+      .withColumnRenamed("doc_id", "batch_doc")
+      .join(idxBuckets.withColumnRenamed("doc_id", "corpus_doc"),
+        Seq("band", "x", "y"))
+      .select(col("corpus_doc"), col("batch_doc"))
+      .distinct()
+    cand
+      .join(idxMeta.as("A"), col("corpus_doc") === col("A.doc_id"))
+      .join(graft.operators.ScaleOps.maybeBroadcast(bMeta).as("B"),
+        col("batch_doc") === col("B.doc_id"))
+      .filter(expr(s"sig_matches(A.sig, B.sig) >= $SigPrefilterMinMatches"))
+      .withColumn("inter", size(array_intersect(col("A.hs"), col("B.hs"))).cast("double"))
+      .withColumn("uni", (col("A.ns") + col("B.ns")).cast("double") - col("inter"))
+      .withColumn("jd", lit(1.0) - col("inter") / col("uni"))
+      .filter(col("jd") <= 0.5)
+      .select(col("corpus_doc"), col("batch_doc"), round(col("jd"), 6).as("jaccard_dist"))
   }
 
   // ----------------------------------------- exact n-gram Jaccard similarity
@@ -1129,6 +1231,7 @@ object LlmOps {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_components" -> qDedupComponents,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,
     "q_text_tokens" -> qTextTokens,

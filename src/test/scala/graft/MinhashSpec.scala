@@ -232,4 +232,37 @@ class MinhashSpec extends AnyFunSuite {
       Tables.deleteRecursively(root)
     }
   }
+
+  test("incrementalDedupPairs: planted batch near-dup found via the corpus index") {
+    import spark.implicits._
+    val corpus = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, nearDup),
+      (12L, "spark streaming watermarks sessions state stores checkpoints and triggers"),
+    ).toDF("doc_id", "text")
+    val (meta, buckets) = LlmOps.corpusIndex(corpus)
+    val got = LlmOps.incrementalDedupPairs(meta, buckets, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1, s"expected only the planted hit, got ${got.mkString(",")}")
+    assert((got(0)._1, got(0)._2) == (0L, 11L))
+    val exp = BigDecimal(jaccardDist(base, nearDup))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(0)._3 - exp) < 1e-9)
+  }
+
+  test("q_dedup_incremental == exact batch-x-corpus answer on the real sf0.001 corpus") {
+    val got = SparkEntry.queries("q_dedup_incremental")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val local = Tables.documents(spark, Sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (batch, corpus) = local.partition(_._1 % 10 == 3)
+    val exp = (for {
+      (cid, ct) <- corpus; (bid, bt) <- batch
+      d = jaccardDist(ct, bt) if d <= 0.5
+    } yield (cid, bid,
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(exp.nonEmpty, "corpus should contain cross-split near-dups")
+    assert(got == exp,
+      s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+  }
 }

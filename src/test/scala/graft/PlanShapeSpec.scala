@@ -88,7 +88,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // manifest-planned read: partial+final agg (1) + total-order sort (1);
     // file selection happens on the driver before the plan exists, so the
     // pruned scan contributes zero exchanges
-    "q_layout_manifest" -> 2
+    "q_layout_manifest" -> 2,
+    // batch parallelizeSmall (1) + bucket probe (2 sides) + candidate
+    // distinct (1) + corpus-meta refine join (≤2) + sort (1); the batch
+    // meta side rides the gated broadcast (0) — a net like the other
+    // dedup heavies, not an exact claim
+    "q_dedup_incremental" -> 8
   )
 
   for ((name, budget) <- budgets)

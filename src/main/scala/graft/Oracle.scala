@@ -1055,6 +1055,22 @@ object Oracle {
                 round(CAST(n_chars AS DOUBLE) / CAST(greatest(n_bpe, 1) AS DOUBLE), 6) AS chars_per_token
          FROM f ORDER BY doc_id""",
 
+    // One BPE merge step's corpus pair counts: word-frequency compaction,
+    // then per-word adjacent char pairs (with the </w> end marker) weighted
+    // by word frequency. substr/len are char-based in both engines; the
+    // (count DESC, pair) order is total (pair is the group key).
+    "q_text_bpe_pairs" ->
+      """WITH words AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+              wf AS (SELECT w, count(*) AS n FROM words WHERE len(w) > 0 GROUP BY w),
+              pairs AS (SELECT substr(w, i, 1) || ' ' ||
+                               CASE WHEN i < len(w) THEN substr(w, i + 1, 1)
+                                    ELSE '</w>' END AS pair,
+                               n
+                        FROM wf, UNNEST(generate_series(1, len(w))) AS t(i))
+         SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+         FROM pairs GROUP BY pair
+         ORDER BY n_occurrences DESC, pair LIMIT 50""",
+
     // Twin of TextOps.langIdNGram (n = 3, topN = 200): same trigram
     // extraction (substring is 1-indexed in both engines; short texts yield
     // one possibly-shorter gram), same (count DESC, gram) profile ranking,

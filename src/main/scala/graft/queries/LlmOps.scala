@@ -841,6 +841,39 @@ object LlmOps {
           .as("chars_per_token"))
       .orderBy("doc_id")
 
+  /** TOKENIZER-VOCABULARY INDUCTION statistic — one BPE merge step's
+    * corpus-wide pair counts (the aggregation a BPE trainer runs per merge
+    * iteration): per word, adjacent character pairs with an explicit
+    * end-of-word marker; corpus counts weight each word's pairs by the
+    * word's frequency; output = the top 50 pairs (the merge candidates)
+    * under a deterministic (count DESC, pair ASC) total order.
+    *
+    * Scale plan — the classic BPE-trainer compaction, distributed: the
+    * corpus collapses to the WORD-FREQUENCY table first (wordcount shape:
+    * map-side combined hash agg — the only corpus-sized shuffle), and the
+    * character-pair explode then runs over the VOCABULARY (≈10⁵–10⁶ rows
+    * whatever the corpus size — the zipf economy), never over corpus
+    * tokens; the pair aggregation is vocab-sized and the top-50 is
+    * TakeOrderedAndProject (no global sort). Pure codegen'd string
+    * expressions throughout; substring/len are char-based in BOTH engines
+    * and `lower` agrees on this corpus (the proven q_dedup_minhash
+    * precedent), so the oracle recomputes the same pairs verbatim. */
+  val qTextBpePairs: Q = (s, dir) => {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    words
+      .select(explode(expr(
+        """transform(sequence(1, length(w)), i ->
+             concat(substring(w, i, 1), ' ',
+                    if(i < length(w), substring(w, i + 1, 1), '</w>')))"""))
+        .as("pair"), col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(50)
+  }
+
   /** Winnowing document fingerprints (TextOps.fingerprints): every window's
     * minimum k-gram rolling hash — the shared-run detector (any common
     * token run of ≥ w + k − 1 tokens yields a shared print). No oracle
@@ -1235,6 +1268,7 @@ object LlmOps {
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,
     "q_text_tokens" -> qTextTokens,
+    "q_text_bpe_pairs" -> qTextBpePairs,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_media_features" -> qMediaFeatures,
     "q_sim_cosine_topk" -> qSimCosineTopk,

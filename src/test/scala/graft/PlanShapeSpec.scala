@@ -93,7 +93,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // distinct (1) + corpus-meta refine join (≤2) + sort (1); the batch
     // meta side rides the gated broadcast (0) — a net like the other
     // dedup heavies, not an exact claim
-    "q_dedup_incremental" -> 8
+    "q_dedup_incremental" -> 8,
+    // word-frequency agg (1) + pair agg over the vocab (1); the top-50 is
+    // TakeOrderedAndProject (0) — the corpus is shuffled exactly once
+    "q_text_bpe_pairs" -> 2
   )
 
   for ((name, budget) <- budgets)

@@ -141,4 +141,20 @@ class TextOpsSpec extends AnyFunSuite {
       s"got ${pairs.mkString(",")}")
     assert(pairs.forall(_._3 >= 0.99))
   }
+
+  test("BPE pair counts match a hand-computed planted corpus") {
+    import spark.implicits._
+    // "ab ab aba" + "Ab" → lowercased words: ab×3 (two + one from doc 2),
+    // aba×1. Pairs: ab → {a b, b </w>} ×3; aba → {a b, b a, a </w>} ×1.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-spec")
+    try {
+      Seq((1L, "ab ab aba", "en", "s", 9L), (2L, "Ab", "en", "s", 2L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(dir.resolve("documents.parquet").toString)
+      val got = SparkEntry.queries("q_text_bpe_pairs")(spark, dir.toString)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toList
+      assert(got == List(("a b", 4L), ("b </w>", 3L), ("a </w>", 1L), ("b a", 1L)),
+        s"got $got")
+    } finally Tables.deleteRecursively(dir.toString)
+  }
 }

@@ -342,7 +342,12 @@ object LlmOps {
     * skew-join territory — candidates are exact, so no cap may drop them. */
   def incrementalDedupPairs(idxMeta: DataFrame, idxBuckets: DataFrame,
                             batch: DataFrame): DataFrame = {
-    val bMeta = minhashMeta(batch)
+    // The batch meta feeds two structurally different consumers (the band
+    // explode on the probe side, the broadcast build on the refine side) —
+    // no exchange exists between them for Spark to reuse, so without the
+    // persist the batch scan + signature pass runs twice. Batch-sized at
+    // any corpus scale (it is the ingest unit), so the persist is bounded.
+    val bMeta = graft.operators.ScaleOps.trackedPersist(minhashMeta(batch))
     val cand = bandBuckets(bMeta.select(col("doc_id"), col("sig")))
       .withColumnRenamed("doc_id", "batch_doc")
       .join(idxBuckets.withColumnRenamed("doc_id", "corpus_doc"),

@@ -463,6 +463,41 @@ object Relational {
       .na.fill(0L)
       .orderBy("user_id")
 
+  /** FUNNEL / PATH analysis — the product-analytics sequence operator
+    * (every event-analytics engine ships a window_funnel): per user, the
+    * strict click → view → purchase progression where each step must land
+    * STRICTLY AFTER the previous one and within a 24 h per-step window;
+    * the first step anchors at the user's EARLIEST click. Output per
+    * funnel-entered user: depth reached (1–3) and the step timestamps in
+    * epoch-micros.
+    *
+    * ONE corpus shuffle (the per-user hash aggregate): each user's
+    * candidate step times are gathered as sorted micro arrays in the
+    * aggregation — per-user-bounded state, the sessionize-family
+    * contract — and the step resolution is pure codegen'd array algebra
+    * (`filter` + `array_min` lambdas), not a join per step; a per-step
+    * conditional-join formulation would shuffle the events table three
+    * times. Integer micros end-to-end, so DuckDB's lambda twin
+    * (`list_filter`/`list_min`) agrees exactly. */
+  val qFunnelSteps: Q = (s, dir) => {
+    val H24 = 24L * 3600L * 1000000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "click", col("us"))).as("t1"),
+        sort_array(collect_list(when(col("event_type") === "view", col("us")))).as("vs"),
+        sort_array(collect_list(when(col("event_type") === "purchase", col("us")))).as("ps"))
+      .filter(col("t1").isNotNull)
+      .withColumn("t2", expr(s"array_min(filter(vs, v -> v > t1 AND v <= t1 + ${H24}L))"))
+      .withColumn("t3", expr(s"array_min(filter(ps, p -> p > t2 AND p <= t2 + ${H24}L))"))
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .otherwise(1L).as("depth"),
+        col("t1"), col("t2"), col("t3"))
+      .orderBy("user_id")
+  }
+
   /** UNPIVOT (wide → long): lineitem's three measure columns melted into
     * (metric, value) rows, then aggregated per metric — `Dataset.unpivot`
     * (the Spark 4 melt operator; a Generator-free Expand, so partial
@@ -1034,6 +1069,7 @@ object Relational {
     "q_scd2_merge" -> qScd2Merge,
     "q_scd2_asof" -> qScd2Asof,
     "q_pivot_events" -> qPivotEvents,
+    "q_funnel_steps" -> qFunnelSteps,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_fuzzy_match" -> qFuzzyMatch,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_funnel_steps semantics pinned on planted users: strict-after step
+  * ordering, the 24 h per-step window, earliest-click anchoring, no
+  * step-skipping, and exclusion of users who never enter the funnel. */
+class FunnelSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("planted funnel users resolve to the right depths and timestamps") {
+    import spark.implicits._
+    val t0 = "2001-03-01 00:00:00"
+    def ts(offsetMin: Long) =
+      java.sql.Timestamp.valueOf(t0).toInstant.plusSeconds(offsetMin * 60)
+        .toString.replace("T", " ").replace("Z", "")
+    val rows = Seq(
+      // user 1: clean 3-step progression
+      (1L, ts(0), 1L, "click"), (2L, ts(60), 1L, "view"), (3L, ts(120), 1L, "purchase"),
+      // user 2: view at the SAME instant as the click (strictly-after
+      // excludes it) and another view outside the 24 h window
+      (4L, ts(0), 2L, "click"), (5L, ts(0), 2L, "view"), (6L, ts(25 * 60), 2L, "view"),
+      // user 3: never clicks — not in the funnel population
+      (7L, ts(0), 3L, "view"), (8L, ts(60), 3L, "purchase"),
+      // user 4: two clicks — the EARLIEST anchors; view lands between them
+      (9L, ts(10 * 60), 4L, "click"), (10L, ts(0), 4L, "click"),
+      (11L, ts(5 * 60), 4L, "view"), (12L, ts(5 * 60 + 30), 4L, "purchase"),
+      // user 5: purchase without a view — steps cannot be skipped
+      (13L, ts(0), 5L, "click"), (14L, ts(60), 5L, "purchase"),
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-spec")
+    try {
+      rows.toDF("event_id", "tss", "user_id", "event_type")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+          col("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(dir.resolve("events.parquet").toString)
+      val us = (m: Long) =>
+        java.sql.Timestamp.valueOf(t0).getTime * 1000L + m * 60L * 1000000L
+      val got = SparkEntry.queries("q_funnel_steps")(spark, dir.toString)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toList
+      assert(got == List(
+        (1L, 3L, Some(us(0)), Some(us(60)), Some(us(120))),
+        (2L, 1L, Some(us(0)), None, None),
+        (4L, 3L, Some(us(0)), Some(us(5 * 60)), Some(us(5 * 60 + 30))),
+        (5L, 1L, Some(us(0)), None, None),
+      ), s"got $got")
+    } finally Tables.deleteRecursively(dir.toString)
+  }
+}

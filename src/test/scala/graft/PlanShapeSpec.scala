@@ -96,7 +96,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_dedup_incremental" -> 8,
     // word-frequency agg (1) + pair agg over the vocab (1); the top-50 is
     // TakeOrderedAndProject (0) — the corpus is shuffled exactly once
-    "q_text_bpe_pairs" -> 2
+    "q_text_bpe_pairs" -> 2,
+    // ONE per-user hash agg (1) + total-order sort (1); step resolution is
+    // array algebra inside the aggregate, not a join per step
+    "q_funnel_steps" -> 2
   )
 
   for ((name, budget) <- budgets)

@@ -296,6 +296,19 @@ object Oracle {
          WHERE levenshtein(a.c_name, b.c_name) <= 2
          GROUP BY 1 ORDER BY dist""",
 
+    // Relational twin of the one-shuffle cohort matrix: distinct
+    // (user, day) pairs, per-user min day as the cohort, exact counts per
+    // (cohort, offset). CAST(ts AS DATE) == Spark to_date under the UTC
+    // session zone.
+    "q_retention_cohorts" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+              c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+         SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+                CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM d JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // Lambda twin of the array-algebra funnel: same strict-after +
     // 24 h-window step resolution over per-user sorted micro lists
     // (list() FILTER mirrors collect_list's null-skipping), integer

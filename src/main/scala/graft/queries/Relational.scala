@@ -498,6 +498,38 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** COHORT RETENTION — the second classic event-analytics operator
+    * (beside [[qFunnelSteps]]'s funnel): users are cohorted by their FIRST
+    * active day and the retention matrix counts, per (cohort day, day
+    * offset), how many cohort members were active again `offset` days
+    * later. Exact integer counts end-to-end — no float parity surface.
+    *
+    * ONE corpus-sized shuffle: the per-user hash aggregate gathers each
+    * user's distinct active-day set (`collect_set` — per-user-bounded
+    * state, the sessionize-family contract) from which the cohort day is
+    * `array_min`; offsets explode from those per-user arrays, and because
+    * (user, day) is unique by construction after the set-collect, the
+    * matrix cell is a plain `count`, never a `countDistinct` re-shuffle
+    * of raw events. The matrix aggregate and total-order sort move
+    * (cohorts × offsets) rows — tiny at any corpus scale. */
+  val qRetentionCohorts: Q = (s, dir) => {
+    val byUser = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("ds"))
+      .select(col("user_id"), array_min(col("ds")).as("cohort_day"),
+        explode(col("ds")).as("day"))
+    byUser
+      .groupBy(
+        // String day: the driver's canonicalizer sees Spark DATE and
+        // DuckDB DATE land as different pandas types (the q_agg_incremental
+        // precedent) — a yyyy-MM-dd string is type-stable cross-engine.
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** UNPIVOT (wide → long): lineitem's three measure columns melted into
     * (metric, value) rows, then aggregated per metric — `Dataset.unpivot`
     * (the Spark 4 melt operator; a Generator-free Expand, so partial
@@ -1070,6 +1102,7 @@ object Relational {
     "q_scd2_asof" -> qScd2Asof,
     "q_pivot_events" -> qPivotEvents,
     "q_funnel_steps" -> qFunnelSteps,
+    "q_retention_cohorts" -> qRetentionCohorts,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_fuzzy_match" -> qFuzzyMatch,

@@ -50,4 +50,31 @@ class FunnelSpec extends AnyFunSuite {
       ), s"got $got")
     } finally Tables.deleteRecursively(dir.toString)
   }
+
+  test("planted retention cohorts: first-day cohorting, exact offset counts") {
+    import spark.implicits._
+    // Cohort 03-01: users 1 and 2 (user 1 active again on day 1 and 3 —
+    // two events on day 3 must count ONCE; user 2 only on day 0).
+    // Cohort 03-02: user 3, active again on day 1.
+    val rows = Seq(
+      (1L, "2001-03-01 10:00:00", 1L), (2L, "2001-03-02 09:00:00", 1L),
+      (3L, "2001-03-04 09:00:00", 1L), (4L, "2001-03-04 23:00:00", 1L),
+      (5L, "2001-03-01 12:00:00", 2L),
+      (6L, "2001-03-02 01:00:00", 3L), (7L, "2001-03-03 01:00:00", 3L),
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-retention-spec")
+    try {
+      rows.toDF("event_id", "tss", "user_id")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+          col("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(dir.resolve("events.parquet").toString)
+      val got = SparkEntry.queries("q_retention_cohorts")(spark, dir.toString)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+      assert(got == List(
+        ("2001-03-01", 0L, 2L), ("2001-03-01", 1L, 1L), ("2001-03-01", 3L, 1L),
+        ("2001-03-02", 0L, 1L), ("2001-03-02", 1L, 1L),
+      ), s"got $got")
+    } finally Tables.deleteRecursively(dir.toString)
+  }
 }

@@ -99,7 +99,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_text_bpe_pairs" -> 2,
     // ONE per-user hash agg (1) + total-order sort (1); step resolution is
     // array algebra inside the aggregate, not a join per step
-    "q_funnel_steps" -> 2
+    "q_funnel_steps" -> 2,
+    // per-user day-set agg (1) + matrix agg over (cohorts x offsets) (1)
+    // + total-order sort (1); no countDistinct re-shuffle of raw events
+    "q_retention_cohorts" -> 3
   )
 
   for ((name, budget) <- budgets)

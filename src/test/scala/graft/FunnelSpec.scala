@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q_funnel_steps semantics pinned on planted users: strict-after step
@@ -76,5 +78,76 @@ class FunnelSpec extends AnyFunSuite {
         ("2001-03-02", 0L, 1L), ("2001-03-02", 1L, 1L),
       ), s"got $got")
     } finally Tables.deleteRecursively(dir.toString)
+  }
+
+  // ---------------- property layer: random event sets vs brute-force folds
+
+  private val H24us = 24L * 3600L * 1000000L
+  private val Base = 983750400000000L // 2001-03-01T00:00:00Z in epoch-micros
+
+  /** Random event set: ~12 users, ~0-40 events each over a 5-day span with
+    * minute granularity (collisions and same-instant steps DO occur, which
+    * is the point — the strict-after and same-day edges get exercised). */
+  private val eventsGen: Gen[List[(Long, Long, String)]] =
+    Gen.listOfN(120, for {
+      u <- Gen.choose(1L, 12L)
+      m <- Gen.choose(0L, 5L * 24 * 60)
+      t <- Gen.oneOf("click", "view", "purchase", "signup", "error")
+    } yield (u, Base + m * 60L * 1000000L, t))
+
+  private def writeEvents(rows: List[(Long, Long, String)]): java.nio.file.Path = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-analytics-prop")
+    rows.zipWithIndex
+      .map { case ((u, us, t), i) => (i.toLong, us, u, t) }
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.parquet(dir.resolve("events.parquet").toString)
+    dir
+  }
+
+  test("property: funnel depths equal a brute-force per-user fold on random event sets") {
+    for (seed <- 1 to 8) {
+      val rows = eventsGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val dir = writeEvents(rows)
+      try {
+        val got = SparkEntry.queries("q_funnel_steps")(spark, dir.toString)
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1),
+            Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+        val exp = rows.groupBy(_._1).flatMap { case (u, es) =>
+          val by = (t: String) => es.filter(_._3 == t).map(_._2).sorted
+          by("click").headOption.map { t1 =>
+            val t2 = by("view").find(v => v > t1 && v <= t1 + H24us)
+            val t3 = t2.flatMap(t => by("purchase").find(p => p > t && p <= t + H24us))
+            val depth = if (t3.isDefined) 3L else if (t2.isDefined) 2L else 1L
+            u -> ((depth, Some(t1): Option[Any], t2: Option[Any], t3: Option[Any]))
+          }
+        }
+        assert(got == exp, s"seed $seed: got $got expected $exp")
+      } finally Tables.deleteRecursively(dir.toString)
+    }
+  }
+
+  test("property: retention matrix equals a brute-force fold on random event sets") {
+    for (seed <- 101 to 108) {
+      val rows = eventsGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val dir = writeEvents(rows)
+      try {
+        val got = SparkEntry.queries("q_retention_cohorts")(spark, dir.toString)
+          .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+        val dayOf = (us: Long) => us / (24L * 3600L * 1000000L) // UTC day index
+        val fmt = (d: Long) => java.time.LocalDate.ofEpochDay(d).toString
+        val exp = rows.map(e => (e._1, dayOf(e._2))).distinct
+          .groupBy(_._1).toList.flatMap { case (_, uds) =>
+            val cohort = uds.map(_._2).min
+            uds.map { case (_, d) => (fmt(cohort), d - cohort) }
+          }
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        assert(got == exp, s"seed $seed: got $got expected $exp")
+      } finally Tables.deleteRecursively(dir.toString)
+    }
   }
 }

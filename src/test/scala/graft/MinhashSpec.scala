@@ -250,6 +250,25 @@ class MinhashSpec extends AnyFunSuite {
     assert(math.abs(got(0)._3 - exp) < 1e-9)
   }
 
+  test("index append: corpus index + batch rows == index built from the union") {
+    import spark.implicits._
+    // The incremental op's amortization claim: accepting a batch means
+    // APPENDING its meta/bucket rows to the stored index, not rebuilding.
+    // Signatures are deterministic functions of the text, so the appended
+    // index must equal the from-scratch index over corpus ∪ batch.
+    val corpus = Seq((0L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val batch = Seq((11L, nearDup)).toDF("doc_id", "text")
+    val (cMeta, cBuckets) = LlmOps.corpusIndex(corpus)
+    val (bMeta, bBuckets) = LlmOps.corpusIndex(batch)
+    val (fMeta, fBuckets) = LlmOps.corpusIndex(corpus.unionByName(batch))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(cMeta.unionByName(bMeta)) == rows(fMeta),
+      "appended meta != from-scratch meta")
+    assert(rows(cBuckets.unionByName(bBuckets)) == rows(fBuckets),
+      "appended buckets != from-scratch buckets")
+  }
+
   test("q_dedup_incremental == exact batch-x-corpus answer on the real sf0.001 corpus") {
     val got = SparkEntry.queries("q_dedup_incremental")(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

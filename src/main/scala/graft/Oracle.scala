@@ -310,26 +310,33 @@ object Oracle {
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Lambda twin of the array-algebra funnel: same strict-after +
-    // 24 h-window step resolution over per-user sorted micro lists
-    // (list() FILTER mirrors collect_list's null-skipping), integer
-    // micros end-to-end.
+    // 24 h-window chain resolution over per-user micro lists (list()
+    // FILTER mirrors collect_list's null-skipping; len(list_filter) > 0
+    // mirrors Spark's exists), integer micros end-to-end. Depth is the
+    // window_funnel max-chain contract: 3 whenever ANY qualifying view
+    // completes (t2c), not only the earliest.
     "q_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
               a AS (SELECT user_id,
                            min(CASE WHEN event_type = 'click' THEN us END) AS t1,
-                           list_sort(list(us) FILTER (WHERE event_type = 'view' AND us IS NOT NULL)) AS vs,
-                           list_sort(list(us) FILTER (WHERE event_type = 'purchase' AND us IS NOT NULL)) AS ps
+                           list(us) FILTER (WHERE event_type = 'view' AND us IS NOT NULL) AS vs,
+                           list(us) FILTER (WHERE event_type = 'purchase' AND us IS NOT NULL) AS ps
                     FROM e GROUP BY user_id),
-              b AS (SELECT user_id, t1,
-                           list_min(list_filter(vs, v -> v > t1 AND v <= t1 + 86400000000)) AS t2, ps
+              b AS (SELECT user_id, t1, ps,
+                           list_filter(vs, v -> v > t1 AND v <= t1 + 86400000000) AS vq
                     FROM a WHERE t1 IS NOT NULL),
-              c AS (SELECT user_id, t1, t2,
-                           list_min(list_filter(ps, p -> p > t2 AND p <= t2 + 86400000000)) AS t3
-                    FROM b)
+              c AS (SELECT user_id, t1, ps, vq,
+                           list_min(list_filter(vq, v ->
+                             len(list_filter(ps, p -> p > v AND p <= v + 86400000000)) > 0)) AS t2c
+                    FROM b),
+              d AS (SELECT user_id, t1, t2c,
+                           coalesce(t2c, list_min(vq)) AS t2,
+                           list_min(list_filter(ps, p -> p > t2c AND p <= t2c + 86400000000)) AS t3
+                    FROM c)
          SELECT user_id,
                 CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth,
                 t1, t2, t3
-         FROM c ORDER BY user_id""",
+         FROM d ORDER BY user_id""",
 
     "q_pivot_events" ->
       """SELECT user_id,

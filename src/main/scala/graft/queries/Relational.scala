@@ -467,18 +467,24 @@ object Relational {
     * (every event-analytics engine ships a window_funnel): per user, the
     * strict click → view → purchase progression where each step must land
     * STRICTLY AFTER the previous one and within a 24 h per-step window;
-    * the first step anchors at the user's EARLIEST click. Output per
-    * funnel-entered user: depth reached (1–3) and the step timestamps in
-    * epoch-micros.
+    * the first step anchors at the user's EARLIEST click. Depth follows
+    * the real window_funnel contract — 3 whenever ANY qualifying view
+    * leads to a purchase inside its own window (max chain over paths, not
+    * a greedy earliest-view walk, which under-reports when the earliest
+    * view's window misses a purchase a later view would catch). Output
+    * per funnel-entered user: depth (1–3) and the step timestamps of the
+    * EARLIEST completing chain (falling back to the earliest qualifying
+    * view when no chain completes), epoch-micros.
     *
     * ONE corpus shuffle (the per-user hash aggregate): each user's
-    * candidate step times are gathered as sorted micro arrays in the
-    * aggregation — per-user-bounded state, the sessionize-family
-    * contract — and the step resolution is pure codegen'd array algebra
-    * (`filter` + `array_min` lambdas), not a join per step; a per-step
-    * conditional-join formulation would shuffle the events table three
-    * times. Integer micros end-to-end, so DuckDB's lambda twin
-    * (`list_filter`/`list_min`) agrees exactly. */
+    * candidate step times are gathered as micro arrays in the aggregation
+    * — per-user-bounded state, the sessionize-family contract — and the
+    * chain resolution is pure codegen'd array algebra (`filter`/`exists`/
+    * `array_min` lambdas; order-insensitive, so no per-user sort), not a
+    * join per step — a per-step conditional-join formulation would
+    * shuffle the events table three times. Integer micros end-to-end, so
+    * DuckDB's lambda twin (`list_filter`/`list_min`/`len`) agrees
+    * exactly. */
   val qFunnelSteps: Q = (s, dir) => {
     val H24 = 24L * 3600L * 1000000L
     Tables.events(s, dir)
@@ -486,11 +492,16 @@ object Relational {
       .groupBy(col("user_id"))
       .agg(
         min(when(col("event_type") === "click", col("us"))).as("t1"),
-        sort_array(collect_list(when(col("event_type") === "view", col("us")))).as("vs"),
-        sort_array(collect_list(when(col("event_type") === "purchase", col("us")))).as("ps"))
+        collect_list(when(col("event_type") === "view", col("us"))).as("vs"),
+        collect_list(when(col("event_type") === "purchase", col("us"))).as("ps"))
       .filter(col("t1").isNotNull)
-      .withColumn("t2", expr(s"array_min(filter(vs, v -> v > t1 AND v <= t1 + ${H24}L))"))
-      .withColumn("t3", expr(s"array_min(filter(ps, p -> p > t2 AND p <= t2 + ${H24}L))"))
+      .withColumn("vq", expr(s"filter(vs, v -> v > t1 AND v <= t1 + ${H24}L)"))
+      // Earliest view that COMPLETES the chain (any purchase within its
+      // window) — null when no chain completes.
+      .withColumn("t2c", expr(
+        s"array_min(filter(vq, v -> exists(ps, p -> p > v AND p <= v + ${H24}L)))"))
+      .withColumn("t2", coalesce(col("t2c"), expr("array_min(vq)")))
+      .withColumn("t3", expr(s"array_min(filter(ps, p -> p > t2c AND p <= t2c + ${H24}L))"))
       .select(col("user_id"),
         when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
           .otherwise(1L).as("depth"),

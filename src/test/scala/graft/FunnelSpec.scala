@@ -30,6 +30,11 @@ class FunnelSpec extends AnyFunSuite {
       (11L, ts(5 * 60), 4L, "view"), (12L, ts(5 * 60 + 30), 4L, "purchase"),
       // user 5: purchase without a view — steps cannot be skipped
       (13L, ts(0), 5L, "click"), (14L, ts(60), 5L, "purchase"),
+      // user 6: the max-chain case — the EARLIEST qualifying view (1 h)
+      // misses the purchase (30 h > 1 h + 24 h) but the later view (20 h)
+      // catches it; a greedy earliest-view walk would report depth 2
+      (15L, ts(0), 6L, "click"), (16L, ts(60), 6L, "view"),
+      (17L, ts(20 * 60), 6L, "view"), (18L, ts(30 * 60), 6L, "purchase"),
     )
     val dir = java.nio.file.Files.createTempDirectory("graft-funnel-spec")
     try {
@@ -49,6 +54,7 @@ class FunnelSpec extends AnyFunSuite {
         (2L, 1L, Some(us(0)), None, None),
         (4L, 3L, Some(us(0)), Some(us(5 * 60)), Some(us(5 * 60 + 30))),
         (5L, 1L, Some(us(0)), None, None),
+        (6L, 3L, Some(us(0)), Some(us(20 * 60)), Some(us(30 * 60))),
       ), s"got $got")
     } finally Tables.deleteRecursively(dir.toString)
   }
@@ -83,7 +89,7 @@ class FunnelSpec extends AnyFunSuite {
   // ---------------- property layer: random event sets vs brute-force folds
 
   private val H24us = 24L * 3600L * 1000000L
-  private val Base = 983750400000000L // 2001-03-01T00:00:00Z in epoch-micros
+  private val Base = 983750400000000L // 2001-03-05T00:00:00Z in epoch-micros
 
   /** Random event set: ~12 users, ~0-40 events each over a 5-day span with
     * minute granularity (collisions and same-instant steps DO occur, which
@@ -120,8 +126,13 @@ class FunnelSpec extends AnyFunSuite {
         val exp = rows.groupBy(_._1).flatMap { case (u, es) =>
           val by = (t: String) => es.filter(_._3 == t).map(_._2).sorted
           by("click").headOption.map { t1 =>
-            val t2 = by("view").find(v => v > t1 && v <= t1 + H24us)
-            val t3 = t2.flatMap(t => by("purchase").find(p => p > t && p <= t + H24us))
+            // window_funnel max-chain: the earliest view whose OWN window
+            // catches a purchase completes the chain; greedy earliest-view
+            // would under-report (FunnelSpec's planted user 6).
+            val vq = by("view").filter(v => v > t1 && v <= t1 + H24us)
+            val t2c = vq.find(v => by("purchase").exists(p => p > v && p <= v + H24us))
+            val t2 = t2c.orElse(vq.headOption)
+            val t3 = t2c.flatMap(v => by("purchase").find(p => p > v && p <= v + H24us))
             val depth = if (t3.isDefined) 3L else if (t2.isDefined) 2L else 1L
             u -> ((depth, Some(t1): Option[Any], t2: Option[Any], t3: Option[Any]))
           }

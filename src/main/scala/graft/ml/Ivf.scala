@@ -83,6 +83,39 @@ object Ivf {
       index.arrayCol, index.idCol, query, k)
   }
 
+  /** APPEND a new vector batch to an existing index WITHOUT retraining the
+    * quantizer — the per-ingest maintenance op of the ANN family (the
+    * incremental argument of q_agg_incremental / q_dedup_incremental,
+    * applied to similarity search): quantizer TRAINING is a per-corpus-
+    * epoch job; ingest pays only O(batch) centroid assignments against the
+    * FROZEN centroids. Assignment is pointwise, so the appended index is
+    * row-identical to assigning corpus ∪ batch with the same model
+    * (IvfSpec pins this), and searches see the new vectors immediately.
+    * Re-training only ever improves cell BALANCE, not answer quality —
+    * recall comes from the nProbe probe + exact re-rank — so the frozen
+    * quantizer stays valid until drift makes cells lopsided (an offline
+    * rebuild, like Layout.compact for files). */
+  def append(index: Index, batch: DataFrame): Index = {
+    val assigned = index.model.transform(Pipelines.withFeatures(batch, index.arrayCol))
+      .withColumnRenamed("prediction", "cell")
+      .drop("features")
+    index.copy(assigned = index.assigned.unionByName(assigned))
+  }
+
+  /** [[append]] for the on-disk layout: the batch's assignments land as
+    * APPENDED files inside the existing `cell=` partition directories
+    * (SaveMode.Append through the same bounded-file-count writer) — the
+    * index layout ingests like any partitioned table; no existing file is
+    * rewritten. Small appended files accrete per ingest; Layout.compact is
+    * the standing maintenance answer. */
+  def appendPartitioned(index: DiskIndex, batch: DataFrame): Unit = {
+    val assigned = index.model.transform(Pipelines.withFeatures(batch, index.arrayCol))
+      .withColumnRenamed("prediction", "cell")
+      .drop("features")
+    graft.sources.Layout.writePartitioned(assigned, index.path, "cell",
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** Build and PERSIST: quantize, then write the assigned table partitioned
     * by cell (bounded file counts via Layout's hash-bucket redistribution).
     * This is the 100 TB build path — the index layout IS the table layout. */

@@ -929,6 +929,30 @@ object LlmOps {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** INCREMENTAL ANN index maintenance (ml/Ivf.append) — the ANN member of
+    * the incremental family: the corpus index (vec_id % 10 != 7, quantizer
+    * trained on it alone) ingests the arriving batch (vec_id % 10 == 7) by
+    * assigning batch vectors to the FROZEN centroids — O(batch) per
+    * ingest, no retrain — and the search immediately sees appended
+    * vectors. The query probes with vec_id 0's embedding; the top-10
+    * result must surface batch vectors if they are true neighbours, which
+    * IvfSpec asserts (plus append ≡ assign-union row identity and a
+    * recall bound vs brute force over corpus ∪ batch). No oracle: seeded
+    * k-means has no DuckDB twin — declared no-oracle like q_sim_ivf_ann. */
+  val qSimIvfAppend: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val isBatch = col("vec_id") % 10 === 7
+    val corpus = e.filter(col("vec_id") =!= 0 && !isBatch)
+    val index = graft.ml.Ivf.append(
+      graft.ml.Ivf.build(corpus, "embedding", nCells = 16, maxIter = 4),
+      e.filter(col("vec_id") =!= 0 && isBatch))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    graft.ml.Ivf.search(index, q, k = 10, nProbe = 6)
+      .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   // --------------------------------------------------------- multimodal join
 
   /** Mixed-modality join: documents ⋈ embeddings on doc_id = vec_id with a
@@ -1286,5 +1310,6 @@ object LlmOps {
     "q_text_langid" -> qTextLangid,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_sim_ivf_ann" -> qSimIvfAnn,
+    "q_sim_ivf_append" -> qSimIvfAppend,
     "q_multimodal_join" -> qMultimodalJoin)
 }

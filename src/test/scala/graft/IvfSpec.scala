@@ -62,4 +62,55 @@ class IvfSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(a == b && a.size == 10)
   }
+
+  test("append == assigning the union with the same frozen quantizer (no retrain)") {
+    val isBatch = col("vec_id") % 10 === 7
+    val corpus = emb.filter(col("vec_id") =!= 0 && !isBatch)
+    val batch = emb.filter(col("vec_id") =!= 0 && isBatch)
+    val base = Ivf.build(corpus, "embedding", nCells = 16, maxIter = 4)
+    val appended = Ivf.append(base, batch)
+    // Assignment is pointwise against the frozen centroids, so the
+    // appended index must be ROW-identical to running the same model over
+    // corpus ∪ batch — the no-retrain amortization claim itself.
+    val viaUnion = base.model.transform(
+        graft.ml.Pipelines.withFeatures(corpus.unionByName(batch), "embedding"))
+      .withColumnRenamed("prediction", "cell").drop("features")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).collect().map(_.toSeq).toSet
+    assert(rows(appended.assigned) == rows(viaUnion))
+    // And the batch really is in the searchable index.
+    assert(appended.assigned.filter(isBatch).count() == batch.count())
+  }
+
+  test("q_sim_ivf_append: search over the appended index recalls >= 0.7 of the FULL true top-10") {
+    val got = SparkEntry.queries("q_sim_ivf_append")(spark, SparkFixture.Sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // trueTop is brute force over ALL vectors (corpus ∪ batch) — a batch
+    // vector that is a true neighbour must be reachable post-append.
+    val recall = (got & trueTop).size.toDouble / trueTop.size
+    assert(recall >= 0.7, s"recall $recall; got=$got true=$trueTop")
+    assert(got.size == 10)
+  }
+
+  test("appendPartitioned lands batch files inside existing cell directories") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append_layout").toString
+    val isBatch = col("vec_id") % 10 === 7
+    val corpus = emb.filter(col("vec_id") =!= 0 && !isBatch)
+    val batch = emb.filter(col("vec_id") =!= 0 && isBatch)
+    val disk = Ivf.buildPartitioned(corpus, "embedding", nCells = 16, path = dir)
+    val before = Ivf.searchPartitioned(spark, disk, query, 10, 6)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    Ivf.appendPartitioned(disk, batch)
+    // No rewrite: the corpus rows survive and the batch rows are appended.
+    val after = graft.sources.Layout.readPartitioned(spark, dir)
+    assert(after.count() == corpus.count() + batch.count())
+    assert(after.filter(isBatch).count() == batch.count())
+    // Search sees the appended vectors through the same partition pruning.
+    val got = Ivf.searchPartitioned(spark, disk, query, 10, 6)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val mem = Ivf.search(
+      Ivf.append(Ivf.build(corpus, "embedding", nCells = 16), batch), query, 10, 6)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == mem, s"disk=$got mem=$mem (before append: $before)")
+  }
 }

@@ -13,12 +13,12 @@ class QueryContractSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("declared contract covers all 102 SURVEY §2 keys") {
-    assert(SparkEntry.queries.size == 102)
-    // 95 oracle-checked; the 7 declared non-oracle keys:
+  test("declared contract covers all 103 SURVEY §2 keys") {
+    assert(SparkEntry.queries.size == 103)
+    // 95 oracle-checked; the 8 declared non-oracle keys:
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_distinct", "q_agg_sketch_merge",
-      "q_sim_lsh_ann", "q_dedup_simhash", "q_sim_ivf_ann",
+      "q_sim_lsh_ann", "q_dedup_simhash", "q_sim_ivf_ann", "q_sim_ivf_append",
       "q_text_fingerprint", "q_media_features"))
   }
 

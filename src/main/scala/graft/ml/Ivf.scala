@@ -25,6 +25,13 @@ object Ivf {
   case class Index(assigned: DataFrame, model: KMeansModel,
                    arrayCol: String, idCol: String)
 
+  /** Assign each vector to its quantizer cell — the shared pointwise step
+    * of [[build]], [[append]] and [[appendPartitioned]]. */
+  private def assign(model: KMeansModel, df: DataFrame, arrayCol: String): DataFrame =
+    model.transform(Pipelines.withFeatures(df, arrayCol))
+      .withColumnRenamed("prediction", "cell")
+      .drop("features")
+
   /** Assign every embedding to its quantizer cell. `maxIter` trades
     * quantizer quality for build time — cell balance, not correctness:
     * search recall comes from probing nProbe cells + exact re-rank, so a
@@ -34,10 +41,7 @@ object Ivf {
             trainSample: Double = 1.0, maxIter: Int = 10): Index = {
     val model = Pipelines.kmeansQuantizer(embeddings, arrayCol, nCells, seed,
       maxIter = maxIter, trainSample = trainSample)
-    val assigned = model.transform(Pipelines.withFeatures(embeddings, arrayCol))
-      .withColumnRenamed("prediction", "cell")
-      .drop("features")
-    Index(assigned, model, arrayCol, idCol)
+    Index(assign(model, embeddings, arrayCol), model, arrayCol, idCol)
   }
 
   /** On-disk index: the assigned table persisted as a `cell=`-partitioned
@@ -95,12 +99,9 @@ object Ivf {
     * recall comes from the nProbe probe + exact re-rank — so the frozen
     * quantizer stays valid until drift makes cells lopsided (an offline
     * rebuild, like Layout.compact for files). */
-  def append(index: Index, batch: DataFrame): Index = {
-    val assigned = index.model.transform(Pipelines.withFeatures(batch, index.arrayCol))
-      .withColumnRenamed("prediction", "cell")
-      .drop("features")
-    index.copy(assigned = index.assigned.unionByName(assigned))
-  }
+  def append(index: Index, batch: DataFrame): Index =
+    index.copy(assigned = index.assigned.unionByName(
+      assign(index.model, batch, index.arrayCol)))
 
   /** [[append]] for the on-disk layout: the batch's assignments land as
     * APPENDED files inside the existing `cell=` partition directories
@@ -108,13 +109,10 @@ object Ivf {
     * index layout ingests like any partitioned table; no existing file is
     * rewritten. Small appended files accrete per ingest; Layout.compact is
     * the standing maintenance answer. */
-  def appendPartitioned(index: DiskIndex, batch: DataFrame): Unit = {
-    val assigned = index.model.transform(Pipelines.withFeatures(batch, index.arrayCol))
-      .withColumnRenamed("prediction", "cell")
-      .drop("features")
-    graft.sources.Layout.writePartitioned(assigned, index.path, "cell",
+  def appendPartitioned(index: DiskIndex, batch: DataFrame): Unit =
+    graft.sources.Layout.writePartitioned(
+      assign(index.model, batch, index.arrayCol), index.path, "cell",
       mode = org.apache.spark.sql.SaveMode.Append)
-  }
 
   /** Build and PERSIST: quantize, then write the assigned table partitioned
     * by cell (bounded file counts via Layout's hash-bucket redistribution).

@@ -73,4 +73,28 @@ class StagingSpec extends AnyFunSuite {
       assert(!Files.exists(Paths.get(dirs.head + ".lock")), "lock must be released")
     }
   }
+
+  test("decodeEventTs normalizes all three ts representations to the same micros") {
+    // The driver has shipped events.ts as epoch-nanos LongType (r1-r12
+    // data under nanosAsLong) and as TIMESTAMP_NTZ micros (r13 data);
+    // decoded fixtures read back as TimestampType. The live testdata only
+    // exercises ONE path per generation — this pins all three so the
+    // dormant ones cannot rot.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    val us = 983750400123456L // 2001-03-05T00:00:00.123456Z
+    val spark2 = spark
+    import spark2.implicits._
+    val fromNanos = Tables.decodeEventTs(
+      Seq(us * 1000L + 789L).toDF("ts")) // sub-us nanos must truncate, not round
+    val fromNtz = Tables.decodeEventTs(
+      Seq(us).toDF("us").select(expr("make_timestamp_ntz(2001,3,5,0,0,0.123456)").as("ts")))
+    val fromDecoded = Tables.decodeEventTs(
+      Seq(us).toDF("us").select(timestamp_micros(col("us")).as("ts")))
+    for ((df, name) <- Seq((fromNanos, "nanos"), (fromNtz, "ntz"), (fromDecoded, "decoded"))) {
+      assert(df.schema("ts").dataType == TimestampType, s"$name: wrong type")
+      val got = df.select(unix_micros(col("ts"))).head().getLong(0)
+      assert(got == us, s"$name: $got != $us")
+    }
+  }
 }

@@ -1363,6 +1363,16 @@ object Oracle {
       s"""SELECT event_type, count(*) AS n, ${dsum("value", 6)} AS sum_value
           FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // The stream dedups on (source, md5(text)) — redelivered copies AND
+    // in-corpus same-(source, text) duplicates collapse to one row each,
+    // so the batch DISTINCT-content aggregate is the exactly-once answer.
+    // n_chars is a pure function of text, so the surviving copy cannot
+    // change the sum.
+    "q_stream_dedup_content" ->
+      """WITH u AS (SELECT DISTINCT source, md5(text) AS h, n_chars FROM documents)
+         SELECT source, count(*) AS n_unique, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM u GROUP BY source ORDER BY source""",
+
     // The Spark side streams the time-split replay through the foreachBatch
     // partitioned sink (two append micro-batches into an event_type= layout)
     // and re-reads the layout with a partition filter; the round trip is

@@ -183,6 +183,28 @@ object StreamingQs {
       .orderBy("event_type")
   }
 
+  /** STREAMING CONTENT DEDUP — the stream-side member of the dedup family
+    * for DOCUMENTS (Runtime.dedupedDocuments, grading the content-key
+    * claim in dedupedEvents' docs): the documents table replayed with
+    * at-least-once redelivery (every file arrives twice), deduplicated
+    * exactly-once on (source, md5(text)) within the watermark horizon,
+    * then summarized per source. The dedup state machine collapses BOTH
+    * the redelivered copies and any in-corpus same-(source, text)
+    * duplicates to one row each, so the oracle is the batch DISTINCT
+    * (source, content-hash) aggregate over the source table — a leaked
+    * duplicate or dropped doc from either micro-batch breaks the hash.
+    * Identical texts share n_chars, so the surviving-copy choice cannot
+    * affect the sum. */
+  val qStreamDedupContent: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    SR.runToCompletionAppend(s,
+        SR.dedupedDocuments(SR.documentsStreamWithRedelivery(s, dir)),
+        s"graft_cdedup_${Integer.toHexString(dir.hashCode)}")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** STREAMING → PARTITIONED PARQUET SINK, graded end-to-end: the
     * time-split replay (two data micro-batches) runs through the
     * PRODUCTION sink path — `foreachBatch` → Layout.writePartitioned,
@@ -223,5 +245,6 @@ object StreamingQs {
     "q_stream_join" -> qStreamJoin,
     "q_stream_stateful" -> qStreamStateful,
     "q_stream_dedup" -> qStreamDedup,
+    "q_stream_dedup_content" -> qStreamDedupContent,
     "q_stream_sink" -> qStreamSink)
 }

@@ -133,9 +133,10 @@ object Runtime {
     * so flush batches always FOLLOW the data batches regardless of copy
     * timing. Returns the staged directory. */
   private def stageReplay(spark: SparkSession, dir: String, kind: String,
-                          version: String, names: Seq[String])
+                          version: String, names: Seq[String],
+                          srcName: String = "events.parquet")
                          (write: java.nio.file.Path => Unit): java.nio.file.Path = {
-    val src = s"$dir/events.parquet"
+    val src = s"$dir/$srcName"
     val staged = Tables.stagedFixture(spark, src, kind, dir, version) { d =>
       val p = java.nio.file.Paths.get(d)
       write(p)
@@ -232,6 +233,44 @@ object Runtime {
     events
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** A DOCUMENTS-table stream with every file staged TWICE (two arrival
+    * files → two micro-batches) — the at-least-once redelivery shape for
+    * CONTENT ingest, fixture for [[dedupedDocuments]]. Arrival time is
+    * synthesized deterministically from doc_id (the replay needs an
+    * event-time column for the dedup watermark; in production the ingest
+    * source supplies it — a Kafka timestamp or an object-store mtime). */
+  def documentsStreamWithRedelivery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.prep(spark)
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val names = Seq("documents_a.parquet", "documents_b.parquet")
+    val streamDir = stageReplay(spark, dir, "docs-redeliver", "v1", names,
+      srcName = "documents.parquet") { d =>
+      for (name <- names)
+        java.nio.file.Files.copy(src, d.resolve(name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(lit(983750400000000L) + col("doc_id")))
+  }
+
+  /** CONTENT deduplication of a document stream — [[dedupedEvents]]'s
+    * state machine with the key switched to (source, md5(text)), grading
+    * the docstring's claim directly: exactly-once CONTENT semantics over
+    * an at-least-once source, state hash-partitioned by content key and
+    * EVICTED once the watermark passes the redelivery horizon. Keying by
+    * (source, content) rather than content alone keeps one copy per
+    * source — the per-corpus bookkeeping a multi-source training pipeline
+    * wants — and makes the result independent of inter-source arrival
+    * races (a same-text doc in two sources survives in both). */
+  def dedupedDocuments(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("source", "text_hash")
 
   /** STREAM-STREAM interval join (the two-stream member of the join family;
     * batch twin: StreamingQs.qStreamJoin): every click attributed to each

@@ -217,6 +217,19 @@ class StreamingEquivSpec extends AnyFunSuite {
       s"missing=${(exp.toSet -- got.toSet).take(3)} extra=${(got.toSet -- exp.toSet).take(3)}")
   }
 
+  test("streaming CONTENT dedup: redelivered documents -> exactly-once per (source, text)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.StreamingQs.qStreamDedupContent(spark, Sf0001)
+      .collect().map(_.toSeq).toSet
+    val exp = Tables.documents(spark, Sf0001)
+      .select(col("source"), md5(col("text")).as("h"), col("n_chars")).distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"), sum(col("n_chars")).as("sum_chars"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == exp,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
   test("stream-stream interval join: stream result == batch result") {
     // Single-batch replay (both sides arrive together); the gate key runs
     // the time-split replay, pinned in the gate-forms test below.

@@ -37,6 +37,7 @@ class IvfSpec extends AnyFunSuite {
 
   test("partitioned IVF search prunes cell directories and matches in-memory search") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    try {
     val disk = Ivf.buildPartitioned(
       emb.filter(col("vec_id") =!= 0), "embedding", nCells = 16, path = dir)
     val got = Ivf.searchPartitioned(spark, disk, query, k = 10, nProbe = 6)
@@ -52,6 +53,7 @@ class IvfSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     val ids = got.select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(ids == expect, s"disk=$ids mem=$expect")
+    } finally Tables.deleteRecursively(dir)
   }
 
   test("IVF search is deterministic across runs") {
@@ -94,23 +96,25 @@ class IvfSpec extends AnyFunSuite {
 
   test("appendPartitioned lands batch files inside existing cell directories") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_append_layout").toString
-    val isBatch = col("vec_id") % 10 === 7
-    val corpus = emb.filter(col("vec_id") =!= 0 && !isBatch)
-    val batch = emb.filter(col("vec_id") =!= 0 && isBatch)
-    val disk = Ivf.buildPartitioned(corpus, "embedding", nCells = 16, path = dir)
-    val before = Ivf.searchPartitioned(spark, disk, query, 10, 6)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    Ivf.appendPartitioned(disk, batch)
-    // No rewrite: the corpus rows survive and the batch rows are appended.
-    val after = graft.sources.Layout.readPartitioned(spark, dir)
-    assert(after.count() == corpus.count() + batch.count())
-    assert(after.filter(isBatch).count() == batch.count())
-    // Search sees the appended vectors through the same partition pruning.
-    val got = Ivf.searchPartitioned(spark, disk, query, 10, 6)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val mem = Ivf.search(
-      Ivf.append(Ivf.build(corpus, "embedding", nCells = 16), batch), query, 10, 6)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(got == mem, s"disk=$got mem=$mem (before append: $before)")
+    try {
+      val isBatch = col("vec_id") % 10 === 7
+      val corpus = emb.filter(col("vec_id") =!= 0 && !isBatch)
+      val batch = emb.filter(col("vec_id") =!= 0 && isBatch)
+      val disk = Ivf.buildPartitioned(corpus, "embedding", nCells = 16, path = dir)
+      val before = Ivf.searchPartitioned(spark, disk, query, 10, 6)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      Ivf.appendPartitioned(disk, batch)
+      // No rewrite: the corpus rows survive and the batch rows are appended.
+      val after = graft.sources.Layout.readPartitioned(spark, dir)
+      assert(after.count() == corpus.count() + batch.count())
+      assert(after.filter(isBatch).count() == batch.count())
+      // Search sees the appended vectors through the same partition pruning.
+      val got = Ivf.searchPartitioned(spark, disk, query, 10, 6)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val mem = Ivf.search(
+        Ivf.append(Ivf.build(corpus, "embedding", nCells = 16), batch), query, 10, 6)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got == mem, s"disk=$got mem=$mem (before append: $before)")
+    } finally Tables.deleteRecursively(dir)
   }
 }

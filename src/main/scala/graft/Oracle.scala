@@ -338,6 +338,28 @@ object Oracle {
                 t1, t2, t3
          FROM d ORDER BY user_id""",
 
+    // Window twin of the one-shuffle batch sessionizer: same 30-min gap
+    // flag (lag), same running-sum session index, same per-session integer
+    // aggregates. epoch_us == Spark unix_micros; count(DISTINCT) per
+    // session group is engine-portable (exact integers end-to-end).
+    "q_sessionize_gap" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+              g AS (SELECT *,
+                           CASE WHEN lag(us) OVER w IS NULL
+                                  OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+              s AS (SELECT *,
+                           sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS session_idx
+                    FROM g)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                min(us) AS session_start, max(us) AS session_end,
+                count(*) AS n_events,
+                max(us) - min(us) AS duration_us,
+                CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+
     "q_pivot_events" ->
       """SELECT user_id,
                 count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -500,6 +522,34 @@ object Oracle {
                 round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
                 round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Twin of the one-aggregate histogram: the bin index is the same IEEE
+    // division + floor on the raw double in both engines; no data-dependent
+    // edges, so no pre-pass.
+    "q_agg_histogram" ->
+      s"""SELECT o_orderstatus,
+                 CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+                 CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000 AS bin_lo,
+                 (CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1) * 25000 AS bin_hi,
+                 count(*) AS n_orders, ${dsum("o_totalprice")} AS sum_price
+          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Twin of the two-pass z-score quarantine: the 5-row model (mean/std
+    // from exact decimal Σv/Σv², rounded once) joins back and the flag +
+    // z are single IEEE ops on identical rounded inputs.
+    "q_stats_outliers" ->
+      s"""WITH m AS (SELECT event_type, count(*) AS n_grp,
+                            ${dsum("value", 6)} AS s1, ${dsum("value * value", 4)} AS s2
+                     FROM events GROUP BY event_type),
+               s AS (SELECT event_type,
+                            round(s1 / n_grp, 6) AS mean,
+                            round(sqrt((s2 - s1 * s1 / n_grp) / (n_grp - 1)), 6) AS std
+                     FROM m)
+          SELECT e.event_type, e.event_id, e.value,
+                 round((e.value - s.mean) / s.std, 4) AS z
+          FROM events e JOIN s USING (event_type)
+          WHERE abs(e.value - s.mean) > 2.5 * s.std
+          ORDER BY e.event_type, e.event_id""",
 
     "q_agg_median" ->
       """SELECT o_orderstatus, count(*) AS n,
@@ -1055,6 +1105,48 @@ object Oracle {
                 round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)), 6) AS tfidf
          FROM tf JOIN df USING (term), n
          ORDER BY tfidf DESC, doc_id, term LIMIT 100""",
+
+    // Relational twin of the unigram perplexity filter: identical add-one
+    // model (ln of the same IEEE division), per-doc sums through the exact
+    // decimal path (scale 6), and the kept flag compares the ROUNDED sum —
+    // the division and comparison are single correctly-rounded IEEE ops on
+    // identical inputs in both engines.
+    "q_text_perplexity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                       FROM documents),
+               c AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+               t AS (SELECT sum(c) AS total, count(*) AS vocab FROM c),
+               lp AS (SELECT term,
+                             ln(CAST(c + 1 AS DOUBLE) / CAST(total + vocab AS DOUBLE)) AS lp
+                      FROM c, t),
+               d AS (SELECT tok.doc_id, count(*) AS n_tokens,
+                            ${dsum("lp", 6)} AS sum_lp
+                     FROM tok JOIN lp USING (term) GROUP BY tok.doc_id)
+          SELECT doc_id, n_tokens, sum_lp,
+                 round(-sum_lp / n_tokens, 6) AS avg_nll,
+                 CAST(CASE WHEN -sum_lp / n_tokens <= 5.0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+          FROM d ORDER BY doc_id""",
+
+    // Twin of the PMI collocation miner: DuckDB's 1-indexed lateral unnest
+    // over range(1, len) generates the same adjacent pairs the 0-indexed
+    // Spark lambda does (and yields none for 1-token docs, matching the
+    // Spark-side size guard); the PMI arithmetic is the same
+    // left-associated IEEE double sequence.
+    "q_text_collocations" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+              bg AS (SELECT w[i] AS a, w[i + 1] AS b
+                     FROM d, unnest(range(1, len(w))) AS t(i)),
+              cbt AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+              uni AS (SELECT unnest(w) AS t FROM d),
+              cu AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+              tot AS (SELECT (SELECT count(*) FROM uni) AS n_uni,
+                             (SELECT count(*) FROM bg) AS n_bg)
+         SELECT cbt.a, cbt.b, cbt.cab, ca.c AS ca, cbu.c AS cb_cnt,
+                round(ln((CAST(cab AS DOUBLE) * n_uni * n_uni) /
+                         (CAST(n_bg AS DOUBLE) * ca.c * cbu.c)), 6) AS pmi
+         FROM cbt JOIN cu ca ON cbt.a = ca.t JOIN cu cbu ON cbt.b = cbu.t, tot
+         WHERE cab >= 5
+         ORDER BY pmi DESC, cbt.a, cbt.b LIMIT 50""",
 
     // Twin of TextOps.qualityScore: same double arithmetic in the same
     // (left-associative) order, regexp_replace needs the explicit 'g' flag

@@ -751,6 +751,95 @@ object LlmOps {
 
   val qTextTfidf: Q = tfidfRouted()
 
+  /** CCNet-style PERPLEXITY quality filter — the LM-based scoring step every
+    * large-scale pretraining pipeline runs between dedup and sampling: a
+    * unigram add-one-smoothed language model is trained on the corpus itself
+    * (`p(w) = (c(w)+1)/(T+V)`), each document is scored by its average
+    * negative log-likelihood (`avg_nll = -Σ ln p(w) / n`, the log of
+    * perplexity — the same monotone statistic CCNet thresholds on), and a
+    * kept flag marks docs under the cutoff. In production the LM is trained
+    * on a trusted corpus (Wikipedia) and only SCORING runs over the 100 TB
+    * pool; here train and score share the corpus so the whole contract is
+    * oracle-checkable end-to-end.
+    *
+    * Shape at 100 TB: token explode is narrow; the count table is ONE
+    * map-side-combined vocab-sized aggregate; totals (T, V) re-aggregate
+    * that table (vocab-sized input, 1 row out) and ride a broadcast; the
+    * score join ships the vocab-sized model table through the size-gated
+    * broadcast (above the gate it degrades to a shuffle-by-term join that
+    * AQE's skew split handles — never a sort); the per-doc aggregate is the
+    * second corpus shuffle. Determinism: per-token ln p values go through
+    * the exact decimal path (Det.dsum scale 6) so the per-doc sum is
+    * partition-order independent, and the kept flag compares the ROUNDED
+    * sum — bit-stable cross-engine. */
+  val qTextPerplexity: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val tok = graft.operators.ScaleOps.parallelizeSmall(docs)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+    val cnt = graft.operators.ScaleOps.persistIfBig(
+      tok.groupBy(col("term")).agg(count(lit(1)).as("c")), docs)
+    val totals = cnt.agg(sum(col("c")).as("total"), count(lit(1)).as("vocab"))
+    val model = cnt.crossJoin(broadcast(totals))
+      .select(col("term"),
+        log((col("c") + 1).cast("double") /
+          (col("total") + col("vocab")).cast("double")).as("lp"))
+    tok.join(graft.operators.ScaleOps.broadcastIfSourceSmall(model, docs), "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.functions.Det.dsum(col("lp"), 6).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_lp"),
+        round(-col("sum_lp") / col("n_tokens"), 6).as("avg_nll"),
+        when(-col("sum_lp") / col("n_tokens") <= 5.0, 1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** PMI COLLOCATION mining — the corpus-linguistics step of vocabulary /
+    * tokenizer construction (and the statistical cousin of q_text_bpe_pairs'
+    * raw pair counts): adjacent word bigrams scored by pointwise mutual
+    * information against the unigram distribution,
+    * `pmi = ln(c(ab)·N_uni² / (N_bg·c(a)·c(b)))`, top 50 with a min-count
+    * floor. High-PMI pairs are the multi-word units a tokenizer should keep
+    * together.
+    *
+    * Shape at 100 TB: bigram generation is NARROW (a codegen'd
+    * transform/sequence lambda over the token array — no self-join, no
+    * posexplode+window); bigram and unigram counts are map-side-combined
+    * aggregates (vocab²- and vocab-sized outputs); the two unigram
+    * join-backs ship the vocab-sized count table through the size-gated
+    * broadcast; totals ride a 1-row broadcast; the top-50 is
+    * TakeOrderedAndProject. The PMI arithmetic is the same left-associated
+    * IEEE double sequence in both engines (integer counts cast once). */
+  val qTextCollocations: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val toks = graft.operators.ScaleOps.parallelizeSmall(docs)
+      .select(split(lower(col("text")), " ").as("w"))
+    val toksP = graft.operators.ScaleOps.persistIfBig(toks, docs)
+    // The size guard only gates BIGRAM generation (sequence(0, -1) would
+    // run descending on a 1-token doc); unigram counts see every doc, as
+    // the oracle's unnest does.
+    val bg = toksP.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bgP = graft.operators.ScaleOps.persistIfBig(bg, docs)
+    val cb = bgP.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val uni = toksP.select(explode(col("w")).as("t"))
+    val uniP = graft.operators.ScaleOps.persistIfBig(uni, docs)
+    val cu = uniP.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val cuB = graft.operators.ScaleOps.broadcastIfSourceSmall(cu, docs)
+    val tot = uniP.agg(count(lit(1)).as("n_uni"))
+      .crossJoin(bgP.agg(count(lit(1)).as("n_bg")))
+    cb.filter(col("cab") >= 5)
+      .join(cuB.select(col("t").as("a"), col("c").as("ca")), "a")
+      .join(cuB.select(col("t").as("b"), col("c").as("cb_cnt")), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb_cnt"),
+        round(log((col("cab").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bg").cast("double") * col("ca") * col("cb_cnt"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
   /** C4-style BOILERPLATE removal audit: segments repeated across many
     * documents (site headers, footers, legal lines) are cut; output is the
     * per-doc kept/removed accounting a curation pipeline logs. The corpus
@@ -1305,6 +1394,8 @@ object LlmOps {
     "q_knn_bruteforce" -> qKnnBruteforce,
     "q_text_lang_stats" -> qTextLangStats,
     "q_text_tfidf" -> qTextTfidf,
+    "q_text_perplexity" -> qTextPerplexity,
+    "q_text_collocations" -> qTextCollocations,
     "q_text_boilerplate" -> qTextBoilerplate,
     "q_text_quality" -> qTextQuality,
     "q_text_langid" -> qTextLangid,

@@ -541,6 +541,48 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** BATCH SESSIONIZATION — the third classic event-analytics operator
+    * (beside [[qFunnelSteps]] and [[qRetentionCohorts]]): each user's event
+    * stream splits into sessions wherever the gap to the previous event
+    * exceeds 30 minutes; output is one row per session with start/end,
+    * event count, duration and the distinct event-type breadth. The
+    * streaming twin is q_stream_session (session_window) — this is the
+    * backfill/batch form every events warehouse also needs. Integer
+    * microseconds end-to-end: no float parity surface at all.
+    *
+    * ONE corpus-sized shuffle: the gap flag (`lag`) and the running session
+    * index (cumulative sum of flags) are windows over the SAME
+    * (user_id)/(us, event_id) partitioning-and-order, so Spark plans them
+    * in one window stage; the per-session aggregate then groups by
+    * (user_id, session_idx) — hash partitioning on user_id already
+    * CLUSTERS those keys, so EnsureRequirements inserts no second exchange
+    * (the distinct-type count re-keys by (user, session, type), again a
+    * superset of user_id — still co-located). Per-user partitions stay
+    * small at any corpus scale; only the final total-order sort of
+    * session-level rows adds an exchange. */
+  val qSessionizeGap: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 30L * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(wCum))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("us")).as("session_start"),
+        max(col("us")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** UNPIVOT (wide → long): lineitem's three measure columns melted into
     * (metric, value) rows, then aggregated per metric — `Dataset.unpivot`
     * (the Spark 4 melt operator; a Generator-free Expand, so partial
@@ -950,6 +992,57 @@ object Relational {
         round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"))
       .orderBy("l_returnflag")
 
+  /** EQUI-WIDTH HISTOGRAM build — the data-profiling / optimizer-statistics
+    * primitive (every engine's ANALYZE builds one; a curation pipeline
+    * profiles value distributions the same way): order totals bucketed into
+    * fixed $25k bins per order status, with count and exact sum per bin.
+    * The bin index is pure row-local arithmetic (identical IEEE division +
+    * floor in both engines — no data-dependent bin edges, so no pre-pass
+    * job), which makes the whole query ONE map-side-combined aggregate over
+    * (status, bin) — a few hundred groups at any corpus scale — plus the
+    * total-order sort. The shape a 100 TB profiler wants: no global min/max
+    * pre-scan, no sort, partials carry 2 longs + a decimal per group. */
+  val qAggHistogram: Q = (s, dir) => {
+    val W = 25000L
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        floor(col("o_totalprice") / lit(W.toDouble)).cast("long").as("bin"))
+      .groupBy(col("o_orderstatus"), col("bin"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("o_orderstatus"), col("bin"),
+        (col("bin") * W).as("bin_lo"), ((col("bin") + 1L) * W).as("bin_hi"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("o_orderstatus", "bin")
+  }
+
+  /** Z-SCORE OUTLIER detection — the quarantine step of a data-cleaning
+    * pipeline: per event type, events whose value sits more than 2.5
+    * sample standard deviations from the type mean. TWO-PASS, never a
+    * window: pass 1 is one map-side-combined aggregate producing the
+    * 5-row model table (count + exact decimal Σv and Σv² → mean/std,
+    * rounded once so the model is bit-stable cross-engine); pass 2
+    * re-scans with the model BROADCAST and filters row-locally — the
+    * corpus is never shuffled at all (the only exchange is the total-order
+    * sort of the outlier rows). A per-type window would sort the corpus to
+    * compute the same 5 numbers. The flag compares |v − mean| > 2.5·std
+    * on identical rounded inputs — single IEEE ops, engine-portable. */
+  val qStatsOutliers: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val model = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_grp"),
+        dsum(col("value"), 6).as("s1"),
+        dsum(col("value") * col("value"), 4).as("s2"))
+      .select(col("event_type"),
+        round(col("s1") / col("n_grp"), 6).as("mean"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n_grp")) /
+          (col("n_grp") - 1L)), 6).as("std"))
+    ev.join(broadcast(model), "event_type")
+      .filter(abs(col("value") - col("mean")) > lit(2.5) * col("std"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 4).as("z"))
+      .orderBy("event_type", "event_id")
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-rollup refresh
     * pattern every 100 TB pipeline needs. The source is staged as a
     * DAY-PARTITIONED layout (what any event table at scale already is):
@@ -1114,6 +1207,7 @@ object Relational {
     "q_pivot_events" -> qPivotEvents,
     "q_funnel_steps" -> qFunnelSteps,
     "q_retention_cohorts" -> qRetentionCohorts,
+    "q_sessionize_gap" -> qSessionizeGap,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_fuzzy_match" -> qFuzzyMatch,
@@ -1135,6 +1229,8 @@ object Relational {
     "q_agg_sketch_merge" -> qAggSketchMerge,
     "q_agg_groupingsets" -> qAggGroupingSets,
     "q_agg_stats" -> qAggStats,
+    "q_agg_histogram" -> qAggHistogram,
+    "q_stats_outliers" -> qStatsOutliers,
     "q_agg_incremental" -> qAggIncremental,
     "q_agg_median" -> qAggMedian,
     "q_sort_multi" -> qSortMulti,

@@ -86,6 +86,38 @@ class FunnelSpec extends AnyFunSuite {
     } finally Tables.deleteRecursively(dir.toString)
   }
 
+  test("planted sessions: 30-min gap splits, per-session stats exact") {
+    import spark.implicits._
+    val base = 983750400000000L // 2001-03-05T00:00:00Z epoch-micros
+    val mins = (m: Long) => base + m * 60L * 1000000L
+    // user 1: events at 0/10/20 min (one session, 2 types), then 60 min
+    // (gap 40 > 30 → new session); an exactly-30-min gap does NOT split
+    // (90 min event continues session 2: 90 - 60 = 30, not > 30).
+    // user 2: a single lonely event.
+    val rows = Seq(
+      (1L, mins(0), 1L, "click"), (2L, mins(10), 1L, "view"),
+      (3L, mins(20), 1L, "click"), (4L, mins(60), 1L, "purchase"),
+      (5L, mins(90), 1L, "view"),
+      (6L, mins(5), 2L, "signup"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sessionize-spec")
+    try {
+      rows.toDF("event_id", "us", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.parquet(dir.resolve("events.parquet").toString)
+      val got = SparkEntry.queries("q_sessionize_gap")(spark, dir.toString)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toList
+      assert(got == List(
+        (1L, 1L, mins(0), mins(20), 3L, 20L * 60000000L, 2L),
+        (1L, 2L, mins(60), mins(90), 2L, 30L * 60000000L, 2L),
+        (2L, 1L, mins(5), mins(5), 1L, 0L, 1L),
+      ), s"got $got")
+    } finally Tables.deleteRecursively(dir.toString)
+  }
+
   // ---------------- property layer: random event sets vs brute-force folds
 
   private val H24us = 24L * 3600L * 1000000L
@@ -135,6 +167,39 @@ class FunnelSpec extends AnyFunSuite {
             val t3 = t2c.flatMap(v => by("purchase").find(p => p > v && p <= v + H24us))
             val depth = if (t3.isDefined) 3L else if (t2.isDefined) 2L else 1L
             u -> ((depth, Some(t1): Option[Any], t2: Option[Any], t3: Option[Any]))
+          }
+        }
+        assert(got == exp, s"seed $seed: got $got expected $exp")
+      } finally Tables.deleteRecursively(dir.toString)
+    }
+  }
+
+  test("property: sessionization equals a brute-force per-user fold on random event sets") {
+    val GapUs = 30L * 60L * 1000000L
+    for (seed <- 201 to 208) {
+      val rows = eventsGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val dir = writeEvents(rows)
+      try {
+        val got = SparkEntry.queries("q_sessionize_gap")(spark, dir.toString)
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1)),
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+          .toMap
+        // Brute force: sort each user's events by (us, event_id), split on
+        // gap > 30 min, fold per-session stats.
+        val withIds = rows.zipWithIndex.map { case ((u, us, t), i) => (u, us, t, i.toLong) }
+        val exp = withIds.groupBy(_._1).flatMap { case (u, es) =>
+          val sorted = es.sortBy(e => (e._2, e._4))
+          val sessions = sorted.foldLeft(List.empty[List[(Long, Long, String, Long)]]) {
+            case (acc, e) => acc match {
+              case cur :: rest if e._2 - cur.head._2 <= GapUs => (e :: cur) :: rest
+              case _ => List(e) :: acc // head of each session list = latest event
+            }
+          }.reverse.map(_.reverse)
+          sessions.zipWithIndex.map { case (ses, i) =>
+            val uss = ses.map(_._2)
+            (u, i + 1L) -> ((uss.min, uss.max, ses.size.toLong,
+              uss.max - uss.min, ses.map(_._3).distinct.size.toLong))
           }
         }
         assert(got == exp, s"seed $seed: got $got expected $exp")

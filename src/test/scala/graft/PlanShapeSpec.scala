@@ -102,7 +102,12 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_funnel_steps" -> 2,
     // per-user day-set agg (1) + matrix agg over (cohorts x offsets) (1)
     // + total-order sort (1); no countDistinct re-shuffle of raw events
-    "q_retention_cohorts" -> 3
+    "q_retention_cohorts" -> 3,
+    // ONE user_id window shuffle; the (user, session) aggregate AND its
+    // distinct-type expand re-key on supersets of user_id, so
+    // EnsureRequirements adds no exchange — plus the total-order sort (1)
+    "q_sessionize_gap" -> 2
+
   )
 
   for ((name, budget) <- budgets)

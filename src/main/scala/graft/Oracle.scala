@@ -1079,6 +1079,28 @@ object Oracle {
          WHERE list_cosine_similarity(a.v, b.v) >= 0.98
          ORDER BY id_a, id_b""",
 
+    // Twin of the semantic contamination check: same planted-corpus
+    // construction as q_dedup_embed, pairs oriented train (vec_id%3=0) →
+    // test (vec_id%3=1), exact cosine in the predicate, rounded in the
+    // aggregate — max over identically-rounded values.
+    "q_contamination_embed" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+              planted AS (
+           SELECT vec_id + 1000000 AS vec_id,
+                  list_transform(generate_series(1, len(embedding)),
+                    i -> CAST(embedding[i] + 0.02 * (CAST((vec_id + i - 1) % 3 AS DOUBLE) - 1.0) AS FLOAT)) AS embedding
+           FROM base WHERE vec_id % 25 = 0),
+              allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+              u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM allv),
+              p AS (SELECT a.vec_id AS tr, b.vec_id AS te,
+                           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+                    FROM u a JOIN u b
+                      ON a.vec_id % 3 = 0 AND b.vec_id % 3 = 1
+                     AND a.vec_id <> b.vec_id
+                    WHERE list_cosine_similarity(a.v, b.v) >= 0.98)
+         SELECT te AS test_id, count(*) AS n_train_hits, max(cos_sim) AS max_cos
+         FROM p GROUP BY te ORDER BY test_id""",
+
     "q_sim_cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
               c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e

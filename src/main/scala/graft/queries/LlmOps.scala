@@ -615,6 +615,33 @@ object LlmOps {
     cosineNearDupPairs(plantedNearDupEmbeddings(Tables.embeddings(s, dir)),
       minCos = 0.98)
 
+  /** SEMANTIC train/test CONTAMINATION — the embedding-space twin of
+    * q_split_contamination's n-gram check (modern decontamination runs
+    * BOTH: paraphrased leakage evades exact n-grams but not embedding
+    * cosine): over the planted corpus, test-split docs (vec_id % 3 == 1)
+    * that sit at cosine ≥ 0.98 to any train-split doc (vec_id % 3 == 0),
+    * with hit count and max similarity per contaminated test doc. The
+    * class-shifting planted ids (10⁶ ≡ 1 mod 3) guarantee real cross-split
+    * leakage to detect. Candidate pairs come from the SAME
+    * sign-random-projection band machinery as q_dedup_embed
+    * (cosineNearDupPairs — bucketed, never all-pairs; the oracle-match
+    * argument is identical), then each pair orients train→test and the
+    * per-test-doc aggregate is vocab-tiny. At 100 TB: only the TEST side
+    * is small in practice — the banding makes the train side linear. */
+  val qContaminationEmbed: Q = (s, dir) => {
+    val pairs = cosineNearDupPairs(
+      plantedNearDupEmbeddings(Tables.embeddings(s, dir)), minCos = 0.98)
+    val orient = (tr: Column, te: Column, cos: Column) =>
+      Seq(tr.as("tr"), te.as("te"), cos.as("cos_sim"))
+    pairs.select(orient(col("id_a"), col("id_b"), col("cos_sim")): _*)
+      .unionAll(pairs.select(orient(col("id_b"), col("id_a"), col("cos_sim")): _*))
+      .filter(col("tr") % 3 === 0 && col("te") % 3 === 1)
+      .groupBy(col("te"))
+      .agg(count(lit(1)).as("n_train_hits"), max(col("cos_sim")).as("max_cos"))
+      .select(col("te").as("test_id"), col("n_train_hits"), col("max_cos"))
+      .orderBy("test_id")
+  }
+
   // ------------------------------------------------------ similarity search
 
   /** Brute-force cosine top-10 neighbours of vec_id = 0. The one-row query
@@ -1385,6 +1412,7 @@ object LlmOps {
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,
+    "q_contamination_embed" -> qContaminationEmbed,
     "q_text_tokens" -> qTextTokens,
     "q_text_bpe_pairs" -> qTextBpePairs,
     "q_text_fingerprint" -> qTextFingerprint,

@@ -343,6 +343,53 @@ object MlSuffStats {
 
   val qMlKmeansConverged: Q = kmeansConvergedQ(kmeansConvIters)
 
+  /** PCA top principal component of the 64-dim embeddings — the reference
+    * family's dimensionality-reduction member, in the P1 sufficient-stats
+    * shape at a dimension where per-entry sum columns stop being writable:
+    * ONE Gram-UDAF pass accumulates XᵀX, Σx (the Xᵀy slot with y≡1) and n
+    * map-side (the shuffle carries one ~2.2k-double row per partition at
+    * any corpus size), the driver forms the 64×64 covariance and runs a
+    * deterministic POWER ITERATION (fixed all-ones start, 3000 matvecs —
+    * microseconds at d=64; converges past machine precision even at this
+    * corpus's thin 1.3% eigengap). The driver-side solve is the prescribed
+    * P2 pattern: O(d²) scalars cross the boundary, never rows. Sign pinned
+    * (largest-|loading| coordinate positive), outputs rounded — the tiny
+    * partition-order jitter of the double Gram sums is ~1e-9 in the
+    * loadings, far under the 6-dp surface. No oracle: an eigensolve is not
+    * SQL-expressible; MlCrossCheckSpec pins |cos| ≥ 0.999 against MLlib
+    * PCA and the eigenpair residual. */
+  val qMlPcaPower: Q = (s, dir) => {
+    import s.implicits._
+    val d = 64
+    val packed = Tables.embeddings(s, dir)
+      .select(col("embedding").cast("array<double>").as("x"))
+      .agg(graft.functions.Gram.gram(d)(col("x"), lit(1.0)).as("g"))
+      .collect()(0).getSeq[Double](0).toArray
+    val (xtx, sx, n) = graft.functions.Gram.unpack(d, packed)
+    val c = Array.tabulate(d, d)((i, j) => (xtx(i)(j) - sx(i) * sx(j) / n) / (n - 1.0))
+    def matvec(v: Array[Double]): Array[Double] = Array.tabulate(d) { i =>
+      var acc = 0.0; var j = 0
+      while (j < d) { acc += c(i)(j) * v(j); j += 1 }
+      acc
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 0 until 3000) {
+      val w = matvec(v)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val cv = matvec(v)
+    val eig = v.zip(cv).map { case (a, b) => a * b }.sum
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val am = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    val sgn = if (v(am) < 0) -1.0 else 1.0
+    v.indices.map(i => (i.toLong, sgn * v(i), eig, eig / trace))
+      .toDF("dim_idx", "loading", "eigval", "var_ratio")
+      .select(col("dim_idx"), round(col("loading"), 6).as("loading"),
+        round(col("eigval"), 6).as("eigval"), round(col("var_ratio"), 6).as("var_ratio"))
+      .orderBy("dim_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ml_linreg_normal" -> qMlLinregNormal,
     "q_ml_wls" -> qMlWls,
@@ -352,5 +399,6 @@ object MlSuffStats {
     "q_ml_logreg_step" -> qMlLogregStep,
     "q_ml_logreg_converged" -> qMlLogregConverged,
     "q_ml_gmm_converged" -> qMlGmmConverged,
-    "q_ml_kmeans_converged" -> qMlKmeansConverged)
+    "q_ml_kmeans_converged" -> qMlKmeansConverged,
+    "q_ml_pca_power" -> qMlPcaPower)
 }

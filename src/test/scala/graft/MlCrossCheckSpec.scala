@@ -156,4 +156,30 @@ class MlCrossCheckSpec extends AnyFunSuite {
         s"g$j ${r.getDouble(1 + j)} vs ascent ${grad(j + 1)}")
     assert(math.abs(r.getDouble(5) - nll) < 1e-4, s"loss ${r.getDouble(5)} vs $nll")
   }
+
+  test("q_ml_pca_power: top component matches MLlib PCA; eigenpair self-consistent") {
+    val out = SparkEntry.queries("q_ml_pca_power")(spark, Sf0001)
+      .orderBy("dim_idx").collect()
+    assert(out.length == 64)
+    val v = out.map(_.getDouble(1))
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3, "loadings not unit-norm")
+    // MLlib computePrincipalComponents is the same covariance eigenproblem
+    // solved exactly (Breeze eigh) — the power iterate must align.
+    val withVec = graft.ml.Pipelines.withFeatures(
+      Tables.embeddings(spark, Sf0001), "embedding")
+    val pc = new org.apache.spark.ml.feature.PCA()
+      .setK(1).setInputCol("features").setOutputCol("pc")
+      .fit(withVec).pc.toArray.take(64)
+    val cos = math.abs(v.zip(pc).map { case (a, b) => a * b }.sum) /
+      math.sqrt(pc.map(x => x * x).sum)
+    assert(cos > 0.999, s"|cos| vs MLlib top component = $cos")
+    // Eigenvalue and variance ratio are constant across rows and sane.
+    val eig = out.map(_.getDouble(2)).distinct
+    val ratio = out.map(_.getDouble(3)).distinct
+    assert(eig.length == 1 && ratio.length == 1)
+    assert(eig.head > 0.0 && ratio.head > 0.0 && ratio.head < 1.0)
+    // Sign convention: the largest-|loading| coordinate is positive.
+    val am = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    assert(v(am) > 0.0, s"sign convention violated at dim $am")
+  }
 }

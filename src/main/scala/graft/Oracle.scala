@@ -551,6 +551,41 @@ object Oracle {
           WHERE abs(e.value - s.mean) > 2.5 * s.std
           ORDER BY e.event_type, e.event_id""",
 
+    // Unrolled twin of the Spark-side PageRank driver loop (the
+    // q_ml_logreg_converged pattern, generated from the SAME iteration
+    // count / damping): integer edge weights, per-iteration contribution
+    // sums through the dsum decimal path, rank update in the same IEEE
+    // association order (damping cast to DOUBLE — a bare 0.85 literal
+    // would run the update in DuckDB DECIMAL arithmetic and diverge).
+    "q_graph_pagerank" -> {
+      import graft.queries.Relational.{pagerankDamp, pagerankIters}
+      val dmp = s"CAST($pagerankDamp AS DOUBLE)"
+      val steps = (1 to pagerankIters).map { k =>
+        s"""s_$k AS (SELECT e.dst AS nat, ${dsum("r.rank * e.w / e.outw", 10)} AS s
+                     FROM e JOIN r_${k - 1} r ON e.src = r.nat GROUP BY e.dst),
+            r_$k AS (SELECT r0.nat,
+                            (1.0 - $dmp) / nn.n + $dmp * coalesce(s_$k.s, 0.0) AS rank
+                     FROM r_0 r0 LEFT JOIN s_$k ON r0.nat = s_$k.nat CROSS JOIN nn)"""
+      }.mkString(",\n            ")
+      s"""WITH e0 AS (SELECT CAST(s_nationkey AS BIGINT) AS src,
+                             CAST(c_nationkey AS BIGINT) AS dst, count(*) AS w
+                      FROM lineitem
+                      JOIN orders ON l_orderkey = o_orderkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN customer ON o_custkey = c_custkey
+                      GROUP BY 1, 2),
+              o AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY src),
+              e AS (SELECT e0.src, e0.dst, e0.w, o.outw FROM e0 JOIN o USING (src)),
+              nn AS (SELECT count(*) AS n FROM nation),
+              r_0 AS (SELECT CAST(n_nationkey AS BIGINT) AS nat,
+                             CAST(1.0 AS DOUBLE) / nn.n AS rank
+                      FROM nation CROSS JOIN nn),
+              $steps
+         SELECT r.nat AS n_nationkey, n.n_name, round(r.rank, 6) AS pagerank
+         FROM r_$pagerankIters r JOIN nation n ON r.nat = CAST(n.n_nationkey AS BIGINT)
+         ORDER BY n_nationkey"""
+    },
+
     "q_agg_median" ->
       """SELECT o_orderstatus, count(*) AS n,
                 round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,

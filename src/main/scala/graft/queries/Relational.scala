@@ -1043,6 +1043,72 @@ object Relational {
       .orderBy("event_type", "event_id")
   }
 
+  /** Shared by the Spark side and the oracle generator (the
+    * q_ml_logreg_converged convention) so the two unrolled iteration
+    * chains can never drift apart. */
+  val pagerankIters = 12
+  val pagerankDamp = 0.85
+
+  /** PAGERANK over the nation trade graph — the canonical iterative
+    * MapReduce algorithm (and the weighted-importance member of the
+    * iterative-graph family beside q_dedup_components' min-label
+    * propagation): edges are supplier-nation → customer-nation weighted by
+    * lineitem count, ranks iterate `r' = (1−d)/N + d·Σ r(u)·w(u,v)/out(u)`
+    * for a fixed `pagerankIters` at damping `pagerankDamp`.
+    *
+    * The 100 TB shape is AGGREGATE-TO-ENTITY-GRAPH, THEN ITERATE: the
+    * corpus-sized work is the one edge aggregation (fact⋈orders shuffle
+    * with broadcast dims — the q_join_multiway plan), after which the
+    * entity graph is nation×nation (bounded, not corpus-scaled) and each
+    * iteration is one aggregation pass over the tracked-persisted edge
+    * table with ranks riding in as literals — the P2 loop convention
+    * (distributed-iteration graphs belong to Components). Determinism
+    * composes per-step exactly like q_ml_logreg_converged: edge weights
+    * are integers, per-iteration contribution sums go through dsum's
+    * DECIMAL(38,10) path (scale 10), and the driver-side update
+    * `base + d·s` is plain IEEE — so the oracle's unrolled CTE chain
+    * (same dsum twin, same literals) reproduces the rank sequence
+    * bit-for-bit. Nations with no in-edges keep the base rank (the full
+    * node list left-joins each iteration's sums). */
+  val qGraphPagerank: Q = (s, dir) => {
+    import graft.functions.Det
+    val edges0 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outw = edges0.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val edges = graft.operators.ScaleOps.trackedPersist(edges0.join(outw, "src"))
+    val nodeKeys = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0)).sorted
+    val nN = nodeKeys.length
+    val base = (1.0 - pagerankDamp) / nN
+    var rank: Map[Long, Double] = nodeKeys.map(k => k -> 1.0 / nN).toMap
+    for (_ <- 1 to pagerankIters) {
+      val rmap = map(rank.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val sums = edges
+        .groupBy(col("dst"))
+        .agg(Det.dsum(element_at(rmap, col("src")) * col("w") / col("outw"), 10).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rank = nodeKeys.map(k =>
+        k -> (base + pagerankDamp * sums.getOrElse(k, 0.0))).toMap
+    }
+    import s.implicits._
+    rank.toSeq.sortBy(_._1).toDF("n_nationkey", "pagerank")
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))),
+        "n_nationkey")
+      .select(col("n_nationkey"), col("n_name"),
+        round(col("pagerank"), 6).as("pagerank"))
+      .orderBy("n_nationkey")
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-rollup refresh
     * pattern every 100 TB pipeline needs. The source is staged as a
     * DAY-PARTITIONED layout (what any event table at scale already is):
@@ -1231,6 +1297,7 @@ object Relational {
     "q_agg_stats" -> qAggStats,
     "q_agg_histogram" -> qAggHistogram,
     "q_stats_outliers" -> qStatsOutliers,
+    "q_graph_pagerank" -> qGraphPagerank,
     "q_agg_incremental" -> qAggIncremental,
     "q_agg_median" -> qAggMedian,
     "q_sort_multi" -> qSortMulti,

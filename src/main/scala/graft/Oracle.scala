@@ -586,6 +586,57 @@ object Oracle {
          ORDER BY n_nationkey"""
     },
 
+    // REAL recursive-CTE twin of the loop-based BFS: UNION-dedup recursion
+    // over (node, hops) states with a hop bound (UNION ALL would enumerate
+    // paths — 3^25 of them), min(hops) per node == level-synchronous BFS.
+    // Same rank-based top-3 pruning (row_number, same tiebreak).
+    "q_graph_reachability" ->
+      """WITH RECURSIVE e0 AS (SELECT CAST(s_nationkey AS BIGINT) AS src,
+                                      CAST(c_nationkey AS BIGINT) AS dst, count(*) AS w
+                               FROM lineitem
+                               JOIN orders ON l_orderkey = o_orderkey
+                               JOIN supplier ON l_suppkey = s_suppkey
+                               JOIN customer ON o_custkey = c_custkey
+                               GROUP BY 1, 2),
+              rk AS (SELECT src, dst,
+                            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+                     FROM e0),
+              t3 AS (SELECT src, dst FROM rk WHERE rn <= 3),
+              seed AS (SELECT CAST(s_nationkey AS BIGINT) AS nat FROM supplier
+                       ORDER BY s_suppkey LIMIT 1),
+              bfs AS (SELECT nat, CAST(0 AS BIGINT) AS hops FROM seed
+                      UNION
+                      SELECT t3.dst, bfs.hops + 1
+                      FROM bfs JOIN t3 ON bfs.nat = t3.src WHERE bfs.hops < 25)
+         SELECT b.nat AS n_nationkey, n.n_name, min(b.hops) AS hops
+         FROM bfs b JOIN nation n ON b.nat = CAST(n.n_nationkey AS BIGINT)
+         GROUP BY 1, 2 ORDER BY 1""",
+
+    // Twin of the trailing-window spike detector: mean/std/z derived from
+    // the same exact integer frame sums in the same IEEE op order — never
+    // an engine-internal stddev accumulation.
+    "q_events_anomaly" ->
+      """WITH daily AS (SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+              sc AS (SELECT *, sum(n) OVER w AS s1, sum(n * n) OVER w AS s2,
+                            count(*) OVER w AS cnt
+                     FROM daily
+                     WINDOW w AS (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, n,
+                round(CAST(s1 AS DOUBLE) / cnt, 4) AS trailing_mean,
+                CASE WHEN sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1)) = 0.0
+                     THEN NULL
+                     ELSE round((n - CAST(s1 AS DOUBLE) / cnt) /
+                          sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1)), 4)
+                END AS z,
+                CAST(CASE WHEN (n - CAST(s1 AS DOUBLE) / cnt) >
+                               3.0 * sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / cnt) / (cnt - 1))
+                          THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+         FROM sc WHERE cnt = 7
+         ORDER BY event_type, day""",
+
     "q_agg_median" ->
       """SELECT o_orderstatus, count(*) AS n,
                 round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,

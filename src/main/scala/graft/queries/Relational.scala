@@ -1109,6 +1109,109 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** GRAPH REACHABILITY / shortest hops — the recursive-traversal operator
+    * Spark has no native form for (no recursive CTE; the class every
+    * hierarchy/BOM/lineage query needs): over the nation trade graph
+    * pruned to each nation's TOP-3 partners by weight (rank-based pruning
+    * is scale-invariant — the threshold never needs retuning as the corpus
+    * grows), the minimum hop count from a data-derived seed (the nation of
+    * the smallest supplier key — guaranteed out-edges at every SF) to
+    * every reachable nation. Pure integers end-to-end — no float surface
+    * at all.
+    *
+    * Scale shape: the corpus-sized work is the SAME one edge aggregation
+    * as [[qGraphPagerank]] (fact⋈orders + broadcast dims); the top-3
+    * pruning is a 625-row window; the BFS then runs DRIVER-SIDE over the
+    * collected ≤75-edge entity graph — the P2 driver-solve pattern
+    * (bounded entity graphs are driver-sized by construction; unbounded
+    * graph iteration belongs to Components' distributed min-label loop).
+    * The oracle is a real recursive CTE (UNION-dedup with a hop bound), so
+    * the hash match grades Spark-side recursion-by-loop against genuine
+    * SQL recursion. */
+  val qGraphReachability: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val edges625 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val wTop = Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst"))
+    val pruned = edges625
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+      .select(col("src"), col("dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val adj = pruned.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    // Seed = the nation of the smallest supplier key: data-derived (small
+    // SFs don't populate every nation with a supplier — nation 0 has no
+    // out-edges at sf0.001), deterministic, and guaranteed out-edges.
+    val seed = Tables.supplier(s, dir)
+      .orderBy(col("s_suppkey")).limit(1)
+      .select(col("s_nationkey").cast("long")).head().getLong(0)
+    // Driver BFS: integer frontier expansion to fixpoint (≤ node count).
+    var dist = Map(seed -> 0L)
+    var frontier = Seq(seed)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(u => adj.getOrElse(u, Seq.empty))
+        .distinct.filterNot(dist.contains)
+      next.foreach(v => dist += v -> (dist(frontier.head) + 1L))
+      frontier = next
+    }
+    import s.implicits._
+    dist.toSeq.toDF("n_nationkey", "hops")
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))),
+        "n_nationkey")
+      .select(col("n_nationkey"), col("n_name"), col("hops"))
+      .orderBy("n_nationkey")
+  }
+
+  /** TRAILING-WINDOW ANOMALY detection — the ops-analytics spike detector
+    * (the series-level sibling of [[qStatsOutliers]]' row-level
+    * quarantine): the per-(type, day) event-count series scored against
+    * its own trailing 7-day window — z = (n − mean)/std with mean/std
+    * derived EXPLICITLY from exact integer frame sums (Σn, Σn², count are
+    * integer window sums, so mean/std/z are single IEEE ops on identical
+    * inputs in both engines — never an engine-internal stddev
+    * accumulation), spike flag at 3σ. Output is the full scoreboard (all
+    * scored days), not just the spikes — flags are data-dependent.
+    *
+    * Scale: the corpus collapses to (types × days) rows in ONE map-side-
+    * combined aggregate BEFORE any window runs; the trailing window sorts
+    * only the tiny per-type day series. The 100 TB anomaly pipeline shape:
+    * aggregate first, window the aggregate. */
+  val qEventsAnomaly: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === 7)
+      .withColumn("mean", col("s1").cast("double") / col("cnt"))
+      .withColumn("std", sqrt(
+        (col("s2") - col("s1").cast("double") * col("s1") / col("cnt")) /
+          (col("cnt") - 1L)))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("mean"), 4).as("trailing_mean"),
+        // A constant 7-day history has std = 0 — z would be ±inf/NaN,
+        // which no cross-engine hash survives; NULL marks "no spread".
+        when(col("std") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("n") - col("mean")) / col("std"), 4)).as("z"),
+        when((col("n") - col("mean")) > lit(3.0) * col("std"), 1L)
+          .otherwise(0L).as("is_spike"))
+      .orderBy("event_type", "day")
+  }
+
   /** INCREMENTAL AGGREGATE MAINTENANCE — the materialized-rollup refresh
     * pattern every 100 TB pipeline needs. The source is staged as a
     * DAY-PARTITIONED layout (what any event table at scale already is):
@@ -1298,6 +1401,8 @@ object Relational {
     "q_agg_histogram" -> qAggHistogram,
     "q_stats_outliers" -> qStatsOutliers,
     "q_graph_pagerank" -> qGraphPagerank,
+    "q_graph_reachability" -> qGraphReachability,
+    "q_events_anomaly" -> qEventsAnomaly,
     "q_agg_incremental" -> qAggIncremental,
     "q_agg_median" -> qAggMedian,
     "q_sort_multi" -> qSortMulti,

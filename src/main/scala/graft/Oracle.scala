@@ -551,6 +551,26 @@ object Oracle {
           WHERE abs(e.value - s.mean) > 2.5 * s.std
           ORDER BY e.event_type, e.event_id""",
 
+    // Twin of the full-outer reconciliation: same subset filter, same
+    // per-customer rollup, same three-way side classification.
+    "q_join_full" ->
+      s"""WITH cust AS (SELECT c_custkey, c_acctbal FROM customer
+                        WHERE c_custkey % 3 <> 0),
+               o AS (SELECT o_custkey, count(*) AS n_orders,
+                            ${dsum("o_totalprice")} AS spend
+                     FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+               j AS (SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                                 WHEN o.o_custkey IS NULL THEN 'customer_only'
+                                 ELSE 'both' END AS side,
+                            coalesce(o.n_orders, 0) AS n_orders,
+                            coalesce(o.spend, 0.0) AS spend,
+                            coalesce(c.c_acctbal, 0.0) AS bal
+                     FROM cust c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey)
+          SELECT side, count(*) AS n_keys,
+                 CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+                 ${dsum("spend")} AS sum_spend, ${dsum("bal")} AS sum_bal
+          FROM j GROUP BY side ORDER BY side""",
+
     // Unrolled twin of the Spark-side PageRank driver loop (the
     // q_ml_logreg_converged pattern, generated from the SAME iteration
     // count / damping): integer edge weights, per-iteration contribution

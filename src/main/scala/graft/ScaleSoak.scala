@@ -131,7 +131,8 @@ object ScaleSoak {
     // per-copy offset, prices/balances a 64-step cent perturbation.
     // Each table stages only if a wanted key reads it — a bloom-only run
     // must not pay the (slow) documents expansion.
-    val docKeys = Set("quota", "tfidf", "boilerplate", "pack")
+    val docKeys = Set("quota", "tfidf", "boilerplate", "pack",
+      "perplexity", "collocations")
     val ordKeys = Set("median", "range", "bloom")
     val custKeys = Set("ntile", "bloom")
     def needs(ks: Set[String]) = wanted.isEmpty || (wanted & ks).nonEmpty
@@ -191,9 +192,18 @@ object ScaleSoak {
         Relational.bloomPlainForm, Relational.bloomFilteredForm,
         Long.MaxValue))
 
+    // SOLO keys — single-form (non-routed) queries whose above-gate
+    // question is "does the gated-broadcast plan stay bounded and finish",
+    // not a window-vs-scale A/B: timed once over the staged corpus, no
+    // twin checksum (correctness stays covered by the oracle gate at test
+    // SFs; the checksum here just forces full materialization).
+    val solos: Seq[(String, () => DataFrame, Q)] = Seq(
+      ("perplexity", () => Tables.documents(spark, out), LlmOps.qTextPerplexity),
+      ("collocations", () => Tables.documents(spark, out), LlmOps.qTextCollocations))
+
     // A wanted key with no pair would otherwise time NOTHING and still
     // write a soak_results.json that reads as a completed A/B (ADVICE r12).
-    val unknown = wanted -- pairs.map(_._1).toSet
+    val unknown = wanted -- pairs.map(_._1).toSet -- solos.map(_._1).toSet
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"ScaleSoak: no A/B pair for wanted key(s): ${unknown.mkString(",")} " +
@@ -219,9 +229,22 @@ object ScaleSoak {
       (key, est, organic, wT, wSum.isDefined, sT, sSum.isDefined, ok)
     }
 
+    val soloResults = solos
+      .filter(p => wanted.isEmpty || wanted(p._1))
+      .map { case (key, gateDf, form) =>
+        val est = graft.operators.ScaleOps.estimatedBytes(gateDf())
+        val broadcastGated = est > BigInt(gate)
+        println(s"[soak] $key (solo): gate-table estimate $est bytes vs gate $gate " +
+          s"-> gated broadcasts ${if (broadcastGated) "DEGRADE to shuffle joins" else "stay broadcasts"}")
+        val (t, sum) = timed(spark, key, form(spark, out))
+        (key, est, broadcastGated, t, sum.isDefined)
+      }
+
     println("[soak] ==== summary ====")
     val js = results.map { case (k, est, organic, wT, wDone, sT, sDone, ok) =>
       f"""{"key":"$k","est_bytes":$est,"organic_scale_route":$organic,"window_sec":$wT%.2f,"window_finished":$wDone,"scale_sec":$sT%.2f,"scale_finished":$sDone,"hash_match":$ok}"""
+    } ++ soloResults.map { case (k, est, gated, t, done) =>
+      f"""{"key":"$k","solo":true,"est_bytes":$est,"broadcasts_degraded":$gated,"sec":$t%.2f,"finished":$done}"""
     }
     js.foreach(l => println("[soak] " + l))
     Files.writeString(Paths.get(out, "soak_results.json"),

@@ -803,8 +803,15 @@ object LlmOps {
     val docs = Tables.documents(s, dir)
     val tok = graft.operators.ScaleOps.parallelizeSmall(docs)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-    val cnt = graft.operators.ScaleOps.persistIfBig(
-      tok.groupBy(col("term")).agg(count(lit(1)).as("c")), docs)
+    // The count table is VOCAB-sized (KBs) but its derivation is a corpus
+    // pass — cache it UNCONDITIONALLY: its two consumers (totals + model)
+    // would otherwise re-run the corpus explode each (the r13 soak caught
+    // exactly this — a 12.5M-doc staged corpus compresses under the
+    // byte-estimate persist gate while the exploded working set is ~10×
+    // it, and the duplicated passes blew a 420 s budget). The corpus
+    // itself is never cached — only the compact derivative.
+    val cnt = graft.operators.ScaleOps.trackedPersist(
+      tok.groupBy(col("term")).agg(count(lit(1)).as("c")))
     val totals = cnt.agg(sum(col("c")).as("total"), count(lit(1)).as("vocab"))
     val model = cnt.crossJoin(broadcast(totals))
       .select(col("term"),
@@ -840,22 +847,29 @@ object LlmOps {
     val docs = Tables.documents(s, dir)
     val toks = graft.operators.ScaleOps.parallelizeSmall(docs)
       .select(split(lower(col("text")), " ").as("w"))
-    val toksP = graft.operators.ScaleOps.persistIfBig(toks, docs)
     // The size guard only gates BIGRAM generation (sequence(0, -1) would
     // run descending on a 1-token doc); unigram counts see every doc, as
-    // the oracle's unnest does.
-    val bg = toksP.filter(size(col("w")) >= 2)
+    // the oracle's unnest does. The token arrays themselves are NEVER
+    // cached (that would cache the corpus); each exploded stream is
+    // consumed by exactly ONE aggregate, and the totals derive from the
+    // VOCAB-sized count tables (Σc ≡ the stream count) instead of
+    // re-counting the corpus — so the whole query is exactly two corpus
+    // passes whatever the scale (the r13 soak caught the previous form
+    // re-running corpus explodes per consumer under a compression-skewed
+    // persist gate). The count tables are cached unconditionally: KBs of
+    // cache for a corpus pass saved per reuse.
+    val bg = toks.filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val bgP = graft.operators.ScaleOps.persistIfBig(bg, docs)
-    val cb = bgP.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-    val uni = toksP.select(explode(col("w")).as("t"))
-    val uniP = graft.operators.ScaleOps.persistIfBig(uni, docs)
-    val cu = uniP.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val cb = graft.operators.ScaleOps.trackedPersist(
+      bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab")))
+    val cu = graft.operators.ScaleOps.trackedPersist(
+      toks.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c")))
     val cuB = graft.operators.ScaleOps.broadcastIfSourceSmall(cu, docs)
-    val tot = uniP.agg(count(lit(1)).as("n_uni"))
-      .crossJoin(bgP.agg(count(lit(1)).as("n_bg")))
+    val tot = cu.agg(sum(col("c")).as("n_uni"))
+      .crossJoin(cb.agg(sum(col("cab")).as("n_bg")))
     cb.filter(col("cab") >= 5)
       .join(cuB.select(col("t").as("a"), col("c").as("ca")), "a")
       .join(cuB.select(col("t").as("b"), col("c").as("cb_cnt")), "b")

@@ -721,6 +721,42 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** FULL OUTER join — the reconciliation shape (the one outer-join class
+    * the contract lacked): customers restricted to a deterministic subset
+    * (custkey % 3 != 0, so real unmatched rows exist on BOTH sides) FULL
+    * OUTER the per-customer order rollup; output is the three-way
+    * reconciliation summary (both / customer_only / order_only) with
+    * exact-decimal totals per side. One shuffle pair on the join key (the
+    * rollup side is already keyed by it), summary agg over 3 groups — at
+    * 100 TB the full-outer hash join is the same machinery as the inner
+    * join; null-completion adds no extra exchange. */
+  val qJoinFull: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    // The F-status restriction makes BOTH unmatched classes real: dropped
+    // customers (%3 == 0) orphan their orders, and kept customers without
+    // any F-status order orphan themselves.
+    val ords = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both").as("side"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        coalesce(col("c_acctbal"), lit(0.0)).as("bal"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("n_orders")).as("sum_orders"),
+        dsum(col("spend")).as("sum_spend"),
+        dsum(col("bal")).as("sum_bal"))
+      .orderBy("side")
+  }
+
   /** EXISTS — left semi join (Catalyst RewritePredicateSubquery target). */
   val qJoinSemi: Q = (s, dir) => {
     val f = Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select(col("o_custkey"))
@@ -1386,6 +1422,7 @@ object Relational {
     "q_join_inner" -> qJoinInner,
     "q_join_multiway" -> qJoinMultiway,
     "q_join_left" -> qJoinLeft,
+    "q_join_full" -> qJoinFull,
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_theta" -> qJoinTheta,

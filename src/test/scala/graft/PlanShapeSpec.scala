@@ -106,7 +106,28 @@ class PlanShapeSpec extends AnyFunSuite {
     // ONE user_id window shuffle; the (user, session) aggregate AND its
     // distinct-type expand re-key on supersets of user_id, so
     // EnsureRequirements adds no exchange — plus the total-order sort (1)
-    "q_sessionize_gap" -> 2
+    "q_sessionize_gap" -> 2,
+    // ONE (status, bin) map-side-combined agg (1) + total-order sort (1);
+    // no min/max pre-scan job exists to shuffle
+    "q_agg_histogram" -> 2,
+    // model agg (1) + broadcast join-back (0) + outlier-row sort (1);
+    // the corpus re-scan is never shuffled
+    "q_stats_outliers" -> 2,
+    // per-customer rollup agg (1) + full-outer join (cust side 1; the
+    // rollup is already hash-partitioned on the key) + 3-group summary
+    // agg (1) + sort (1)
+    "q_join_full" -> 4,
+    // (type, day) agg (1) + tiny per-type trailing window (1) + sort (1)
+    "q_events_anomaly" -> 3,
+    // parallelizeSmall repart (1, local single-file helper) + vocab count
+    // agg (1) + broadcast model probe (0) + per-doc agg (1) + sort (1)
+    "q_text_perplexity" -> 4,
+    // bigram agg (1) + unigram agg (1) — the parallelizeSmall repartition
+    // reuses across both branches and the persisted count tables serve
+    // every later consumer; broadcast join-backs (0) + top-50 (0);
+    // measured 2 at sf0.001, +2 headroom for the above-gate regime where
+    // the cu join-back degrades to a shuffle pair
+    "q_text_collocations" -> 4
 
   )
 

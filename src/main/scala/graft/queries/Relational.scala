@@ -548,7 +548,11 @@ object Relational {
     * event count, duration and the distinct event-type breadth. The
     * streaming twin is q_stream_session (session_window) — this is the
     * backfill/batch form every events warehouse also needs. Integer
-    * microseconds end-to-end: no float parity surface at all.
+    * microseconds end-to-end: no float parity surface at all. Boundary
+    * semantics: a gap STRICTLY greater than 30 min splits here (and in
+    * this key's oracle); the stateful streaming sessionizer
+    * (Runtime.statefulSessions) splits at >= — each form matches its own
+    * oracle, and the two agree everywhere except a gap of exactly 30:00.000000.
     *
     * ONE corpus-sized shuffle: the gap flag (`lag`) and the running session
     * index (cumulative sum of flags) are windows over the SAME

@@ -133,6 +133,7 @@ object ScaleSoak {
     // must not pay the (slow) documents expansion.
     val docKeys = Set("quota", "tfidf", "boilerplate", "pack",
       "perplexity", "collocations")
+    val evKeys = Set("sessionize", "funnel", "retention", "anomaly", "outliers")
     val ordKeys = Set("median", "range", "bloom")
     val custKeys = Set("ntile", "bloom")
     def needs(ks: Set[String]) = wanted.isEmpty || (wanted & ks).nonEmpty
@@ -155,6 +156,17 @@ object ScaleSoak {
         .withColumn("c_custkey", col("c_custkey") + col("__c") * lit(100000000L))
         .withColumn("c_acctbal",
           round(col("c_acctbal") + (col("__c") % 64).cast("double") * 0.01, 2)))
+    // user_id offsets per copy keep PER-USER event volume constant — the
+    // per-user-bounded-state claims (collect_set/collect_list/windows)
+    // are exactly what a user-hot staging would no longer test. 1000
+    // copies (100M events) keeps outliers' Σv² inside dsum's scale-4
+    // 2^53 envelope (5e11 × 1e4 = 5e15; 2500 copies would overflow it).
+    if (needs(evKeys))
+      stage(spark, src, out, "events", copies = 1000)(df => df
+        .withColumn("event_id", col("event_id") + col("__c") * lit(100000000L))
+        .withColumn("user_id", col("user_id") + col("__c") * lit(100000000L))
+        .withColumn("value",
+          round(col("value") + (col("__c") % 64).cast("double") * 0.01, 2)))
 
     val gate = Conf.OneTaskSortMaxBytes
     import graft.queries.{LlmOps, Relational, Windows}
@@ -199,7 +211,12 @@ object ScaleSoak {
     // SFs; the checksum here just forces full materialization).
     val solos: Seq[(String, () => DataFrame, Q)] = Seq(
       ("perplexity", () => Tables.documents(spark, out), LlmOps.qTextPerplexity),
-      ("collocations", () => Tables.documents(spark, out), LlmOps.qTextCollocations))
+      ("collocations", () => Tables.documents(spark, out), LlmOps.qTextCollocations),
+      ("sessionize", () => Tables.events(spark, out), Relational.qSessionizeGap),
+      ("funnel", () => Tables.events(spark, out), Relational.qFunnelSteps),
+      ("retention", () => Tables.events(spark, out), Relational.qRetentionCohorts),
+      ("anomaly", () => Tables.events(spark, out), Relational.qEventsAnomaly),
+      ("outliers", () => Tables.events(spark, out), Relational.qStatsOutliers))
 
     // A wanted key with no pair would otherwise time NOTHING and still
     // write a soak_results.json that reads as a completed A/B (ADVICE r12).

@@ -1123,7 +1123,14 @@ object Relational {
         col("c_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
     val outw = edges0.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val edges = graft.operators.ScaleOps.trackedPersist(edges0.join(outw, "src"))
+    // The entity graph is nation×nation — bounded at ≤625 rows by
+    // construction, whatever the corpus size — so the persisted iteration
+    // input collapses to ONE partition: each of the 12 iteration jobs is
+    // then a single-task agg instead of a 32-partition shuffle round
+    // (measured ~2× per-iteration overhead otherwise). An unbounded graph
+    // would not coalesce — that regime belongs to Components.
+    val edges = graft.operators.ScaleOps.trackedPersist(
+      edges0.join(outw, "src").coalesce(1))
     val nodeKeys = Tables.nation(s, dir)
       .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0)).sorted
     val nN = nodeKeys.length

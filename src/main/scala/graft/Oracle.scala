@@ -385,6 +385,18 @@ object Oracle {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang ORDER BY lang""",
 
+    // Twin of the PERMISSIVE quarantine read: the oracle classifies from
+    // the CLEAN source with the same planted-corruption rule, so a hash
+    // match proves the parser quarantined exactly the planted lines.
+    // '_quarantine' (0x5f) sorts before every lowercase lang code in both
+    // engines' binary collation.
+    "q_source_malformed" ->
+      """WITH c AS (SELECT CASE WHEN doc_id % 7 = 3 THEN '_quarantine' ELSE lang END AS bucket,
+                           CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n_chars END AS n_chars
+                    FROM documents)
+         SELECT bucket, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM c GROUP BY bucket ORDER BY bucket""",
+
     "q_proj_compute" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                 round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charge,

@@ -119,6 +119,39 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** MALFORMED-INPUT QUARANTINE — the ingest-robustness contract every
+    * production reader needs and no other key exercises: JSONL with
+    * deterministically corrupted lines (doc_id % 7 == 3 arrives truncated
+    * at 15 chars — always mid-object, never accidentally-valid JSON)
+    * parsed in PERMISSIVE mode with a corrupt-record column; bad rows
+    * land in a `_quarantine` bucket (metrics only — the payload is
+    * preserved in `_corrupt_record` for a real dead-letter sink), good
+    * rows aggregate per language as usual. Narrow parse + one small agg;
+    * the quarantine path adds no shuffle. The oracle rebuilds the same
+    * classification from the clean source, so the hash proves the parser
+    * dropped EXACTLY the planted lines and nothing else. */
+  val qSourceMalformed: Q = (s, dir) => {
+    import s.implicits._
+    val lines = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("line"))
+      .select(when(col("doc_id") % 7 === 3, substring(col("line"), 1, 15))
+        .otherwise(col("line")).as("line"))
+      .as[String]
+    val schema = "doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING"
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(lines)
+      .select(
+        when(col("_corrupt_record").isNull, col("lang"))
+          .otherwise(lit("_quarantine")).as("bucket"),
+        col("n_chars"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("bucket")
+  }
+
   /** ORC ingestion (the other columnar interchange format): documents
     * projected to integral/string columns, written as ORC, read back
     * through the vectorized ORC datasource, aggregated. Round trip is
@@ -1410,6 +1443,7 @@ object Relational {
     "q_scan_events_ns" -> qScanEventsNs,
     "q_source_csv" -> qSourceCsv,
     "q_source_jsonl" -> qSourceJsonl,
+    "q_source_malformed" -> qSourceMalformed,
     "q_source_orc" -> qSourceOrc,
     "q_layout_prune" -> qLayoutPrune,
     "q_layout_compact" -> qLayoutCompact,

@@ -385,6 +385,17 @@ object Oracle {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY lang ORDER BY lang""",
 
+    // Twin of the mergeSchema evolution read: the generation split
+    // rebuilt from the source — gen1 rows (even keys) have no status
+    // column on disk and must surface as 'unknown'.
+    "q_layout_evolve" ->
+      s"""WITH u AS (SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                                 ELSE 'unknown' END AS status,
+                            o_totalprice
+                     FROM orders)
+          SELECT status, count(*) AS n_orders, ${dsum("o_totalprice")} AS spend
+          FROM u GROUP BY status ORDER BY status""",
+
     // Twin of the PERMISSIVE quarantine read: the oracle classifies from
     // the CLEAN source with the same planted-corruption rule, so a hash
     // match proves the parser quarantined exactly the planted lines.

@@ -224,6 +224,34 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** SCHEMA EVOLUTION read — the mergeSchema contract every long-lived
+    * layout eventually needs (an old writer's files lack the columns a
+    * new writer added): generation 1 of the staged orders layout carries
+    * (orderkey, totalprice), generation 2 adds o_orderstatus; one
+    * mergeSchema read over the common root unions the schemas, old files
+    * surface the added column as NULL (bucketed to 'unknown'), and the
+    * generation directory doubles as a partition column. Per-file schema
+    * reconciliation happens at footer-read time — no data rewrite, no
+    * extra shuffle; the plan is the ordinary one-agg profile. The oracle
+    * rebuilds the same generation split from the source, so the hash
+    * proves NULL-completion touched exactly the old-generation rows. */
+  val qLayoutEvolve: Q = (s, dir) => {
+    val root = Tables.stageDir(s, "evolve", dir)
+    val ords = Tables.orders(s, dir)
+    ords.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    ords.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$root/gen=2")
+    s.read.option("mergeSchema", "true").parquet(root)
+      .select(coalesce(col("o_orderstatus"), lit("unknown")).as("status"),
+        col("o_totalprice"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      .orderBy("status")
+  }
+
   /** Z-ORDER CLUSTERING round trip — Layout.zorderWrite graded through the
     * correctness gate: lineitem's (l_partkey, l_suppkey) pairs are min-max
     * scaled to 16 bits (exact BIGINT arithmetic — `div`, never `/` — so the
@@ -1447,6 +1475,7 @@ object Relational {
     "q_source_orc" -> qSourceOrc,
     "q_layout_prune" -> qLayoutPrune,
     "q_layout_compact" -> qLayoutCompact,
+    "q_layout_evolve" -> qLayoutEvolve,
     "q_layout_zorder" -> qLayoutZorder,
     "q_layout_bucketed" -> qLayoutBucketed,
     "q_layout_manifest" -> qLayoutManifest,

@@ -594,6 +594,38 @@ object Oracle {
                  ${dsum("spend")} AS sum_spend, ${dsum("bal")} AS sum_bal
           FROM j GROUP BY side ORDER BY side""",
 
+    // Twin of the constraint audit: the same eight checks as plain
+    // aggregates/joins. All-integer outputs.
+    "q_quality_constraints" ->
+      """SELECT 'pk_unique' AS check_name, 'customer' AS table_name,
+                count(*) AS n_checked,
+                count(*) - count(DISTINCT c_custkey) AS n_violations FROM customer
+         UNION ALL
+         SELECT 'pk_unique', 'orders', count(*),
+                count(*) - count(DISTINCT o_orderkey) FROM orders
+         UNION ALL
+         SELECT 'fk_customer', 'orders', count(*),
+                count(*) FILTER (WHERE c.c_custkey IS NULL)
+         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         UNION ALL
+         SELECT 'fk_orders', 'lineitem', count(*),
+                count(*) FILTER (WHERE o.o_orderkey IS NULL)
+         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         UNION ALL
+         SELECT 'fk_embeddings', 'documents', count(*),
+                count(*) FILTER (WHERE e.vec_id IS NULL)
+         FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+         UNION ALL
+         SELECT 'not_null_name', 'customer', count(*),
+                count(*) FILTER (WHERE c_name IS NULL) FROM customer
+         UNION ALL
+         SELECT 'range_quantity', 'lineitem', count(*),
+                count(*) FILTER (WHERE l_quantity < 1.0 OR l_quantity > 50.0) FROM lineitem
+         UNION ALL
+         SELECT 'domain_status', 'orders', count(*),
+                count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')) FROM orders
+         ORDER BY check_name, table_name""",
+
     // Unrolled twin of the Spark-side PageRank driver loop (the
     // q_ml_logreg_converged pattern, generated from the SAME iteration
     // count / damping): integer edge weights, per-iteration contribution

@@ -1144,6 +1144,58 @@ object Relational {
       .orderBy("event_type", "event_id")
   }
 
+  /** DATA-QUALITY CONSTRAINT AUDIT — the dbt-test/Great-Expectations
+    * class every production pipeline schedules: primary-key uniqueness,
+    * foreign-key integrity, NOT-NULL, range and domain checks across the
+    * star schema, one summary row per check. Violation counts are exact
+    * integers (this synthetic star is mostly clean — the audit's job is
+    * to PROVE that; the documents→embeddings coverage check fires for
+    * real at sf0.1, where 5000 docs outnumber 2000 vectors).
+    *
+    * Shape at 100 TB: each PK check is one map-side-combined
+    * count/countDistinct aggregate; each FK check is ONE left join
+    * counting null matches (the dimension side broadcasts when small,
+    * else co-partitions — never a second pass for the denominator);
+    * NOT-NULL/range/domain checks are narrow conditional counts folded
+    * into one aggregate per table. The union moves 8 rows. */
+  val qQualityConstraints: Q = (s, dir) => {
+    def pk(tbl: String, df: DataFrame, key: String) =
+      df.agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col(key))).as("n_violations"))
+        .select(lit("pk_unique").as("check_name"), lit(tbl).as("table_name"),
+          col("n_checked"), col("n_violations"))
+    def fk(name: String, tbl: String, fact: DataFrame, factKey: String,
+           dim: DataFrame, dimKey: String) =
+      fact.join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          count(when(col(dimKey).isNull, 1)).as("n_violations"))
+        .select(lit(name).as("check_name"), lit(tbl).as("table_name"),
+          col("n_checked"), col("n_violations"))
+    def cond(name: String, tbl: String, df: DataFrame,
+             bad: org.apache.spark.sql.Column) =
+      df.agg(count(lit(1)).as("n_checked"),
+          count(when(bad, 1)).as("n_violations"))
+        .select(lit(name).as("check_name"), lit(tbl).as("table_name"),
+          col("n_checked"), col("n_violations"))
+    val cust = Tables.customer(s, dir)
+    val ords = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    pk("customer", cust, "c_custkey")
+      .unionByName(pk("orders", ords, "o_orderkey"))
+      .unionByName(fk("fk_customer", "orders", ords, "o_custkey",
+        cust, "c_custkey"))
+      .unionByName(fk("fk_orders", "lineitem", li, "l_orderkey",
+        Tables.orders(s, dir).select(col("o_orderkey").as("o_ok")), "o_ok"))
+      .unionByName(fk("fk_embeddings", "documents", Tables.documents(s, dir),
+        "doc_id", Tables.embeddings(s, dir), "vec_id"))
+      .unionByName(cond("not_null_name", "customer", cust, col("c_name").isNull))
+      .unionByName(cond("range_quantity", "lineitem", li,
+        col("l_quantity") < 1.0 || col("l_quantity") > 50.0))
+      .unionByName(cond("domain_status", "orders", ords,
+        !col("o_orderstatus").isin("F", "O", "P")))
+      .orderBy("check_name", "table_name")
+  }
+
   /** Shared by the Spark side and the oracle generator (the
     * q_ml_logreg_converged convention) so the two unrolled iteration
     * chains can never drift apart. */
@@ -1512,6 +1564,7 @@ object Relational {
     "q_agg_histogram" -> qAggHistogram,
     "q_stats_outliers" -> qStatsOutliers,
     "q_graph_pagerank" -> qGraphPagerank,
+    "q_quality_constraints" -> qQualityConstraints,
     "q_graph_reachability" -> qGraphReachability,
     "q_events_anomaly" -> qEventsAnomaly,
     "q_agg_incremental" -> qAggIncremental,

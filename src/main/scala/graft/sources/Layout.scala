@@ -168,15 +168,44 @@ object Layout {
     * small-file dust. Table metadata is overwritten if the name exists
     * (re-runs in one session are idempotent). */
   def writeBucketed(df: DataFrame, table: String, path: String,
-                    bucketCol: String, numBuckets: Int): Unit = {
+                    bucketCol: String, numBuckets: Int): Unit =
+    writeBucketed(df, table, path, Seq(bucketCol), numBuckets)
+
+  /** Multi-column form: the bucket id is the Murmur3 hash of ALL the key
+    * columns — what a composite-key join (e.g. an LSH band-bucket probe on
+    * (band, x, y)) needs for its stored side to scan pre-partitioned. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCols: Seq[String], numBuckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    df.repartition(numBuckets, col(bucketCol))
+    df.repartition(numBuckets, bucketCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .format("parquet")
-      .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", path)
       .saveAsTable(table)
   }
+
+  /** Re-attach a bucketed layout written by [[writeBucketed]] in a PREVIOUS
+    * process to THIS session's catalog. Bucket metadata lives in the
+    * catalog, not the parquet files — a fresh JVM reading the staged path
+    * with `spark.read.parquet` would get the rows but lose the layout (the
+    * scan would re-shuffle for every bucketed join, silently paying exactly
+    * the cost the layout deletes). The schema is recovered from the parquet
+    * footers (one planning-time read), the bucket/sort spec is re-declared,
+    * and the existing files — whose names already carry their bucket ids —
+    * are adopted as-is. No-op when the table is already registered (the
+    * writer JVM, or a second consumer in this one). */
+  def registerBucketedIfMissing(spark: SparkSession, table: String,
+                                path: String, bucketCols: Seq[String],
+                                numBuckets: Int): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val ddl = spark.read.parquet(path).schema.toDDL
+      val keys = bucketCols.map(c => s"`$c`").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE `$table` ($ddl) USING parquet
+           |CLUSTERED BY ($keys) SORTED BY ($keys) INTO $numBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
 }

@@ -284,4 +284,57 @@ class MinhashSpec extends AnyFunSuite {
     assert(got == exp,
       s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
   }
+
+  test("stored index layout: an ingest probe never exchanges the index side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // The claim stagedCorpusIndex's layout exists for: per-ingest cost is
+    // O(batch + hits) IN SHUFFLE TERMS too — the stored postings and
+    // per-doc records scan pre-partitioned on their join keys and are
+    // never exchanged; only batch-derived rows (probe signatures,
+    // candidates) move. Broadcasts forced OFF (static threshold also
+    // seeds AQE's; gate=0 kills the batch-meta hint) — the degraded
+    // regime where the only way the index sides avoid moving is the
+    // bucketed layout itself.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (meta, buckets) = LlmOps.stagedCorpusIndex(spark, Sf0001)
+      val batch = Tables.documents(spark, Sf0001)
+        .filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      val df = LlmOps.incrementalDedupPairs(meta, buckets, batch,
+        broadcastGateBytes = 0L)
+      // Degraded-regime rows == the graded key's gated-broadcast rows.
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaGate = SparkEntry.queries("q_dedup_incremental")(spark, Sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == viaGate, "degraded regime changed the pair set")
+      val plan = PlanCheck.finalPlan(df)
+      val nBucketed = PlanCheck.flatten(plan).count {
+        case s: FileSourceScanExec => s.relation.bucketSpec.isDefined
+        case _ => false
+      }
+      assert(nBucketed == 2,
+        s"expected both index scans to read the bucketed layout in:\n$plan")
+      // A bucketed index scan must feed its consuming join with NO
+      // exchange in between (exchanges elsewhere — e.g. the candidate
+      // distinct — carry batch-derived rows and are expected). `dirty`
+      // = an exchange sits on the path since the nearest join above.
+      def indexMoved(p: SparkPlan, dirty: Boolean): Boolean = p match {
+        case q: QueryStageExec => indexMoved(q.plan, dirty)
+        case j: BaseJoinExec => j.children.exists(indexMoved(_, false))
+        case e: ShuffleExchangeLike => e.children.exists(indexMoved(_, true))
+        case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => dirty
+        case other => other.children.exists(indexMoved(_, dirty))
+      }
+      assert(!indexMoved(plan, dirty = false),
+        s"an index-side scan was exchanged before its join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.operators.ScaleOps.releaseTracked()
+    }
+  }
 }

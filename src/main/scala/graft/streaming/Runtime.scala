@@ -486,4 +486,18 @@ object Runtime {
     }
     spark.table(name)
   }
+
+  /** Pre-build every content-keyed replay fixture for `dir` — the bench
+    * warmup calls this so arrival-dir staging (a build-once artifact, not
+    * stream work) is never billed to whichever timed streaming key runs
+    * first. Constructing the source DataFrames runs stageReplay eagerly;
+    * no stream is started. */
+  def stageAllReplays(spark: SparkSession, dir: String): Unit = {
+    eventsStream(spark, dir)
+    eventsStreamWithRedelivery(spark, dir)
+    eventsStreamWithFlush(spark, dir)
+    eventsStreamSplitByTime(spark, dir)
+    documentsStreamWithRedelivery(spark, dir)
+    ()
+  }
 }

@@ -57,6 +57,7 @@ object Bench {
       queries.LlmOps.stagedMinhashPairs(spark, sfDir)
       queries.LlmOps.stagedCorpusIndex(spark, sfDir)
       queries.Relational.stagedManifestLayout(spark, sfDir)
+      queries.Relational.stagedManifestAppendLayout(spark, sfDir)
       queries.Relational.stagedEventsByDay(spark, sfDir)
       graft.streaming.Runtime.stageAllReplays(spark, sfDir)
     }

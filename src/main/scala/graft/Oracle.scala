@@ -250,6 +250,19 @@ object Oracle {
             AND l_shipdate < TIMESTAMP '1998-01-01'
           GROUP BY 1 ORDER BY l_returnflag""",
 
+    // The incremental append (base % 7 != 3 built, % 7 == 3 appended as
+    // new files + one new manifest part) is lossless over base ∪ batch =
+    // the whole table, so the oracle is the plain range aggregate — any
+    // row lost, duplicated, or mis-manifested by the append breaks the
+    // hash.
+    "q_layout_manifest_append" ->
+      s"""SELECT l_linestatus, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1 ORDER BY l_linestatus""",
+
     // The Spark side's scale → morton → z-clustered write → read-back chain
     // is lossless and integer-exact, so the oracle recomputes the same
     // z-buckets straight from the source: min-max scale to 16 bits with

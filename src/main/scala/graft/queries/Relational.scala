@@ -355,6 +355,32 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** INCREMENTAL MANIFEST MAINTENANCE (sources/Layout.appendManifested) —
+    * the per-tick twin of q_layout_manifest's build, completing the
+    * incremental family (q_agg_incremental, q_scd2_merge, q_sim_ivf_append)
+    * for layout METADATA: a deterministic batch (l_orderkey % 7 == 3, so
+    * the oracle can rebuild the split) is appended to the manifested base
+    * (the other six sevenths) by writing ONLY the batch's clustered files
+    * and ONE new manifest part with their stats — the base's data files
+    * and manifest parts are untouched bytes (asserted in ManifestSpec;
+    * a per-tick rebuild would re-scan O(table) files on every commit).
+    * The graded read then plans a 1996 range scan from the APPENDED
+    * manifest: both generations' files participate in the file selection,
+    * so the hash match proves the incremental commit reproduces exactly
+    * the layout a from-scratch build over base ∪ batch would have — the
+    * append is lossless and the oracle is the plain range aggregate over
+    * the whole source table. */
+  val qLayoutManifestAppend: Q = (s, dir) => {
+    val staged = stagedManifestAppendLayout(s, dir)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, staged, lo, hi)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_linestatus")
+  }
+
   /** CDC MERGE / UPSERT graded end-to-end (operators/Merge.applyCdc): a
     * deterministic changeset — two-version updates (latest must win),
     * deletes, and inserts of new keys, all derived from the customer table
@@ -1524,6 +1550,7 @@ object Relational {
     "q_layout_zorder" -> qLayoutZorder,
     "q_layout_bucketed" -> qLayoutBucketed,
     "q_layout_manifest" -> qLayoutManifest,
+    "q_layout_manifest_append" -> qLayoutManifestAppend,
     "q_merge_upsert" -> qMergeUpsert,
     "q_scd2_snapshot" -> qScd2Snapshot,
     "q_scd2_merge" -> qScd2Merge,
@@ -1577,6 +1604,21 @@ object Relational {
       "lineitem-manifest", dir, "v1") { d =>
       graft.sources.Layout.writeManifested(
         Tables.lineitem(s, dir), d, "l_shipdate", numFiles = 16)
+    }
+
+  /** The two-generation (base build + incremental append) manifested layout
+    * q_layout_manifest_append plans from, staged once per lineitem
+    * snapshot. The build-then-append sequence is the fixture; the graded op
+    * is the manifest-planned read over the result. */
+  def stagedManifestAppendLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-append", dir, "v1") { d =>
+      val li = Tables.lineitem(s, dir)
+      graft.sources.Layout.writeManifested(
+        li.filter(col("l_orderkey") % 7 =!= 3), d, "l_shipdate", numFiles = 12)
+      graft.sources.Layout.appendManifested(
+        li.filter(col("l_orderkey") % 7 === 3), d, "l_shipdate", numFiles = 4)
+      ()
     }
 
   /** The day-partitioned events layout q_agg_incremental refreshes over,

@@ -131,6 +131,58 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
   }
 
+  /** APPEND a batch to a [[writeManifested]] layout INCREMENTALLY — the
+    * per-tick maintenance twin of the build: new data files land beside
+    * the old ones and ONE new manifest part records their stats; nothing
+    * existing is re-read, rewritten, or re-listed. A real Delta/Iceberg
+    * commit is exactly this shape (a snapshot adds a manifest listing the
+    * new files), and it is what keeps ingest cost O(batch) — rebuilding
+    * the manifest per tick would re-scan stats over O(table) files and
+    * turn a streaming sink's every commit into a full maintenance pass.
+    *
+    * Mechanics: the batch is range-clustered on `statsCol` into its own
+    * temp dir (same posture as the base, so per-file envelopes stay
+    * tight), its per-file stats aggregate over ONLY those files (one
+    * map-side-combined pass; the collect is O(batch files) — the same
+    * driver-side planning scale as [[manifestPrunedRead]]), the files are
+    * RENAMED into `data/` (task-UUID part names — collision-free, no byte
+    * copy on any sane filesystem), and the stats rows append as one new
+    * manifest part. Ordering is crash-safe the Iceberg way: data files
+    * move first, the manifest row that makes them visible commits last —
+    * a crash in between leaves invisible orphans, never a manifest entry
+    * pointing at a missing file. Returns the number of files appended. */
+  def appendManifested(df: DataFrame, path: String, statsCol: String,
+                       numFiles: Int): Int = {
+    val spark = df.sparkSession
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new Path(s"$path/data")
+    val fs = dataDir.getFileSystem(conf)
+    val tmp = new Path(s"$path/.append-${java.util.UUID.randomUUID()}")
+    df.repartitionByRange(numFiles, col(statsCol))
+      .sortWithinPartitions(statsCol)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // Stats over ONLY the new files, keyed by their final (post-rename)
+    // location so the manifest row format matches writeManifested's.
+    val qualified = fs.makeQualified(dataDir).toString
+    val newRows = spark.read.parquet(tmp.toString)
+      .select(col(statsCol))
+      .groupBy(input_file_name().as("file_path"))
+      .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("file_path", concat(lit(qualified + "/"),
+        element_at(split(col("file_path"), "/"), -1)))
+    // Materialize the stats BEFORE the renames invalidate the tmp paths.
+    val staged = newRows.collect().toIndexedSeq
+    val parts = fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+    for (f <- parts) fs.rename(f.getPath, new Path(dataDir, f.getPath.getName))
+    fs.delete(tmp, true)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(staged, 1), newRows.schema)
+      .write.mode(SaveMode.Append).parquet(s"$path/manifest")
+    parts.length
+  }
+
   /** Plan a range-predicate scan FROM the manifest written by
     * [[writeManifested]]: keep the files whose [min_v, max_v] envelope
     * intersects `[lo, hi]`, read only those. The file selection is a

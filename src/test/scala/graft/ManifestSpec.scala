@@ -65,6 +65,73 @@ class ManifestSpec extends AnyFunSuite {
     assert(out.schema == spark.read.parquet(s"$root/data").schema)
   }
 
+  test("append: base bytes untouched, manifest exact over both generations, pruned read lossless") {
+    import java.nio.file.{Files, Paths}
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-append-spec"
+    Tables.deleteRecursively(d)
+    val li = Tables.lineitem(spark, Sf0001)
+    Layout.writeManifested(
+      li.filter(col("l_orderkey") % 7 =!= 3), d, "l_shipdate", 8)
+    // Fingerprint every pre-append file: the incremental claim is that the
+    // commit WRITES new files and one manifest part — it never rewrites.
+    def fingerprints(sub: String): Map[String, (Long, String)] = {
+      val p = Paths.get(s"$d/$sub")
+      import scala.jdk.CollectionConverters._
+      Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          f.getFileName.toString ->
+            (Files.size(f), md.digest(Files.readAllBytes(f))
+              .map("%02x".format(_)).mkString)
+        }.toMap
+    }
+    val dataBefore = fingerprints("data")
+    val manBefore = fingerprints("manifest")
+    val nAppended = Layout.appendManifested(
+      li.filter(col("l_orderkey") % 7 === 3), d, "l_shipdate", 4)
+    val dataAfter = fingerprints("data")
+    val manAfter = fingerprints("manifest")
+    // Old files are byte-identical; the commit added exactly the batch's
+    // data files and ONE manifest part.
+    for ((name, fp) <- dataBefore)
+      assert(dataAfter(name) == fp, s"base data file $name was rewritten")
+    for ((name, fp) <- manBefore)
+      assert(manAfter(name) == fp, s"base manifest part $name was rewritten")
+    assert(dataAfter.size == dataBefore.size + nAppended)
+    assert(manAfter.size == manBefore.size + 1,
+      "append must commit exactly one new manifest part")
+    // The appended manifest describes base ∪ batch exactly (true per-file
+    // stats, complete file set).
+    val man = spark.read.parquet(s"$d/manifest").collect()
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    assert(man.map(r => base(r.getAs[String]("file_path"))).toSet ==
+      spark.read.parquet(s"$d/data").inputFiles.map(base).toSet)
+    var rows = 0L
+    for (r <- man) {
+      val f = spark.read.parquet(r.getAs[String]("file_path"))
+        .agg(min(col("l_shipdate")), max(col("l_shipdate")), count(lit(1))).head()
+      assert(f.get(0) == r.getAs[Any]("min_v") && f.get(1) == r.getAs[Any]("max_v"),
+        s"stats drift for ${r.getAs[String]("file_path")}")
+      rows += f.getLong(2)
+      assert(f.getLong(2) == r.getAs[Long]("n_rows"))
+    }
+    assert(rows == li.count(), "manifest row total != base ∪ batch")
+    // Planned read over the two-generation layout: strict subset of files,
+    // BOTH generations represented in the selection, lossless result.
+    val pruned = Layout.manifestPrunedRead(spark, d, lo, hi)
+    val kept = pruned.inputFiles.map(base).toSet
+    assert(kept.size < dataAfter.size, "no skipping on the appended layout")
+    assert(kept.exists(dataBefore.contains), "no base-generation file selected")
+    assert(kept.exists(n => !dataBefore.contains(n)),
+      "no appended-generation file selected — the append is untested by this range")
+    val inRange = (x: org.apache.spark.sql.DataFrame) =>
+      x.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    assert(inRange(pruned) == inRange(li),
+      "pruned read over the appended layout diverges from the direct filter")
+  }
+
   test("q_layout_manifest equals its direct-filter twin (sf0.001)") {
     val got = SparkEntry.queries("q_layout_manifest")(spark, Sf0001)
       .collect().map(_.toSeq).toSeq

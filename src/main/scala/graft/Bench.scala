@@ -56,6 +56,7 @@ object Bench {
       // A warm root returns in milliseconds via the signature markers.
       queries.LlmOps.stagedMinhashPairs(spark, sfDir)
       queries.LlmOps.stagedCorpusIndex(spark, sfDir)
+      queries.LlmOps.stagedCorpusLabels(spark, sfDir)
       queries.Relational.stagedManifestLayout(spark, sfDir)
       queries.Relational.stagedManifestAppendLayout(spark, sfDir)
       queries.Relational.stagedEventsByDay(spark, sfDir)

@@ -1216,6 +1216,37 @@ object Oracle {
          SELECT comp_id, count(*) AS n_docs, max(src) AS max_doc
          FROM comp GROUP BY 1 ORDER BY comp_id""",
 
+    // The incremental fold (standing corpus labels + stored-index probe
+    // pairs + batch-internal pairs) covers exactly the SAME full pair set,
+    // so the oracle is the identical global closure — the hash match
+    // proves incremental ≡ backfill. n_batch counts members arriving in
+    // the graded ingest (doc_id % 10 == 3): a stale-label passthrough
+    // that never folded the batch breaks it.
+    "q_dedup_components_incr" ->
+      """WITH RECURSIVE
+              w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 2),
+              s AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+                    FROM w, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+              n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                    FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+              pr AS (SELECT doc_a, doc_b
+                     FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+                     WHERE 1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) <= 0.5),
+              e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                    UNION SELECT doc_b, doc_a FROM pr),
+              reach(src, node) AS (
+                    SELECT a, a FROM e
+                    UNION
+                    SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.node = e2.a),
+              comp AS (SELECT src, min(node) AS comp_id FROM reach GROUP BY src)
+         SELECT comp_id, count(*) AS n_docs,
+                count(*) FILTER (WHERE src % 10 = 3) AS n_batch,
+                max(src) AS max_doc
+         FROM comp GROUP BY 1 ORDER BY comp_id""",
+
     // All-pairs exact trigram Jaccard — the Spark plan (prefix-filtered
     // inverted index) emits the same exact pair set without the quadratic
     // join.

@@ -150,6 +150,68 @@ object LlmOps {
       .orderBy("corpus_doc", "batch_doc")
   }
 
+  /** INCREMENTAL duplicate-CLUSTER maintenance — the missing third step of
+    * probe → accept → merge-clusters (operators/Components
+    * .incrementalComponents): accepting the arriving batch must fold its
+    * near-dup pairs (batch↔corpus from the stored-index probe, plus
+    * batch-internal pairs computed at batch scale) into the STANDING
+    * component labeling without recomputing the global closure. The
+    * closure loop runs over the CONTRACTED batch graph only (one node per
+    * touched label / new doc), so per-ingest cost is O(batch + touched);
+    * the stored labels table is bucketed by id, so the endpoint probe
+    * moves only batch rows, and untouched components pass through
+    * bit-identical. Because corpus-internal ∪ cross ∪ batch-internal is
+    * exactly the full corpus's pair set, the DuckDB oracle is the SAME
+    * recursive-CTE transitive closure that grades the backfill
+    * (q_dedup_components) — the hash match PROVES incremental ≡ global
+    * recompute, the q_scd2_merge refresh≡backfill grading move. n_batch
+    * (members arriving in this ingest) grades that the fold actually
+    * happened, not a stale-label passthrough. */
+  val qDedupComponentsIncr: Q = (s, dir) => {
+    val labels = stagedCorpusLabels(s, dir)
+    val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
+    val (idxMeta, idxBuckets) = stagedCorpusIndex(s, dir)
+    val cross = incrementalDedupPairs(idxMeta, idxBuckets, batch)
+      .select(col("corpus_doc").as("doc_a"), col("batch_doc").as("doc_b"))
+    val within = minhashPairsRaw(batch).select(col("doc_a"), col("doc_b"))
+    graft.operators.Components.incrementalComponents(
+        labels, cross.unionByName(within), "doc_a", "doc_b")
+      .groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("id") % 10 === 3, lit(1))).as("n_batch"),
+        max(col("id")).as("max_doc"))
+      .orderBy("comp_id")
+  }
+
+  /** The STANDING corpus labeling the incremental fold maintains: connected
+    * components over the corpus-internal near-dup pairs (the staged
+    * all-pairs artifact filtered to corpus endpoints — the LSH refine is
+    * exact, so the filtered artifact IS the corpus-only pair set), staged
+    * once per corpus snapshot and stored BUCKETED BY id so the ingest's
+    * endpoint probe never shuffles it ([[stagedCorpusIndex]]'s layout
+    * argument applied to the labels table). */
+  def stagedCorpusLabels(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_corpus_labels_$key"
+    val staged = Tables.stagedFixture(s, s"$dir/documents.parquet",
+      "corpus-labels", dir, LabelsVersion) { d =>
+      val corpusPairs = stagedMinhashPairs(s, dir)
+        .filter(col("doc_a") % 10 =!= 3 && col("doc_b") % 10 =!= 3)
+      graft.sources.Layout.writeBucketed(
+        graft.operators.Components.connectedComponents(
+          corpusPairs, "doc_a", "doc_b"),
+        tbl, s"$d/labels", Seq("id"), IndexBuckets)
+      graft.operators.ScaleOps.releaseTracked()
+    }
+    graft.sources.Layout.registerBucketedIfMissing(
+      s, tbl, s"$staged/labels", Seq("id"), IndexBuckets)
+    s.table(tbl)
+  }
+
+  /** Bump to invalidate staged corpus-label artifacts when the labeling
+    * pipeline (or the batch/corpus split) changes. */
+  private val LabelsVersion = "v1"
+
   /** The near-dup pair ARTIFACT: [[minhashPairs]] materialized ONCE per
     * (documents source, pipeline version) via Tables.stagedFixture and
     * shared by every consumer — q_dedup_minhash reads it back sorted,
@@ -1458,6 +1520,7 @@ object LlmOps {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_components" -> qDedupComponents,
+    "q_dedup_components_incr" -> qDedupComponentsIncr,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,

@@ -125,4 +125,59 @@ class ComponentsSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def runIncr(oldPairs: Seq[(Long, Long)],
+                      newPairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    try {
+      val labels = Components.connectedComponents(
+        oldPairs.toDF("a", "b"), "a", "b")
+      Components.incrementalComponents(labels, newPairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally graft.operators.ScaleOps.releaseTracked()
+  }
+
+  test("incremental fold: merge two standing components, attach new nodes, chain through the batch") {
+    // Standing: {1,2,3} and {10,11}; batch pair (3,10) must merge them,
+    // (20,21) must enter as a fresh component, and (21,11) must chain the
+    // fresh pair into the merged giant — all through ONE fold.
+    val got = runIncr(
+      oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)),
+      newPairs = Seq((3L, 10L), (20L, 21L), (21L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 1L, 21L -> 1L))
+    // A new node with a SMALLER id than the standing minimum must become
+    // the merged component's label (labels are min-reachable-id, not
+    // first-seen).
+    assert(runIncr(Seq((5L, 6L)), Seq((2L, 6L))) ==
+      Map(2L -> 2L, 5L -> 2L, 6L -> 2L))
+    // Empty batch: standing labels pass through untouched.
+    assert(runIncr(Seq((1L, 2L), (7L, 8L)), Seq.empty) ==
+      Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("property: incremental fold == backfill closure on seeded random splits") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val graphGen = for {
+      nNodes <- Gen.choose(2, 30)
+      nEdges <- Gen.choose(2, 40)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, nNodes - 1)
+        b <- Gen.choose(0, nNodes - 1)
+      } yield (a.toLong, b.toLong))
+      splitAt <- Gen.choose(0, nEdges)
+    } yield (edges.filter(e => e._1 != e._2).distinct, splitAt)
+    (1 to 5).foreach { i =>
+      val (pairs, splitAt) = graphGen.pureApply(Gen.Parameters.default,
+        Seed(500L + i))
+      val (oldP, newP) = pairs.splitAt(math.min(splitAt, pairs.length))
+      if (oldP.nonEmpty && pairs.nonEmpty) {
+        val got = runIncr(oldP, newP)
+        val exp = unionFind(pairs)
+        assert(got == exp,
+          s"seed ${500 + i}: got=$got exp=$exp old=$oldP new=$newP")
+      }
+    }
+  }
 }

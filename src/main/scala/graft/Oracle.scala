@@ -1634,6 +1634,31 @@ object Oracle {
           FROM events, (SELECT unnest([0, 1]) AS off) o
           GROUP BY w_start ORDER BY w_start""",
 
+    // Re-derives the replay's late classification from first principles:
+    // the on-time file is event_id % 5 != 2 and its watermark is COMMITTED
+    // by the tick batch before the straggler file arrives, so the late
+    // filter the held-back slice meets is max(on-time ts) truncated to ms
+    // minus 1 h (Spark tracks event-time stats in ms, compares in us); a
+    // straggler row is DROPPED iff ts <= watermark (WatermarkSupport's
+    // LessThanOrEqual), otherwise accepted. The aggregate runs over
+    // exactly the accepted rows and the audit column is the true dropped
+    // count — matching the engine's numRowsDroppedByWatermark metric.
+    "q_stream_late" ->
+      s"""WITH f0 AS (SELECT * FROM events WHERE event_id % 5 <> 2),
+               f1 AS (SELECT * FROM events WHERE event_id % 5 = 2),
+               wm AS (SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us
+                      FROM f0),
+               acc AS (SELECT event_type, value FROM f0
+                       UNION ALL
+                       SELECT event_type, value FROM f1, wm
+                       WHERE epoch_us(ts) > wm.wm_us),
+               drp AS (SELECT count(*) AS d FROM f1, wm
+                       WHERE epoch_us(ts) <= wm.wm_us)
+          SELECT event_type, count(*) AS n_accepted,
+                 ${dsum("value", 6)} AS sum_value,
+                 (SELECT d FROM drp) AS n_late_dropped
+          FROM acc GROUP BY 1 ORDER BY event_type""",
+
     "q_stream_session" ->
       s"""WITH g AS (SELECT user_id, event_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL

@@ -238,8 +238,40 @@ object StreamingQs {
       .orderBy("event_type", "user_id")
   }
 
+  /** LATE-DATA ACCOUNTING (Runtime.eventsStreamLateArrivals +
+    * runToCompletionAppendWithDrops) — the streaming twin of
+    * q_source_malformed's dead-letter contract: every other stream key
+    * drops watermark-late rows SILENTLY; production ingest needs the
+    * dropped count on a ledger next to the on-time result. The replay
+    * holds back a deterministic slice (event_id % 5 == 2) until two
+    * batches after the rest of the stream has advanced and COMMITTED the
+    * watermark (late filtering uses the previous batch's watermark, so
+    * the middle tick batch is what arms it). The ingest dedup carries the
+    * event time in its key — the one stateful operator that late-filters
+    * its input — so the straggler file's old rows are dropped and
+    * counted while its fresh rows are accepted. Output: the per-type
+    * aggregate over the rows the engine ACCEPTED, plus the engine's own
+    * numRowsDroppedByWatermark metric as an audit column. The oracle
+    * re-derives the classification from the schedule (watermark =
+    * ms-truncated max on-time ts − 1 h; a row survives iff its ts clears
+    * it), so the hash match proves both the partial-acceptance semantics
+    * AND that the metric equals the true late count — accounting, not
+    * estimation. */
+  val qStreamLate: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    val (out, dropped) = SR.runToCompletionAppendWithDrops(s,
+      SR.dedupedEventsWithEventTime(SR.eventsStreamLateArrivals(s, dir)),
+      s"graft_late_${Integer.toHexString(dir.hashCode)}")
+    out.filter(col("event_type") =!= "flush")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_accepted"), dsum(col("value"), 6).as("sum_value"))
+      .withColumn("n_late_dropped", lit(dropped))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> qStreamTumbling,
+    "q_stream_late" -> qStreamLate,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
     "q_stream_join" -> qStreamJoin,

@@ -218,6 +218,47 @@ object Runtime {
       .parquet(streamDir.toString + "/events_*.parquet"))
   }
 
+  /** The events stream staged as a LATE-ARRIVAL schedule: most of the
+    * stream (event_id % 5 != 2 — spanning the full time range, so the
+    * watermark advances to near the global max) arrives as batch one; the
+    * held-back slice (% 5 == 2, also spanning the full range) arrives as
+    * batch two, AFTER the watermark has moved — so its old rows are
+    * genuinely late (dropped by the watermark) while its recent rows land
+    * in still-open windows and are accepted. Deterministic by
+    * construction: the id split and batch boundary fix exactly which rows
+    * the watermark classifies late, so a SQL oracle can re-derive the
+    * classification. Fixture for [[StreamingQs.qStreamLate]]'s
+    * late-data-accounting contract. */
+  def eventsStreamLateArrivals(spark: SparkSession, dir: String): DataFrame = {
+    Tables.prep(spark)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val names = Seq("events_0_ontime.parquet", "events_1_tick.parquet",
+      "events_2_late.parquet")
+    // THREE batches, not two: Spark filters a batch's late rows against
+    // the PREVIOUS batch's watermark (eventTimeWatermarkForLateEvents;
+    // eviction uses the current one), so a late file arriving in batch one
+    // meets watermark 0 and nothing is ever classified late. The middle
+    // "tick" file (one sentinel row at the on-time max, advancing nothing)
+    // commits the on-time watermark, so the late file's batch is filtered
+    // against max(on-time ts) − 1 h — the production shape, where the
+    // stream has been running long before a straggler arrives.
+    val streamDir = stageReplay(spark, dir, "stream-late", "v2", names) { d =>
+      val batch = Tables.decodeEventTs(spark.read.parquet(src.toString))
+      val onTime = batch.filter(col("event_id") % 5 =!= 2)
+      val maxOnTimeUs = onTime.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val maxTsUs = batch.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      stageOne(onTime, d, "events_0_ontime.parquet")
+      stageOne(flushFrame(batch, maxOnTimeUs), d, "events_1_tick.parquet")
+      stageOne(batch.filter(col("event_id") % 5 === 2)
+          .unionByName(flushFrame(batch, maxTsUs + 2L * 3600L * 1000000L)),
+        d, "events_2_late.parquet")
+    }
+    Tables.decodeEventTs(spark.readStream
+      .schema(Tables.decodeEventTs(spark.read.parquet(src.toString)).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString + "/events_*.parquet"))
+  }
+
   /** Streaming ingest DEDUPLICATION — the stream-side member of the dedup
     * family (the batch members live in queries/LlmOps): exactly-once
     * semantics on top of an at-least-once source via
@@ -233,6 +274,20 @@ object Runtime {
     events
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Keyed dedup with the EVENT TIME in the key — the variant whose
+    * watermark doesn't just bound state but CLASSIFIES late input: rows
+    * older than the previous batch's watermark are dropped and counted in
+    * numRowsDroppedByWatermark. (`dropDuplicatesWithinWatermark` and the
+    * windowed aggregations deliberately do NOT late-filter input — the
+    * one merges stragglers into still-open state, the other makes no
+    * late-data guarantee at all — so this is the operator that carries
+    * the late-accounting contract, [[StreamingQs.qStreamLate]].) */
+  def dedupedEventsWithEventTime(events: DataFrame,
+                                 horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicates("event_id", "ts")
 
   /** A DOCUMENTS-table stream with every file staged TWICE (two arrival
     * files → two micro-batches) — the at-least-once redelivery shape for
@@ -428,6 +483,36 @@ object Runtime {
         s"stream $name did not finish within 120s — result would be partial")
     }
     spark.table(name)
+  }
+
+  /** [[runToCompletionAppend]] plus LATE-DATA ACCOUNTING: also returns the
+    * total input rows the watermark dropped, summed from the engine's own
+    * per-batch state-operator metrics (StreamingQueryProgress
+    * .stateOperators.numRowsDroppedByWatermark) — the streaming twin of
+    * q_source_malformed's quarantine contract. Production ingest needs
+    * this number observable: silent watermark drops are data loss with no
+    * ledger entry. Reading the engine metric (not re-deriving the count
+    * from the input) means the figure is what the operator ACTUALLY
+    * dropped — the graded oracle then independently re-derives it from
+    * the replay schedule, closing the loop. */
+  def runToCompletionAppendWithDrops(spark: SparkSession, df: DataFrame,
+                                     name: String): (DataFrame, Long) =
+    withStreamShufflePartitions(spark) {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(120000L)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"stream $name did not finish within 120s — result would be partial")
+    }
+    val dropped = q.recentProgress.iterator
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    (spark.table(name), dropped)
   }
 
   /** The PRODUCTION sink (SURVEY §2.10's "foreachBatch parquet sink"): run

@@ -310,4 +310,19 @@ class StreamingEquivSpec extends AnyFunSuite {
         s"$sf: ${total - distinct} duplicate event_ids break the dedup oracle")
     }
   }
+
+  test("q_stream_late: the ledger balances — accepted + dropped == every event, drops nonzero") {
+    // The late-accounting contract's conservation law: every source row is
+    // either in the accepted aggregate or on the dropped ledger; none
+    // vanish unaccounted. And the schedule must actually plant late rows —
+    // a zero drop count would make the whole key vacuous.
+    val rows = SparkEntry.queries("q_stream_late")(spark, Sf0001).collect()
+    val dropped = rows.head.getAs[Long]("n_late_dropped")
+    val accepted = rows.map(_.getAs[Long]("n_accepted")).sum
+    assert(rows.map(_.getAs[Long]("n_late_dropped")).distinct.length == 1,
+      "audit column must be constant across rows")
+    assert(dropped > 0, "replay schedule planted no late rows")
+    assert(accepted + dropped == Tables.events(spark, Sf0001).count(),
+      s"ledger imbalance: accepted=$accepted dropped=$dropped")
+  }
 }

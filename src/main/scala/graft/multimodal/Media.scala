@@ -6,17 +6,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal (binary) column processing — north-star surface: image/audio/
   * video ride through the engine as opaque `binary` payloads plus typed
   * metadata, and the decode/feature steps run distributed with a real batch
-  * shape. The codec itself is STUBBED (this container has no image/audio
-  * libraries) behind `decodeStub` — a deterministic fake with the exact
-  * signature a JNI/javacpp decoder would have — so everything Spark-side
-  * (schema, partitioning, per-partition batching, feature schema) is real
-  * and tested while the stub is one function swap away from a real codec.
+  * shape. The codec is REAL: payloads are synthesized in three public
+  * container formats — BMP (24-bpp BITMAPINFOHEADER images), WAV (RIFF PCM
+  * audio), and Y4M (YUV4MPEG2 C420 video) — and the decoder sniffs the
+  * magic, parses the actual headers (little-endian fields, chunk walks,
+  * stride-aware pixel rows), and extracts features from the decoded data
+  * sections. No image/audio libraries exist in this container, so the
+  * formats are parsed from their published layouts directly; a JNI/javacpp
+  * decoder for compressed formats (JPEG/FLAC/H.264) would slot into the
+  * same [[decode]] seam without touching any Spark-side plumbing.
   *
   * Scale posture: payloads never pass through a shuffle wider than their
   * repartition; decode is mapPartitions (the documented last-resort tier of
-  * SURVEY §7.3 — justified here because an opaque byte-level codec cannot
-  * be a Catalyst expression), batched so a real decoder would amortize
-  * native-call overhead; features come back as narrow typed rows that all
+  * SURVEY §7.3 — justified here because a byte-level codec cannot be a
+  * Catalyst expression), batched so a real native decoder would amortize
+  * per-call overhead; features come back as narrow typed rows that all
   * downstream relational ops (joins, aggs, ANN) consume without touching
   * the payload again.
   */
@@ -28,44 +32,211 @@ object Media {
       asset_id: Long, media_type: String,
       width: Int, height: Int, payload: Array[Byte])
 
-  /** Narrow per-asset features produced by the decode stage. */
+  /** Narrow per-asset features produced by the decode stage. decoded_width
+    * / decoded_height come from the PAYLOAD's parsed headers, not the
+    * metadata — drift between the two is exactly the corruption a decode
+    * stage exists to surface (for audio: decoded_width = sample count,
+    * decoded_height = channel count). */
   case class MediaFeatures(
-      asset_id: Long, media_type: String,
-      n_bytes: Long, mean_byte: Double, frames_sampled: Int, phash: Long)
+      asset_id: Long, media_type: String, n_bytes: Long,
+      decoded_width: Int, decoded_height: Int,
+      mean_byte: Double, frames_sampled: Int, phash: Long)
 
-  /** Deterministic synthetic media table derived from `documents` (text
-    * bytes standing in for an encoded payload): the fixture a real pipeline
-    * would read as `binary` parquet columns. */
-  def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
-    import spark.implicits._
-    graft.Tables.documents(spark, dir)
-      .select(
-        col("doc_id").as("asset_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        (col("doc_id") % 640 + 16).cast("int").as("width"),
-        (col("doc_id") % 480 + 16).cast("int").as("height"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaAsset]
-  }
+  // ------------------------------------------------------------- encoders
 
-  /** ======== THE STUB ========
-    * Stand-in for the real codec call (e.g. a JNI image decode + resize +
-    * frame sample). Deterministic pure function of the payload bytes so
-    * tests are stable; a real implementation replaces ONLY this body. */
-  private[multimodal] def decodeStub(a: MediaAsset, targetFrames: Int): MediaFeatures = {
-    var sum = 0L
-    var h = 1125899906842597L // FNV-ish rolling hash as the "perceptual hash"
-    var i = 0
-    while (i < a.payload.length) {
-      sum += a.payload(i) & 0xff
-      h = h * 31 + (a.payload(i) & 0xff)
+  /** Deterministic byte stream per (asset, stream index) — a splitmix-style
+    * generator, so payload content is a pure function of the asset id. */
+  private def fill(buf: Array[Byte], from: Int, until: Int, seed: Long): Unit = {
+    var x = seed * 6364136223846793005L + 1442695040888963407L
+    var i = from
+    while (i < until) {
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 29
+      buf(i) = (x >>> 56).toByte
       i += 1
     }
-    val frames = if (a.media_type == "video") math.min(targetFrames, a.width % 7 + 1) else 1
-    MediaFeatures(a.asset_id, a.media_type, a.payload.length.toLong,
-      if (a.payload.isEmpty) 0.0 else sum.toDouble / a.payload.length,
-      frames, h)
+  }
+
+  private def putIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+    b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+  }
+  private def putShortLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+  }
+  private def getIntLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def getShortLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** 24-bpp uncompressed BMP: BITMAPFILEHEADER (14 B) + BITMAPINFOHEADER
+    * (40 B) + bottom-up pixel rows padded to 4-byte strides (the classic
+    * Windows DIB layout). */
+  private[multimodal] def encodeBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val pixelBytes = rowSize * h
+    val b = new Array[Byte](54 + pixelBytes)
+    b(0) = 'B'; b(1) = 'M'
+    putIntLE(b, 2, b.length); putIntLE(b, 10, 54)
+    putIntLE(b, 14, 40); putIntLE(b, 18, w); putIntLE(b, 22, h)
+    putShortLE(b, 26, 1); putShortLE(b, 28, 24)
+    putIntLE(b, 34, pixelBytes)
+    // Pixels deterministic, stride padding left zero — a real encoder's
+    // padding is unspecified filler the decoder must SKIP (tested below).
+    var y = 0
+    while (y < h) {
+      fill(b, 54 + y * rowSize, 54 + y * rowSize + 3 * w, id * 1000003L + y)
+      y += 1
+    }
+    b
+  }
+
+  /** PCM WAV: RIFF/WAVE with a 16-byte `fmt ` chunk (PCM, mono, 16-bit,
+    * 8 kHz) and a `data` chunk of little-endian samples. */
+  private[multimodal] def encodeWav(id: Long, nSamples: Int): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val b = new Array[Byte](44 + dataBytes)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putIntLE(b, 4, 36 + dataBytes)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putIntLE(b, 16, 16)
+    putShortLE(b, 20, 1); putShortLE(b, 22, 1) // PCM, mono
+    putIntLE(b, 24, 8000); putIntLE(b, 28, 16000) // rate, byte rate
+    putShortLE(b, 32, 2); putShortLE(b, 34, 16) // block align, bits
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    putIntLE(b, 40, dataBytes)
+    fill(b, 44, b.length, id * 2000003L)
+    b
+  }
+
+  /** YUV4MPEG2 (y4m) video: the textual stream header, then per frame a
+    * `FRAME\n` marker + planar C420 data (w·h luma + 2 quarter-size chroma
+    * planes). */
+  private[multimodal] def encodeY4m(id: Long, w: Int, h: Int,
+                                    frames: Int): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "C420 needs even dimensions")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val frameData = w * h + 2 * (w / 2) * (h / 2)
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val b = new Array[Byte](header.length + frames * (marker.length + frameData))
+    System.arraycopy(header, 0, b, 0, header.length)
+    var f = 0
+    var off = header.length
+    while (f < frames) {
+      System.arraycopy(marker, 0, b, off, marker.length)
+      fill(b, off + marker.length, off + marker.length + frameData,
+        id * 3000017L + f)
+      f += 1
+      off += marker.length + frameData
+    }
+    b
+  }
+
+  // -------------------------------------------------------------- decoder
+
+  /** ======== THE CODEC SEAM ========
+    * Sniff the container magic and parse the REAL headers; features come
+    * from the decoded data sections (pixel rows without stride padding,
+    * PCM samples, frame planes without markers). A native decoder for
+    * compressed media replaces only this function. */
+  private[multimodal] def decode(a: MediaAsset, targetFrames: Int): MediaFeatures = {
+    val p = a.payload
+    def meanAndHash(ranges: Seq[(Int, Int)]): (Double, Long, Long) = {
+      var sum = 0L; var n = 0L
+      var h = 1125899906842597L
+      for ((from, until) <- ranges) {
+        var i = from
+        while (i < until) {
+          sum += p(i) & 0xff; h = h * 31 + (p(i) & 0xff)
+          i += 1; n += 1
+        }
+      }
+      (if (n == 0) 0.0 else sum.toDouble / n, h, n)
+    }
+    if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
+      // BMP: pixel offset at 10, dims at 18/22, bpp at 28; rows are
+      // bottom-up with 4-byte stride padding the decode must skip.
+      val off = getIntLE(p, 10)
+      val w = getIntLE(p, 18); val h = getIntLE(p, 22)
+      val bpp = getShortLE(p, 28)
+      require(bpp == 24, s"asset ${a.asset_id}: unsupported BMP bpp $bpp")
+      val rowSize = ((bpp / 8 * w + 3) / 4) * 4
+      val rows = (0 until h).map(y => (off + y * rowSize, off + y * rowSize + bpp / 8 * w))
+      val (mean, hash, _) = meanAndHash(rows)
+      MediaFeatures(a.asset_id, a.media_type, p.length.toLong, w, h, mean, 1, hash)
+    } else if (p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+      // WAV: walk RIFF chunks for `fmt ` (channels, block align) and
+      // `data`; decoded_width = sample frames, decoded_height = channels.
+      var off = 12
+      var channels = 0; var blockAlign = 0
+      var dataFrom = -1; var dataLen = 0
+      while (off + 8 <= p.length) {
+        val cid = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val len = getIntLE(p, off + 4)
+        if (cid == "fmt ") { channels = getShortLE(p, off + 10); blockAlign = getShortLE(p, off + 20) }
+        if (cid == "data") { dataFrom = off + 8; dataLen = len }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(dataFrom >= 0 && channels > 0 && blockAlign > 0,
+        s"asset ${a.asset_id}: malformed WAV")
+      val (mean, hash, _) = meanAndHash(Seq((dataFrom, dataFrom + dataLen)))
+      MediaFeatures(a.asset_id, a.media_type, p.length.toLong,
+        dataLen / blockAlign, channels, mean, 1, hash)
+    } else if (p.length >= 10 &&
+        new String(p, 0, 9, java.nio.charset.StandardCharsets.US_ASCII) == "YUV4MPEG2") {
+      // Y4M: parse the textual parameter list, then walk FRAME markers.
+      val nl = p.indexOf('\n'.toByte)
+      val params = new String(p, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+        .split(' ').drop(1)
+      val w = params.find(_.startsWith("W")).map(_.tail.toInt)
+        .getOrElse(sys.error(s"asset ${a.asset_id}: Y4M missing W"))
+      val h = params.find(_.startsWith("H")).map(_.tail.toInt)
+        .getOrElse(sys.error(s"asset ${a.asset_id}: Y4M missing H"))
+      val frameData = w * h + 2 * (w / 2) * (h / 2)
+      var off = nl + 1
+      val ranges = Seq.newBuilder[(Int, Int)]
+      var frames = 0
+      while (off < p.length) {
+        require(new String(p, off, 5, java.nio.charset.StandardCharsets.US_ASCII) == "FRAME",
+          s"asset ${a.asset_id}: bad Y4M frame marker at $off")
+        val fnl = p.indexOf('\n'.toByte, off)
+        ranges += ((fnl + 1, fnl + 1 + frameData))
+        frames += 1
+        off = fnl + 1 + frameData
+      }
+      // Frame SAMPLING (decode every k-th frame up to targetFrames) is the
+      // feature contract; mean/hash run over the sampled frames only.
+      val sampled = ranges.result()
+      val step = math.max(1, frames / math.max(1, targetFrames))
+      val pick = sampled.indices.by(step).take(targetFrames).map(sampled)
+      val (mean, hash, _) = meanAndHash(pick)
+      MediaFeatures(a.asset_id, a.media_type, p.length.toLong, w, h, mean,
+        pick.length, hash)
+    } else sys.error(s"asset ${a.asset_id}: unknown container magic")
+  }
+
+  /** Deterministic synthetic media table keyed by `documents` (one asset
+    * per document id): REAL encoded payloads — BMP / WAV / Y4M by id mod 3
+    * — carried as `binary` parquet-style columns with typed metadata, the
+    * shape a production ingest lands. Audio's sample count is width ×
+    * height so every asset's content size derives from its metadata. */
+  def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val mediaType = Seq("image", "audio", "video")((id % 3).toInt)
+        val w = ((id % 16) * 2 + 8).toInt
+        val h = ((id % 12) * 2 + 6).toInt
+        val payload = mediaType match {
+          case "image" => encodeBmp(id, w, h)
+          case "audio" => encodeWav(id, w * h)
+          case "video" => encodeY4m(id, w, h, (id % 7 + 1).toInt)
+        }
+        MediaAsset(id, mediaType, w, h, payload)
+      }
   }
 
   /** Distributed decode / feature-extract: repartition to spread payload
@@ -81,7 +252,7 @@ object Media {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // real codec: init native context once per batch here
-          batch.iterator.map(a => decodeStub(a, targetFrames))
+          batch.iterator.map(a => decode(a, targetFrames))
         }
       }
   }

@@ -1116,14 +1116,18 @@ object LlmOps {
       .orderBy("doc_id", "fp")
 
   /** Multimodal decode/feature plumbing (multimodal/Media): binary payloads
-    * + typed metadata → batched mapPartitions decode (stubbed codec, real
-    * Spark plumbing) → narrow per-asset feature rows. No oracle (the typed
-    * mapPartitions pipeline is not SQL); NoOracleSpec recomputes the stub's
-    * byte-level math independently and asserts row equality. */
+    * in REAL container formats (BMP / RIFF-WAV / YUV4MPEG2) + typed
+    * metadata → batched mapPartitions decode that parses the actual
+    * headers (stride-aware pixel rows, RIFF chunk walk, frame-marker walk)
+    * → narrow per-asset feature rows incl. the PARSED dimensions. No
+    * oracle (a byte-level codec is not SQL); MediaSpec/NoOracleSpec parse
+    * the payloads independently from the published format layouts and
+    * assert row equality. */
   val qMediaFeatures: Q = (s, dir) =>
     graft.multimodal.Media.extractFeatures(
         graft.multimodal.Media.syntheticAssets(s, dir)).toDF()
       .select(col("asset_id"), col("media_type"), col("n_bytes"),
+        col("decoded_width"), col("decoded_height"),
         round(col("mean_byte"), 6).as("mean_byte"),
         col("frames_sampled"), col("phash"))
       .orderBy("asset_id")

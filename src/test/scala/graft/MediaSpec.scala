@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal plumbing tests: binary payload schema, distributed batch
+/** Multimodal plumbing tests: binary payload schema, REAL container decode
+  * (BMP / WAV / Y4M header truth, stride handling), distributed batch
   * decode determinism, partition invariance, downstream join. */
 class MediaSpec extends AnyFunSuite {
   import SparkFixture._
@@ -19,6 +20,68 @@ class MediaSpec extends AnyFunSuite {
     assert(types == Set("image", "audio", "video"))
   }
 
+  test("payloads are real containers: magic bytes match the declared type") {
+    for (a <- Media.syntheticAssets(spark, Sf0001).collect()) {
+      val magic = new String(a.payload.take(9).map(b => (b & 0xff).toChar))
+      a.media_type match {
+        case "image" => assert(magic.startsWith("BM"), s"asset ${a.asset_id}")
+        case "audio" => assert(magic.startsWith("RIFF") &&
+          new String(a.payload.slice(8, 12).map(_.toChar)) == "WAVE",
+          s"asset ${a.asset_id}")
+        case "video" => assert(magic == "YUV4MPEG2", s"asset ${a.asset_id}")
+      }
+    }
+  }
+
+  test("decoder recovers the true header dimensions, not the metadata") {
+    // decoded_* must come from the PAYLOAD: images and video frames carry
+    // (width, height) in their headers; WAV's analog is (sample frames,
+    // channels) — synthesized as width×height mono samples.
+    val feats = Media.extractFeatures(Media.syntheticAssets(spark, Sf0001))
+      .collect().map(f => f.asset_id -> f).toMap
+    for (a <- Media.syntheticAssets(spark, Sf0001).collect()) {
+      val f = feats(a.asset_id)
+      a.media_type match {
+        case "image" | "video" =>
+          assert(f.decoded_width == a.width && f.decoded_height == a.height,
+            s"asset ${a.asset_id}: parsed ${f.decoded_width}x${f.decoded_height} " +
+              s"!= header ${a.width}x${a.height}")
+        case "audio" =>
+          assert(f.decoded_width == a.width * a.height && f.decoded_height == 1,
+            s"asset ${a.asset_id}: parsed ${f.decoded_width} frames x " +
+              s"${f.decoded_height} ch")
+      }
+      assert(if (a.media_type == "video") f.frames_sampled >= 1
+        else f.frames_sampled == 1)
+    }
+  }
+
+  test("BMP decode is stride-aware: padding bytes never reach the features") {
+    // Hand-build a 3x2 24-bpp BMP whose 4-byte row stride holds JUNK
+    // padding (a real encoder may emit garbage there); the decode must
+    // skip it. 3 px * 3 B = 9 B rows padded to 12 — 3 junk bytes per row.
+    val w = 3; val h = 2
+    val rowSize = 12
+    val b = new Array[Byte](54 + rowSize * h)
+    b(0) = 'B'; b(1) = 'M'
+    def putIntLE(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+      b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+    }
+    putIntLE(2, b.length); putIntLE(10, 54); putIntLE(14, 40)
+    putIntLE(18, w); putIntLE(22, h)
+    b(26) = 1; b(28) = 24
+    putIntLE(34, rowSize * h)
+    for (y <- 0 until h; i <- 0 until rowSize) // pixel = 10, padding = junk
+      b(54 + y * rowSize + i) = if (i < 9) 10.toByte else 0x7f.toByte
+    val asset = Media.MediaAsset(0L, "image", w, h, b)
+    import spark.implicits._
+    val f = Media.extractFeatures(Seq(asset).toDS()).collect()(0)
+    assert(f.decoded_width == 3 && f.decoded_height == 2)
+    assert(f.mean_byte == 10.0,
+      s"padding bytes leaked into the mean: ${f.mean_byte}")
+  }
+
   test("feature extraction is deterministic and partition-invariant") {
     val a = Media.syntheticAssets(spark, Sf0001)
     val f1 = Media.extractFeatures(a, batchSize = 64).collect()
@@ -29,7 +92,6 @@ class MediaSpec extends AnyFunSuite {
     f1.foreach { case (id, f) =>
       assert(f == f2(id), s"asset $id differs across partitionings")
       assert(f.n_bytes > 0 && f.mean_byte > 0.0)
-      assert(if (f.media_type == "video") f.frames_sampled >= 1 else f.frames_sampled == 1)
     }
   }
 

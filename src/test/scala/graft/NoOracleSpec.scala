@@ -124,24 +124,61 @@ class NoOracleSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
-  test("q_media_features: stub features match an independent byte-level recompute") {
+  test("q_media_features: features match an independent parse of the container layouts") {
+    // Independent of Media.decode: the payloads are re-parsed here straight
+    // from the PUBLISHED format layouts (BMP little-endian header offsets,
+    // RIFF chunk walk, Y4M text header + frame markers), so a decoder bug
+    // and its mirror in this test cannot cancel out.
     val got = SparkEntry.queries("q_media_features")(spark, Sf0001)
       .collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3),
-        r.getInt(4), r.getLong(5)))).toMap
-    val exp = Tables.documents(spark, Sf0001).select("doc_id", "text")
-      .collect().map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        var sum = 0L; var h = 1125899906842597L
-        bytes.foreach { b => sum += b & 0xff; h = h * 31 + (b & 0xff) }
-        val mediaType = Seq("image", "audio", "video")((id % 3).toInt)
-        val width = (id % 640 + 16).toInt
-        val frames = if (mediaType == "video") math.min(4, width % 7 + 1) else 1
-        val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-        id -> ((mediaType, bytes.length.toLong,
-          BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          frames, h))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5), r.getInt(6), r.getLong(7)))).toMap
+    def le32(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+        ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+    def le16(p: Array[Byte], o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def feat(ranges: Seq[(Int, Int)], p: Array[Byte]): (Double, Long) = {
+      var sum = 0L; var n = 0L; var h = 1125899906842597L
+      for ((f, u) <- ranges; i <- f until u) { sum += p(i) & 0xff; h = h * 31 + (p(i) & 0xff); n += 1 }
+      (BigDecimal(if (n == 0) 0.0 else sum.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, h)
+    }
+    val exp = graft.multimodal.Media.syntheticAssets(spark, Sf0001).collect()
+      .map { a =>
+        val p = a.payload
+        val (w, h, frames, ranges) =
+          if (p(0) == 'B' && p(1) == 'M') {
+            val off = le32(p, 10); val w = le32(p, 18); val hh = le32(p, 22)
+            val rowSize = ((3 * w + 3) / 4) * 4
+            (w, hh, 1, (0 until hh).map(y => (off + y * rowSize, off + y * rowSize + 3 * w)))
+          } else if (p(0) == 'R') { // RIFF/WAVE
+            var off = 12; var ch = 0; var ba = 0; var dFrom = -1; var dLen = 0
+            while (off + 8 <= p.length) {
+              val cid = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+              val len = le32(p, off + 4)
+              if (cid == "fmt ") { ch = le16(p, off + 10); ba = le16(p, off + 20) }
+              if (cid == "data") { dFrom = off + 8; dLen = len }
+              off += 8 + len + (len & 1)
+            }
+            (dLen / ba, ch, 1, Seq((dFrom, dFrom + dLen)))
+          } else { // YUV4MPEG2
+            val nl = p.indexOf('\n'.toByte)
+            val params = new String(p, 0, nl, java.nio.charset.StandardCharsets.US_ASCII).split(' ')
+            val w = params.find(_.startsWith("W")).get.tail.toInt
+            val hh = params.find(_.startsWith("H")).get.tail.toInt
+            val fd = w * hh + 2 * (w / 2) * (hh / 2)
+            var off = nl + 1; val all = Seq.newBuilder[(Int, Int)]; var n = 0
+            while (off < p.length) {
+              val fnl = p.indexOf('\n'.toByte, off)
+              all += ((fnl + 1, fnl + 1 + fd)); n += 1; off = fnl + 1 + fd
+            }
+            val s = all.result()
+            val step = math.max(1, n / 4)
+            val pick = s.indices.by(step).take(4).map(s)
+            (w, hh, pick.length, pick)
+          }
+        val (mean, hash) = feat(ranges, p)
+        a.asset_id -> ((a.media_type, p.length.toLong, w, h, mean, frames, hash))
       }.toMap
     assert(got == exp,
       s"diff=${(exp.toSet diff got.toSet).take(2)} / ${(got.toSet diff exp.toSet).take(2)}")

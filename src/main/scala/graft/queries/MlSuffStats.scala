@@ -343,24 +343,29 @@ object MlSuffStats {
 
   val qMlKmeansConverged: Q = kmeansConvergedQ(kmeansConvIters)
 
-  /** PCA top principal component of the 64-dim embeddings — the reference
-    * family's dimensionality-reduction member, in the P1 sufficient-stats
-    * shape at a dimension where per-entry sum columns stop being writable:
-    * ONE Gram-UDAF pass accumulates XᵀX, Σx (the Xᵀy slot with y≡1) and n
-    * map-side (the shuffle carries one ~2.2k-double row per partition at
-    * any corpus size), the driver forms the 64×64 covariance and runs a
-    * deterministic POWER ITERATION (fixed all-ones start, 3000 matvecs —
-    * microseconds at d=64; converges past machine precision even at this
-    * corpus's thin 1.3% eigengap). The driver-side solve is the prescribed
-    * P2 pattern: O(d²) scalars cross the boundary, never rows. Sign pinned
+  /** PCA top-3 principal components of the 64-dim embeddings — the
+    * reference family's dimensionality-reduction member, in the P1
+    * sufficient-stats shape at a dimension where per-entry sum columns
+    * stop being writable: ONE Gram-UDAF pass accumulates XᵀX, Σx (the Xᵀy
+    * slot with y≡1) and n map-side (the shuffle carries one ~2.2k-double
+    * row per partition at any corpus size), the driver forms the 64×64
+    * covariance and runs a deterministic POWER ITERATION WITH DEFLATION
+    * (fixed all-ones start, 3000 matvecs per component — microseconds at
+    * d=64; after each eigenpair converges, C ← C − λ v vᵀ exposes the
+    * next). All three components come from the SAME single corpus pass —
+    * the deflation runs on the driver's 64×64 matrix, never re-reads
+    * data. The driver-side solve is the prescribed P2 pattern: O(d²)
+    * scalars cross the boundary, never rows. Sign pinned per component
     * (largest-|loading| coordinate positive), outputs rounded — the tiny
     * partition-order jitter of the double Gram sums is ~1e-9 in the
-    * loadings, far under the 6-dp surface. No oracle: an eigensolve is not
-    * SQL-expressible; MlCrossCheckSpec pins |cos| ≥ 0.999 against MLlib
-    * PCA and the eigenpair residual. */
+    * loadings, far under the 6-dp surface. No oracle: an eigensolve is
+    * not SQL-expressible; MlCrossCheckSpec pins per-component |cos| ≥
+    * 0.999 against MLlib PCA (k = 3), descending eigenvalues, and
+    * pairwise orthogonality. */
   val qMlPcaPower: Q = (s, dir) => {
     import s.implicits._
     val d = 64
+    val k = 3
     val packed = Tables.embeddings(s, dir)
       .select(col("embedding").cast("array<double>").as("x"))
       .agg(graft.functions.Gram.gram(d)(col("x"), lit(1.0)).as("g"))
@@ -372,22 +377,31 @@ object MlSuffStats {
       while (j < d) { acc += c(i)(j) * v(j); j += 1 }
       acc
     }
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    for (_ <- 0 until 3000) {
-      val w = matvec(v)
-      val nrm = math.sqrt(w.map(x => x * x).sum)
-      v = w.map(_ / nrm)
-    }
-    val cv = matvec(v)
-    val eig = v.zip(cv).map { case (a, b) => a * b }.sum
     val trace = (0 until d).map(i => c(i)(i)).sum
-    val am = v.indices.maxBy(i => (math.abs(v(i)), -i))
-    val sgn = if (v(am) < 0) -1.0 else 1.0
-    v.indices.map(i => (i.toLong, sgn * v(i), eig, eig / trace))
-      .toDF("dim_idx", "loading", "eigval", "var_ratio")
-      .select(col("dim_idx"), round(col("loading"), 6).as("loading"),
+    val comps = (1 to k).map { comp =>
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      for (_ <- 0 until 3000) {
+        val w = matvec(v)
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / nrm)
+      }
+      val cv = matvec(v)
+      val eig = v.zip(cv).map { case (a, b) => a * b }.sum
+      // Deflate in place: the next component is the top eigenpair of the
+      // residual matrix C − λ v vᵀ.
+      for (i <- 0 until d; j <- 0 until d) c(i)(j) -= eig * v(i) * v(j)
+      val am = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      val sgn = if (v(am) < 0) -1.0 else 1.0
+      (comp, v.map(_ * sgn), eig)
+    }
+    comps.flatMap { case (comp, v, eig) =>
+      v.indices.map(i => (comp, i.toLong, v(i), eig, eig / trace))
+    }
+      .toDF("component", "dim_idx", "loading", "eigval", "var_ratio")
+      .select(col("component"), col("dim_idx"),
+        round(col("loading"), 6).as("loading"),
         round(col("eigval"), 6).as("eigval"), round(col("var_ratio"), 6).as("var_ratio"))
-      .orderBy("dim_idx")
+      .orderBy("component", "dim_idx")
   }
 
   val queries: Map[String, Q] = Map(

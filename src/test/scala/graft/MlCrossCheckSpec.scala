@@ -157,29 +157,43 @@ class MlCrossCheckSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - nll) < 1e-4, s"loss ${r.getDouble(5)} vs $nll")
   }
 
-  test("q_ml_pca_power: top component matches MLlib PCA; eigenpair self-consistent") {
+  test("q_ml_pca_power: top-3 components match MLlib PCA; eigenpairs self-consistent") {
     val out = SparkEntry.queries("q_ml_pca_power")(spark, Sf0001)
-      .orderBy("dim_idx").collect()
-    assert(out.length == 64)
-    val v = out.map(_.getDouble(1))
-    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3, "loadings not unit-norm")
+      .orderBy("component", "dim_idx").collect()
+    assert(out.length == 3 * 64)
+    val comps = (1 to 3).map { c =>
+      val rows = out.filter(_.getInt(0) == c)
+      (rows.map(_.getDouble(2)), rows.head.getDouble(3), rows.head.getDouble(4))
+    }
     // MLlib computePrincipalComponents is the same covariance eigenproblem
-    // solved exactly (Breeze eigh) — the power iterate must align.
+    // solved exactly (Breeze eigh) — every deflated iterate must align
+    // with its column (pc.toArray is column-major: 64 entries per PC).
     val withVec = graft.ml.Pipelines.withFeatures(
       Tables.embeddings(spark, Sf0001), "embedding")
-    val pc = new org.apache.spark.ml.feature.PCA()
-      .setK(1).setInputCol("features").setOutputCol("pc")
-      .fit(withVec).pc.toArray.take(64)
-    val cos = math.abs(v.zip(pc).map { case (a, b) => a * b }.sum) /
-      math.sqrt(pc.map(x => x * x).sum)
-    assert(cos > 0.999, s"|cos| vs MLlib top component = $cos")
-    // Eigenvalue and variance ratio are constant across rows and sane.
-    val eig = out.map(_.getDouble(2)).distinct
-    val ratio = out.map(_.getDouble(3)).distinct
-    assert(eig.length == 1 && ratio.length == 1)
-    assert(eig.head > 0.0 && ratio.head > 0.0 && ratio.head < 1.0)
-    // Sign convention: the largest-|loading| coordinate is positive.
-    val am = v.indices.maxBy(i => (math.abs(v(i)), -i))
-    assert(v(am) > 0.0, s"sign convention violated at dim $am")
+    val pcAll = new org.apache.spark.ml.feature.PCA()
+      .setK(3).setInputCol("features").setOutputCol("pc")
+      .fit(withVec).pc.toArray
+    for (c <- 0 until 3) {
+      val (v, eig, ratio) = comps(c)
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3,
+        s"component ${c + 1} loadings not unit-norm")
+      val pc = pcAll.slice(c * 64, (c + 1) * 64)
+      val cos = math.abs(v.zip(pc).map { case (a, b) => a * b }.sum) /
+        math.sqrt(pc.map(x => x * x).sum)
+      assert(cos > 0.999, s"|cos| vs MLlib component ${c + 1} = $cos")
+      assert(eig > 0.0 && ratio > 0.0 && ratio < 1.0)
+      // Sign convention per component: largest-|loading| coordinate > 0.
+      val am = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      assert(v(am) > 0.0, s"sign convention violated: comp ${c + 1} dim $am")
+    }
+    // Spectral order and deflation hygiene: eigenvalues strictly
+    // descending, components pairwise orthogonal.
+    assert(comps(0)._2 > comps(1)._2 && comps(1)._2 > comps(2)._2,
+      s"eigenvalues not descending: ${comps.map(_._2)}")
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      val dot = math.abs(comps(a)._1.zip(comps(b)._1)
+        .map { case (x, y) => x * y }.sum)
+      assert(dot < 1e-3, s"components ${a + 1},${b + 1} not orthogonal: $dot")
+    }
   }
 }

@@ -259,9 +259,12 @@ object ScaleSoak {
 
     println("[soak] ==== summary ====")
     val js = results.map { case (k, est, organic, wT, wDone, sT, sDone, ok) =>
-      f"""{"key":"$k","est_bytes":$est,"organic_scale_route":$organic,"window_sec":$wT%.2f,"window_finished":$wDone,"scale_sec":$sT%.2f,"scale_finished":$sDone,"hash_match":$ok}"""
+      f"""{"key":"$k","solo":false,"est_bytes":$est,"organic_scale_route":$organic,"window_sec":$wT%.2f,"window_finished":$wDone,"scale_sec":$sT%.2f,"scale_finished":$sDone,"hash_match":$ok}"""
     } ++ soloResults.map { case (k, est, gated, t, done) =>
-      f"""{"key":"$k","solo":true,"est_bytes":$est,"broadcasts_degraded":$gated,"sec":$t%.2f,"finished":$done}"""
+      // Solo rows keep the A/B rows' field names (null-valued where no
+      // A/B comparison exists) so every soak_results.json row parses with
+      // ONE schema; solo-specific fields ride alongside (ADVICE r13).
+      f"""{"key":"$k","solo":true,"est_bytes":$est,"broadcasts_degraded":$gated,"sec":$t%.2f,"finished":$done,"window_sec":null,"window_finished":null,"scale_sec":null,"scale_finished":null,"hash_match":null,"organic_scale_route":null}"""
     }
     js.foreach(l => println("[soak] " + l))
     Files.writeString(Paths.get(out, "soak_results.json"),

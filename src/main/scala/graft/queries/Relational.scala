@@ -1335,12 +1335,18 @@ object Relational {
       .orderBy(col("s_suppkey")).limit(1)
       .select(col("s_nationkey").cast("long")).head().getLong(0)
     // Driver BFS: integer frontier expansion to fixpoint (≤ node count).
+    // The level counter is EXPLICIT — deriving depth from a frontier
+    // member would silently assume level-uniform frontiers, an invariant
+    // a future multi-seed or merged-frontier edit could break without a
+    // test failing (ADVICE r13).
     var dist = Map(seed -> 0L)
     var frontier = Seq(seed)
+    var depth = 0L
     while (frontier.nonEmpty) {
+      depth += 1L
       val next = frontier.flatMap(u => adj.getOrElse(u, Seq.empty))
         .distinct.filterNot(dist.contains)
-      next.foreach(v => dist += v -> (dist(frontier.head) + 1L))
+      next.foreach(v => dist += v -> depth)
       frontier = next
     }
     import s.implicits._

@@ -220,11 +220,86 @@ object ScaleSoak {
 
     // A wanted key with no pair would otherwise time NOTHING and still
     // write a soak_results.json that reads as a completed A/B (ADVICE r12).
-    val unknown = wanted -- pairs.map(_._1).toSet -- solos.map(_._1).toSet
+    val unknown = wanted -- pairs.map(_._1).toSet -- solos.map(_._1).toSet - "skew"
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"ScaleSoak: no A/B pair for wanted key(s): ${unknown.mkString(",")} " +
           s"— known: ${pairs.map(_._1).mkString(",")}")
+
+    // DEGENERATE-BUCKET soak (key "skew"): a mass-duplicate clique (4,000
+    // byte-identical docs planted over the sf0.1 corpus) drives every LSH
+    // band into one over-cap bucket; run the pair pipeline in the DEGRADED
+    // broadcast regime (threshold -1 — the corpus-scale shape) and grade
+    // the chunk-blocked self-join's two claims: the EXACT clique pair set
+    // C(4000,2) emerges, and the quadratic output is spread across tasks
+    // (no single task dominates the hot stage — the property the
+    // pre-chunking plan lacked, because AQE's skew split triggers on
+    // partition BYTES and a hot bucket's input is kilobytes while its
+    // output is quadratic).
+    if (wanted.isEmpty || wanted("skew")) {
+      val cliqueN = 4000L
+      val dst = Paths.get(out, "documents_skew.parquet")
+      val marker = Paths.get(out, s".documents_skew.copies")
+      if (!Files.exists(dst) || !Files.exists(marker) ||
+          Files.readString(marker) != s"$cliqueN:v1") {
+        println(s"[soak] staging documents_skew (clique x$cliqueN) ...")
+        val bg = spark.read.parquet(s"$src/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val cliqueText = "mass duplicated shard payload the exact same " +
+          "bytes repeated verbatim across every planted copy of this " +
+          "degenerate corpus partition for the hot bucket soak"
+        val clique = spark.range(cliqueN)
+          .select((col("id") + 2000000000L).as("doc_id"), lit(cliqueText).as("text"))
+        bg.unionByName(clique).repartition(64)
+          .write.mode("overwrite").parquet(dst.toString)
+        Files.writeString(marker, s"$cliqueN:v1")
+      }
+      val taskStats = new scala.collection.mutable.HashMap[Int, (Int, Long, Long)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          taskStats.synchronized {
+            val (n, mx, sum) = taskStats.getOrElse(te.stageId, (0, 0L, 0L))
+            val d = te.taskInfo.duration
+            taskStats(te.stageId) = (n + 1, math.max(mx, d), sum + d)
+          }
+      }
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val docs = spark.read.parquet(dst.toString)
+        val t0 = System.nanoTime()
+        val counts = graft.queries.LlmOps.minhashPairs(docs)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("doc_a") >= 2000000000L, 1L).otherwise(0L)).as("clique"))
+          .head()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.operators.ScaleOps.releaseTracked()
+        val expected = cliqueN * (cliqueN - 1) / 2
+        val (total, clique) = (counts.getLong(0), counts.getLong(1))
+        val hot = taskStats.synchronized {
+          taskStats.toSeq.maxBy(_._2._3)
+        }
+        val (hotStage, (hotN, hotMax, hotSum)) = hot
+        println(f"[soak] skew: ${dt}%.1f s total=$total clique=$clique " +
+          f"(expected $expected); hot stage $hotStage: $hotN tasks, " +
+          f"max ${hotMax / 1000.0}%.1f s, sum ${hotSum / 1000.0}%.1f s, " +
+          f"max/sum ${hotMax.toDouble / hotSum}%.3f")
+        Files.writeString(Paths.get(out, "soak_skew.json"),
+          f"""{"key":"skew","clique_n":$cliqueN,"sec":$dt%.2f,"total_pairs":$total,"clique_pairs":$clique,"expected_clique_pairs":$expected,"hot_stage_tasks":$hotN,"hot_stage_max_task_ms":$hotMax,"hot_stage_sum_task_ms":$hotSum}""" + "\n")
+        if (clique != expected)
+          throw new IllegalStateException(
+            s"skew soak: clique pairs $clique != C($cliqueN,2) = $expected")
+        if (hotN > 1 && hotMax.toDouble / hotSum > 0.5)
+          throw new IllegalStateException(
+            f"skew soak: one task carried ${hotMax.toDouble / hotSum}%.2f " +
+              "of the hot stage — the chunk split did not spread the bucket")
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      }
+    }
 
     val results = pairs
       .filter(p => wanted.isEmpty || wanted(p._1))
@@ -267,8 +342,11 @@ object ScaleSoak {
       f"""{"key":"$k","solo":true,"est_bytes":$est,"broadcasts_degraded":$gated,"sec":$t%.2f,"finished":$done,"window_sec":null,"window_finished":null,"scale_sec":null,"scale_finished":null,"hash_match":null,"organic_scale_route":null}"""
     }
     js.foreach(l => println("[soak] " + l))
-    Files.writeString(Paths.get(out, "soak_results.json"),
-      js.mkString("[", ",\n", "]\n"))
+    // A skew-only run must not clobber a prior full run's results file
+    // with an empty list.
+    if (js.nonEmpty)
+      Files.writeString(Paths.get(out, "soak_results.json"),
+        js.mkString("[", ",\n", "]\n"))
     val bad = results.filter(!_._8)
     if (bad.nonEmpty)
       throw new IllegalStateException(

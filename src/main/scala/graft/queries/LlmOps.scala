@@ -274,12 +274,20 @@ object LlmOps {
     //    filter on size(ids) keeps all three consumers on top of the SAME
     //    shuffle (ReusedExchange — no recompute of the signature subtree).
     //    Buckets at or under `bucketCap` use the triangular pair explode
-    //    (cheapest at this profile); larger — degenerate — buckets are
-    //    re-exploded to rows and self-joined, so no single row ever carries
-    //    C(n,2) pair structs and AQE's skew handling can split the hot
-    //    bucket across tasks. least/greatest normalize the collect_list
-    //    pairs' order; the self-join emits a < b directly; distinct
-    //    collapses the up-to-32 band hits per pair.
+    //    (cheapest at this profile); larger — degenerate — buckets go
+    //    through a triangular CHUNK-BLOCKED self-join: members get a
+    //    deterministic chunk id (hash mod k, k = ceil(n / cap)), the left
+    //    side replicates to partner chunks ≥ its own and the right to ≤
+    //    its own, and the join keys on (band, x, y, chunk_l, chunk_r) —
+    //    so a C(n,2) bucket splits into k(k+1)/2 sub-keys of ≤ ~cap² pairs
+    //    each. Parallelism is guaranteed by the PLAN, not by AQE: skew
+    //    detection triggers on partition BYTES, and a mass-duplicate
+    //    bucket's input is kilobytes while its output is quadratic, so
+    //    AQE never splits it (measured in the r14 skew soak — the
+    //    pre-chunking plan ran the whole clique on one task in the
+    //    degraded-broadcast regime). least/greatest normalize pair order
+    //    on both routes; distinct collapses the up-to-32 band hits per
+    //    pair and the chunk-diagonal double-match.
     val buckets = bandBuckets(mh)
     val grouped = buckets.groupBy(col("band"), col("x"), col("y"))
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -291,11 +299,30 @@ object LlmOps {
                struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))""")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
     val big = grouped.filter(size(col("ids")) > bucketCap)
-      .select(col("band"), col("x"), col("y"), explode(col("ids")).as("doc_id"))
-    val bigPairs = big.as("L").join(big.as("R"),
+      .select(col("band"), col("x"), col("y"),
+        ceil(size(col("ids")).cast("double") / bucketCap).cast("int").as("k"),
+        explode(col("ids")).as("doc_id"))
+      .withColumn("c", pmod(xxhash64(col("doc_id")), col("k")).cast("int"))
+    val bigPairs = big
+      .select(col("band"), col("x"), col("y"), col("doc_id"), col("c"),
+        explode(expr("sequence(c, k - 1)")).as("pc"))
+      .as("L")
+      // shuffle_hash pinned: a broadcast would skip the exchange that
+      // SPREADS the chunk keys — with quadratic OUTPUT per input row, the
+      // input-side bytes that drive the planner's broadcast choice are
+      // exactly the wrong signal. Post-chunking, output volume is again
+      // proportional to partition input bytes, so AQE's byte-based
+      // decisions (coalesce/skew) are valid on this exchange.
+      .join(big
+          .select(col("band"), col("x"), col("y"), col("doc_id"), col("c"),
+            explode(expr("sequence(0, c)")).as("pc"))
+          .as("R").hint("shuffle_hash"),
         col("L.band") === col("R.band") && col("L.x") === col("R.x") &&
-          col("L.y") === col("R.y") && col("L.doc_id") < col("R.doc_id"))
-      .select(col("L.doc_id").as("doc_a"), col("R.doc_id").as("doc_b"))
+          col("L.y") === col("R.y") &&
+          col("L.c") === col("R.pc") && col("L.pc") === col("R.c") &&
+          col("L.doc_id") =!= col("R.doc_id"))
+      .select(least(col("L.doc_id"), col("R.doc_id")).as("doc_a"),
+        greatest(col("L.doc_id"), col("R.doc_id")).as("doc_b"))
     // A true near-dup pair collides in up to 32 of the 32 bands (a
     // degenerate dup-cluster hits ALL of them), so candidates arrive with
     // that multiplicity from BOTH generators. One distinct on the narrow

@@ -108,9 +108,17 @@ object Components {
     * incremental ≡ backfill on every ComponentsSpec shape, and graded
     * end-to-end by q_dedup_components_incr's recursive-CTE oracle. */
   def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
-                            aCol: String, bCol: String): DataFrame = {
-    val np = newPairs.select(col(aCol).cast("long").as("a"),
-      col(bCol).cast("long").as("b"))
+                            aCol: String, bCol: String,
+                            driverGateBytes: Long =
+                              graft.Conf.OneTaskSortMaxBytes): DataFrame = {
+    // The new-pair frame is typically an EXPENSIVE pipeline (an index
+    // probe + a batch LSH pass in the dedup ingest) consumed by three
+    // structurally different subtrees (endpoint set, contracted edges,
+    // new-node pass) — without the persist it recomputes per consumer.
+    // Batch-bounded by construction (it is the ingest's pair set).
+    val np = ScaleOps.trackedPersist(
+      newPairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b")))
     val ends = np.select(explode(array(col("a"), col("b"))).as("node"))
       .distinct()
     // Endpoint probe: current label per touched node; unseen nodes label
@@ -123,8 +131,30 @@ object Components {
       .join(endComp.toDF("a", "ca"), Seq("a"))
       .join(endComp.toDF("b", "cb"), Seq("b"))
       .select(col("ca"), col("cb"))
-    // The closure runs over the CONTRACTED graph only.
-    val merged = connectedComponents(cedges, "ca", "cb")
+    // The closure runs over the CONTRACTED graph only — and is SIZE-ROUTED
+    // on the BATCH (the standard router convention): the contracted graph
+    // has at most one edge per new pair, so while the batch fits the
+    // driver gate a union-find over the collected edges replaces the
+    // iterative loop (whose per-round join + checkpoint overhead dominates
+    // batch-sized ingests); past the gate the distributed propagation loop
+    // runs. Both routes land on comp = minimum reachable id
+    // (ComponentsSpec pins route equality on random splits).
+    val merged = ScaleOps.routeBySize(np, driverGateBytes) {
+      val spark = newPairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for (r <- cedges.collect()) {
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "comp")
+    } {
+      connectedComponents(cedges, "ca", "cb")
+    }
     val mapping = merged.select(col("id").as("old_comp"), col("comp").as("new_comp"))
       .filter(col("old_comp") =!= col("new_comp"))
     val updated = labels

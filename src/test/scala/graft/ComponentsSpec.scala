@@ -127,12 +127,14 @@ class ComponentsSpec extends AnyFunSuite {
   }
 
   private def runIncr(oldPairs: Seq[(Long, Long)],
-                      newPairs: Seq[(Long, Long)]): Map[Long, Long] = {
+                      newPairs: Seq[(Long, Long)],
+                      gate: Long = Long.MaxValue): Map[Long, Long] = {
     import spark.implicits._
     try {
       val labels = Components.connectedComponents(
         oldPairs.toDF("a", "b"), "a", "b")
-      Components.incrementalComponents(labels, newPairs.toDF("a", "b"), "a", "b")
+      Components.incrementalComponents(labels, newPairs.toDF("a", "b"),
+          "a", "b", driverGateBytes = gate)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     } finally graft.operators.ScaleOps.releaseTracked()
   }
@@ -173,10 +175,15 @@ class ComponentsSpec extends AnyFunSuite {
         Seed(500L + i))
       val (oldP, newP) = pairs.splitAt(math.min(splitAt, pairs.length))
       if (oldP.nonEmpty && pairs.nonEmpty) {
-        val got = runIncr(oldP, newP)
+        // Both fold routes (driver union-find below the batch gate,
+        // distributed propagation above it) must land on the backfill.
         val exp = unionFind(pairs)
-        assert(got == exp,
-          s"seed ${500 + i}: got=$got exp=$exp old=$oldP new=$newP")
+        val gotDriver = runIncr(oldP, newP, gate = Long.MaxValue)
+        assert(gotDriver == exp,
+          s"seed ${500 + i} driver route: got=$gotDriver exp=$exp old=$oldP new=$newP")
+        val gotDist = runIncr(oldP, newP, gate = 0L)
+        assert(gotDist == exp,
+          s"seed ${500 + i} distributed route: got=$gotDist exp=$exp")
       }
     }
   }

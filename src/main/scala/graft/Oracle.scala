@@ -1659,6 +1659,16 @@ object Oracle {
                  (SELECT d FROM drp) AS n_late_dropped
           FROM acc GROUP BY 1 ORDER BY event_type""",
 
+    // The two-tick manifested sink round trip (range-clustered files + one
+    // manifest part per micro-batch, manifest-planned read + re-filter) is
+    // lossless and exactly-once, so the oracle is the plain filtered
+    // aggregate over the source; flush sentinels sit hours past the range.
+    "q_stream_sink_manifest" ->
+      s"""SELECT event_type, count(*) AS n, ${dsum("value", 6)} AS sum_value
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+          GROUP BY 1 ORDER BY event_type""",
+
     "q_stream_session" ->
       s"""WITH g AS (SELECT user_id, event_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL

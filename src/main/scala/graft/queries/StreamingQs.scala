@@ -269,9 +269,46 @@ object StreamingQs {
       .orderBy("event_type")
   }
 
+  /** STREAMING SINK WITH MANIFEST MAINTENANCE
+    * (Runtime.runToManifestedParquet) — the per-tick composition the r13
+    * manifest build and the r14 batch append both point at: the
+    * time-split replay's two micro-batches each commit their
+    * range-clustered files + ONE new manifest part to the same layout
+    * (appendManifested bootstraps tick one on the empty directory), so
+    * manifest maintenance cost is O(tick), never O(table) — the claim a
+    * Delta/Iceberg streaming writer makes. The graded read then plans a
+    * mid-January range scan FROM the accreted manifest: both ticks'
+    * generations participate in the file selection (the split boundary is
+    * the median timestamp, inside the range), the predicate re-applies on
+    * the pruned read, and the per-type aggregate must equal the plain
+    * filtered aggregate over the source — a row lost, duplicated, or
+    * mis-manifested by ANY tick breaks the hash. Flush sentinel rows ride
+    * the replay but sit hours past the range (and are filtered by type
+    * defensively). */
+  val qStreamSinkManifest: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    val sink = Tables.stageDir(s, "stream-manifest", dir)
+    val ckpt = Tables.stageDir(s, "stream-manifest-ckpt", dir)
+    Tables.deleteRecursively(sink)
+    Tables.deleteRecursively(ckpt)
+    SR.runToManifestedParquet(
+      SR.eventsStreamSplitByTime(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+      sink, ckpt, statsCol = "ts", numFilesPerTick = 8)
+    val lo = lit("2024-01-10").cast("timestamp")
+    val hi = lit("2024-01-20").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, sink, lo, hi)
+      .filter(col("ts") >= lo && col("ts") < hi &&
+        col("event_type") =!= "flush")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_late" -> qStreamLate,
+    "q_stream_sink_manifest" -> qStreamSinkManifest,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
     "q_stream_join" -> qStreamJoin,

@@ -158,7 +158,10 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val dataDir = new Path(s"$path/data")
     val fs = dataDir.getFileSystem(conf)
-    val tmp = new Path(s"$path/.append-${java.util.UUID.randomUUID()}")
+    // No leading dot: readers only ever target data/ and manifest/, and a
+    // dot-prefixed dir trips Spark's hidden-path filter with a spurious
+    // "All paths were ignored" warning when the batch writes back to it.
+    val tmp = new Path(s"$path/append-tmp-${java.util.UUID.randomUUID()}")
     df.repartitionByRange(numFiles, col(statsCol))
       .sortWithinPartitions(statsCol)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -174,6 +177,9 @@ object Layout {
         element_at(split(col("file_path"), "/"), -1)))
     // Materialize the stats BEFORE the renames invalidate the tmp paths.
     val staged = newRows.collect().toIndexedSeq
+    // First commit on an empty layout (a streaming sink's tick one)
+    // bootstraps the directory — append and build are then ONE code path.
+    fs.mkdirs(dataDir)
     val parts = fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
     for (f <- parts) fs.rename(f.getPath, new Path(dataDir, f.getPath.getName))
     fs.delete(tmp, true)

@@ -552,6 +552,35 @@ object Runtime {
     }
   }
 
+  /** Streaming sink into a MANIFESTED layout — the per-tick composition of
+    * the q_stream_sink ingest path with Layout.appendManifested: every
+    * micro-batch commits its range-clustered files plus ONE new manifest
+    * part; nothing already on disk is re-read or rewritten, so manifest
+    * maintenance cost stays O(tick) at any table size. This is the claim
+    * a Delta/Iceberg streaming writer makes (each commit appends a
+    * snapshot's manifest), composed from the same primitives batch
+    * maintenance uses — downstream readers plan file-skipping scans from
+    * the manifest while the stream keeps appending. */
+  def runToManifestedParquet(rows: DataFrame, path: String, checkpoint: String,
+                             statsCol: String, numFilesPerTick: Int): Unit =
+    withStreamShufflePartitions(rows.sparkSession) {
+    val q = rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Layout.appendManifested(batch, path, statsCol, numFilesPerTick)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(120000L)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"stream into $path did not finish within 120s — sink would be partial")
+    }
+  }
+
   /** Run a streaming aggregation to completion against the replayed file
     * source and return the final result as a DataFrame (memory sink,
     * complete mode). Driver for the stream==batch equivalence tests. */

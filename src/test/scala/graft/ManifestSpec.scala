@@ -132,6 +132,43 @@ class ManifestSpec extends AnyFunSuite {
       "pruned read over the appended layout diverges from the direct filter")
   }
 
+  test("streaming sink accretes the manifest: one new part per micro-batch, lossless planned read") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-stream-spec"
+    val ckpt = sys.props("java.io.tmpdir") + "/graft-manifest-stream-ckpt"
+    Tables.deleteRecursively(d)
+    Tables.deleteRecursively(ckpt)
+    graft.streaming.Runtime.runToManifestedParquet(
+      graft.streaming.Runtime.eventsStreamSplitByTime(spark, Sf0001)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+      d, ckpt, statsCol = "ts", numFilesPerTick = 4)
+    def parts(sub: String) = Files.list(Paths.get(s"$d/$sub")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    // Two data micro-batches (split replay, maxFilesPerTrigger=1) → two
+    // manifest commits; a rebuild-per-tick would leave exactly one.
+    assert(parts("manifest").size == 2,
+      s"expected one manifest part per tick, got ${parts("manifest").size}")
+    // Every landed row is on the manifest (events + the flush sentinel).
+    val manRows = spark.read.parquet(s"$d/manifest")
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    assert(manRows == Tables.events(spark, Sf0001).count() + 1)
+    // Mid-January range straddles the median split: the planned read must
+    // skip files, touch BOTH ticks' generations, and stay lossless.
+    val lo = lit("2024-01-10").cast("timestamp")
+    val hi = lit("2024-01-20").cast("timestamp")
+    val pruned = Layout.manifestPrunedRead(spark, d, lo, hi)
+    assert(pruned.inputFiles.length > 1 &&
+      pruned.inputFiles.length < parts("data").size,
+      s"${pruned.inputFiles.length} of ${parts("data").size} files")
+    val got = pruned.filter(col("ts") >= lo && col("ts") < hi)
+      .agg(count(lit(1)), graft.functions.Det.dsum(col("value"))).head()
+    val exp = Tables.events(spark, Sf0001)
+      .filter(col("ts") >= lo && col("ts") < hi)
+      .agg(count(lit(1)), graft.functions.Det.dsum(col("value"))).head()
+    assert(got == exp, "manifest-planned read over the streamed layout diverges")
+  }
+
   test("q_layout_manifest equals its direct-filter twin (sf0.001)") {
     val got = SparkEntry.queries("q_layout_manifest")(spark, Sf0001)
       .collect().map(_.toSeq).toSeq

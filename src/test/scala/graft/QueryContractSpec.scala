@@ -13,8 +13,8 @@ class QueryContractSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("declared contract covers all 121 SURVEY §2 keys") {
-    assert(SparkEntry.queries.size == 121)
+  test("declared contract covers all 122 SURVEY §2 keys") {
+    assert(SparkEntry.queries.size == 122)
     // 110 oracle-checked; the 9 declared non-oracle keys:
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_distinct", "q_agg_sketch_merge",

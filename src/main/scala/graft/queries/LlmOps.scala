@@ -171,9 +171,13 @@ object LlmOps {
     val labels = stagedCorpusLabels(s, dir)
     val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
     val (idxMeta, idxBuckets) = stagedCorpusIndex(s, dir)
-    val cross = incrementalDedupPairs(idxMeta, idxBuckets, batch)
+    // ONE batch signature pass serves both per-ingest pipelines: the
+    // stored-index probe and the batch-internal pair generation both
+    // consume the same persisted meta.
+    val bMeta = graft.operators.ScaleOps.trackedPersist(minhashMeta(batch))
+    val cross = incrementalDedupPairsFromMeta(idxMeta, idxBuckets, bMeta)
       .select(col("corpus_doc").as("doc_a"), col("batch_doc").as("doc_b"))
-    val within = minhashPairsRaw(batch).select(col("doc_a"), col("doc_b"))
+    val within = minhashPairsFromMeta(bMeta).select(col("doc_a"), col("doc_b"))
     graft.operators.Components.incrementalComponents(
         labels, cross.unionByName(within), "doc_a", "doc_b")
       .groupBy(col("comp").as("comp_id"))
@@ -246,28 +250,26 @@ object LlmOps {
     * artifact writes (parquet needs no order; consumers impose their
     * own). */
   private def minhashPairsRaw(docs: DataFrame,
-                              bucketCap: Int = DegenerateBucketCap): DataFrame = {
-    // Callers may hand in frames built outside Tables.prep (tests, library
-    // users); minhash_sig registration is idempotent.
-    graft.functions.MinHashSig.register(docs.sparkSession)
-    // Shingles are computed WHERE THE DATA IS — no raw-doc repartition at
-    // scale (at 100 TB the input is already thousands of splits). The one
-    // exception is SIZE-ROUTED: a sub-split-size corpus arrives as one scan
-    // task and would run the whole signature pass single-threaded, so
-    // parallelizeSmall spreads it first (a ~free shuffle at that size).
-    val sh0 = shingleHashes(graft.operators.ScaleOps.parallelizeSmall(docs))
+                              bucketCap: Int = DegenerateBucketCap): DataFrame =
+    // Shingles + signatures in ONE native codegen'd pass ([[minhashMeta]]:
+    // shingles computed WHERE THE DATA IS, parallelizeSmall spreading only
+    // sub-split corpora; pre-hashed shingles feed the multiply-shift
+    // signature kernel — vs the round-2/3 64-independent-string-hash HOF
+    // fold this removes all per-signature string hashing AND the fold's
+    // one-time lambda-codegen cost, ~7 s of the 12.45 s the r2 driver
+    // measured. Candidate sets may differ hash-by-hash, but the
+    // exact-Jaccard refine keeps the OUTPUT identical to the all-pairs
+    // exact answer either way).
+    minhashPairsFromMeta(minhashMeta(docs), bucketCap)
 
-    // 1. Whole signature in ONE native codegen'd expression pass per doc
-    //    (functions/MinHash.scala): shingles arrive PRE-HASHED (array<long>
-    //    from shingleHashes) and the 64 signature slots are derived
-    //    multiply-shift permutations of each hash — vs the round-2/3
-    //    64-independent-string-hash HOF fold this removes all per-signature
-    //    string hashing AND the fold's one-time lambda-codegen cost (~7 s of
-    //    the 12.45 s the r2 driver measured was first-run codegen of that
-    //    fold). Candidate sets may differ hash-by-hash, but the
-    //    exact-Jaccard refine in step 3 keeps the OUTPUT identical to the
-    //    all-pairs exact answer either way. No shuffle, no wide rows.
-    val mh = sh0.select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
+  /** The pair pipeline from a PRECOMPUTED (doc_id, sig, hs, ns) meta frame
+    * — factored out so an ingest that already computed its batch's meta
+    * (the stored-index probe) reuses it for batch-internal pairs instead
+    * of running the signature pass twice (qDedupComponentsIncr persists
+    * ONE bMeta and feeds both pipelines). */
+  private def minhashPairsFromMeta(meta: DataFrame,
+                                   bucketCap: Int = DegenerateBucketCap): DataFrame = {
+    val mh = meta.select(col("doc_id"), col("sig"))
 
     // 2. Band buckets: (band, sig[2b], sig[2b+1]). Pairs are generated
     //    inside each bucket AFTER one collect_list aggregate; the routing
@@ -346,9 +348,7 @@ object LlmOps {
     //    shuffle joins on doc id instead of a silent executor OOM. Same
     //    subtree on both sides → the second BroadcastExchange is a
     //    ReusedExchange: one build serves both joins.
-    val docMeta = graft.operators.ScaleOps.maybeBroadcast(
-      sh0.select(col("doc_id"), expr("minhash_sig(sh)").as("sig"),
-        col("sh").as("hs"), size(col("sh")).as("ns")))
+    val docMeta = graft.operators.ScaleOps.maybeBroadcast(meta)
     cand.join(docMeta.as("A"), col("doc_a") === col("A.doc_id"))
       .join(docMeta.as("B"), col("doc_b") === col("B.doc_id"))
       .filter(expr(s"sig_matches(A.sig, B.sig) >= $SigPrefilterMinMatches"))
@@ -464,13 +464,25 @@ object LlmOps {
   def incrementalDedupPairs(idxMeta: DataFrame, idxBuckets: DataFrame,
                             batch: DataFrame,
                             broadcastGateBytes: Long =
-                              graft.Conf.BroadcastMaxBytes): DataFrame = {
+                              graft.Conf.BroadcastMaxBytes): DataFrame =
     // The batch meta feeds two structurally different consumers (the band
     // explode on the probe side, the broadcast build on the refine side) —
     // no exchange exists between them for Spark to reuse, so without the
     // persist the batch scan + signature pass runs twice. Batch-sized at
     // any corpus scale (it is the ingest unit), so the persist is bounded.
-    val bMeta = graft.operators.ScaleOps.trackedPersist(minhashMeta(batch))
+    incrementalDedupPairsFromMeta(idxMeta, idxBuckets,
+      graft.operators.ScaleOps.trackedPersist(minhashMeta(batch)),
+      broadcastGateBytes)
+
+  /** The probe from a PRECOMPUTED (persisted) batch meta frame — the form
+    * an ingest composing several per-batch steps uses, computing the
+    * batch's signatures exactly once (qDedupComponentsIncr shares one
+    * bMeta between this probe and the batch-internal pair pass). */
+  private def incrementalDedupPairsFromMeta(idxMeta: DataFrame,
+                                            idxBuckets: DataFrame,
+                                            bMeta: DataFrame,
+                                            broadcastGateBytes: Long =
+                                              graft.Conf.BroadcastMaxBytes): DataFrame = {
     val cand = bandBuckets(bMeta.select(col("doc_id"), col("sig")))
       .withColumnRenamed("doc_id", "batch_doc")
       .join(idxBuckets.withColumnRenamed("doc_id", "corpus_doc"),

@@ -181,7 +181,14 @@ object Layout {
     // bootstraps the directory — append and build are then ONE code path.
     fs.mkdirs(dataDir)
     val parts = fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
-    for (f <- parts) fs.rename(f.getPath, new Path(dataDir, f.getPath.getName))
+    for (f <- parts) {
+      // A silently failed rename would leave the manifest row (committed
+      // below) pointing at a missing file — the one inconsistency the
+      // commit ordering exists to rule out. Hadoop signals failure by
+      // RETURN VALUE here, not exception.
+      val moved = fs.rename(f.getPath, new Path(dataDir, f.getPath.getName))
+      require(moved, s"appendManifested: rename failed for ${f.getPath}")
+    }
     fs.delete(tmp, true)
     spark.createDataFrame(
         spark.sparkContext.parallelize(staged, 1), newRows.schema)

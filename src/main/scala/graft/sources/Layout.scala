@@ -196,6 +196,34 @@ object Layout {
     parts.length
   }
 
+  /** VACUUM a manifested layout: delete data files the manifest does not
+    * reference — the GC pass completing [[appendManifested]]'s crash
+    * contract. The commit ordering guarantees a crash mid-append leaves
+    * only INVISIBLE orphans (moved data files whose manifest row never
+    * committed); they cost storage until something deletes them, and that
+    * something must use the manifest as the liveness root — exactly
+    * Delta's VACUUM / Iceberg's remove-orphan-files. Planning scale: one
+    * manifest read + one directory listing, both O(files); no data bytes
+    * move. Returns the orphans deleted. Safe against concurrent appends
+    * in the same way as the real systems' retention window: an append's
+    * tmp dir lives outside data/, and its files enter data/ only
+    * moments before their manifest row commits — callers vacuum quiesced
+    * layouts (or add an mtime grace period at 100 TB). */
+  def vacuumManifested(spark: SparkSession, path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val dataDir = new Path(s"$path/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = spark.read.parquet(s"$path/manifest")
+      .select(col("file_path")).collect()
+      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+      .toSet
+    val orphans = fs.listStatus(dataDir)
+      .filter(f => f.getPath.getName.endsWith(".parquet") &&
+        !live.contains(f.getPath.getName))
+    orphans.foreach(f => fs.delete(f.getPath, false))
+    orphans.length
+  }
+
   /** Plan a range-predicate scan FROM the manifest written by
     * [[writeManifested]]: keep the files whose [min_v, max_v] envelope
     * intersects `[lo, hi]`, read only those. The file selection is a

@@ -132,6 +132,42 @@ class ManifestSpec extends AnyFunSuite {
       "pruned read over the appended layout diverges from the direct filter")
   }
 
+  test("vacuum deletes exactly the unreferenced orphans a crashed append leaves") {
+    import java.nio.file.{Files, Paths}
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-vacuum-spec"
+    Tables.deleteRecursively(d)
+    val li = Tables.lineitem(spark, Sf0001)
+    Layout.writeManifested(li, d, "l_shipdate", 4)
+    // Simulate the crash window: data files landed, manifest row never
+    // committed — copy two live files under orphan names.
+    val orphans = Seq("part-orphan-a.parquet", "part-orphan-b.parquet")
+    var i = 0
+    val it = Files.list(Paths.get(s"$d/data")).iterator()
+    while (it.hasNext && i < 2) {
+      val f = it.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        Files.copy(f, Paths.get(s"$d/data/${orphans(i)}"))
+        i += 1
+      }
+    }
+    assert(i == 2)
+    // Orphans are INVISIBLE to planned reads (the crash-safety claim) ...
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val before = Layout.manifestPrunedRead(spark, d, lo, hi)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi).count()
+    // ... and vacuum deletes exactly them, leaving the layout intact.
+    val deleted = Layout.vacuumManifested(spark, d)
+    assert(deleted == 2, s"expected the 2 planted orphans, deleted $deleted")
+    for (name <- orphans)
+      assert(!Files.exists(Paths.get(s"$d/data/$name")), s"$name survived")
+    val after = Layout.manifestPrunedRead(spark, d, lo, hi)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi).count()
+    assert(before == after && after ==
+      li.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi).count())
+    assert(Layout.vacuumManifested(spark, d) == 0, "vacuum must be idempotent")
+  }
+
   test("streaming sink accretes the manifest: one new part per micro-batch, lossless planned read") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._

@@ -109,6 +109,51 @@ object Oracle {
          WHERE l.op IS NULL OR l.op <> 'D'
          ORDER BY c_custkey""",
 
+    // The CHANGE FEED the same fold applies: the identical latest-per-key
+    // reduction classified against the base by join — absent key + 'U' =
+    // insert, present + 'D' = delete (null post-image), present + 'U' =
+    // update; a delete on an absent key emits nothing. Latest-wins means
+    // at most one feed row per key, so ORDER BY key is total.
+    "q_merge_cdf" ->
+      """WITH chg AS (
+           SELECT c_custkey AS k, 1 AS seq, 'U' AS op, c_name, c_nationkey,
+                  c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+             FROM customer WHERE c_custkey % 10 IN (1, 2)
+           UNION ALL
+           SELECT c_custkey, 2, 'U', c_name, c_nationkey,
+                  c_acctbal + 300.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 1
+           UNION ALL
+           SELECT c_custkey, 1, 'D', NULL, NULL, NULL, NULL
+             FROM customer WHERE c_custkey % 10 = 7
+           UNION ALL
+           SELECT CAST(c_custkey + 10000000 AS BIGINT), 1, 'U',
+                  'ins_' || CAST(c_custkey AS VARCHAR), c_nationkey,
+                  0.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 5),
+         latest AS (
+           SELECT * FROM (
+             SELECT chg.*,
+                    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+             FROM chg) t WHERE rn = 1)
+         SELECT CAST(l.k AS BIGINT) AS c_custkey,
+                CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                     WHEN l.op = 'D' THEN 'delete'
+                     ELSE 'update' END AS change_type,
+                c.c_name AS old_c_name,
+                CAST(c.c_nationkey AS INTEGER) AS old_c_nationkey,
+                c.c_acctbal AS old_c_acctbal,
+                c.c_mktsegment AS old_c_mktsegment,
+                CASE WHEN l.op = 'D' THEN NULL ELSE l.c_name END AS new_c_name,
+                CAST(CASE WHEN l.op = 'D' THEN NULL
+                          ELSE l.c_nationkey END AS INTEGER) AS new_c_nationkey,
+                CASE WHEN l.op = 'D' THEN NULL ELSE l.c_acctbal END AS new_c_acctbal,
+                CASE WHEN l.op = 'D' THEN NULL
+                     ELSE l.c_mktsegment END AS new_c_mktsegment
+         FROM latest l LEFT JOIN customer c ON c.c_custkey = l.k
+         WHERE NOT (l.op = 'D' AND c.c_custkey IS NULL)
+         ORDER BY c_custkey""",
+
     // Same deterministic change-history construction as q_merge_upsert's
     // changeset, expanded to versions by the identical LEAD window; 'D'
     // rows contribute interval closure only.
@@ -262,6 +307,19 @@ object Oracle {
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate < TIMESTAMP '1997-01-01'
           GROUP BY 1 ORDER BY l_linestatus""",
+
+    // AS OF v0 over the two-generation layout must see ONLY the base
+    // generation (l_orderkey % 7 != 3 — the pre-append snapshot), so the
+    // oracle rebuilds that subset by predicate. A version filter that
+    // leaks any appended (% 7 == 3) file's rows breaks the hash.
+    "q_layout_timetravel" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem
+          WHERE l_orderkey % 7 <> 3
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1 ORDER BY l_returnflag""",
 
     // The Spark side's scale → morton → z-clustered write → read-back chain
     // is lossless and integer-exact, so the oracle recomputes the same
@@ -1215,6 +1273,61 @@ object Oracle {
               comp AS (SELECT src, min(node) AS comp_id FROM reach GROUP BY src)
          SELECT comp_id, count(*) AS n_docs, max(src) AS max_doc
          FROM comp GROUP BY 1 ORDER BY comp_id""",
+
+    // Canonical selection composes the SAME closure with the verified
+    // q_text_quality arithmetic: per cluster, keep the highest-quality
+    // member (ties to the smaller doc_id), count the drops. A selection
+    // that keeps min-key instead of best-quality breaks the hash wherever
+    // a cluster's cleanest copy is not its smallest id.
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE
+              w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 2),
+              s AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+                    FROM w, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+              n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                    FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+              pr AS (SELECT doc_a, doc_b
+                     FROM p JOIN n na ON doc_a = na.doc_id JOIN n nb ON doc_b = nb.doc_id
+                     WHERE 1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) <= 0.5),
+              e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                    UNION SELECT doc_b, doc_a FROM pr),
+              reach(src, node) AS (
+                    SELECT a, a FROM e
+                    UNION
+                    SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.node = e2.a),
+              comp AS (SELECT src, min(node) AS comp_id FROM reach GROUP BY src),
+              qf AS (SELECT doc_id,
+                            CAST(length(text) AS DOUBLE) AS len,
+                            CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) AS alpha_len,
+                            string_split_regex(lower(text), '\s+') AS toks
+                     FROM documents),
+              qg AS (SELECT doc_id, len,
+                            least(len / 200.0, 1.0) AS len_score,
+                            alpha_len / greatest(len, 1.0) AS alpha,
+                            greatest(CAST(len(toks) AS DOUBLE), 1.0) AS n_tok,
+                            CAST(len(list_filter(toks, t -> list_contains(
+                              ['the', 'a', 'an', 'and', 'or', 'of', 'in', 'to', 'is'], t))) AS DOUBLE) AS n_stop
+                     FROM qf),
+              q AS (SELECT doc_id,
+                           round(0.3 * len_score + 0.3 * alpha
+                                 + 0.2 * (CASE WHEN n_stop / n_tok BETWEEN 0.01 AND 0.6
+                                               THEN 1.0 ELSE 0.4 END)
+                                 + 0.2 * (CASE WHEN len / n_tok BETWEEN 2.0 AND 12.0
+                                               THEN 1.0 ELSE 0.3 END), 6) AS quality
+                    FROM qg),
+              m AS (SELECT c.comp_id, c.src AS doc, q.quality
+                    FROM comp c JOIN q ON q.doc_id = c.src),
+              r AS (SELECT comp_id, doc, quality,
+                           row_number() OVER (PARTITION BY comp_id
+                             ORDER BY quality DESC, doc ASC) AS rn,
+                           count(*) OVER (PARTITION BY comp_id) AS n_docs
+                    FROM m)
+         SELECT comp_id, doc AS keep_doc, quality AS keep_quality,
+                n_docs, n_docs - 1 AS n_dropped
+         FROM r WHERE rn = 1 ORDER BY comp_id""",
 
     // The incremental fold (standing corpus labels + stored-index probe
     // pairs + batch-internal pairs) covers exactly the SAME full pair set,

@@ -46,13 +46,7 @@ object Merge {
                seqCol: String, opCol: String,
                broadcastGateBytes: Long = graft.Conf.BroadcastMaxBytes / 4): DataFrame = {
     val payload = base.columns.filterNot(_ == key).toSeq
-    val latest = changes
-      .groupBy(col(key))
-      .agg(max_by(
-        struct(col(opCol).as("__op") +: payload.map(col): _*),
-        col(seqCol)).as("__m"))
-      .select(col(key) +: col("__m.__op").as("__op") +:
-        payload.map(p => col(s"__m.`$p`").as(s"__u_$p")): _*)
+    val latest = latestPerKey(changes, key, seqCol, opCol, payload)
     val gated = ScaleOps.broadcastIfSourceSmall(latest, changes, broadcastGateBytes)
     val merged = base.join(gated, Seq(key), "left_outer")
       .filter(col("__op").isNull || col("__op") =!= "D")
@@ -66,5 +60,67 @@ object Merge {
       .join(existing, Seq(key), "left_anti")
       .select(col(key) +: payload.map(p => col(s"__u_$p").as(p)): _*)
     merged.unionByName(inserts)
+  }
+
+  /** Reduce a changeset to ONE latest row per key — max_by over a hash
+    * aggregation that shuffles only the changes (ties on `seqCol` within a
+    * key are the caller's contract violation; "latest" must be unique). */
+  private def latestPerKey(changes: DataFrame, key: String, seqCol: String,
+                           opCol: String, payload: Seq[String]): DataFrame =
+    changes
+      .groupBy(col(key))
+      .agg(max_by(
+        struct(col(opCol).as("__op") +: payload.map(col): _*),
+        col(seqCol)).as("__m"))
+      .select(col(key) +: col("__m.__op").as("__op") +:
+        payload.map(p => col(s"__m.`$p`").as(s"__u_$p")): _*)
+
+  /** CHANGE DATA FEED — the row-level diff a [[applyCdc]] fold WOULD apply,
+    * emitted instead of (or alongside) the merged snapshot: one row per
+    * effective change with `change_type` ∈ insert / update / delete and the
+    * full pre- and post-image payload (`old_*` / `new_*` columns). This is
+    * Delta Lake's table_changes / Debezium's envelope re-expressed: at
+    * 100 TB downstream consumers (cache invalidation, incremental
+    * aggregate maintenance, audit) subscribe to the FEED — corpus-sized
+    * re-diffs of two snapshots are exactly what the feed exists to avoid.
+    *
+    * Semantics (latest-wins per key, like applyCdc): an upsert on a
+    * present key → `update` (pre = base row, post = change payload); a
+    * delete on a present key → `delete` (post-image null); an upsert on an
+    * absent key → `insert` (pre-image null); a delete on an absent key is
+    * a no-op and emits nothing. The feed is changeset-sized.
+    *
+    * Plan: the matched arm is base INNER-join latest (gated broadcast —
+    * the base is never shuffled below the gate, and its scan feeds a
+    * changeset-sized join output); the insert arm reuses applyCdc's
+    * key-scan semi/anti shape, so the anti join runs on two
+    * changeset-sized inputs. Above the gate both arms degrade to
+    * co-partitioned shuffle joins, and a bucketed base exchanges nothing
+    * (the MergeSpec composition applies verbatim). */
+  def changeFeed(base: DataFrame, changes: DataFrame, key: String,
+                 seqCol: String, opCol: String,
+                 broadcastGateBytes: Long = graft.Conf.BroadcastMaxBytes / 4): DataFrame = {
+    val payload = base.columns.filterNot(_ == key).toSeq
+    val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    val latest = latestPerKey(changes, key, seqCol, opCol, payload)
+    val gated = ScaleOps.broadcastIfSourceSmall(latest, changes, broadcastGateBytes)
+    val matched = base.join(gated, Seq(key), "inner")
+      .select(col(key) +:
+        when(col("__op") === "D", lit("delete"))
+          .otherwise(lit("update")).as("change_type") +:
+        (payload.map(p => col(s"`$p`").as(s"old_$p")) ++
+         payload.map(p => when(col("__op") === "D",
+             lit(null).cast(types(p))).otherwise(col(s"__u_$p"))
+           .as(s"new_$p"))): _*)
+    val existing = base.select(col(key)).join(
+      ScaleOps.broadcastIfSourceSmall(latest.select(col(key)), changes,
+        broadcastGateBytes),
+      Seq(key), "left_semi")
+    val inserts = latest.filter(col("__op") =!= "D")
+      .join(existing, Seq(key), "left_anti")
+      .select(col(key) +: lit("insert").as("change_type") +:
+        (payload.map(p => lit(null).cast(types(p)).as(s"old_$p")) ++
+         payload.map(p => col(s"__u_$p").as(s"new_$p"))): _*)
+    matched.unionByName(inserts)
   }
 }

@@ -133,6 +133,40 @@ object LlmOps {
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
       .orderBy("comp_id")
 
+  /** CANONICAL-DOCUMENT SELECTION — the curation decision the whole dedup
+    * chain exists to feed: per near-dup cluster (the SAME transitive
+    * closure q_dedup_components grades), keep the member with the highest
+    * quality score (TextOps.qualityScore, the verified q_text_quality
+    * arithmetic; ties broken to the smaller doc_id) and count the drops.
+    * This is the keep/drop policy step of every training-data pipeline —
+    * exact dedup keeps min-key (q_dedup_exact/q_pipeline_curate); NEAR-dup
+    * must keep the best-quality member or the dedup pass systematically
+    * deletes the cleanest copy of every boilerplate-framed document.
+    *
+    * Plan: cluster membership (bounded by docs-that-appear-in-pairs) joins
+    * the corpus's narrow (doc_id, quality) projection key-equi on doc_id —
+    * co-partitioned at scale, AQE-broadcast when small; the argmax is ONE
+    * map-side-combined max_by over struct(quality, -id), never a window
+    * over the corpus. Oracle: the identical closure CTE + the q_text_quality
+    * expression + row_number argmax — the hash match proves the
+    * distributed selection lands on the textbook answer. */
+  val qDedupCanonical: Q = (s, dir) => {
+    val labels = graft.operators.Components.connectedComponents(
+      stagedMinhashPairs(s, dir), "doc_a", "doc_b")
+    val quality = Tables.documents(s, dir).select(col("doc_id"),
+      graft.text.TextOps.qualityScore(col("text")).as("quality"))
+    labels.join(quality, labels("id") === quality("doc_id"))
+      .groupBy(col("comp").as("comp_id"))
+      .agg(
+        max_by(struct(col("id").as("doc"), col("quality")),
+          struct(col("quality"), (-col("id")).as("nid"))).as("__k"),
+        count(lit(1)).as("n_docs"))
+      .select(col("comp_id"), col("__k.doc").as("keep_doc"),
+        col("__k.quality").as("keep_quality"), col("n_docs"),
+        (col("n_docs") - 1).as("n_dropped"))
+      .orderBy("comp_id")
+  }
+
   /** INCREMENTAL ingest dedup — the per-batch maintenance member of the
     * dedup family (the corpus-vs-corpus members above are the backfill):
     * which documents of an ARRIVING batch (doc_id % 10 == 3, derived
@@ -1563,6 +1597,7 @@ object LlmOps {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_components" -> qDedupComponents,
+    "q_dedup_canonical" -> qDedupCanonical,
     "q_dedup_components_incr" -> qDedupComponentsIncr,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_ngram" -> qDedupNgram,

@@ -381,6 +381,32 @@ object Relational {
       .orderBy("l_linestatus")
   }
 
+  /** TIME TRAVEL over the manifested layout (Layout.manifestPrunedRead AS
+    * OF a snapshot version) — Delta's VERSION AS OF / Iceberg's
+    * snapshot-id read: because commits are append-only manifest parts
+    * tagged with `commit_ver` (build = v0, each appendManifested = max+1),
+    * a historical snapshot's file set is exactly the manifest rows at or
+    * below the version, recovered by ONE extra driver-side predicate on
+    * the same manifest read planning already pays — no data copies, no
+    * undo log. The graded read plans a 1996 range scan AS OF v0 against
+    * the SAME two-generation layout q_layout_manifest_append grades (base
+    * = l_orderkey % 7 != 3 at v0, batch appended at v1), so the hash match
+    * proves version filtering selects exactly the base generation's files:
+    * the oracle aggregates the pre-append subset rebuilt by predicate.
+    * At 100 TB this is what makes reproducible training runs and
+    * incremental-job restatement possible on a layout that keeps
+    * ingesting — readers pin a snapshot, writers append. */
+  val qLayoutTimetravel: Q = (s, dir) => {
+    val staged = stagedManifestAppendLayout(s, dir)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, staged, lo, hi, asOfVer = 0L)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** CDC MERGE / UPSERT graded end-to-end (operators/Merge.applyCdc): a
     * deterministic changeset — two-version updates (latest must win),
     * deletes, and inserts of new keys, all derived from the customer table
@@ -394,6 +420,16 @@ object Relational {
     * gate, and a bucketed base skips the above-gate exchange too. */
   val qMergeUpsert: Q = (s, dir) => {
     val cust = Tables.customer(s, dir)
+    graft.operators.Merge.applyCdc(cust, mergeChangeset(cust),
+        "c_custkey", "seq", "op")
+      .orderBy("c_custkey")
+  }
+
+  /** The deterministic MERGE changeset both q_merge_upsert and q_merge_cdf
+    * fold — two-version updates (latest must win), deletes, inserts of new
+    * keys — derived from the customer table itself so the oracle can
+    * rebuild it in SQL. */
+  private def mergeChangeset(cust: DataFrame): DataFrame = {
     val mod = col("c_custkey") % 10
     val nullPayload = Seq(
       lit(null).cast("string").as("c_name"), lit(null).cast("int").as("c_nationkey"),
@@ -414,8 +450,26 @@ object Relational {
         lit(1).as("seq"), lit("U").as("op"),
         concat(lit("ins_"), col("c_custkey").cast("string")).as("c_name"),
         col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment"))
-    val changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
-    graft.operators.Merge.applyCdc(cust, changes, "c_custkey", "seq", "op")
+    upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+  }
+
+  /** CHANGE DATA FEED (operators/Merge.changeFeed) — the row-level diff
+    * q_merge_upsert's fold applies, emitted as Delta's table_changes /
+    * Debezium's envelope: one row per effective change with change_type ∈
+    * insert / update / delete and the full pre-/post-image (`old_*` /
+    * `new_*`). Same deterministic changeset as q_merge_upsert, so the
+    * oracle classifies the SAME latest-per-key reduction against the base
+    * with joins. A delete on an absent key emits nothing; latest-wins
+    * means at most one feed row per key (order by key is total). At 100 TB
+    * the feed is what downstream incremental consumers subscribe to — the
+    * alternative, diffing two corpus snapshots, is a full-table join per
+    * tick. Plan posture is applyCdc's: feed output is changeset-sized and
+    * the base snapshot is never shuffled below the broadcast gate
+    * (MergeSpec pins the composed zero-base-exchange property). */
+  val qMergeCdf: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    graft.operators.Merge.changeFeed(cust, mergeChangeset(cust),
+        "c_custkey", "seq", "op")
       .orderBy("c_custkey")
   }
 
@@ -1557,7 +1611,9 @@ object Relational {
     "q_layout_bucketed" -> qLayoutBucketed,
     "q_layout_manifest" -> qLayoutManifest,
     "q_layout_manifest_append" -> qLayoutManifestAppend,
+    "q_layout_timetravel" -> qLayoutTimetravel,
     "q_merge_upsert" -> qMergeUpsert,
+    "q_merge_cdf" -> qMergeCdf,
     "q_scd2_snapshot" -> qScd2Snapshot,
     "q_scd2_merge" -> qScd2Merge,
     "q_scd2_asof" -> qScd2Asof,
@@ -1607,7 +1663,7 @@ object Relational {
     * storage posture), not part of the graded read. */
   def stagedManifestLayout(s: SparkSession, dir: String): String =
     Tables.stagedFixture(s, s"$dir/lineitem.parquet",
-      "lineitem-manifest", dir, "v1") { d =>
+      "lineitem-manifest", dir, "v2") { d => // v2: commit_ver snapshot column
       graft.sources.Layout.writeManifested(
         Tables.lineitem(s, dir), d, "l_shipdate", numFiles = 16)
     }
@@ -1618,7 +1674,7 @@ object Relational {
     * is the manifest-planned read over the result. */
   def stagedManifestAppendLayout(s: SparkSession, dir: String): String =
     Tables.stagedFixture(s, s"$dir/lineitem.parquet",
-      "lineitem-manifest-append", dir, "v1") { d =>
+      "lineitem-manifest-append", dir, "v2") { d => // v2: commit_ver snapshot column
       val li = Tables.lineitem(s, dir)
       graft.sources.Layout.writeManifested(
         li.filter(col("l_orderkey") % 7 =!= 3), d, "l_shipdate", numFiles = 12)

@@ -127,9 +127,21 @@ object Layout {
       .groupBy(input_file_name().as("file_path"))
       .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
         count(lit(1)).as("n_rows"))
+      .withColumn("commit_ver", lit(0L))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
   }
+
+  /** The layout's current SNAPSHOT VERSION: the highest `commit_ver` on the
+    * manifest (−1 for an empty/absent layout, so "next" is always max+1).
+    * One small-table read — the Delta log-replay shape; the manifest is
+    * O(data files), never the data. */
+  def manifestVersion(spark: SparkSession, path: String): Long =
+    try {
+      val r = spark.read.parquet(s"$path/manifest")
+        .agg(max(col("commit_ver"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    } catch { case _: org.apache.spark.sql.AnalysisException => -1L }
 
   /** APPEND a batch to a [[writeManifested]] layout INCREMENTALLY — the
     * per-tick maintenance twin of the build: new data files land beside
@@ -168,6 +180,10 @@ object Layout {
     // Stats over ONLY the new files, keyed by their final (post-rename)
     // location so the manifest row format matches writeManifested's.
     val qualified = fs.makeQualified(dataDir).toString
+    // The commit's snapshot version: one manifest read (the Delta
+    // log-replay shape) — a bootstrap commit on an empty layout is v0, so
+    // append and build stay one code path for streaming sinks.
+    val ver = manifestVersion(spark, path) + 1L
     val newRows = spark.read.parquet(tmp.toString)
       .select(col(statsCol))
       .groupBy(input_file_name().as("file_path"))
@@ -175,6 +191,7 @@ object Layout {
         count(lit(1)).as("n_rows"))
       .withColumn("file_path", concat(lit(qualified + "/"),
         element_at(split(col("file_path"), "/"), -1)))
+      .withColumn("commit_ver", lit(ver))
     // Materialize the stats BEFORE the renames invalidate the tmp paths.
     val staged = newRows.collect().toIndexedSeq
     // First commit on an empty layout (a streaming sink's tick one)
@@ -235,8 +252,23 @@ object Layout {
     * re-apply the predicate on the pruned read (it lands in PushedFilters
     * against only the selected files' row groups). */
   def manifestPrunedRead(spark: SparkSession, path: String,
-                         lo: Column, hi: Column): DataFrame = {
+                         lo: Column, hi: Column): DataFrame =
+    manifestPrunedRead(spark, path, lo, hi, asOfVer = Long.MaxValue)
+
+  /** TIME TRAVEL variant of [[manifestPrunedRead]]: plan the scan against
+    * the layout AS OF snapshot `asOfVer` — only files whose manifest row
+    * committed at `commit_ver <= asOfVer` participate in the file
+    * selection. Because commits are append-only (a new manifest part per
+    * [[appendManifested]]; nothing existing is rewritten), the historical
+    * snapshot's file set is exactly the manifest rows at or below the
+    * version — Delta's VERSION AS OF / Iceberg's snapshot-id read
+    * re-expressed as one extra driver-side predicate on the SAME manifest
+    * read query planning already pays. Orphans from later VACUUMs are the
+    * retention caveat, exactly as in the real systems. */
+  def manifestPrunedRead(spark: SparkSession, path: String,
+                         lo: Column, hi: Column, asOfVer: Long): DataFrame = {
     val hits = spark.read.parquet(s"$path/manifest")
+      .filter(col("commit_ver") <= asOfVer)
       .filter(col("max_v") >= lo && col("min_v") <= hi)
       .select(col("file_path"))
       .collect().map(_.getString(0))

@@ -132,6 +132,33 @@ class ManifestSpec extends AnyFunSuite {
       "pruned read over the appended layout diverges from the direct filter")
   }
 
+  test("time travel: AS OF v0 reads exactly the pre-append snapshot; AS OF latest reads all") {
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-timetravel-spec"
+    Tables.deleteRecursively(d)
+    val li = Tables.lineitem(spark, Sf0001)
+    val baseRows = li.filter(col("l_orderkey") % 7 =!= 3)
+    Layout.writeManifested(baseRows, d, "l_shipdate", 8)
+    assert(Layout.manifestVersion(spark, d) == 0L)
+    val baseFiles = spark.read.parquet(s"$d/data").inputFiles.toSet
+    Layout.appendManifested(
+      li.filter(col("l_orderkey") % 7 === 3), d, "l_shipdate", 4)
+    assert(Layout.manifestVersion(spark, d) == 1L)
+    // AS OF v0: the file selection must be a subset of the BASE
+    // generation's files — no appended file leaks into history.
+    val asOf0 = Layout.manifestPrunedRead(spark, d, lo, hi, asOfVer = 0L)
+    assert(asOf0.inputFiles.toSet.subsetOf(baseFiles),
+      "an appended-generation file leaked into the v0 snapshot")
+    val agg = (x: org.apache.spark.sql.DataFrame) =>
+      x.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    assert(agg(asOf0) == agg(baseRows),
+      "AS OF v0 diverges from the pre-append snapshot")
+    // AS OF the latest version ≡ the unversioned read ≡ the full table.
+    val asOf1 = Layout.manifestPrunedRead(spark, d, lo, hi, asOfVer = 1L)
+    assert(agg(asOf1) == agg(li), "AS OF latest diverges from the full table")
+    assert(agg(Layout.manifestPrunedRead(spark, d, lo, hi)) == agg(li))
+  }
+
   test("vacuum deletes exactly the unreferenced orphans a crashed append leaves") {
     import java.nio.file.{Files, Paths}
     val d = sys.props("java.io.tmpdir") + "/graft-manifest-vacuum-spec"

@@ -66,6 +66,57 @@ class MergeSpec extends AnyFunSuite {
     assert(baseShuffles == 0, s"base snapshot was shuffled:\n$plan")
   }
 
+  test("changeFeed: insert/update/delete classification with pre- and post-images") {
+    val feed = Merge.changeFeed(base, changes, "k", "seq", "op")
+    assert(feed.columns.toSeq ==
+      Seq("k", "change_type", "old_name", "old_v", "new_name", "new_v"))
+    val rows = feed.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSet
+    // delete-absent (k=9) emits nothing; latest-wins picks seq 2 for k=1.
+    assert(rows == Set(
+      (1L, "update", Some("a"), Some(10.0), Some("a2"), Some(12.0)),
+      (2L, "delete", Some("b"), Some(20.0), None, None),
+      (4L, "insert", None, None, Some("d"), Some(40.0))),
+      s"unexpected feed: $rows")
+  }
+
+  test("changeFeed is consistent with applyCdc: base + feed replays to the merged snapshot") {
+    import org.apache.spark.sql.functions._
+    val feed = Merge.changeFeed(base, changes, "k", "seq", "op")
+    // Replay the feed against the base the way a downstream consumer
+    // would: drop updated/deleted keys, add post-images of non-deletes.
+    val touched = feed.select(col("k"))
+    val replayed = base.join(touched, Seq("k"), "left_anti")
+      .unionByName(feed.filter(col("change_type") =!= "delete")
+        .select(col("k"), col("new_name").as("name"), col("new_v").as("v")))
+    val viaApply = Merge.applyCdc(base, changes, "k", "seq", "op")
+    assert(replayed.collect().map(_.toSeq).toSet ==
+      viaApply.collect().map(_.toSeq).toSet,
+      "feed replay diverges from the applyCdc fold")
+  }
+
+  test("changeFeed never shuffles the base snapshot below the gate") {
+    val parquetBase = {
+      val dir = java.nio.file.Files.createTempDirectory("merge-feed-base").toString
+      Tables.documents(spark, SparkFixture.Sf0001)
+        .select(col("doc_id").as("k"), col("lang").as("name"),
+          col("n_chars").cast("double").as("v"))
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+    val df = Merge.changeFeed(parquetBase, changes, "k", "seq", "op")
+    val plan = PlanCheck.finalPlan(df)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scansBase(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      PlanCheck.flatten(p).exists(_.isInstanceOf[FileSourceScanExec])
+    assert(scansBase(plan), s"expected the parquet base scan in:\n$plan")
+    val baseShuffles = PlanCheck.flatten(plan).count {
+      case e: ShuffleExchangeLike => scansBase(e)
+      case _ => false
+    }
+    assert(baseShuffles == 0, s"base snapshot was shuffled:\n$plan")
+  }
+
   test("above the broadcast gate, a BUCKETED base still exchanges nothing") {
     // The Merge.scala claim composed end-to-end: with the broadcast gate
     // forced OFF (broadcastGateBytes = 0 — what a corpus-sized changeset

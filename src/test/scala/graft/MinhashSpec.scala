@@ -337,4 +337,29 @@ class MinhashSpec extends AnyFunSuite {
       graft.operators.ScaleOps.releaseTracked()
     }
   }
+
+  test("canonical selection keeps the max-quality member of every cluster (min-id on ties)") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_dedup_canonical")(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    // Brute-force twin: cluster membership from the graded components,
+    // quality recomputed per member, argmax on (quality desc, id asc).
+    val labels = graft.operators.Components.connectedComponents(
+      graft.queries.LlmOps.stagedMinhashPairs(spark, Sf0001), "doc_a", "doc_b")
+    val q = Tables.documents(spark, Sf0001).select(col("doc_id"),
+      graft.text.TextOps.qualityScore(col("text")).as("quality"))
+    val members = labels.join(q, labels("id") === q("doc_id"))
+      .select(col("comp"), col("id"), col("quality"))
+      .collect().groupBy(_.getLong(0))
+    assert(got.length == members.size)
+    for (r <- got) {
+      val (comp, keepDoc, keepQ, nDocs, nDropped) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+      val m = members(comp)
+      val best = m.minBy(x => (-x.getDouble(2), x.getLong(1)))
+      assert(keepDoc == best.getLong(1) && keepQ == best.getDouble(2),
+        s"cluster $comp kept $keepDoc, expected ${best.getLong(1)}")
+      assert(nDocs == m.length && nDropped == m.length - 1)
+    }
+  }
 }

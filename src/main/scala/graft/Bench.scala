@@ -59,6 +59,8 @@ object Bench {
       queries.LlmOps.stagedCorpusLabels(spark, sfDir)
       queries.Relational.stagedManifestLayout(spark, sfDir)
       queries.Relational.stagedManifestAppendLayout(spark, sfDir)
+      queries.Relational.stagedManifestDeleteLayout(spark, sfDir)
+      queries.Relational.stagedManifestOptimizeLayout(spark, sfDir)
       queries.Relational.stagedEventsByDay(spark, sfDir)
       graft.streaming.Runtime.stageAllReplays(spark, sfDir)
     }

@@ -321,6 +321,33 @@ object Oracle {
             AND l_shipdate < TIMESTAMP '1997-01-01'
           GROUP BY 1 ORDER BY l_returnflag""",
 
+    // Copy-on-write DELETE of H1 1997, then a planned read over a WIDER
+    // range: the result must see rewritten survivors on both flanks of
+    // the hole and zero deleted rows — the oracle re-applies the deletion
+    // by predicate. A delete that loses survivor rows during the rewrite,
+    // leaks deleted rows, or mis-tombstones a file breaks the hash.
+    "q_layout_delete" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+            AND l_shipdate < TIMESTAMP '1998-07-01'
+            AND NOT (l_shipdate >= TIMESTAMP '1997-01-01'
+                     AND l_shipdate < TIMESTAMP '1997-07-01')
+          GROUP BY 1 ORDER BY l_returnflag""",
+
+    // Four per-tick appends then ONE compaction commit; compaction is
+    // lossless over the live set, so the oracle is the plain range
+    // aggregate over the whole table — any row lost or duplicated by the
+    // rewrite (or a tombstoned file still read) breaks the hash.
+    "q_layout_optimize" ->
+      s"""SELECT l_linestatus, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1 ORDER BY l_linestatus""",
+
     // The Spark side's scale → morton → z-clustered write → read-back chain
     // is lossless and integer-exact, so the oracle recomputes the same
     // z-buckets straight from the source: min-max scale to 16 bits with

@@ -407,6 +407,54 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** COPY-ON-WRITE DELETE on the manifested layout (Layout
+    * .deleteManifested) — Delta/Iceberg DELETE WHERE: a deterministic
+    * retention range (H1 1997) is deleted by rewriting ONLY the files
+    * whose stats envelope intersects it — surviving rows move to fresh
+    * clustered files, the originals tombstone as 'remove' manifest rows,
+    * and both commit as ONE manifest part at a new snapshot version. The
+    * untouched majority of files is never read or rewritten — at 100 TB a
+    * time-ranged GDPR/retention delete touches the few clustered files
+    * holding the range, not the corpus. The graded read plans a WIDER
+    * range (1996-07 .. 1998-07) from the post-delete manifest, so it must
+    * see rewritten survivors on both flanks of the hole and none of the
+    * deleted rows; the oracle is the plain aggregate with the deletion
+    * re-applied by predicate. ManifestSpec pins the plan properties: only
+    * envelope-intersecting files rewritten, pre-delete snapshot intact
+    * under time travel. */
+  val qLayoutDelete: Q = (s, dir) => {
+    val staged = stagedManifestDeleteLayout(s, dir)
+    val lo = lit("1996-07-01").cast("timestamp")
+    val hi = lit("1998-07-01").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, staged, lo, hi)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** MANIFEST-AWARE COMPACTION (Layout.compactManifested — Delta OPTIMIZE):
+    * four per-tick appends accumulate a small-files layout (the shape
+    * every streaming sink produces), then compaction rewrites the live
+    * file set into few clustered files and commits adds + tombstones as
+    * one manifest part at a new version. The graded read plans a range
+    * scan from the POST-compaction manifest; the hash match against the
+    * plain range aggregate proves compaction is lossless, and ManifestSpec
+    * pins the rest: file count shrinks, planning rows shrink, and AS-OF
+    * reads below the compaction version still replay the pre-compaction
+    * files. At 100 TB this is the maintenance pass that keeps a per-tick
+    * append sink's planning cost O(target files), not O(ticks). */
+  val qLayoutOptimize: Q = (s, dir) => {
+    val staged = stagedManifestOptimizeLayout(s, dir)
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, staged, lo, hi)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_linestatus")
+  }
+
   /** CDC MERGE / UPSERT graded end-to-end (operators/Merge.applyCdc): a
     * deterministic changeset — two-version updates (latest must win),
     * deletes, and inserts of new keys, all derived from the customer table
@@ -1612,6 +1660,8 @@ object Relational {
     "q_layout_manifest" -> qLayoutManifest,
     "q_layout_manifest_append" -> qLayoutManifestAppend,
     "q_layout_timetravel" -> qLayoutTimetravel,
+    "q_layout_delete" -> qLayoutDelete,
+    "q_layout_optimize" -> qLayoutOptimize,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_scd2_snapshot" -> qScd2Snapshot,
@@ -1663,7 +1713,7 @@ object Relational {
     * storage posture), not part of the graded read. */
   def stagedManifestLayout(s: SparkSession, dir: String): String =
     Tables.stagedFixture(s, s"$dir/lineitem.parquet",
-      "lineitem-manifest", dir, "v2") { d => // v2: commit_ver snapshot column
+      "lineitem-manifest", dir, "v3") { d => // v3: commit_ver + op log columns
       graft.sources.Layout.writeManifested(
         Tables.lineitem(s, dir), d, "l_shipdate", numFiles = 16)
     }
@@ -1674,12 +1724,43 @@ object Relational {
     * is the manifest-planned read over the result. */
   def stagedManifestAppendLayout(s: SparkSession, dir: String): String =
     Tables.stagedFixture(s, s"$dir/lineitem.parquet",
-      "lineitem-manifest-append", dir, "v2") { d => // v2: commit_ver snapshot column
+      "lineitem-manifest-append", dir, "v3") { d => // v3: commit_ver + op log columns
       val li = Tables.lineitem(s, dir)
       graft.sources.Layout.writeManifested(
         li.filter(col("l_orderkey") % 7 =!= 3), d, "l_shipdate", numFiles = 12)
       graft.sources.Layout.appendManifested(
         li.filter(col("l_orderkey") % 7 === 3), d, "l_shipdate", numFiles = 4)
+      ()
+    }
+
+  /** The deleted-from manifested layout q_layout_delete plans from: full
+    * lineitem built at v0, then a copy-on-write DELETE of H1 1997 commits
+    * rewrites + tombstones at v1. Staged once per lineitem snapshot — the
+    * delete is table maintenance; the graded op is the post-delete
+    * planned read. */
+  def stagedManifestDeleteLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-delete", dir, "v1") { d =>
+      graft.sources.Layout.writeManifested(
+        Tables.lineitem(s, dir), d, "l_shipdate", numFiles = 12)
+      graft.sources.Layout.deleteManifested(s, d, "l_shipdate",
+        lit("1997-01-01").cast("timestamp"), lit("1997-07-01").cast("timestamp"),
+        numFiles = 2)
+      ()
+    }
+
+  /** The compacted manifested layout q_layout_optimize plans from: four
+    * per-tick appends (l_orderkey % 4 slices, 6 small files each — the
+    * accumulation shape of a streaming sink) then ONE compaction commit
+    * rewriting the live set into 8 clustered files. */
+  def stagedManifestOptimizeLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-optimize", dir, "v1") { d =>
+      val li = Tables.lineitem(s, dir)
+      for (m <- 0 to 3)
+        graft.sources.Layout.appendManifested(
+          li.filter(col("l_orderkey") % 4 === m), d, "l_shipdate", numFiles = 6)
+      graft.sources.Layout.compactManifested(s, d, "l_shipdate", numFiles = 8)
       ()
     }
 

@@ -128,6 +128,7 @@ object Layout {
       .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
         count(lit(1)).as("n_rows"))
       .withColumn("commit_ver", lit(0L))
+      .withColumn("op", lit("add"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
   }
@@ -166,6 +167,27 @@ object Layout {
   def appendManifested(df: DataFrame, path: String, statsCol: String,
                        numFiles: Int): Int = {
     val spark = df.sparkSession
+    // The commit's snapshot version: one manifest read (the Delta
+    // log-replay shape) — a bootstrap commit on an empty layout is v0, so
+    // append and build stay one code path for streaming sinks.
+    val ver = manifestVersion(spark, path) + 1L
+    val (n, addRows, schema) = stageDataFiles(df, path, statsCol, numFiles, ver)
+    commitManifest(spark, path, addRows, schema)
+    n
+  }
+
+  /** Shared commit machinery of [[appendManifested]] / [[deleteManifested]]
+    * / [[compactManifested]]: cluster `df` on `statsCol` into a temp dir,
+    * aggregate per-file stats over ONLY those files, RENAME them into
+    * `data/` (task-UUID part names — collision-free, no byte copy on a
+    * sane filesystem), and return the staged 'add' manifest rows — NOT yet
+    * committed; the caller appends them (plus any 'remove' rows) as one
+    * manifest part LAST, preserving the crash-safe Iceberg ordering. */
+  private def stageDataFiles(df: DataFrame, path: String, statsCol: String,
+                             numFiles: Int, ver: Long)
+      : (Int, IndexedSeq[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType) = {
+    val spark = df.sparkSession
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val dataDir = new Path(s"$path/data")
@@ -180,10 +202,6 @@ object Layout {
     // Stats over ONLY the new files, keyed by their final (post-rename)
     // location so the manifest row format matches writeManifested's.
     val qualified = fs.makeQualified(dataDir).toString
-    // The commit's snapshot version: one manifest read (the Delta
-    // log-replay shape) — a bootstrap commit on an empty layout is v0, so
-    // append and build stay one code path for streaming sinks.
-    val ver = manifestVersion(spark, path) + 1L
     val newRows = spark.read.parquet(tmp.toString)
       .select(col(statsCol))
       .groupBy(input_file_name().as("file_path"))
@@ -192,6 +210,7 @@ object Layout {
       .withColumn("file_path", concat(lit(qualified + "/"),
         element_at(split(col("file_path"), "/"), -1)))
       .withColumn("commit_ver", lit(ver))
+      .withColumn("op", lit("add"))
     // Materialize the stats BEFORE the renames invalidate the tmp paths.
     val staged = newRows.collect().toIndexedSeq
     // First commit on an empty layout (a streaming sink's tick one)
@@ -204,13 +223,112 @@ object Layout {
       // commit ordering exists to rule out. Hadoop signals failure by
       // RETURN VALUE here, not exception.
       val moved = fs.rename(f.getPath, new Path(dataDir, f.getPath.getName))
-      require(moved, s"appendManifested: rename failed for ${f.getPath}")
+      require(moved, s"stageDataFiles: rename failed for ${f.getPath}")
     }
     fs.delete(tmp, true)
+    (parts.length, staged, newRows.schema)
+  }
+
+  /** Append `rows` as ONE new manifest part — the visibility commit. */
+  private def commitManifest(spark: SparkSession, path: String,
+                             rows: Seq[org.apache.spark.sql.Row],
+                             schema: org.apache.spark.sql.types.StructType): Unit =
     spark.createDataFrame(
-        spark.sparkContext.parallelize(staged, 1), newRows.schema)
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
       .write.mode(SaveMode.Append).parquet(s"$path/manifest")
-    parts.length
+
+  /** The LIVE manifest rows as of `asOfVer`: 'add' rows at or below the
+    * version whose file has no 'remove' row at or below it. One small-table
+    * query — the log-replay that defines every read's file set. */
+  private def liveManifestRows(spark: SparkSession, path: String,
+                               asOfVer: Long): DataFrame = {
+    val man = spark.read.parquet(s"$path/manifest")
+      .filter(col("commit_ver") <= asOfVer)
+    man.filter(col("op") === "add")
+      .join(man.filter(col("op") === "remove").select(col("file_path")),
+        Seq("file_path"), "left_anti")
+  }
+
+  /** COPY-ON-WRITE range DELETE on a manifested layout — Delta/Iceberg
+    * DELETE WHERE re-expressed: only files whose [min_v, max_v] envelope
+    * intersects `[lo, hi)` are touched; their surviving rows rewrite into
+    * fresh clustered files ('add' rows), the originals are tombstoned
+    * ('remove' rows), and both commit together as ONE manifest part at a
+    * new snapshot version. Untouched files — at 100 TB, the overwhelming
+    * majority under a time-ranged GDPR/retention delete — are not read,
+    * not rewritten, and not re-manifested. Time travel keeps working: an
+    * AS-OF read below the delete's version replays the pre-delete file
+    * set (the removed files stay on disk until [[expireRemoved]]).
+    * Returns (files rewritten, files removed). */
+  def deleteManifested(spark: SparkSession, path: String, statsCol: String,
+                       lo: Column, hi: Column, numFiles: Int): (Int, Int) = {
+    val ver = manifestVersion(spark, path) + 1L
+    val candidates = liveManifestRows(spark, path, ver - 1)
+      .filter(col("max_v") >= lo && col("min_v") < hi)
+      .collect()
+    if (candidates.isEmpty) return (0, 0)
+    val paths = candidates.map(_.getAs[String]("file_path")).toIndexedSeq
+    val survivors = spark.read.parquet(paths: _*)
+      .filter(!(col(statsCol) >= lo && col(statsCol) < hi))
+    // A fully-deleted candidate set stages nothing — the commit is then
+    // remove-only (still one manifest part).
+    val (n, addRows, schema) =
+      if (survivors.isEmpty) (0, IndexedSeq.empty[org.apache.spark.sql.Row],
+        spark.read.parquet(s"$path/manifest").schema)
+      else stageDataFiles(survivors, path, statsCol, numFiles, ver)
+    val removeRows = candidates.toIndexedSeq.map { r =>
+      org.apache.spark.sql.Row(r.getAs[String]("file_path"),
+        r.getAs[Any]("min_v"), r.getAs[Any]("max_v"),
+        r.getAs[Long]("n_rows"), ver, "remove")
+    }
+    commitManifest(spark, path, addRows ++ removeRows, schema)
+    (n, candidates.length)
+  }
+
+  /** MANIFEST-AWARE COMPACTION (Delta OPTIMIZE / Iceberg rewrite-data-files):
+    * rewrite the CURRENT live file set into `numFiles` range-clustered
+    * files and commit adds + tombstones as one manifest part at a new
+    * version. The small-files problem is what every per-tick append sink
+    * accumulates; compaction amortizes it without breaking readers —
+    * concurrent AS-OF reads below the compaction version still replay the
+    * old files, and the planning read shrinks from O(ticks × filesPerTick)
+    * rows to O(numFiles). Returns (files written, files removed). */
+  def compactManifested(spark: SparkSession, path: String, statsCol: String,
+                        numFiles: Int): (Int, Int) = {
+    val ver = manifestVersion(spark, path) + 1L
+    val live = liveManifestRows(spark, path, ver - 1).collect()
+    if (live.isEmpty) return (0, 0)
+    val paths = live.map(_.getAs[String]("file_path")).toIndexedSeq
+    val (n, addRows, schema) = stageDataFiles(
+      spark.read.parquet(paths: _*), path, statsCol, numFiles, ver)
+    val removeRows = live.toIndexedSeq.map { r =>
+      org.apache.spark.sql.Row(r.getAs[String]("file_path"),
+        r.getAs[Any]("min_v"), r.getAs[Any]("max_v"),
+        r.getAs[Long]("n_rows"), ver, "remove")
+    }
+    commitManifest(spark, path, addRows ++ removeRows, schema)
+    (n, live.length)
+  }
+
+  /** RETENTION EXPIRY — the second half of the GC story ([[
+    * vacuumManifested]] collects never-committed orphans): delete data
+    * files whose 'remove' tombstone committed at or below `throughVer`,
+    * surrendering time travel to snapshots below that horizon — exactly
+    * Delta's VACUUM retention contract. Manifest rows stay (the log is the
+    * audit trail); only data bytes go. Returns files deleted. */
+  def expireRemoved(spark: SparkSession, path: String, throughVer: Long): Int = {
+    import org.apache.hadoop.fs.Path
+    val dataDir = new Path(s"$path/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val expired = spark.read.parquet(s"$path/manifest")
+      .filter(col("op") === "remove" && col("commit_ver") <= throughVer)
+      .select(col("file_path")).collect().map(_.getString(0))
+    var n = 0
+    for (p <- expired) {
+      val f = new Path(p)
+      if (fs.exists(f)) { fs.delete(f, false); n += 1 }
+    }
+    n
   }
 
   /** VACUUM a manifested layout: delete data files the manifest does not
@@ -225,7 +343,10 @@ object Layout {
     * in the same way as the real systems' retention window: an append's
     * tmp dir lives outside data/, and its files enter data/ only
     * moments before their manifest row commits — callers vacuum quiesced
-    * layouts (or add an mtime grace period at 100 TB). */
+    * layouts (or add an mtime grace period at 100 TB). Files referenced by
+    * ANY manifest row — including 'remove' tombstones — are retained here
+    * (time travel still replays them); [[expireRemoved]] is the retention
+    * pass that lets them go. */
   def vacuumManifested(spark: SparkSession, path: String): Int = {
     import org.apache.hadoop.fs.Path
     val dataDir = new Path(s"$path/data")
@@ -267,8 +388,7 @@ object Layout {
     * retention caveat, exactly as in the real systems. */
   def manifestPrunedRead(spark: SparkSession, path: String,
                          lo: Column, hi: Column, asOfVer: Long): DataFrame = {
-    val hits = spark.read.parquet(s"$path/manifest")
-      .filter(col("commit_ver") <= asOfVer)
+    val hits = liveManifestRows(spark, path, asOfVer)
       .filter(col("max_v") >= lo && col("min_v") <= hi)
       .select(col("file_path"))
       .collect().map(_.getString(0))

@@ -159,6 +159,84 @@ class ManifestSpec extends AnyFunSuite {
     assert(agg(Layout.manifestPrunedRead(spark, d, lo, hi)) == agg(li))
   }
 
+  test("copy-on-write delete: only envelope-intersecting files rewritten; time travel intact") {
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-delete-spec"
+    Tables.deleteRecursively(d)
+    val li = Tables.lineitem(spark, Sf0001)
+    Layout.writeManifested(li, d, "l_shipdate", 8)
+    val preFiles = spark.read.parquet(s"$d/data").inputFiles.map(
+      p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val dlo = lit("1997-01-01").cast("timestamp")
+    val dhi = lit("1997-07-01").cast("timestamp")
+    // Which files does the deletion legitimately touch?
+    val man0 = spark.read.parquet(s"$d/manifest").collect()
+    val touchable = man0.filter(r => r.getString(man0.head.fieldIndex("op")) == "add")
+      .filter { r =>
+        val mn = r.getAs[java.time.LocalDateTime]("min_v")
+        val mx = r.getAs[java.time.LocalDateTime]("max_v")
+        !mx.isBefore(java.time.LocalDateTime.of(1997, 1, 1, 0, 0)) &&
+          mn.isBefore(java.time.LocalDateTime.of(1997, 7, 1, 0, 0))
+      }.map(r => { val p = r.getAs[String]("file_path"); p.substring(p.lastIndexOf('/') + 1) }).toSet
+    assert(touchable.nonEmpty && touchable.size < preFiles.size,
+      "fixture degenerate: delete range touches nothing or everything")
+    val (rewritten, removed) = Layout.deleteManifested(
+      spark, d, "l_shipdate", dlo, dhi, 2)
+    assert(removed == touchable.size,
+      s"tombstoned $removed files, expected exactly the ${touchable.size} intersecting ones")
+    assert(rewritten > 0)
+    // Untouched files survive as live; the post-delete read equals the
+    // predicate twin over the full span.
+    val span = (lit("1992-01-01").cast("timestamp"), lit("2002-01-01").cast("timestamp"))
+    val got = Layout.manifestPrunedRead(spark, d, span._1, span._2)
+      .agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    val exp = li.filter(!(col("l_shipdate") >= dlo && col("l_shipdate") < dhi))
+      .agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    assert(got == exp, "post-delete live set diverges from the predicate twin")
+    // Zero deleted-range rows remain live.
+    assert(Layout.manifestPrunedRead(spark, d, dlo, dhi)
+      .filter(col("l_shipdate") >= dlo && col("l_shipdate") < dhi).count() == 0L)
+    // Time travel below the delete version replays the FULL pre-delete set.
+    val asOf0 = Layout.manifestPrunedRead(spark, d, span._1, span._2, asOfVer = 0L)
+      .agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    val full = li.agg(count(lit(1)),
+      graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    assert(asOf0 == full, "pre-delete snapshot lost under time travel")
+  }
+
+  test("compaction: live planning shrinks, result lossless, pre-compaction snapshot replayable") {
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-optimize-spec"
+    Tables.deleteRecursively(d)
+    val li = Tables.lineitem(spark, Sf0001)
+    for (m <- 0 to 3)
+      Layout.appendManifested(li.filter(col("l_orderkey") % 4 === m),
+        d, "l_shipdate", 6)
+    val preVer = Layout.manifestVersion(spark, d)
+    assert(preVer == 3L)
+    val span = (lit("1992-01-01").cast("timestamp"), lit("2002-01-01").cast("timestamp"))
+    val preLiveFiles = Layout.manifestPrunedRead(spark, d, span._1, span._2)
+      .inputFiles.length
+    val (written, removed) = Layout.compactManifested(spark, d, "l_shipdate", 8)
+    assert(removed == preLiveFiles, "compaction must tombstone every pre-live file")
+    assert(written <= 8 && written > 0)
+    val postLive = Layout.manifestPrunedRead(spark, d, span._1, span._2)
+    assert(postLive.inputFiles.length == written,
+      "post-compaction planning still reads tombstoned files")
+    assert(postLive.inputFiles.length < preLiveFiles, "no shrink — compaction vacuous")
+    val agg = (x: org.apache.spark.sql.DataFrame) =>
+      x.agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    assert(agg(postLive) == agg(li), "compaction lost or duplicated rows")
+    // AS OF the pre-compaction version replays the small-files layout.
+    val asOfPre = Layout.manifestPrunedRead(spark, d, span._1, span._2, asOfVer = preVer)
+    assert(asOfPre.inputFiles.length == preLiveFiles)
+    assert(agg(asOfPre) == agg(li))
+    // Retention expiry releases exactly the tombstoned files and gives up
+    // the old snapshot; the current snapshot is untouched.
+    val expired = Layout.expireRemoved(spark, d, throughVer = preVer + 1)
+    assert(expired == removed, s"expired $expired, expected $removed")
+    assert(agg(Layout.manifestPrunedRead(spark, d, span._1, span._2)) == agg(li))
+    assert(Layout.expireRemoved(spark, d, preVer + 1) == 0, "expiry must be idempotent")
+  }
+
   test("vacuum deletes exactly the unreferenced orphans a crashed append leaves") {
     import java.nio.file.{Files, Paths}
     val d = sys.props("java.io.tmpdir") + "/graft-manifest-vacuum-spec"

@@ -154,6 +154,45 @@ object Oracle {
          WHERE NOT (l.op = 'D' AND c.c_custkey IS NULL)
          ORDER BY c_custkey""",
 
+    // Feed-driven view maintenance must land on the SAME rollup a
+    // from-scratch aggregate over the merged snapshot produces — so the
+    // oracle recomputes: the identical latest-per-key merge, then the
+    // per-segment count + exact decimal sum. A maintenance fold that
+    // misses a delta (a moved segment, a delete, a superseded update)
+    // breaks the hash.
+    "q_agg_view_maintain" ->
+      s"""WITH chg AS (
+           SELECT c_custkey AS k, 1 AS seq, 'U' AS op, c_name, c_nationkey,
+                  c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+             FROM customer WHERE c_custkey % 10 IN (1, 2)
+           UNION ALL
+           SELECT c_custkey, 2, 'U', c_name, c_nationkey,
+                  c_acctbal + 300.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 1
+           UNION ALL
+           SELECT c_custkey, 1, 'D', NULL, NULL, NULL, NULL
+             FROM customer WHERE c_custkey % 10 = 7
+           UNION ALL
+           SELECT CAST(c_custkey + 10000000 AS BIGINT), 1, 'U',
+                  'ins_' || CAST(c_custkey AS VARCHAR), c_nationkey,
+                  0.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 5),
+         latest AS (
+           SELECT * FROM (
+             SELECT chg.*,
+                    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+             FROM chg) t WHERE rn = 1),
+         merged AS (
+           SELECT CASE WHEN l.k IS NULL THEN c.c_mktsegment
+                       ELSE l.c_mktsegment END AS seg,
+                  CASE WHEN l.k IS NULL THEN c.c_acctbal
+                       ELSE l.c_acctbal END AS bal
+           FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k
+           WHERE l.op IS NULL OR l.op <> 'D')
+         SELECT seg AS c_mktsegment, count(*) AS n_customers,
+                ${dsum("bal")} AS acctbal_total
+         FROM merged GROUP BY 1 ORDER BY 1""",
+
     // Same deterministic change-history construction as q_merge_upsert's
     // changeset, expanded to versions by the identical LEAD window; 'D'
     // rows contribute interval closure only.

@@ -1179,6 +1179,66 @@ object LlmOps {
       .limit(50)
   }
 
+  /** BPE TOKENIZER TRAINING — the iterated completion of q_text_bpe_pairs
+    * (which grades one pair-count pass): learn the first 10 merge rules
+    * the way the published BPE algorithm does — per step, the
+    * highest-weighted adjacent symbol pair (ties broken lexicographically,
+    * so the rule sequence is deterministic) merges everywhere, and the
+    * next step counts pairs over the REWRITTEN vocabulary. Output: the
+    * merge table (step, left, right, merged, n_occurrences) — the actual
+    * artifact a tokenizer trainer ships.
+    *
+    * Scale posture: the corpus is touched ONCE (the word-count shuffle
+    * that q_text_bpe_pairs already pays — zipf economy: counting words
+    * first makes every later pass vocabulary-sized). Each of the 10 steps
+    * is one map-side-combined pair aggregation over the VOCAB plus a
+    * narrow codegen'd fold rewriting the symbol arrays (functions
+    * .aggregate — no UDF); the per-step driver fetch is ONE row (the
+    * argmax rule), the P2-loop convention. Steps persist vocab-sized
+    * frames only. The merge fold is leftmost-first like the reference
+    * algorithm; all arithmetic is exact integer sums. Declared no-oracle
+    * (the data-dependent rule recursion has no tractable SQL form);
+    * TextOpsSpec pins the full 10-rule sequence against an independent
+    * driver-side reference BPE at sf0.001. */
+  val qTextBpeTrain: Q = (s, dir) => {
+    val steps = 10
+    var words = graft.operators.ScaleOps.trackedPersist(
+      Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .select(concat(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          array(lit("</w>"))).as("syms"), col("n")))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to steps) {
+      val top = words
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step, a, b, a + b, cnt))
+      // Leftmost-first merge fold — pure column functions (codegen'd, and
+      // symbol text can never inject into a SQL string).
+      words = graft.operators.ScaleOps.trackedPersist(words.select(
+        aggregate(col("syms"), array().cast("array<string>"),
+          (out, sym) => when(
+              size(out) > 0 && element_at(out, -1) === lit(a) && sym === lit(b),
+              concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
+            .otherwise(concat(out, array(sym)))).as("syms"),
+        col("n")))
+    }
+    import s.implicits._
+    merges.result()
+      .toDF("step", "left", "right", "merged", "n_occurrences")
+      .orderBy("step")
+  }
+
   /** Winnowing document fingerprints (TextOps.fingerprints): every window's
     * minimum k-gram rolling hash — the shared-run detector (any common
     * token run of ≥ w + k − 1 tokens yields a shared print). No oracle
@@ -1605,6 +1665,7 @@ object LlmOps {
     "q_contamination_embed" -> qContaminationEmbed,
     "q_text_tokens" -> qTextTokens,
     "q_text_bpe_pairs" -> qTextBpePairs,
+    "q_text_bpe_train" -> qTextBpeTrain,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_media_features" -> qMediaFeatures,
     "q_sim_cosine_topk" -> qSimCosineTopk,

@@ -521,6 +521,49 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE from the change feed — what q_merge_cdf's
+    * feed exists to drive: a standing per-segment rollup (count + exact
+    * decimal partial sum, the dsumPartial/dsumMerge mergeable-aggregate
+    * pair q_agg_incremental stores) is maintained by folding in the feed's
+    * DELTAS — each feed row contributes −old under its old segment and
+    * +new under its new segment, so inserts add, deletes subtract, and an
+    * update that MOVES segment naturally splits into two delta rows. The
+    * maintained rollup must equal a from-scratch aggregate over the merged
+    * snapshot — decimal addition is exact, so the oracle (recompute over
+    * the merged table) hash-matches bit-for-bit, proving maintained ≡
+    * recomputed. At 100 TB the base rollup is a stored artifact; the
+    * per-tick cost is the changeset-sized delta aggregation plus a merge
+    * into the segment-sized rollup — the corpus is never re-aggregated
+    * (recomputing is the full-scan-per-tick this machinery deletes). */
+  val qAggViewMaintain: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val feed = graft.operators.Merge.changeFeed(cust, mergeChangeset(cust),
+      "c_custkey", "seq", "op")
+    val base = cust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.dsumPartial(col("c_acctbal")).as("sb"))
+    val contrib = feed
+      .filter(col("old_c_mktsegment").isNotNull)
+      .select(col("old_c_mktsegment").as("seg"), lit(-1L).as("dn"),
+        (-col("old_c_acctbal")).as("v"))
+      .unionByName(feed.filter(col("change_type") =!= "delete")
+        .select(col("new_c_mktsegment").as("seg"), lit(1L).as("dn"),
+          col("new_c_acctbal").as("v")))
+    val delta = contrib.groupBy(col("seg"))
+      .agg(sum(col("dn")).as("dn"),
+        graft.functions.Det.dsumPartial(col("v")).as("sd"))
+    val zero = lit(0).cast("decimal(38,10)")
+    val total = coalesce(col("sb"), zero) + coalesce(col("sd"), zero)
+    base.join(delta, Seq("seg"), "full_outer")
+      .select(col("seg").as("c_mktsegment"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_customers"),
+        ((round(total, 2) * lit(100L)).cast("long").cast("double") / lit(100.0))
+          .as("acctbal_total"))
+      .filter(col("n_customers") > 0)
+      .orderBy("c_mktsegment")
+  }
+
   /** SCD TYPE-2 dimension build (operators/Scd.buildType2): the customer
     * dimension's deterministic change history — initial load at seq 0,
     * updates at seq 1–2 (latest supersedes), deletes at seq 3, and a
@@ -1664,6 +1707,7 @@ object Relational {
     "q_layout_optimize" -> qLayoutOptimize,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
+    "q_agg_view_maintain" -> qAggViewMaintain,
     "q_scd2_snapshot" -> qScd2Snapshot,
     "q_scd2_merge" -> qScd2Merge,
     "q_scd2_asof" -> qScd2Asof,

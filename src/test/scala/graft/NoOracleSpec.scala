@@ -216,4 +216,41 @@ class NoOracleSpec extends AnyFunSuite {
     val recall = (lsh & top).size.toDouble / top.size
     assert(recall >= 0.6, s"LSH recall $recall; lsh=$lsh true=$top")
   }
+
+  test("q_text_bpe_train: the 10-rule sequence matches an independent driver-side BPE") {
+    val got = SparkEntry.queries("q_text_bpe_train")(spark, Sf0001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got.length == 10 && got.map(_._1) == (1 to 10))
+    // Reference BPE: plain Scala over the collected word counts — same
+    // lowercased whitespace words, '</w>' terminator, leftmost-first
+    // merge, ties broken (count desc, left asc, right asc).
+    var vocab: Map[Vector[String], Long] = Tables.documents(spark, Sf0001)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toVector :+ "</w>", r.getLong(1)))
+      .toMap
+    val expected = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to 10) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, n) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      expected += ((step, a, b, a + b, cnt))
+      vocab = vocab.toSeq.map { case (syms, n) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        for (s <- syms) {
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = a + b
+          else out += s
+        }
+        (out.toVector, n)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    assert(got == expected.result(),
+      s"distributed rule sequence diverges from reference BPE:\n$got\nvs\n${expected.result()}")
+  }
 }

@@ -57,6 +57,7 @@ object Bench {
       queries.LlmOps.stagedMinhashPairs(spark, sfDir)
       queries.LlmOps.stagedCorpusIndex(spark, sfDir)
       queries.LlmOps.stagedCorpusLabels(spark, sfDir)
+      queries.LlmOps.stagedFullLabels(spark, sfDir)
       queries.Relational.stagedManifestLayout(spark, sfDir)
       queries.Relational.stagedManifestAppendLayout(spark, sfDir)
       queries.Relational.stagedManifestDeleteLayout(spark, sfDir)

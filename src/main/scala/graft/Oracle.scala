@@ -1918,6 +1918,17 @@ object Oracle {
           FROM events WHERE event_type IN ('click', 'purchase')
           GROUP BY event_type, user_id ORDER BY event_type, user_id""",
 
+    // The streamed rollup accretes one decimal-partial row set per tick;
+    // the graded read merges partials and never re-reads the events. The
+    // oracle recomputes the view from scratch — tick-partial accretion
+    // must be bit-identical (decimal addition is exact and associative);
+    // a dropped tick, a double-committed batch, or a leaked flush
+    // sentinel breaks the hash.
+    "q_stream_view_maintain" ->
+      s"""SELECT event_type, count(*) AS n,
+                 ${dsum("value", 6)} AS sum_value
+          FROM events GROUP BY event_type ORDER BY event_type""",
+
     // Single-pass aggregate over the source: the Spark side refreshes the
     // same answer by merging a materialized per-(type, day) decimal-partial
     // rollup with the newest day's delta — dsumPartial/dsumMerge keep the

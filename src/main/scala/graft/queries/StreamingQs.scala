@@ -305,7 +305,37 @@ object StreamingQs {
       .orderBy("event_type")
   }
 
+  /** STREAMING VIEW MAINTENANCE (Runtime.runRollupMaintain) — the
+    * q_agg_view_maintain fold driven by the replayed event stream: each
+    * micro-batch appends its per-type PARTIAL aggregate (count + exact
+    * decimal partial sum) to a stored rollup table; the graded read MERGES
+    * the partials (Det.dsumMerge) and never re-reads the events. The
+    * oracle recomputes the view from scratch over the whole events table,
+    * so the hash match proves tick-partial accretion ≡ full recompute —
+    * the mergeable-aggregate law (decimal addition is exact and
+    * associative) graded through a real incremental stream. The flush
+    * sentinel is filtered in-stream: the rollup must account exactly the
+    * delivered events. */
+  val qStreamViewMaintain: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    val rollup = Tables.stageDir(s, "stream-rollup", dir)
+    val ckpt = Tables.stageDir(s, "stream-rollup-ckpt", dir)
+    Tables.deleteRecursively(rollup)
+    Tables.deleteRecursively(ckpt)
+    SR.runRollupMaintain(
+      SR.eventsStreamSplitByTime(s, dir)
+        .filter(col("event_type") =!= "flush")
+        .select(col("event_type"), col("value")),
+      rollup, ckpt, keyCol = "event_type", valCol = "value")
+    s.read.parquet(rollup)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"),
+        graft.functions.Det.dsumMerge(col("s"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_view_maintain" -> qStreamViewMaintain,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_late" -> qStreamLate,
     "q_stream_sink_manifest" -> qStreamSinkManifest,

@@ -561,6 +561,45 @@ object Runtime {
     * snapshot's manifest), composed from the same primitives batch
     * maintenance uses — downstream readers plan file-skipping scans from
     * the manifest while the stream keeps appending. */
+  /** Streaming INCREMENTAL VIEW MAINTENANCE sink — the q_agg_view_maintain
+    * fold driven by a stream: every micro-batch commits its tick's
+    * PARTIAL aggregate (count + exact decimal partial sum per key — the
+    * dsumPartial/dsumMerge mergeable pair) as one append to a stored
+    * rollup-delta table. The serving read merges the partials and NEVER
+    * re-reads the event corpus; per-tick cost is the batch-sized partial
+    * aggregation plus an O(keys) append — decimal addition is exact, so
+    * the merged rollup is bit-identical to a from-scratch aggregate over
+    * everything the stream delivered. This is the kappa-architecture
+    * serving-table story: at 100 TB of accumulated events the rollup
+    * table holds O(ticks × keys) tiny rows and compacts like any other
+    * layout; recomputing the view per tick is the full-scan this sink
+    * exists to delete. */
+  def runRollupMaintain(rows: DataFrame, rollupPath: String,
+                        checkpoint: String, keyCol: String,
+                        valCol: String): Unit =
+    withStreamShufflePartitions(rows.sparkSession) {
+    val q = rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        batch.groupBy(col(keyCol))
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Det.dsumPartial(col(valCol)).as("s"))
+          .withColumn("tick", lit(tick))
+          .coalesce(1)
+          .write.mode(SaveMode.Append).parquet(rollupPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(120000L)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"rollup stream into $rollupPath did not finish within 120s")
+    }
+  }
+
   def runToManifestedParquet(rows: DataFrame, path: String, checkpoint: String,
                              statsCol: String, numFilesPerTick: Int): Unit =
     withStreamShufflePartitions(rows.sparkSession) {

@@ -325,4 +325,24 @@ class StreamingEquivSpec extends AnyFunSuite {
     assert(accepted + dropped == Tables.events(spark, Sf0001).count(),
       s"ledger imbalance: accepted=$accepted dropped=$dropped")
   }
+
+  test("rollup maintenance: one partial row set per tick; merged == from-scratch") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_stream_view_maintain")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    // The stored rollup itself: the split replay delivers two data
+    // micro-batches → exactly two tick generations of partials.
+    val rollup = spark.read.parquet(
+      Tables.stageDir(spark, "stream-rollup", Sf0001))
+    val ticks = rollup.select(col("tick")).distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ticks.length == 2, s"expected 2 tick generations, got $ticks")
+    // Merged partials == from-scratch aggregate over the source.
+    val exp = Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.dsum(col("value"), 6).as("sum_value"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(got == exp, "tick-partial accretion diverges from full recompute")
+  }
 }

@@ -229,13 +229,48 @@ object Layout {
     (parts.length, staged, newRows.schema)
   }
 
-  /** Append `rows` as ONE new manifest part — the visibility commit. */
+  /** Append `rows` as ONE new manifest part — the visibility commit, made
+    * OPTIMISTICALLY CONCURRENT the Delta-log way: the part is staged to a
+    * temp dir and RENAMED to the version-addressed name
+    * `commit-v<ver>.parquet`; a writer that finds its version already
+    * claimed lost the race, re-stamps its rows at the next version, and
+    * retries. The required storage primitive is the atomic
+    * fail-if-exists rename (HDFS rename / object-store conditional put) —
+    * exactly what the real log protocols build on. Retry is sound for
+    * DISJOINT commits (appends, ingest ticks — the file sets cannot
+    * conflict); racing maintenance passes over the SAME files
+    * (delete×delete, compact×compact) need conflict validation before
+    * retrying, as in the real systems. Returns the version that won. */
   private def commitManifest(spark: SparkSession, path: String,
                              rows: Seq[org.apache.spark.sql.Row],
-                             schema: org.apache.spark.sql.types.StructType): Unit =
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
-      .write.mode(SaveMode.Append).parquet(s"$path/manifest")
+                             schema: org.apache.spark.sql.types.StructType): Long = {
+    import org.apache.hadoop.fs.Path
+    val manifestDir = new Path(s"$path/manifest")
+    val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(manifestDir)
+    val verIdx = schema.fieldIndex("commit_ver")
+    var v = rows.head.getLong(verIdx)
+    var committed = -1L
+    while (committed < 0) {
+      val stamped =
+        if (rows.head.getLong(verIdx) == v) rows.toIndexedSeq
+        else rows.toIndexedSeq.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(verIdx, v)))
+      val tmp = new Path(s"$path/commit-tmp-${java.util.UUID.randomUUID()}")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(stamped, 1), schema)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .find(_.getPath.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"commitManifest: no staged part under $tmp")).getPath
+      val target = new Path(manifestDir, f"commit-v$v%012d.parquet")
+      if (!fs.exists(target) && fs.rename(part, target)) committed = v
+      else v += 1 // lost the race — next version, re-stamp, retry
+      fs.delete(tmp, true)
+    }
+    committed
+  }
 
   /** The LIVE manifest rows as of `asOfVer`: 'add' rows at or below the
     * version whose file has no 'remove' row at or below it. One small-table

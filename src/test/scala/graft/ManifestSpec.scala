@@ -237,6 +237,43 @@ class ManifestSpec extends AnyFunSuite {
     assert(Layout.expireRemoved(spark, d, preVer + 1) == 0, "expiry must be idempotent")
   }
 
+  test("optimistic commit: a claimed version forces the loser to retry at the next one") {
+    import org.apache.hadoop.fs.Path
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-occ-spec"
+    Tables.deleteRecursively(d)
+    val li = Tables.lineitem(spark, Sf0001)
+    Layout.writeManifested(li.filter(col("l_orderkey") % 7 =!= 3), d, "l_shipdate", 4)
+    Layout.appendManifested(
+      li.filter(col("l_orderkey") % 7 === 3 && col("l_orderkey") % 2 === 0),
+      d, "l_shipdate", 2)
+    assert(Layout.manifestVersion(spark, d) == 1L)
+    // Simulate a racing writer that already claimed v2: occupy the
+    // version-addressed commit name with a valid empty manifest part.
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val man = spark.read.parquet(s"$d/manifest")
+    val tmp = s"$d/occ-plant"
+    man.limit(0).coalesce(1).write.parquet(tmp)
+    val planted = fs.listStatus(new Path(tmp))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    assert(fs.rename(planted, new Path(s"$d/manifest/commit-v${"%012d".format(2)}.parquet")))
+    fs.delete(new Path(tmp), true)
+    // The loser's append intended v2 — it must land at v3, not overwrite.
+    Layout.appendManifested(
+      li.filter(col("l_orderkey") % 7 === 3 && col("l_orderkey") % 2 === 1),
+      d, "l_shipdate", 2)
+    assert(Layout.manifestVersion(spark, d) == 3L,
+      "conflicted commit did not retry to the next version")
+    val vers = spark.read.parquet(s"$d/manifest")
+      .select(col("commit_ver")).distinct().collect().map(_.getLong(0)).toSet
+    assert(vers == Set(0L, 1L, 3L), s"unexpected version set $vers")
+    // Nothing was lost in the race: the planned read over the full span
+    // equals the whole table.
+    val span = (lit("1992-01-01").cast("timestamp"), lit("2002-01-01").cast("timestamp"))
+    val agg = (x: org.apache.spark.sql.DataFrame) =>
+      x.agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    assert(agg(Layout.manifestPrunedRead(spark, d, span._1, span._2)) == agg(li))
+  }
+
   test("vacuum deletes exactly the unreferenced orphans a crashed append leaves") {
     import java.nio.file.{Files, Paths}
     val d = sys.props("java.io.tmpdir") + "/graft-manifest-vacuum-spec"

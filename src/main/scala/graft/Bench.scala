@@ -61,6 +61,7 @@ object Bench {
       queries.Relational.stagedManifestLayout(spark, sfDir)
       queries.Relational.stagedManifestAppendLayout(spark, sfDir)
       queries.Relational.stagedManifestDeleteLayout(spark, sfDir)
+      queries.Relational.stagedManifestUpdateLayout(spark, sfDir)
       queries.Relational.stagedManifestOptimizeLayout(spark, sfDir)
       queries.Relational.stagedEventsByDay(spark, sfDir)
       graft.streaming.Runtime.stageAllReplays(spark, sfDir)

@@ -375,6 +375,19 @@ object Oracle {
                      AND l_shipdate < TIMESTAMP '1997-07-01')
           GROUP BY 1 ORDER BY l_returnflag""",
 
+    // Copy-on-write UPDATE restates H2 1998 prices (x1.1, one IEEE double
+    // multiply — bit-identical in both engines); the graded read spans
+    // updated and untouched halves of 1998, so a rewrite that touches an
+    // out-of-range row, misses an in-range one, or loses a boundary file's
+    // passthrough rows breaks the hash.
+    "q_layout_update" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                 ${dsum("CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01' AND l_shipdate < TIMESTAMP '1999-01-01' THEN l_extendedprice * CAST(1.1 AS DOUBLE) ELSE l_extendedprice END")} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l_shipdate < TIMESTAMP '1999-01-01'
+          GROUP BY 1 ORDER BY l_returnflag""",
+
     // Four per-tick appends then ONE compaction commit; compaction is
     // lossless over the live set, so the oracle is the plain range
     // aggregate over the whole table — any row lost or duplicated by the

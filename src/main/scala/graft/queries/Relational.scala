@@ -433,6 +433,28 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** COPY-ON-WRITE UPDATE on the manifested layout (Layout
+    * .updateManifested) — UPDATE ... WHERE as a lakehouse commit,
+    * completing the layout's CRUD surface (append / time-travel read /
+    * delete / update / compact / vacuum / expire): a deterministic
+    * restatement (H2 1998 prices scaled by 1.1 — one IEEE double multiply,
+    * bit-identical in both engines) rewrites ONLY the files whose stats
+    * envelope intersects the range; out-of-range rows in boundary files
+    * pass through byte-equal, originals tombstone, and the commit is one
+    * optimistic manifest part. The graded read spans updated and untouched
+    * data, so the hash proves the rewrite surgical: the oracle re-applies
+    * the restatement as a CASE expression over the source. */
+  val qLayoutUpdate: Q = (s, dir) => {
+    val staged = stagedManifestUpdateLayout(s, dir)
+    val lo = lit("1998-01-01").cast("timestamp")
+    val hi = lit("1999-01-01").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, staged, lo, hi)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** MANIFEST-AWARE COMPACTION (Layout.compactManifested — Delta OPTIMIZE):
     * four per-tick appends accumulate a small-files layout (the shape
     * every streaming sink produces), then compaction rewrites the live
@@ -1704,6 +1726,7 @@ object Relational {
     "q_layout_manifest_append" -> qLayoutManifestAppend,
     "q_layout_timetravel" -> qLayoutTimetravel,
     "q_layout_delete" -> qLayoutDelete,
+    "q_layout_update" -> qLayoutUpdate,
     "q_layout_optimize" -> qLayoutOptimize,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
@@ -1790,6 +1813,20 @@ object Relational {
       graft.sources.Layout.deleteManifested(s, d, "l_shipdate",
         lit("1997-01-01").cast("timestamp"), lit("1997-07-01").cast("timestamp"),
         numFiles = 2)
+      ()
+    }
+
+  /** The updated manifested layout q_layout_update plans from: full
+    * lineitem built at v0, then a copy-on-write UPDATE restating H2 1998
+    * prices (×1.1) commits rewrites + tombstones at v1. */
+  def stagedManifestUpdateLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-update", dir, "v1") { d =>
+      graft.sources.Layout.writeManifested(
+        Tables.lineitem(s, dir), d, "l_shipdate", numFiles = 12)
+      graft.sources.Layout.updateManifested(s, d, "l_shipdate",
+        lit("1998-07-01").cast("timestamp"), lit("1999-01-01").cast("timestamp"),
+        "l_extendedprice", col("l_extendedprice") * 1.1, numFiles = 2)
       ()
     }
 

@@ -320,6 +320,39 @@ object Layout {
     (n, candidates.length)
   }
 
+  /** COPY-ON-WRITE range UPDATE — the UPDATE ... WHERE twin of
+    * [[deleteManifested]], same commit shape: only envelope-intersecting
+    * files are read; their rows rewrite with `setExpr` applied to `setCol`
+    * WHERE `statsCol` ∈ [lo, hi) (out-of-range rows in boundary files pass
+    * through untouched), originals tombstone, adds + removes commit as one
+    * optimistic manifest part. Untouched files are never read — at 100 TB
+    * a clustered-range restatement (price correction, PII rewrite over a
+    * date range) touches the few files holding the range. Returns
+    * (files rewritten, files removed). */
+  def updateManifested(spark: SparkSession, path: String, statsCol: String,
+                       lo: Column, hi: Column, setCol: String,
+                       setExpr: Column, numFiles: Int): (Int, Int) = {
+    val ver = manifestVersion(spark, path) + 1L
+    val candidates = liveManifestRows(spark, path, ver - 1)
+      .filter(col("max_v") >= lo && col("min_v") < hi)
+      .collect()
+    if (candidates.isEmpty) return (0, 0)
+    val paths = candidates.map(_.getAs[String]("file_path")).toIndexedSeq
+    val rewritten = spark.read.parquet(paths: _*)
+      .withColumn(setCol,
+        when(col(statsCol) >= lo && col(statsCol) < hi, setExpr)
+          .otherwise(col(setCol)))
+    val (n, addRows, schema) =
+      stageDataFiles(rewritten, path, statsCol, numFiles, ver)
+    val removeRows = candidates.toIndexedSeq.map { r =>
+      org.apache.spark.sql.Row(r.getAs[String]("file_path"),
+        r.getAs[Any]("min_v"), r.getAs[Any]("max_v"),
+        r.getAs[Long]("n_rows"), ver, "remove")
+    }
+    commitManifest(spark, path, addRows ++ removeRows, schema)
+    (n, candidates.length)
+  }
+
   /** MANIFEST-AWARE COMPACTION (Delta OPTIMIZE / Iceberg rewrite-data-files):
     * rewrite the CURRENT live file set into `numFiles` range-clustered
     * files and commit adds + tombstones as one manifest part at a new

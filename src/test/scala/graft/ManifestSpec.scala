@@ -237,6 +237,45 @@ class ManifestSpec extends AnyFunSuite {
     assert(Layout.expireRemoved(spark, d, preVer + 1) == 0, "expiry must be idempotent")
   }
 
+  test("copy-on-write update: surgical rewrite — boundary passthrough byte-equal, history intact") {
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-update-spec"
+    Tables.deleteRecursively(d)
+    val li = Tables.lineitem(spark, Sf0001)
+    Layout.writeManifested(li, d, "l_shipdate", 8)
+    val preFiles = spark.read.parquet(s"$d/data").inputFiles.map(
+      p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    val ulo = lit("1998-07-01").cast("timestamp")
+    val uhi = lit("1999-01-01").cast("timestamp")
+    val (rewritten, removed) = Layout.updateManifested(spark, d, "l_shipdate",
+      ulo, uhi, "l_extendedprice", col("l_extendedprice") * 1.1, 2)
+    assert(rewritten > 0 && removed > 0 && removed < preFiles.size,
+      s"update touched $removed of ${preFiles.size} files — expected a strict subset")
+    val span = (lit("1992-01-01").cast("timestamp"), lit("2002-01-01").cast("timestamp"))
+    val live = Layout.manifestPrunedRead(spark, d, span._1, span._2)
+    // The post-update live set == the CASE-restated source, row for row
+    // (compare per-key to catch a lost or doubled boundary passthrough).
+    // Sorted multiset compare — the (orderkey, linenumber, partkey,
+    // suppkey) tuple has one duplicate at sf0.001, so a Map would
+    // silently collapse it.
+    val key = concat_ws("|", liKeyCols: _*)
+    val got = live.select(key.as("k"), col("l_extendedprice").as("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    val exp = li.select(key.as("k"),
+        when(col("l_shipdate") >= ulo && col("l_shipdate") < uhi,
+          col("l_extendedprice") * 1.1).otherwise(col("l_extendedprice")).as("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(got.length == exp.length, s"${got.length} live rows vs ${exp.length}")
+    assert(got == exp, "post-update rows diverge from the CASE-restated source")
+    // Time travel below the update replays the original prices.
+    val asOf0 = Layout.manifestPrunedRead(spark, d, span._1, span._2, asOfVer = 0L)
+      .agg(graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    assert(asOf0 == li.agg(graft.functions.Det.dsum(col("l_extendedprice"))).head(),
+      "pre-update snapshot lost under time travel")
+  }
+
+  private val liKeyCols = Seq("l_orderkey", "l_linenumber", "l_partkey",
+    "l_suppkey").map(col)
+
   test("optimistic commit: a claimed version forces the loser to retry at the next one") {
     import org.apache.hadoop.fs.Path
     val d = sys.props("java.io.tmpdir") + "/graft-manifest-occ-spec"

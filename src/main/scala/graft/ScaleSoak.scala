@@ -220,7 +220,8 @@ object ScaleSoak {
 
     // A wanted key with no pair would otherwise time NOTHING and still
     // write a soak_results.json that reads as a completed A/B (ADVICE r12).
-    val unknown = wanted -- pairs.map(_._1).toSet -- solos.map(_._1).toSet - "skew"
+    val unknown =
+      wanted -- pairs.map(_._1).toSet -- solos.map(_._1).toSet - "skew" - "manifest"
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"ScaleSoak: no A/B pair for wanted key(s): ${unknown.mkString(",")} " +
@@ -299,6 +300,53 @@ object ScaleSoak {
         spark.sparkContext.removeSparkListener(listener)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       }
+    }
+
+    // MANIFEST-MAINTENANCE soak — the O(touched) claim of the
+    // copy-on-write commits (q_layout_delete / q_layout_update): on a
+    // ~60M-row manifested layout, a one-month range delete must read and
+    // rewrite only the few envelope-intersecting files; the full build is
+    // the yardstick a naive rewrite-the-table maintenance pass would pay
+    // per commit. The layout is rebuilt fresh each run (the delete
+    // mutates it, so a reused layout would measure a different workload).
+    if (wanted.isEmpty || wanted("manifest")) {
+      stage(spark, src, out, "lineitem", copies = 100)(df => df
+        .withColumn("l_orderkey", col("l_orderkey") + col("__c") * lit(100000000L)))
+      val lay = s"$out/manifest-soak"
+      val li = spark.read.parquet(s"$out/lineitem.parquet")
+      Tables.deleteRecursively(lay)
+      println("[soak] manifest: building 256-file manifested layout ...")
+      val t0 = System.nanoTime()
+      graft.sources.Layout.writeManifested(li, lay, "l_shipdate", numFiles = 256)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val span = (lit("1900-01-01").cast("timestamp"),
+        lit("2100-01-01").cast("timestamp"))
+      val dlo = lit("1997-01-01").cast("timestamp")
+      val dhi = lit("1997-02-01").cast("timestamp")
+      val preLive = graft.sources.Layout
+        .manifestPrunedRead(spark, lay, span._1, span._2)
+      val pre = preLive.agg(count(lit(1)),
+        sum(when(col("l_shipdate") >= dlo && col("l_shipdate") < dhi, 1L)
+          .otherwise(0L))).head()
+      val (preCount, inRange) = (pre.getLong(0), pre.getLong(1))
+      val t1 = System.nanoTime()
+      val (rw, rm) = graft.sources.Layout.deleteManifested(
+        spark, lay, "l_shipdate", dlo, dhi, 4)
+      val deleteSec = (System.nanoTime() - t1) / 1e9
+      val postCount = graft.sources.Layout
+        .manifestPrunedRead(spark, lay, span._1, span._2).count()
+      println(f"[soak] manifest: build ${buildSec}%.1f s (256 files, " +
+        f"$preCount rows); delete 1997-01 touched $rm files " +
+        f"(rewrote $rw), ${deleteSec}%.1f s = ${deleteSec / buildSec}%.3f " +
+        f"of build; rows $preCount -> $postCount (deleted $inRange)")
+      Files.writeString(Paths.get(out, "soak_manifest.json"),
+        f"""{"key":"manifest","rows":$preCount,"files":256,"build_sec":$buildSec%.2f,"delete_touched_files":$rm,"delete_rewrote_files":$rw,"delete_sec":$deleteSec%.2f,"delete_over_build":${deleteSec / buildSec}%.4f,"rows_deleted":$inRange,"rows_post":$postCount}""" + "\n")
+      if (postCount != preCount - inRange)
+        throw new IllegalStateException(
+          s"manifest soak: row accounting broke — $preCount - $inRange != $postCount")
+      if (rm.toDouble / 256 > 0.2)
+        throw new IllegalStateException(
+          s"manifest soak: delete touched $rm of 256 files — not O(touched)")
     }
 
     val results = pairs

@@ -1221,7 +1221,26 @@ object LlmOps {
     * TextOpsSpec pins the full 10-rule sequence against an independent
     * driver-side reference BPE at sf0.001. */
   val qTextBpeTrain: Q = (s, dir) => {
-    val steps = 10
+    import s.implicits._
+    trainBpeMerges(s, dir)
+      .toDF("step", "left", "right", "merged", "n_occurrences")
+      .orderBy("step")
+  }
+
+  /** The leftmost-first BPE merge fold as a column expression — pure
+    * column functions (codegen'd, and symbol text can never inject into a
+    * SQL string). Shared by the train loop and the encode apply. */
+  private def bpeMergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (out, sym) => when(
+          size(out) > 0 && element_at(out, -1) === lit(a) && sym === lit(b),
+          concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
+        .otherwise(concat(out, array(sym))))
+
+  /** The distributed BPE training loop (see [[qTextBpeTrain]] for the
+    * algorithm and scale argument). Returns the learned rule table. */
+  def trainBpeMerges(s: SparkSession, dir: String,
+                     steps: Int = 10): Seq[(Int, String, String, String, Long)] = {
     var words = graft.operators.ScaleOps.trackedPersist(
       Tables.documents(s, dir)
         .select(explode(split(lower(col("text")), " ")).as("w"))
@@ -1243,20 +1262,60 @@ object LlmOps {
         .limit(1).collect()(0)
       val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((step, a, b, a + b, cnt))
-      // Leftmost-first merge fold — pure column functions (codegen'd, and
-      // symbol text can never inject into a SQL string).
       words = graft.operators.ScaleOps.trackedPersist(words.select(
-        aggregate(col("syms"), array().cast("array<string>"),
-          (out, sym) => when(
-              size(out) > 0 && element_at(out, -1) === lit(a) && sym === lit(b),
-              concat(slice(out, lit(1), size(out) - 1), array(lit(a + b))))
-            .otherwise(concat(out, array(sym)))).as("syms"),
-        col("n")))
+        bpeMergeFold(col("syms"), a, b).as("syms"), col("n")))
     }
-    import s.implicits._
     merges.result()
-      .toDF("step", "left", "right", "merged", "n_occurrences")
-      .orderBy("step")
+  }
+
+  /** TOKENIZER APPLY — the other half of the train→encode story: encode
+    * every document with the rules q_text_bpe_train learns (staged once
+    * per corpus snapshot — a tokenizer is a build artifact, not a
+    * per-consumer recompute) and account the trained token count next to
+    * the word count. The encode is VOCAB-routed (zipf economy, the
+    * q_text_bpe_pairs argument): each DISTINCT word tokenizes once — the
+    * 10 merge folds run over the vocabulary, never the corpus — and the
+    * corpus pass is one explode + a gated-broadcast join word → token
+    * count + one per-doc sum. Declared no-oracle like the trainer (the
+    * fold has no tractable SQL form); NoOracleSpec pins per-doc counts
+    * against a driver-side reference encode under the spec-verified
+    * reference rules. */
+  val qTextBpeEncode: Q = (s, dir) => {
+    val merges = stagedBpeMerges(s, dir)
+    val docWords = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    var vocab = docWords.select(col("w")).distinct()
+      .select(col("w"), concat(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        array(lit("</w>"))).as("syms"))
+    for ((a, b) <- merges)
+      vocab = vocab.select(col("w"), bpeMergeFold(col("syms"), a, b).as("syms"))
+    val wordTokens = vocab.select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+    docWords
+      .join(graft.operators.ScaleOps.broadcastIfSourceSmall(
+        wordTokens, Tables.documents(s, dir)), Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_trained"))
+      .orderBy("doc_id")
+  }
+
+  /** The learned BPE rule table staged once per corpus snapshot — the
+    * tokenizer artifact every encode consumer shares ([[qTextBpeTrain]]
+    * still grades the LIVE training loop). */
+  def stagedBpeMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val staged = Tables.stagedFixture(s, s"$dir/documents.parquet",
+      "bpe-merges", dir, "v1") { d =>
+      import s.implicits._
+      trainBpeMerges(s, dir)
+        .toDF("step", "left", "right", "merged", "n_occurrences")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$d/merges")
+      graft.operators.ScaleOps.releaseTracked()
+    }
+    s.read.parquet(s"$staged/merges").orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2))).toIndexedSeq
   }
 
   /** Winnowing document fingerprints (TextOps.fingerprints): every window's
@@ -1686,6 +1745,7 @@ object LlmOps {
     "q_text_tokens" -> qTextTokens,
     "q_text_bpe_pairs" -> qTextBpePairs,
     "q_text_bpe_train" -> qTextBpeTrain,
+    "q_text_bpe_encode" -> qTextBpeEncode,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_media_features" -> qMediaFeatures,
     "q_sim_cosine_topk" -> qSimCosineTopk,

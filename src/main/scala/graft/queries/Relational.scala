@@ -586,6 +586,50 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** TRANSPARENT MATERIALIZED-VIEW REWRITE (plans/RollupRewrite — the
+    * engine's custom Catalyst `Rule[LogicalPlan]`): the graded query IS
+    * the plain per-segment aggregate over customer, but with the
+    * maintained rollup registered the optimizer serves it from the stored
+    * artifact — the Aggregate node disappears and the plan reads
+    * O(segments) rollup rows, never the corpus (PlanShapeSpec pins
+    * rollup-scanned / corpus-not-scanned; a Filter or an unregistered
+    * aggregate shape disables the rewrite). Correctness rests on the
+    * q_agg_view_maintain law — the rollup stores exact decimal partials,
+    * so substitution is bit-identical — which is why the DuckDB oracle is
+    * simply the from-scratch aggregate. At 100 TB this is the serving
+    * path of the incremental-maintenance family: ticks maintain the
+    * rollup (q_agg_view_maintain / q_stream_view_maintain), and every
+    * dashboard query over the registered shape pays O(groups). */
+  val qAggRollupRewrite: Q = (s, dir) => {
+    val rollup = stagedSegRollup(s, dir)
+    graft.plans.RollupRewrite.register(graft.plans.RollupSpec(
+      s"$dir/customer.parquet", "c_mktsegment", "c_acctbal", rollup))
+    graft.plans.RollupRewrite.attach(s)
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("acctbal_total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** The maintained per-segment rollup q_agg_rollup_rewrite serves from —
+    * ONE exact-decimal-partial row per segment, staged once per customer
+    * snapshot (in production it is the table q_agg_view_maintain /
+    * q_stream_view_maintain keep current per tick). */
+  def stagedSegRollup(s: SparkSession, dir: String): String = {
+    val staged = Tables.stagedFixture(s, s"$dir/customer.parquet",
+      "customer-seg-rollup", dir, "v1") { d =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Det.dsumPartial(col("c_acctbal")).as("sb"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$d/rollup")
+    }
+    s"$staged/rollup"
+  }
+
   /** SCD TYPE-2 dimension build (operators/Scd.buildType2): the customer
     * dimension's deterministic change history — initial load at seq 0,
     * updates at seq 1–2 (latest supersedes), deletes at seq 3, and a
@@ -1731,6 +1775,7 @@ object Relational {
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,
+    "q_agg_rollup_rewrite" -> qAggRollupRewrite,
     "q_scd2_snapshot" -> qScd2Snapshot,
     "q_scd2_merge" -> qScd2Merge,
     "q_scd2_asof" -> qScd2Asof,

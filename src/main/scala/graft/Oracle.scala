@@ -921,6 +921,20 @@ object Oracle {
   }
 
   val windows: Map[String, String] = Map(
+    // Rolling exact distinct: the oracle states the SEMANTICS directly
+    // (trailing-7-day distinct users per type, for days the type has);
+    // the Spark side's dedupe-then-explode decomposition must reproduce it
+    // exactly.
+    "q_window_distinct" ->
+      """WITH d AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+                    FROM events),
+          days AS (SELECT DISTINCT event_type, day FROM d)
+          SELECT days.event_type, strftime(days.day, '%Y-%m-%d') AS day,
+                 count(DISTINCT d.user_id) AS u7d
+          FROM days JOIN d ON d.event_type = days.event_type
+                          AND d.day BETWEEN days.day - 6 AND days.day
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1078,6 +1092,90 @@ object Oracle {
                    ${dsum("w * y")} AS s_wy, ${dsum("w * q * y")} AS s_wqy,
                    ${dsum("w * d * y", 4)} AS s_wdy
             FROM t""",
+
+      // Histogram best-split: per-bin sums are EXACT BIGINTs (quantity is
+      // integral), prefix stats come from the same triangle self-join the
+      // Spark side uses (no float window sums), and the gain algebra is the
+      // identical IEEE double expression.
+      "q_ml_tree_split" ->
+        s"""WITH bins AS (
+              SELECT CAST(floor($y / 4096.0) AS BIGINT) AS bin, count(*) AS n,
+                     CAST(sum(CAST($q AS DECIMAL(38,10))) AS BIGINT) AS s,
+                     CAST(sum(CAST($q * $q AS DECIMAL(38,10))) AS BIGINT) AS sq
+              FROM lineitem GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(s) AS BIGINT) AS s_tot,
+                           CAST(sum(sq) AS BIGINT) AS q_tot FROM bins),
+            cum AS (SELECT c.bin AS split_bin, CAST(sum(b.n) AS BIGINT) AS nl,
+                           CAST(sum(b.s) AS BIGINT) AS sl, CAST(sum(b.sq) AS BIGINT) AS ql
+                    FROM bins c JOIN bins b ON b.bin <= c.bin GROUP BY 1),
+            sp AS (SELECT split_bin, nl, n_tot - nl AS nr, sl, s_tot - sl AS sr,
+                          ql, q_tot - ql AS qr, n_tot, s_tot, q_tot
+                   FROM cum CROSS JOIN tot WHERE n_tot - nl > 0),
+            gn AS (SELECT split_bin, nl AS n_left, nr AS n_right,
+                          round((CAST(q_tot AS DOUBLE) - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                              - (CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                              - (CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)), 4) AS gain
+                   FROM sp)
+            SELECT split_bin, n_left, n_right, gain,
+                   row_number() OVER (ORDER BY gain DESC, split_bin) = 1 AS is_best
+            FROM gn ORDER BY split_bin""",
+
+      // Ridge path: SAME base sufficient statistics (same dsum scales) as
+      // q_ml_linreg_normal, then the identical centered-moment + 2x2 Cramer
+      // double algebra, association order matched term by term.
+      "q_ml_ridge_path" ->
+        s"""WITH stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${dsum(q)} AS s_q, ${dsum(d, 4)} AS s_d,
+                     ${dsum(s"$q * $q")} AS s_qq, ${dsum(s"$q * $d", 4)} AS s_qd,
+                     ${dsum(s"$d * $d", 6)} AS s_dd, ${dsum(y)} AS s_y,
+                     ${dsum(s"$q * $y")} AS s_qy, ${dsum(s"$d * $y", 4)} AS s_dy
+              FROM lineitem),
+            lam AS (SELECT unnest([0.0, 1.0, 100.0, 10000.0, 1000000.0]) AS lambda),
+            c AS (SELECT lambda, n, s_q, s_d, s_y,
+                         s_qq - s_q * s_q / n AS cqq, s_qd - s_q * s_d / n AS cqd,
+                         s_dd - s_d * s_d / n AS cdd, s_qy - s_q * s_y / n AS cqy,
+                         s_dy - s_d * s_y / n AS cdy
+                  FROM stats CROSS JOIN lam),
+            sol AS (SELECT lambda, n, s_q, s_d, s_y, cqd, cqy, cdy,
+                           (cqq + lambda) * (cdd + lambda) - cqd * cqd AS det,
+                           (cdd + lambda) * cqy - cqd * cdy AS num1,
+                           (cqq + lambda) * cdy - cqd * cqy AS num2
+                    FROM c),
+            b AS (SELECT lambda, num1 / det AS b1, num2 / det AS b2, n, s_q, s_d, s_y
+                  FROM sol)
+            SELECT lambda, round(s_y / n - b1 * (s_q / n) - b2 * (s_d / n), 6) AS b0,
+                   round(b1, 6) AS b1, round(b2, 6) AS b2
+            FROM b ORDER BY lambda""",
+
+      // Eval metrics: argmax spelled as the same ordered >= chain
+      // (first-max tie-break), counts folded over the 16-row confusion
+      // matrix, ratios from exact BIGINTs.
+      "q_ml_eval_confusion" ->
+        """WITH p AS (
+             SELECT CAST(label % 4 AS INT) AS truth,
+                    CASE WHEN e0 >= e1 AND e0 >= e2 AND e0 >= e3 THEN 0
+                         WHEN e1 >= e2 AND e1 >= e3 THEN 1
+                         WHEN e2 >= e3 THEN 2 ELSE 3 END AS pred
+             FROM (SELECT label,
+                          CAST(embedding[1] AS DOUBLE) AS e0, CAST(embedding[2] AS DOUBLE) AS e1,
+                          CAST(embedding[3] AS DOUBLE) AS e2, CAST(embedding[4] AS DOUBLE) AS e3
+                   FROM embeddings)),
+           m AS (SELECT truth, pred, count(*) AS n FROM p GROUP BY 1, 2),
+           cls AS (SELECT unnest([0, 1, 2, 3]) AS class),
+           agg AS (SELECT class,
+                          CAST(sum(CASE WHEN truth = class AND pred = class THEN n ELSE 0 END) AS BIGINT) AS tp,
+                          CAST(sum(CASE WHEN truth <> class AND pred = class THEN n ELSE 0 END) AS BIGINT) AS fp,
+                          CAST(sum(CASE WHEN truth = class AND pred <> class THEN n ELSE 0 END) AS BIGINT) AS fn
+                   FROM m CROSS JOIN cls GROUP BY 1)
+           SELECT class, tp, fp, fn, tp + fn AS support,
+                  CASE WHEN tp + fp = 0 THEN NULL
+                       ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+                  CASE WHEN tp + fn = 0 THEN NULL
+                       ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+                  CASE WHEN tp * 2 + fp + fn = 0 THEN NULL
+                       ELSE round(CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE), 6) END AS f1
+           FROM agg ORDER BY class""",
 
       "q_ml_nb_train" ->
         s"""SELECT label, count(*) AS n,
@@ -1268,6 +1366,28 @@ object Oracle {
   }
 
   val llm: Map[String, String] = Map(
+    // Duplicated-span coverage: DuckDB generates the same 8-token grams
+    // (1-indexed list slice == Spark's slice(toks, i+1, 8)), keeps grams in
+    // >=2 distinct docs, and counts the distinct covered positions per doc.
+    // Covered-position COUNT is index-base invariant, and pos itself is not
+    // an output column.
+    "q_text_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks
+                FROM t WHERE len(toks) >= 8),
+          g2 AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram FROM g),
+          dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          hit AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+          cov AS (SELECT DISTINCT doc_id, p FROM
+                    (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p FROM hit)),
+          cnt AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY 1)
+          SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(cnt.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+                 round(CAST(coalesce(cnt.n_dup_tokens, 0) AS DOUBLE)
+                       / CAST(len(t.toks) AS DOUBLE), 6) AS dup_ratio
+          FROM t LEFT JOIN cnt ON t.doc_id = cnt.doc_id
+          ORDER BY t.doc_id""",
+
     "q_join_asof" ->
       """SELECT event_id, user_id, ts, o.o_orderkey, o.o_orderdate
          FROM events e ASOF JOIN

@@ -1724,7 +1724,52 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** EXACT DUPLICATED-SPAN COVERAGE — the fixed-n shingle approximation of
+    * exact substring deduplication (the suffix-array dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2022,
+    * restricted to spans of exactly n=8 tokens — the scalable form: a
+    * suffix array is sequential, n-gram matching is embarrassingly
+    * parallel). Per document: how many of its tokens are covered by some
+    * 8-token span that also appears verbatim in ANOTHER document — the
+    * per-doc duplication ratio a curation pipeline thresholds on.
+    *
+    * Plan: tokenize once; posexplode the ≤len−7 grams per doc (linear in
+    * corpus tokens, same scale as q_explode_tokens); grams appearing in ≥2
+    * distinct docs survive a map-side-combined groupBy; surviving (doc,
+    * pos) occurrences re-join on the gram key (co-partitioned with the
+    * groupBy — one shuffle family); covered positions are the ×8 explode of
+    * the DUPLICATED occurrences only (bounded by dup density, never the
+    * corpus), deduped to (doc, position) to union overlapping spans
+    * exactly. At 100 TB the join key would be xxhash64(gram) instead of the
+    * string — same plan, 8-byte shuffle keys; collisions only ever ADD a
+    * false dup pair, which the curation threshold absorbs. Docs with no
+    * duplicated span report 0 via the left join. */
+  val qTextDupSpans: Q = (s, dir) => {
+    val n = 8
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val g = toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
+      .toDF("doc_id", "pos", "gram")
+    val dup = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gram"))
+    val covered = g.join(dup, "gram")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_tokens"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+        round(col("n_dup_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_text_dup_spans" -> qTextDupSpans,
     "q_sample_split" -> qSampleSplit,
     "q_sample_quota" -> qSampleQuota,
     "q_sample_mixture" -> qSampleMixture,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Det.{davg, dsum}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ML sufficient-statistics contract — SURVEY.md §2.5 (REF-P1/P2).
@@ -404,6 +404,143 @@ object MlSuffStats {
       .orderBy("component", "dim_idx")
   }
 
+  /** HISTOGRAM-BASED BEST-SPLIT FINDING — the regression-stump step of
+    * gradient-boosted trees / CART (LightGBM's histogram algorithm, public):
+    * feature = l_extendedprice row-locally binned at width 4096 (≤26 bins
+    * over the [901, 105k] domain — at 100 TB the widths would come from a
+    * quantile sketch, same plan), target = l_quantity. ONE map-side-combined
+    * aggregation builds per-bin (n, Σy, Σy²); every candidate boundary's
+    * left/right stats then come from a triangle self-join over the ≤26-row
+    * bin table (bounded epilogue — deliberately NOT a float window sum,
+    * whose in-frame association order differs between engines). Σy and Σy²
+    * are EXACT integers here (quantity is integral 1..50), surfaced as
+    * BIGINT, so the variance-reduction gain is identical IEEE arithmetic on
+    * identical integer inputs in both engines:
+    *   gain = SSE_parent − SSE_left − SSE_right,  SSE = Σy² − (Σy)²/n.
+    * Splitting at boundary b sends bins ≤ b left; the max bin is excluded
+    * (empty right side). is_best tie-breaks on (gain desc, bin asc) over the
+    * ROUNDED gain. Corpus cost at any scale: one scan + one ≤26-group
+    * shuffle. */
+  val qMlTreeSplit: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bins = Tables.lineitem(s, dir)
+      .select(floor(col("l_extendedprice") / 4096.0).cast("long").as("bin"),
+        col("l_quantity").as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(38,10)")).cast("long").as("s"),
+        sum((col("y") * col("y")).cast("decimal(38,10)")).cast("long").as("q"))
+    val tot = bins.agg(sum(col("n")).as("n_tot"), sum(col("s")).as("s_tot"),
+      sum(col("q")).as("q_tot"))
+    val cum = bins.as("c").join(bins.as("b"), col("b.bin") <= col("c.bin"))
+      .groupBy(col("c.bin").as("split_bin"))
+      .agg(sum(col("b.n")).as("nl"), sum(col("b.s")).as("sl"), sum(col("b.q")).as("ql"))
+    val d = (c: Column) => c.cast("double")
+    val withTot = cum.crossJoin(tot)
+      .withColumn("nr", col("n_tot") - col("nl"))
+      .filter(col("nr") > 0)
+      .withColumn("sr", col("s_tot") - col("sl"))
+      .withColumn("qr", col("q_tot") - col("ql"))
+      .withColumn("gain", round(
+        (d(col("q_tot")) - d(col("s_tot")) * d(col("s_tot")) / d(col("n_tot"))) -
+        (d(col("ql")) - d(col("sl")) * d(col("sl")) / d(col("nl"))) -
+        (d(col("qr")) - d(col("sr")) * d(col("sr")) / d(col("nr"))), 4))
+    withTot.select(col("split_bin"), col("nl").as("n_left"), col("nr").as("n_right"),
+        col("gain"),
+        (row_number().over(Window.orderBy(col("gain").desc, col("split_bin"))) === 1)
+          .as("is_best"))
+      .orderBy("split_bin")
+  }
+
+  /** RIDGE REGULARIZATION PATH from ONE sufficient-statistics pass — the
+    * regularized variant of qMlLinregNormal (REF-P1's regression family):
+    * y = b0 + b1·quantity + b2·discount with an L2 penalty on the slopes
+    * (intercept unpenalized, the standard convention — equivalent to ridge
+    * on centered variables). The corpus contributes exactly the SAME single
+    * scan + single grouped row as the unregularized key; the whole λ path
+    * {0, 1, 100, 10⁴, 10⁶} is a 5-row epilogue (cross join + closed-form
+    * 2×2 Cramer solve) — 5 models for one pass, the economics that matter
+    * at 100 TB. Base sums go through the exact decimal path with the SAME
+    * scales as qMlLinregNormal; the centered-moment / Cramer algebra is then
+    * identical IEEE double arithmetic (identical association order) in both
+    * engines, rounded to 6 dp. λ=0 reproduces OLS (cross-checked against
+    * MLlib in MlCrossCheckSpec alongside the λ>0 shrinkage direction). */
+  val qMlRidgePath: Q = (s, dir) => {
+    import s.implicits._
+    val q = col("l_quantity"); val dd = col("l_discount"); val y = col("l_extendedprice")
+    val stats = Tables.lineitem(s, dir)
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(q).as("s_q"), dsum(dd, 4).as("s_d"),
+        dsum(q * q).as("s_qq"), dsum(q * dd, 4).as("s_qd"),
+        dsum(dd * dd, 6).as("s_dd"), dsum(y).as("s_y"),
+        dsum(q * y).as("s_qy"), dsum(dd * y, 4).as("s_dy"))
+    val lambdas = Seq(0.0, 1.0, 100.0, 10000.0, 1000000.0).toDF("lambda")
+    stats.crossJoin(lambdas)
+      .withColumn("cqq", col("s_qq") - col("s_q") * col("s_q") / col("n"))
+      .withColumn("cqd", col("s_qd") - col("s_q") * col("s_d") / col("n"))
+      .withColumn("cdd", col("s_dd") - col("s_d") * col("s_d") / col("n"))
+      .withColumn("cqy", col("s_qy") - col("s_q") * col("s_y") / col("n"))
+      .withColumn("cdy", col("s_dy") - col("s_d") * col("s_y") / col("n"))
+      .withColumn("det", (col("cqq") + col("lambda")) * (col("cdd") + col("lambda"))
+        - col("cqd") * col("cqd"))
+      .withColumn("b1", ((col("cdd") + col("lambda")) * col("cqy")
+        - col("cqd") * col("cdy")) / col("det"))
+      .withColumn("b2", ((col("cqq") + col("lambda")) * col("cdy")
+        - col("cqd") * col("cqy")) / col("det"))
+      .withColumn("b0", col("s_y") / col("n") - col("b1") * (col("s_q") / col("n"))
+        - col("b2") * (col("s_d") / col("n")))
+      .select(col("lambda"), round(col("b0"), 6).as("b0"),
+        round(col("b1"), 6).as("b1"), round(col("b2"), 6).as("b2"))
+      .orderBy("lambda")
+  }
+
+  /** CLASSIFIER EVALUATION — per-class confusion counts + precision /
+    * recall / F1, the model-eval stage every training pipeline runs after
+    * the P1/P2 trainers. The "model" is deterministic so the key grades the
+    * EVAL operator, not a stochastic fit: predicted class = argmax of
+    * embedding dims 0–3 (first-max tie-break, spelled as explicit ordered
+    * comparisons so both engines agree bit-for-bit), truth = label mod 4.
+    * Corpus cost: ONE narrow map + one ≤16-group (truth, pred) aggregate;
+    * the per-class tp/fp/fn fold is a 16-row epilogue. Ratios are computed
+    * from exact BIGINT counts with identical double arithmetic, rounded to
+    * 6 dp; a class never predicted yields NULL precision (guarded
+    * identically in both engines). */
+  val qMlEvalConfusion: Q = (s, dir) => {
+    import s.implicits._
+    def e(i: Int) = col("embedding")(i).cast("double")
+    val pred = when(e(0) >= e(1) && e(0) >= e(2) && e(0) >= e(3), 0)
+      .when(e(1) >= e(2) && e(1) >= e(3), 1)
+      .when(e(2) >= e(3), 2).otherwise(3)
+    val m = Tables.embeddings(s, dir)
+      .select((col("label") % 4).cast("int").as("truth"), pred.as("pred"))
+      .groupBy(col("truth"), col("pred")).agg(count(lit(1)).as("n"))
+    val cls = Seq(0, 1, 2, 3).toDF("class")
+    val d = (c: Column) => c.cast("double")
+    m.crossJoin(cls)
+      .groupBy(col("class"))
+      .agg(
+        sum(when(col("truth") === col("class") && col("pred") === col("class"),
+          col("n")).otherwise(0L)).as("tp"),
+        sum(when(col("truth") =!= col("class") && col("pred") === col("class"),
+          col("n")).otherwise(0L)).as("fp"),
+        sum(when(col("truth") === col("class") && col("pred") =!= col("class"),
+          col("n")).otherwise(0L)).as("fn"))
+      .withColumn("support", col("tp") + col("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+          .otherwise(round(d(col("tp")) / d(col("tp") + col("fp")), 6)))
+      .withColumn("recall",
+        when(col("support") === 0L, lit(null).cast("double"))
+          .otherwise(round(d(col("tp")) / d(col("support")), 6)))
+      .withColumn("f1",
+        when(col("tp") * 2 + col("fp") + col("fn") === 0L, lit(null).cast("double"))
+          .otherwise(round(d(col("tp") * 2) / d(col("tp") * 2 + col("fp") + col("fn")), 6)))
+      .select(col("class"), col("tp"), col("fp"), col("fn"), col("support"),
+        col("precision"), col("recall"), col("f1"))
+      .orderBy("class")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ml_linreg_normal" -> qMlLinregNormal,
     "q_ml_wls" -> qMlWls,
@@ -414,5 +551,8 @@ object MlSuffStats {
     "q_ml_logreg_converged" -> qMlLogregConverged,
     "q_ml_gmm_converged" -> qMlGmmConverged,
     "q_ml_kmeans_converged" -> qMlKmeansConverged,
-    "q_ml_pca_power" -> qMlPcaPower)
+    "q_ml_pca_power" -> qMlPcaPower,
+    "q_ml_tree_split" -> qMlTreeSplit,
+    "q_ml_ridge_path" -> qMlRidgePath,
+    "q_ml_eval_confusion" -> qMlEvalConfusion)
 }

@@ -174,10 +174,41 @@ object Windows {
 
   val qWindowNtile: Q = ntileRouted()
 
+  /** ROLLING EXACT DISTINCT COUNT — trailing-7-day distinct users per
+    * event_type, the DAU/WAU-style metric no built-in window can express
+    * (COUNT(DISTINCT) OVER a range frame is unsupported in Spark AND
+    * non-scalable as specified: the frame would re-deduplicate the raw rows
+    * at every window position). The scalable decomposition:
+    *   1. ONE corpus pass dedupes to (event_type, day, user) — the only
+    *      shuffle that touches raw events;
+    *   2. each deduped row is exploded to the ≤7 window positions it
+    *      contributes to (a ×7 blowup of the ALREADY-DEDUPED set, bounded
+    *      by types × days × users — never of the corpus);
+    *   3. a distinct-count per (event_type, window-end day), restricted to
+    *      days the type actually has (broadcast of the tiny present-days
+    *      set, so windows never report for absent days).
+    * At 100 TB step 1 is the whole cost; steps 2–3 run on the derivative.
+    * The same shape yields any trailing-k distinct metric by changing the
+    * explode width. */
+  val qWindowDistinct: Q = (s, dir) => {
+    val d = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val present = d.select(col("event_type").as("p_type"), col("day").as("p_day")).distinct()
+    d.select(col("event_type"), col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .join(broadcast(present),
+        col("event_type") === col("p_type") && col("wday") === col("p_day"))
+      .groupBy(col("event_type"), date_format(col("wday"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("u7d"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_window_lag" -> qWindowLag,
     "q_window_range" -> qWindowRange,
-    "q_window_ntile" -> qWindowNtile)
+    "q_window_ntile" -> qWindowNtile,
+    "q_window_distinct" -> qWindowDistinct)
 }

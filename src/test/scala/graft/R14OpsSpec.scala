@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force cross-checks for the r14 batch-2 keys (tree split, ridge
+  * path, eval metrics, rolling distinct, duplicated spans): each query at
+  * sf0.001 vs a driver-side fold that restates the SEMANTICS naively —
+  * integer/exact comparisons wherever the declared arithmetic is exact, so
+  * a decomposition bug (not just a rounding slip) is what fails. */
+class R14OpsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def roundN(x: Double, n: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(n, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("q_ml_tree_split equals a brute-force per-boundary variance-reduction scan") {
+    val rows = Tables.lineitem(spark, Sf0001)
+      .select(col("l_extendedprice"), col("l_quantity")).collect()
+      .map(r => (math.floor(r.getDouble(0) / 4096.0).toLong, r.getDouble(1).toLong))
+    val byBin = rows.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong, g.map(_._2).sum, g.map(x => x._2 * x._2).sum)
+    }.toMap
+    val bins = byBin.keys.toSeq.sorted
+    val (nT, sT, qT) = byBin.values.foldLeft((0L, 0L, 0L)) {
+      case ((a, b, c), (n, s, q)) => (a + n, b + s, c + q)
+    }
+    def sse(n: Long, s: Long, q: Long): Double = q.toDouble - s.toDouble * s.toDouble / n.toDouble
+    val expected = bins.dropRight(1).map { b =>
+      val (nl, sl, ql) = bins.filter(_ <= b).foldLeft((0L, 0L, 0L)) {
+        case ((a, bb, c), x) =>
+          val (n, s, q) = byBin(x); (a + n, bb + s, c + q)
+      }
+      val (nr, sr, qr) = (nT - nl, sT - sl, qT - ql)
+      (b, nl, nr, roundN(sse(nT, sT, qT) - sse(nl, sl, ql) - sse(nr, sr, qr), 4))
+    }
+    val best = expected.maxBy { case (b, _, _, g) => (g, -b) }._1
+    val got = SparkEntry.queries("q_ml_tree_split")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq === expected)
+    assert(got.filter(_._5).map(_._1).toSeq === Seq(best))
+  }
+
+  test("q_ml_ridge_path: lambda=0 reproduces OLS; slope magnitudes shrink with lambda") {
+    val raw = Tables.lineitem(spark, Sf0001)
+      .select(col("l_quantity"), col("l_discount"), col("l_extendedprice")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // Naive raw-double OLS via centered normal equations (no decimal path —
+    // the tolerance absorbs summation-order noise, the SHAPE must agree).
+    val n = raw.length.toDouble
+    val (sq, sd, sy) = (raw.map(_._1).sum, raw.map(_._2).sum, raw.map(_._3).sum)
+    val cqq = raw.map(t => t._1 * t._1).sum - sq * sq / n
+    val cqd = raw.map(t => t._1 * t._2).sum - sq * sd / n
+    val cdd = raw.map(t => t._2 * t._2).sum - sd * sd / n
+    val cqy = raw.map(t => t._1 * t._3).sum - sq * sy / n
+    val cdy = raw.map(t => t._2 * t._3).sum - sd * sy / n
+    val det = cqq * cdd - cqd * cqd
+    val b1 = (cdd * cqy - cqd * cdy) / det
+    val b2 = (cqq * cdy - cqd * cqy) / det
+    val b0 = sy / n - b1 * (sq / n) - b2 * (sd / n)
+    val got = SparkEntry.queries("q_ml_ridge_path")(spark, Sf0001).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val ols = got.find(_._1 == 0.0).get
+    assert(math.abs(ols._2 - b0) <= 1e-3 * math.max(1.0, math.abs(b0)))
+    assert(math.abs(ols._3 - b1) <= 1e-3 * math.max(1.0, math.abs(b1)))
+    assert(math.abs(ols._4 - b2) <= 1e-3 * math.max(1.0, math.abs(b2)))
+    // L2 norm of the slope vector is non-increasing along the path.
+    val norms = got.sortBy(_._1).map(t => math.sqrt(t._3 * t._3 + t._4 * t._4))
+    assert(norms.zip(norms.tail).forall { case (a, b) => b <= a + 1e-9 })
+    assert(norms.last < norms.head) // the big lambdas really do shrink
+  }
+
+  test("q_ml_eval_confusion equals brute-force per-class metrics") {
+    val preds = Tables.embeddings(spark, Sf0001)
+      .select(col("label"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble)
+        val pred =
+          if (e(0) >= e(1) && e(0) >= e(2) && e(0) >= e(3)) 0
+          else if (e(1) >= e(2) && e(1) >= e(3)) 1
+          else if (e(2) >= e(3)) 2 else 3
+        (r.getInt(0) % 4, pred)
+      }
+    val expected = (0 to 3).map { c =>
+      val tp = preds.count(p => p._1 == c && p._2 == c).toLong
+      val fp = preds.count(p => p._1 != c && p._2 == c).toLong
+      val fn = preds.count(p => p._1 == c && p._2 != c).toLong
+      (c, tp, fp, fn, tp + fn,
+        if (tp + fp == 0) null else roundN(tp.toDouble / (tp + fp).toDouble, 6),
+        if (tp + fn == 0) null else roundN(tp.toDouble / (tp + fn).toDouble, 6),
+        if (2 * tp + fp + fn == 0) null
+        else roundN((2 * tp).toDouble / (2 * tp + fp + fn).toDouble, 6))
+    }
+    val got = SparkEntry.queries("q_ml_eval_confusion")(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        if (r.isNullAt(6)) null else r.getDouble(6),
+        if (r.isNullAt(7)) null else r.getDouble(7)))
+    assert(got.toSeq === expected)
+  }
+
+  test("q_window_distinct equals brute-force trailing-7-day distinct sets") {
+    val evs = Tables.events(spark, Sf0001)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val expected = evs.map(e => (e._1, e._2)).distinct.sorted(
+      Ordering.Tuple2(Ordering.String, Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)))
+      .map { case (tpe, day) =>
+        val users = evs.filter(e => e._1 == tpe &&
+          !e._2.isBefore(day.minusDays(6)) && !e._2.isAfter(day)).map(_._3).distinct
+        (tpe, day.toString, users.size.toLong)
+      }
+    val got = SparkEntry.queries("q_window_distinct")(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === expected)
+  }
+
+  test("q_text_dup_spans equals brute-force shared-8-gram coverage") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val n = 8
+    val gramOwners = docs.flatMap { case (id, toks) =>
+      toks.sliding(n).filter(_.size == n).map(g => (g.mkString(" "), id))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = docs.sortBy(_._1).map { case (id, toks) =>
+      val covered = toks.sliding(n).zipWithIndex
+        .filter { case (g, _) => g.size == n && gramOwners(g.mkString(" ")) >= 2 }
+        .flatMap { case (_, i) => i until (i + n) }.toSet
+      (id, toks.size.toLong, covered.size.toLong,
+        roundN(covered.size.toDouble / toks.size.toDouble, 6))
+    }
+    val got = SparkEntry.queries("q_text_dup_spans")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expected)
+  }
+}

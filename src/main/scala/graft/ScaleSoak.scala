@@ -133,7 +133,8 @@ object ScaleSoak {
     // must not pay the (slow) documents expansion.
     val docKeys = Set("quota", "tfidf", "boilerplate", "pack",
       "perplexity", "collocations")
-    val evKeys = Set("sessionize", "funnel", "retention", "anomaly", "outliers")
+    val evKeys = Set("sessionize", "funnel", "retention", "anomaly", "outliers",
+      "windistinct")
     val ordKeys = Set("median", "range", "bloom")
     val custKeys = Set("ntile", "bloom")
     def needs(ks: Set[String]) = wanted.isEmpty || (wanted & ks).nonEmpty
@@ -142,6 +143,19 @@ object ScaleSoak {
         .withColumn("doc_id", col("doc_id") + col("__c") * lit(100000000L))
         .withColumn("text", concat(col("text"), lit(" c"), col("__c").cast("string")))
         .withColumn("n_chars", length(col("text"))))
+    // dup-spans gets its OWN smaller documents staging (200 copies = 1M
+    // docs): the per-copy suffix perturbation leaves interior 8-grams
+    // shared across all 200 copies, so essentially EVERY gram is
+    // duplicated — the worst-case dup density for the covered-position
+    // explode, which is exactly the claim to soak (output stays linear in
+    // corpus tokens, never quadratic in duplicate count).
+    if (wanted.isEmpty || wanted("dupspans")) {
+      Files.createDirectories(Paths.get(out, "spans"))
+      stage(spark, src, s"$out/spans", "documents", copies = 200)(df => df
+        .withColumn("doc_id", col("doc_id") + col("__c") * lit(100000000L))
+        .withColumn("text", concat(col("text"), lit(" c"), col("__c").cast("string")))
+        .withColumn("n_chars", length(col("text"))))
+    }
     if (needs(ordKeys))
       // v2: o_custkey gets the same per-copy offset as the customer
       // staging, so orders copy c joins customer copy c — the realistic
@@ -216,7 +230,16 @@ object ScaleSoak {
       ("funnel", () => Tables.events(spark, out), Relational.qFunnelSteps),
       ("retention", () => Tables.events(spark, out), Relational.qRetentionCohorts),
       ("anomaly", () => Tables.events(spark, out), Relational.qEventsAnomaly),
-      ("outliers", () => Tables.events(spark, out), Relational.qStatsOutliers))
+      ("outliers", () => Tables.events(spark, out), Relational.qStatsOutliers),
+      // Rolling exact distinct at 100M events: the ×7 explode runs over
+      // the DEDUPED (type, day, user) set — the claim is that the corpus
+      // is shuffled once and the derivative stays proportional to the
+      // distinct set, not the raw volume.
+      ("windistinct", () => Tables.events(spark, out), Windows.qWindowDistinct),
+      // Duplicated-span coverage over the dedicated max-dup-density
+      // staging (see above) — reads $out/spans, not the 2500x corpus.
+      ("dupspans", () => spark.read.parquet(s"$out/spans/documents.parquet"),
+        (s: SparkSession, _: String) => LlmOps.qTextDupSpans(s, s"$out/spans")))
 
     // A wanted key with no pair would otherwise time NOTHING and still
     // write a soak_results.json that reads as a completed A/B (ADVICE r12).

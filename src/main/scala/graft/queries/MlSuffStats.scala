@@ -423,13 +423,17 @@ object MlSuffStats {
     * shuffle. */
   val qMlTreeSplit: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val bins = Tables.lineitem(s, dir)
-      .select(floor(col("l_extendedprice") / 4096.0).cast("long").as("bin"),
-        col("l_quantity").as("y"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("y").cast("decimal(38,10)")).cast("long").as("s"),
-        sum((col("y") * col("y")).cast("decimal(38,10)")).cast("long").as("q"))
+    // Persist the bounded bin table: it feeds three consumers (both sides
+    // of the triangle self-join + the totals row) — without the persist
+    // each one re-runs the corpus aggregation.
+    val bins = graft.operators.ScaleOps.trackedPersist(
+      Tables.lineitem(s, dir)
+        .select(floor(col("l_extendedprice") / 4096.0).cast("long").as("bin"),
+          col("l_quantity").as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast("decimal(38,10)")).cast("long").as("s"),
+          sum((col("y") * col("y")).cast("decimal(38,10)")).cast("long").as("q")))
     val tot = bins.agg(sum(col("n")).as("n_tot"), sum(col("s")).as("s_tot"),
       sum(col("q")).as("q_tot"))
     val cum = bins.as("c").join(bins.as("b"), col("b.bin") <= col("c.bin"))

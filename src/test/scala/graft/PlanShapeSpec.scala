@@ -127,7 +127,31 @@ class PlanShapeSpec extends AnyFunSuite {
     // every later consumer; broadcast join-backs (0) + top-50 (0);
     // measured 2 at sf0.001, +2 headroom for the above-gate regime where
     // the cu join-back degrades to a shuffle pair
-    "q_text_collocations" -> 4
+    "q_text_collocations" -> 4,
+
+    // r14 batch-2 keys — the scale postures SURVEY §2 claims, as budgets:
+    // ONE ≤26-group corpus agg (1, persisted — three consumers) + totals
+    // agg (1) + cum groupBy (1) + the bounded single-partition is_best
+    // window (1) + total-order sort (1) — everything after the first runs
+    // on the ≤26-row cached bin table
+    "q_ml_tree_split" -> 5,
+    // ONE single-grouped-row corpus agg (1) + the 5-row sort (≤1; measured
+    // folded into the single partition); the lambda cross join is a
+    // broadcast NLJ (0)
+    "q_ml_ridge_path" -> 2,
+    // ONE ≤16-group (truth, pred) corpus agg (1) + 4-group class fold (1)
+    // + total-order sort (1)
+    "q_ml_eval_confusion" -> 4,
+    // ONE corpus dedupe (1) + present-days dedupe on the derivative (1) +
+    // two-phase distinct-count of the exploded derivative (2) + sort (1);
+    // the present-days restriction is a broadcast (0)
+    "q_window_distinct" -> 6,
+    // gram groupBy (1) + occurrence re-join on the gram key (1 more side)
+    // + covered-position distinct + per-doc agg + sort (measured 5 — the
+    // per-doc token join rides a broadcast); +2 headroom for the above-
+    // gate regime where that join degrades to a shuffle pair — all on
+    // corpus-linear derivatives, NO all-pairs node
+    "q_text_dup_spans" -> 7
 
   )
 

@@ -202,6 +202,19 @@ object Oracle {
                 ${dsum("bal")} AS acctbal_total
          FROM merged GROUP BY 1 ORDER BY 1""",
 
+    // Join-view maintenance must land on the SAME rollup a from-scratch
+    // join + aggregate over the merged state produces: final segment per
+    // customer (the %10==2 moves applied), ALL orders (base ∪ the arriving
+    // batch = the whole table). A fold that misses a leg — a move's base
+    // history, an arriving order, the ΔO×ΔC overlap double-count — breaks
+    // the hash.
+    "q_join_view_maintain" ->
+      s"""SELECT CASE WHEN c_custkey % 10 = 2 THEN 'REASSIGNED'
+                      ELSE c_mktsegment END AS c_mktsegment,
+                 count(*) AS n_orders, ${dsum("o_totalprice")} AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1 ORDER BY 1""",
+
     // Same deterministic change-history construction as q_merge_upsert's
     // changeset, expanded to versions by the identical LEAD window; 'D'
     // rows contribute interval closure only.
@@ -1119,6 +1132,69 @@ object Oracle {
             SELECT split_bin, n_left, n_right, gain,
                    row_number() OVER (ORDER BY gain DESC, split_bin) = 1 AS is_best
             FROM gn ORDER BY split_bin""",
+
+      // Boosting round: round 1 restates the tree-split CTEs (exact-BIGINT
+      // histogram, triangle prefix, argmax); leaf means are one IEEE
+      // division from exact integers; the residual is identical per-row
+      // double arithmetic; round 2's residual sums ride the decimal path
+      // and convert post-merge by the same round-scale dance as the Spark
+      // side's `fin`.
+      "q_ml_gbdt_round" ->
+        s"""WITH rws AS (
+              SELECT CAST(floor($y / 4096.0) AS BIGINT) AS bin1,
+                     CAST(floor($d * 100.0) AS BIGINT) AS bin2, $q AS yy
+              FROM lineitem),
+            bins1 AS (SELECT bin1, count(*) AS n,
+                             CAST(sum(CAST(yy AS DECIMAL(38,10))) AS BIGINT) AS sv,
+                             CAST(sum(CAST(yy * yy AS DECIMAL(38,10))) AS BIGINT) AS qv
+                      FROM rws GROUP BY 1),
+            tot1 AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(sv) AS BIGINT) AS s_tot,
+                            CAST(sum(qv) AS BIGINT) AS q_tot FROM bins1),
+            cum1 AS (SELECT c.bin1 AS sb, CAST(sum(b.n) AS BIGINT) AS nl,
+                            CAST(sum(b.sv) AS BIGINT) AS sl, CAST(sum(b.qv) AS BIGINT) AS ql
+                     FROM bins1 c JOIN bins1 b ON b.bin1 <= c.bin1 GROUP BY 1),
+            g1 AS (SELECT sb, nl, n_tot - nl AS nr, sl, s_tot - sl AS sr,
+                          ql, q_tot - ql AS qr, n_tot, s_tot, q_tot
+                   FROM cum1 CROSS JOIN tot1 WHERE n_tot - nl > 0),
+            r1 AS (SELECT g1.*, row_number() OVER (ORDER BY
+                     round((CAST(q_tot AS DOUBLE) - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                         - (CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                         - (CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)), 4) DESC, sb) AS rn
+                   FROM g1),
+            best1 AS (SELECT sb AS r1_split,
+                             CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mu_l,
+                             CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS mu_r
+                      FROM r1 WHERE rn = 1),
+            res AS (SELECT bin2,
+                           yy - CASE WHEN bin1 <= r1_split THEN mu_l ELSE mu_r END AS r
+                    FROM rws CROSS JOIN best1),
+            bins2 AS (SELECT bin2, count(*) AS n,
+                             sum(CAST(r AS DECIMAL(38,10))) AS sv,
+                             sum(CAST(r * r AS DECIMAL(38,10))) AS qv
+                      FROM res GROUP BY 1),
+            tot2 AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot, sum(sv) AS s_tot,
+                            sum(qv) AS q_tot FROM bins2),
+            cum2 AS (SELECT c.bin2 AS split_bin, CAST(sum(b.n) AS BIGINT) AS nl,
+                            sum(b.sv) AS sl, sum(b.qv) AS ql
+                     FROM bins2 c JOIN bins2 b ON b.bin2 <= c.bin2 GROUP BY 1),
+            g2 AS (SELECT split_bin, nl, n_tot - nl AS nr,
+                          CAST(round(sl, 6) * 1000000 AS BIGINT) / 1000000.0 AS sl_d,
+                          CAST(round(s_tot - sl, 6) * 1000000 AS BIGINT) / 1000000.0 AS sr_d,
+                          CAST(round(ql, 6) * 1000000 AS BIGINT) / 1000000.0 AS ql_d,
+                          CAST(round(q_tot - ql, 6) * 1000000 AS BIGINT) / 1000000.0 AS qr_d,
+                          CAST(round(s_tot, 6) * 1000000 AS BIGINT) / 1000000.0 AS st_d,
+                          CAST(round(q_tot, 6) * 1000000 AS BIGINT) / 1000000.0 AS qt_d,
+                          n_tot
+                   FROM cum2 CROSS JOIN tot2 WHERE n_tot - nl > 0),
+            g3 AS (SELECT split_bin, nl AS n_left, nr AS n_right,
+                          round((qt_d - st_d * st_d / CAST(n_tot AS DOUBLE))
+                              - (ql_d - sl_d * sl_d / CAST(nl AS DOUBLE))
+                              - (qr_d - sr_d * sr_d / CAST(nr AS DOUBLE)), 4) AS gain
+                   FROM g2)
+            SELECT split_bin, n_left, n_right, gain,
+                   row_number() OVER (ORDER BY gain DESC, split_bin) = 1 AS is_best,
+                   r1_split, round(mu_l, 6) AS r1_mu_left, round(mu_r, 6) AS r1_mu_right
+            FROM g3 CROSS JOIN best1 ORDER BY split_bin""",
 
       // Ridge path: SAME base sufficient statistics (same dsum scales) as
       // q_ml_linreg_normal, then the identical centered-moment + 2x2 Cramer

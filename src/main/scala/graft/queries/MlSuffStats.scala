@@ -456,6 +456,108 @@ object MlSuffStats {
       .orderBy("split_bin")
   }
 
+  /** ONE FULL GRADIENT-BOOSTING ROUND — the iteration pattern of
+    * histogram-GBDT (XGBoost/LightGBM, public): fit a regression stump,
+    * broadcast its leaf model, compute per-row residuals, fit the NEXT
+    * stump on the residuals over a second feature. Exactly two corpus
+    * passes — one bounded-bin histogram aggregation per boosting round,
+    * the canonical distributed-GBDT cost — with all split selection in
+    * bounded epilogues:
+    *
+    *  - round 1: the q_ml_tree_split construction (price bins, integral
+    *    target ⇒ exact BIGINT Σy/Σy²; triangle-join prefix stats; gain
+    *    argmax tie-broken (gain desc, bin asc)); leaf means μL = Σy_l/n_l,
+    *    μR from the SAME exact integers via one IEEE division each, so
+    *    both engines hold bit-identical leaf models;
+    *  - round 2: residual r = y − μ(leaf) is identical double arithmetic
+    *    per row; the residual histogram over discount bins
+    *    (floor(d·100) — both engines floor the same IEEE product, so
+    *    binning agrees bit-for-bit) accumulates Σr/Σr² through the exact
+    *    DECIMAL(38,10) path, converted once post-merge by the dsum
+    *    round-scale dance.
+    *
+    * Output: every round-2 candidate split with its variance-reduction
+    * gain on the RESIDUALS + is_best, carrying the round-1 model
+    * (split/leaf means, display-rounded) as constant columns. */
+  val qMlGbdtRound: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = (c: Column) => c.cast("double")
+    val rows = Tables.lineitem(s, dir).select(
+      floor(col("l_extendedprice") / 4096.0).cast("long").as("bin1"),
+      floor(col("l_discount") * 100.0).cast("long").as("bin2"),
+      col("l_quantity").as("y"))
+    // ---- round 1: exact-integer histogram + best split (tree_split form)
+    val bins1 = graft.operators.ScaleOps.trackedPersist(
+      rows.groupBy(col("bin1"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast("decimal(38,10)")).cast("long").as("sv"),
+          sum((col("y") * col("y")).cast("decimal(38,10)")).cast("long").as("qv")))
+    val tot1 = bins1.agg(sum(col("n")).as("n_tot"), sum(col("sv")).as("s_tot"),
+      sum(col("qv")).as("q_tot"))
+    val cum1 = bins1.as("c").join(bins1.as("b"), col("b.bin1") <= col("c.bin1"))
+      .groupBy(col("c.bin1").as("sb"))
+      .agg(sum(col("b.n")).as("nl"), sum(col("b.sv")).as("sl"),
+        sum(col("b.qv")).as("ql"))
+    val best1 = cum1.crossJoin(tot1)
+      .withColumn("nr", col("n_tot") - col("nl"))
+      .filter(col("nr") > 0)
+      .withColumn("sr", col("s_tot") - col("sl"))
+      .withColumn("qr", col("q_tot") - col("ql"))
+      .withColumn("gain1", round(
+        (d(col("q_tot")) - d(col("s_tot")) * d(col("s_tot")) / d(col("n_tot"))) -
+        (d(col("ql")) - d(col("sl")) * d(col("sl")) / d(col("nl"))) -
+        (d(col("qr")) - d(col("sr")) * d(col("sr")) / d(col("nr"))), 4))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("gain1").desc, col("sb"))))
+      .filter(col("rn") === 1)
+      .select(col("sb").as("r1_split"),
+        (d(col("sl")) / d(col("nl"))).as("mu_l"),
+        (d(col("sr")) / d(col("nr"))).as("mu_r"))
+    // ---- round 2: residual histogram over the second feature
+    val dec = (c: Column) => c.cast("decimal(38,10)")
+    val res = rows.crossJoin(broadcast(best1))
+      .select(col("bin2"), col("r1_split"), col("mu_l"), col("mu_r"),
+        (col("y") - when(col("bin1") <= col("r1_split"), col("mu_l"))
+          .otherwise(col("mu_r"))).as("r"))
+    val bins2 = graft.operators.ScaleOps.trackedPersist(
+      res.groupBy(col("bin2"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("r"))).as("sv"),
+          sum(dec(col("r") * col("r"))).as("qv"),
+          first(col("r1_split")).as("r1_split"),
+          first(col("mu_l")).as("mu_l"), first(col("mu_r")).as("mu_r")))
+    // Post-merge decimal → deterministic double (the dsum dance, scale 6).
+    val fin = (c: Column) =>
+      (round(c, 6) * lit(1000000L)).cast("long").cast("double") / lit(1e6)
+    val tot2 = bins2.agg(sum(col("n")).as("n_tot"), sum(col("sv")).as("s_tot"),
+      sum(col("qv")).as("q_tot"))
+    val cum2 = bins2.as("c").join(bins2.as("b"), col("b.bin2") <= col("c.bin2"))
+      .groupBy(col("c.bin2").as("split_bin"))
+      .agg(sum(col("b.n")).as("nl"), sum(col("b.sv")).as("sl"),
+        sum(col("b.qv")).as("ql"),
+        first(col("c.r1_split")).as("r1_split"),
+        first(col("c.mu_l")).as("mu_l"), first(col("c.mu_r")).as("mu_r"))
+    cum2.crossJoin(tot2)
+      .withColumn("nr", col("n_tot") - col("nl"))
+      .filter(col("nr") > 0)
+      .withColumn("sl_d", fin(col("sl")))
+      .withColumn("sr_d", fin(col("s_tot") - col("sl")))
+      .withColumn("ql_d", fin(col("ql")))
+      .withColumn("qr_d", fin(col("q_tot") - col("ql")))
+      .withColumn("st_d", fin(col("s_tot")))
+      .withColumn("qt_d", fin(col("q_tot")))
+      .withColumn("gain", round(
+        (col("qt_d") - col("st_d") * col("st_d") / d(col("n_tot"))) -
+        (col("ql_d") - col("sl_d") * col("sl_d") / d(col("nl"))) -
+        (col("qr_d") - col("sr_d") * col("sr_d") / d(col("nr"))), 4))
+      .select(col("split_bin"), col("nl").as("n_left"), col("nr").as("n_right"),
+        col("gain"),
+        (row_number().over(Window.orderBy(col("gain").desc, col("split_bin"))) === 1)
+          .as("is_best"),
+        col("r1_split"), round(col("mu_l"), 6).as("r1_mu_left"),
+        round(col("mu_r"), 6).as("r1_mu_right"))
+      .orderBy("split_bin")
+  }
+
   /** RIDGE REGULARIZATION PATH from ONE sufficient-statistics pass — the
     * regularized variant of qMlLinregNormal (REF-P1's regression family):
     * y = b0 + b1·quantity + b2·discount with an L2 penalty on the slopes
@@ -557,6 +659,7 @@ object MlSuffStats {
     "q_ml_kmeans_converged" -> qMlKmeansConverged,
     "q_ml_pca_power" -> qMlPcaPower,
     "q_ml_tree_split" -> qMlTreeSplit,
+    "q_ml_gbdt_round" -> qMlGbdtRound,
     "q_ml_ridge_path" -> qMlRidgePath,
     "q_ml_eval_confusion" -> qMlEvalConfusion)
 }

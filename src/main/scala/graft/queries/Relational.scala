@@ -586,6 +586,108 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Per-customer rollup of the BASE orders (o_orderkey % 10 != 7 — the
+    * rest arrive as q_join_view_maintain's ingest batch): custkey → (order
+    * count, exact decimal revenue partial), staged once per corpus snapshot
+    * and stored BUCKETED by custkey so the segment-move probe moves ONLY
+    * the move set ([[stagedCorpusLabels]]'s layout argument applied to the
+    * join-view's supporting aggregate). This is the index that makes
+    * dimension-side maintenance O(Δ): without it, re-attributing a moved
+    * customer's history means re-scanning the fact corpus. */
+  def stagedCustOrderRollup(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft_cust_order_rollup_$key"
+    val staged = Tables.stagedFixture(s, s"$dir/orders.parquet",
+      "cust-order-rollup", dir, "v1") { d =>
+      graft.sources.Layout.writeBucketed(
+        Tables.orders(s, dir).filter(col("o_orderkey") % 10 =!= 7)
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Det.dsumPartial(col("o_totalprice")).as("rev")),
+        tbl, s"$d/rollup", Seq("cust"), 8)
+    }
+    graft.sources.Layout.registerBucketedIfMissing(
+      s, tbl, s"$staged/rollup", Seq("cust"), 8)
+    s.table(tbl)
+  }
+
+  /** The standing JOIN-view rollup (base orders ⋈ customer → per-segment
+    * order count + exact decimal revenue partial), staged once per corpus
+    * snapshot — the artifact q_join_view_maintain folds deltas into. */
+  def stagedSegOrderView(s: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.stagedFixture(s, s"$dir/orders.parquet",
+      "seg-order-view", dir, "v1") { d =>
+      Tables.orders(s, dir).filter(col("o_orderkey") % 10 =!= 7)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Det.dsumPartial(col("o_totalprice")).as("rev"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$d/view")
+    }
+    s.read.parquet(s"$staged/view")
+  }
+
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE — q_agg_view_maintain's law applied
+    * to a view over a JOIN (revenue per customer segment = orders ⋈
+    * customer, aggregated), where deltas arrive on BOTH sides: a batch of
+    * new orders (fact delta, o_orderkey % 10 == 7) AND a set of customer
+    * segment reassignments (dimension delta, c_custkey % 10 == 2 →
+    * 'REASSIGNED'). The delta-join algebra, folded per side:
+    *
+    *  - fact delta: ΔO joins the dimension for each order's FINAL segment
+    *    — ΔO is batch-sized and rides the gated broadcast, the dimension
+    *    is never shuffled;
+    *  - dimension delta: a moved customer shifts its ENTIRE base order
+    *    history old→new segment. Re-deriving that history from the fact
+    *    corpus would be the full-join-per-tick this machinery deletes —
+    *    instead the moves PROBE the bucketed per-customer rollup
+    *    ([[stagedCustOrderRollup]]), so only the move set moves, and each
+    *    probe hit becomes (−n, −rev) under the old segment and (+n, +rev)
+    *    under the new one;
+    *  - ΔO × ΔC overlap: an arriving order of a moved customer is counted
+    *    once, under the final segment, because the fact-delta leg uses
+    *    final segments and the move leg re-attributes only BASE history.
+    *
+    * All partials are exact decimals (dsumPartial/dsumMerge), so the
+    * maintained view must hash-match the oracle's from-scratch recompute
+    * over the merged state — maintained ≡ recomputed, the
+    * q_agg_view_maintain grading move, now for a join view. Per-tick cost
+    * at 100 TB: O(ΔO + ΔC + segments); the fact corpus is touched by
+    * NOTHING (its aggregate lives in the two staged artifacts). */
+  val qJoinViewMaintain: Q = (s, dir) => {
+    val v0 = stagedSegOrderView(s, dir)
+    val r0 = stagedCustOrderRollup(s, dir)
+    val cust = Tables.customer(s, dir)
+    val moves = cust.filter(col("c_custkey") % 10 === 2)
+      .select(col("c_custkey").as("cust"), col("c_mktsegment").as("old_seg"))
+    val movedBase = moves.join(r0, "cust")
+    val moveAdj = movedBase
+      .select(col("old_seg").as("seg"), (-col("n")).as("dn"), (-col("rev")).as("dv"))
+      .unionByName(movedBase.select(lit("REASSIGNED").as("seg"),
+        col("n").as("dn"), col("rev").as("dv")))
+    val finalSeg = when(col("c_custkey") % 10 === 2, lit("REASSIGNED"))
+      .otherwise(col("c_mktsegment"))
+    val dContrib = Tables.orders(s, dir).filter(col("o_orderkey") % 10 === 7)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(finalSeg.as("seg"), lit(1L).as("dn"),
+        col("o_totalprice").cast("decimal(38,10)").as("dv"))
+    val delta = moveAdj.unionByName(dContrib)
+      .groupBy(col("seg"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+    val zero = lit(0).cast("decimal(38,10)")
+    val total = coalesce(col("rev"), zero) + coalesce(col("dv"), zero)
+    v0.join(delta, Seq("seg"), "full_outer")
+      .select(col("seg").as("c_mktsegment"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        ((round(total, 2) * lit(100L)).cast("long").cast("double") / lit(100.0))
+          .as("revenue"))
+      .filter(col("n_orders") > 0)
+      .orderBy("c_mktsegment")
+  }
+
   /** TRANSPARENT MATERIALIZED-VIEW REWRITE (plans/RollupRewrite — the
     * engine's custom Catalyst `Rule[LogicalPlan]`): the graded query IS
     * the plain per-segment aggregate over customer, but with the
@@ -1775,6 +1877,7 @@ object Relational {
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,
+    "q_join_view_maintain" -> qJoinViewMaintain,
     "q_agg_rollup_rewrite" -> qAggRollupRewrite,
     "q_scd2_snapshot" -> qScd2Snapshot,
     "q_scd2_merge" -> qScd2Merge,

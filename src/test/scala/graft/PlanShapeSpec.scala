@@ -146,6 +146,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // two-phase distinct-count of the exploded derivative (2) + sort (1);
     // the present-days restriction is a broadcast (0)
     "q_window_distinct" -> 6,
+    // two corpus passes (one bounded-bin histogram agg per boosting
+    // round) + the bounded epilogues (totals aggs, is_best windows, sort)
+    // — both bin tables persisted, so neither corpus pass repeats;
+    // measured 3, +2 headroom for epilogue-shuffle placement drift
+    "q_ml_gbdt_round" -> 5,
+    // delta fold: move probe (moves side 1; the bucketed rollup side 0 —
+    // pinned in R14OpsSpec) + fact-delta dim join (broadcast, 0) + one
+    // delta agg (1) + full-outer fold + sort; measured 3, +2 headroom for
+    // the above-gate regime where the gated broadcasts degrade
+    "q_join_view_maintain" -> 5,
     // gram groupBy (1) + occurrence re-join on the gram key (1 more side)
     // + covered-position distinct + per-doc agg + sort (measured 5 — the
     // per-doc token join rides a broadcast); +2 headroom for the above-

@@ -115,6 +115,103 @@ class R14OpsSpec extends AnyFunSuite {
     assert(got.toSeq === expected)
   }
 
+  /** Driver twin of the dsum decimal path (StatsSpec.dsumLike). */
+  private def dsumLike(xs: Seq[Double], scale: Int): Double = {
+    val sum = xs.foldLeft(java.math.BigDecimal.ZERO)((a, x) =>
+      a.add(java.math.BigDecimal.valueOf(x).setScale(10, java.math.RoundingMode.HALF_UP)))
+    sum.setScale(scale, java.math.RoundingMode.HALF_UP)
+      .movePointRight(scale).longValueExact().toDouble / math.pow(10, scale)
+  }
+
+  test("q_ml_gbdt_round equals a brute-force two-round boosting fold") {
+    val raw = Tables.lineitem(spark, Sf0001)
+      .select(col("l_extendedprice"), col("l_discount"), col("l_quantity")).collect()
+      .map(r => (math.floor(r.getDouble(0) / 4096.0).toLong,
+        math.floor(r.getDouble(1) * 100.0).toLong, r.getDouble(2)))
+    // Round 1: exact-integer histogram on bin1, best split + leaf means.
+    val by1 = raw.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong, g.map(_._3.toLong).sum, g.map(x => x._3.toLong * x._3.toLong).sum)
+    }.toMap
+    val bins1 = by1.keys.toSeq.sorted
+    val (nT, sT, qT) = by1.values.foldLeft((0L, 0L, 0L)) {
+      case ((a, b, c), (n, s, q)) => (a + n, b + s, c + q)
+    }
+    def sse(n: Long, s: Double, q: Double): Double = q - s * s / n.toDouble
+    val cands1 = bins1.dropRight(1).map { b =>
+      val (nl, sl, ql) = bins1.filter(_ <= b).foldLeft((0L, 0L, 0L)) {
+        case ((a, bb, c), x) => val (n, s, q) = by1(x); (a + n, bb + s, c + q)
+      }
+      (b, nl, sl, ql, roundN(sse(nT, sT.toDouble, qT.toDouble)
+        - sse(nl, sl.toDouble, ql.toDouble)
+        - sse(nT - nl, (sT - sl).toDouble, (qT - ql).toDouble), 4))
+    }
+    val (s1, nl1, sl1, _, _) = cands1.maxBy { case (b, _, _, _, g) => (g, -b) }
+    val muL = sl1.toDouble / nl1.toDouble
+    val muR = (sT - sl1).toDouble / (nT - nl1).toDouble
+    // Round 2: residual histogram on bin2 through the decimal path.
+    val res = raw.map { case (b1, b2, y) =>
+      (b2, y - (if (b1 <= s1) muL else muR))
+    }
+    val by2 = res.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong, dsumLike(g.map(_._2), 6), dsumLike(g.map(x => x._2 * x._2), 6))
+    }.toMap
+    // The query merges decimal partials across ALL bins before the one
+    // round-scale conversion, so totals/prefixes fold the RAW per-row
+    // values, not the per-bin rounded ones.
+    val bins2 = by2.keys.toSeq.sorted
+    val n2T = res.size.toLong
+    val s2T = dsumLike(res.map(_._2), 6)
+    val q2T = dsumLike(res.map(x => x._2 * x._2), 6)
+    val expected = bins2.dropRight(1).map { b =>
+      val left = res.filter(_._1 <= b)
+      val (nl, sl, ql) = (left.size.toLong, dsumLike(left.map(_._2), 6),
+        dsumLike(left.map(x => x._2 * x._2), 6))
+      val right = res.filter(_._1 > b)
+      val (nr, sr, qr) = (right.size.toLong, dsumLike(right.map(_._2), 6),
+        dsumLike(right.map(x => x._2 * x._2), 6))
+      (b, nl, nr, roundN(sse(n2T, s2T, q2T) - sse(nl, sl, ql) - sse(nr, sr, qr), 4))
+    }
+    val best2 = expected.maxBy { case (b, _, _, g) => (g, -b) }._1
+    val got = SparkEntry.queries("q_ml_gbdt_round")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq === expected)
+    assert(got.filter(_._5).map(_._1).toSeq === Seq(best2))
+    assert(got.head._6 === s1)
+    assert(got.head._7 === roundN(muL, 6))
+    assert(got.head._8 === roundN(muR, 6))
+  }
+
+  test("q_join_view_maintain: the move probe exchanges NOTHING on the bucketed rollup side") {
+    // The 100 TB claim: with the broadcast gate off (what a corpus-sized
+    // move set does organically), the per-customer rollup joins from its
+    // bucket layout — only the move set may exchange (the MergeSpec
+    // bucketed-base pattern applied to the join-view's supporting index).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val r0 = graft.queries.Relational.stagedCustOrderRollup(spark, Sf0001)
+    val moves = Tables.customer(spark, Sf0001)
+      .filter(col("c_custkey") % 10 === 2)
+      .select(col("c_custkey").as("cust"), col("c_mktsegment").as("old_seg"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = PlanCheck.finalPlan(moves.join(r0, "cust"))
+      def scansRollup(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        PlanCheck.flatten(p).exists {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains("cust-order-rollup"))
+          case _ => false
+        }
+      assert(scansRollup(plan), s"expected the rollup scan in:\n$plan")
+      val rollupShuffles = PlanCheck.flatten(plan).count {
+        case e: ShuffleExchangeLike => scansRollup(e)
+        case _ => false
+      }
+      assert(rollupShuffles == 0, s"bucketed rollup side was shuffled:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_text_dup_spans equals brute-force shared-8-gram coverage") {
     val docs = Tables.documents(spark, Sf0001)
       .select(col("doc_id"), col("text")).collect()

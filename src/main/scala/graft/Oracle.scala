@@ -1224,6 +1224,40 @@ object Oracle {
                    round(b1, 6) AS b1, round(b2, 6) AS b2
             FROM b ORDER BY lambda""",
 
+      // AUC: the same per-distinct-score grouping + inclusive running
+      // count, folded through the identical all-integer Mann-Whitney
+      // identity; the only float op is the one final division.
+      "q_ml_eval_auc" ->
+        """WITH r AS (SELECT CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) AS score,
+                             CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+                      FROM embeddings),
+            g AS (SELECT score, count(*) AS n_g, CAST(sum(pos) AS BIGINT) AS p_g
+                  FROM r GROUP BY 1),
+            c AS (SELECT score, n_g, p_g,
+                         CAST(sum(n_g) OVER (ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+                  FROM g),
+            t AS (SELECT CAST(sum(CAST(p_g AS DECIMAL(38,0))
+                                  * CAST(2 * (run - n_g) + n_g + 1 AS DECIMAL(38,0))) AS BIGINT) AS numer2,
+                         CAST(sum(p_g) AS BIGINT) AS n_pos,
+                         CAST(sum(n_g - p_g) AS BIGINT) AS n_neg
+                  FROM c)
+            SELECT n_pos, n_neg,
+                   round(CAST(numer2 - n_pos * (n_pos + 1) AS DOUBLE)
+                         / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+            FROM t""",
+
+      // Calibration bins: identical IEEE bin product, exact-decimal mean
+      // score, integer positive rates.
+      "q_ml_eval_calibration" ->
+        s"""WITH r AS (SELECT CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) AS score,
+                              CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+                       FROM embeddings)
+            SELECT CAST(floor((score + 1.0) * 5.0) AS BIGINT) AS bin, count(*) AS n,
+                   ${davg("score")} AS avg_score, CAST(sum(pos) AS BIGINT) AS n_pos,
+                   round(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+            FROM r GROUP BY 1 ORDER BY 1""",
+
       // Eval metrics: argmax spelled as the same ordered >= chain
       // (first-max tie-break), counts folded over the 16-row confusion
       // matrix, ratios from exact BIGINTs.

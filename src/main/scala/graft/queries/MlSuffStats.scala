@@ -647,6 +647,81 @@ object MlSuffStats {
       .orderBy("class")
   }
 
+  /** Shared AUC epilogue: from the per-distinct-score group table with its
+    * inclusive running row count (`run`), fold the Mann-Whitney rank
+    * statistic ENTIRELY IN INTEGERS — average ascending tie-rank of a
+    * score group = cum_before + (n_g+1)/2, so
+    *   2·Σ_pos avgrank = Σ p_g · (2·(run − n_g) + n_g + 1)  (exact),
+    *   AUC = (2·Σ_pos avgrank − n⁺(n⁺+1)) / (2·n⁺·n⁻).
+    * The sum rides DECIMAL(38,0) (overflow-proof: the term is O(n²)),
+    * comes back as an exact BIGINT, and the ONE float op is the final
+    * correctly-rounded division — bit-identical in any engine at any
+    * partitioning. */
+  private def aucFromRuns(withRun: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    withRun
+      .agg(
+        sum(dec(col("p_g")) * dec(lit(2L) * (col("run") - col("n_g"))
+          + col("n_g") + lit(1L))).cast("long").as("numer2"),
+        sum(col("p_g")).as("n_pos"), sum(col("n_g") - col("p_g")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("numer2") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+  }
+
+  private def aucGroups(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select((col("embedding")(0).cast("double") + col("embedding")(1).cast("double"))
+        .as("score"),
+        when(col("label") % 2 === 1, 1L).otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n_g"), sum(col("pos")).as("p_g"))
+
+  private[graft] val aucWindowForm: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aucFromRuns(aucGroups(s, dir).withColumn("run", sum(col("n_g")).over(w)))
+  }
+
+  private[graft] val aucScaleForm: Q = (s, dir) =>
+    aucFromRuns(graft.operators.ScaleOps.groupedPrefixSum(
+        aucGroups(s, dir), lit(0), col("score"), col("n_g"))
+      .withColumnRenamed("__run", "run"))
+
+  /** RANKING-QUALITY EVALUATION — exact AUC (the Mann-Whitney U statistic
+    * with average-rank tie handling) of a deterministic scorer
+    * (score = e₀+e₁, positive = odd label). The scalable decomposition:
+    * ONE corpus aggregation to per-DISTINCT-SCORE groups (n, n_pos) — the
+    * only shuffle that touches rows — then a prefix count over the group
+    * table and an all-integer fold ([[aucFromRuns]]): no per-row global
+    * rank is ever materialized, and ties cost nothing extra. The prefix is
+    * SIZE-ROUTED (the q_agg_median convention): a single-task window below
+    * Conf.OneTaskSortMaxBytes, the exact bucketed two-pass
+    * `ScaleOps.groupedPrefixSum` above it — R14OpsSpec pins both forms
+    * bit-equal, so the 100 TB story is self-executing. */
+  val qMlEvalAuc: Q = (s, dir) =>
+    graft.operators.ScaleOps.routeBySize(
+      Tables.embeddings(s, dir), graft.Conf.OneTaskSortMaxBytes)(
+      aucWindowForm(s, dir))(aucScaleForm(s, dir))
+
+  /** CALIBRATION / RELIABILITY BINS — the companion eval surface: the score
+    * domain row-locally binned (floor((score+1)·5), both engines floor the
+    * same IEEE product), per bin the population, mean score (exact decimal
+    * path), and empirical positive rate from exact integers. ONE map-side-
+    * combined corpus aggregation at any scale. */
+  val qMlEvalCalibration: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select((col("embedding")(0).cast("double") + col("embedding")(1).cast("double"))
+        .as("score"),
+        when(col("label") % 2 === 1, 1L).otherwise(0L).as("pos"))
+      .groupBy(floor((col("score") + lit(1.0)) * 5.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), davg(col("score")).as("avg_score"),
+        sum(col("pos")).as("n_pos"))
+      .withColumn("pos_rate", round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+      .orderBy("bin")
+
   val queries: Map[String, Q] = Map(
     "q_ml_linreg_normal" -> qMlLinregNormal,
     "q_ml_wls" -> qMlWls,
@@ -661,5 +736,7 @@ object MlSuffStats {
     "q_ml_tree_split" -> qMlTreeSplit,
     "q_ml_gbdt_round" -> qMlGbdtRound,
     "q_ml_ridge_path" -> qMlRidgePath,
-    "q_ml_eval_confusion" -> qMlEvalConfusion)
+    "q_ml_eval_confusion" -> qMlEvalConfusion,
+    "q_ml_eval_auc" -> qMlEvalAuc,
+    "q_ml_eval_calibration" -> qMlEvalCalibration)
 }

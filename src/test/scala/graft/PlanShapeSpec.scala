@@ -146,6 +146,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // two-phase distinct-count of the exploded derivative (2) + sort (1);
     // the present-days restriction is a broadcast (0)
     "q_window_distinct" -> 6,
+    // ONE per-distinct-score corpus agg (1) + the below-gate single-task
+    // prefix window (1); the integer fold is a 1-row global agg (1)
+    "q_ml_eval_auc" -> 3,
+    // ONE map-side-combined bin agg (1) + total-order sort (1)
+    "q_ml_eval_calibration" -> 2,
     // two corpus passes (one bounded-bin histogram agg per boosting
     // round) + the bounded epilogues (totals aggs, is_best windows, sort)
     // — both bin tables persisted, so neither corpus pass repeats;

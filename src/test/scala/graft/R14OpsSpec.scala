@@ -212,6 +212,42 @@ class R14OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_ml_eval_auc equals brute-force average-rank AUC; window ≡ scale form") {
+    val rows = Tables.embeddings(spark, Sf0001)
+      .select(col("embedding"), col("label")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](0)
+        (e(0).toDouble + e(1).toDouble, r.getInt(1) % 2 == 1)
+      }
+    // Brute force: ascending sort, average rank over tie runs.
+    val sorted = rows.sortBy(_._1)
+    val ranks = scala.collection.mutable.ArrayBuffer[Double]()
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val avg = (i + 1 + j).toDouble / 2.0 // mean of positions i+1 .. j
+      for (_ <- i until j) ranks += avg
+      i = j
+    }
+    val nPos = sorted.count(_._2).toLong
+    val nNeg = sorted.length - nPos
+    val sumPos = sorted.zip(ranks).filter(_._1._2).map(_._2).sum
+    val expected = roundN(
+      (sumPos - nPos.toDouble * (nPos + 1).toDouble / 2.0) / (nPos.toDouble * nNeg), 6)
+    val got = SparkEntry.queries("q_ml_eval_auc")(spark, Sf0001).collect().head
+    assert(got.getLong(0) === nPos)
+    assert(got.getLong(1) === nNeg)
+    assert(got.getDouble(2) === expected)
+    // The routed forms must be bit-equal (the 100 TB story is the SAME
+    // answer from the bucketed two-pass prefix).
+    import graft.queries.MlSuffStats
+    val w = MlSuffStats.aucWindowForm(spark, Sf0001).collect().head
+    val sc = MlSuffStats.aucScaleForm(spark, Sf0001).collect().head
+    assert(w.toSeq === sc.toSeq)
+    assert(w.toSeq === got.toSeq)
+  }
+
   test("q_text_dup_spans equals brute-force shared-8-gram coverage") {
     val docs = Tables.documents(spark, Sf0001)
       .select(col("doc_id"), col("text")).collect()

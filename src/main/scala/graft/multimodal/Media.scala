@@ -218,6 +218,104 @@ object Media {
     } else sys.error(s"asset ${a.asset_id}: unknown container magic")
   }
 
+  /** Narrow per-asset thumbnail features from [[resize]]. */
+  case class MediaThumb(
+      asset_id: Long, media_type: String,
+      src_width: Int, src_height: Int, thumb_w: Int, thumb_h: Int,
+      thumb_mean: Double, thumb_hash: Long)
+
+  /** RESIZE / RESAMPLE — the transform stage after decode in every
+    * multimodal ingest: nearest-neighbor downsample to a tw×th thumbnail
+    * (images: stride-aware pixel picks; video: the MIDDLE frame's luma
+    * plane; audio: tw·th nearest-index sample frames across the PCM data —
+    * the 1-D resample). Deterministic integer index arithmetic only, so
+    * the thumbnail bytes are a pure function of the payload; mean + rolling
+    * hash summarize them the way [[decode]] does. Nearest-neighbor at
+    * identical source/target dims picks every pixel exactly once — the
+    * identity property MediaSpec pins against [[decode]]'s full-image
+    * mean through a DIFFERENT traversal order. */
+  private[multimodal] def resize(a: MediaAsset, tw: Int, th: Int): MediaThumb = {
+    val p = a.payload
+    var sum = 0L; var n = 0L; var hash = 1125899906842597L
+    def take(i: Int): Unit = { sum += p(i) & 0xff; hash = hash * 31 + (p(i) & 0xff); n += 1 }
+    def done(w: Int, h: Int): MediaThumb =
+      MediaThumb(a.asset_id, a.media_type, w, h, tw, th,
+        if (n == 0) 0.0 else sum.toDouble / n, hash)
+    if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
+      val off = getIntLE(p, 10)
+      val w = getIntLE(p, 18); val h = getIntLE(p, 22)
+      val bpp = getShortLE(p, 28)
+      require(bpp == 24, s"asset ${a.asset_id}: unsupported BMP bpp $bpp")
+      val rowSize = ((bpp / 8 * w + 3) / 4) * 4
+      for (ty <- 0 until th; tx <- 0 until tw) {
+        val sy = ty * h / th; val sx = tx * w / tw
+        val base = off + sy * rowSize + 3 * sx
+        take(base); take(base + 1); take(base + 2)
+      }
+      done(w, h)
+    } else if (p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+      var off = 12
+      var channels = 0; var blockAlign = 0
+      var dataFrom = -1; var dataLen = 0
+      while (off + 8 <= p.length) {
+        val cid = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val len = getIntLE(p, off + 4)
+        if (cid == "fmt ") { channels = getShortLE(p, off + 10); blockAlign = getShortLE(p, off + 20) }
+        if (cid == "data") { dataFrom = off + 8; dataLen = len }
+        off += 8 + len + (len & 1)
+      }
+      require(dataFrom >= 0 && channels > 0 && blockAlign > 0,
+        s"asset ${a.asset_id}: malformed WAV")
+      val nf = dataLen / blockAlign
+      val target = tw * th
+      for (i <- 0 until target) {
+        val fi = i * nf / target
+        val base = dataFrom + fi * blockAlign
+        for (b <- 0 until blockAlign) take(base + b)
+      }
+      done(nf, channels)
+    } else if (p.length >= 10 &&
+        new String(p, 0, 9, java.nio.charset.StandardCharsets.US_ASCII) == "YUV4MPEG2") {
+      val nl = p.indexOf('\n'.toByte)
+      val params = new String(p, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+        .split(' ').drop(1)
+      val w = params.find(_.startsWith("W")).map(_.tail.toInt)
+        .getOrElse(sys.error(s"asset ${a.asset_id}: Y4M missing W"))
+      val h = params.find(_.startsWith("H")).map(_.tail.toInt)
+        .getOrElse(sys.error(s"asset ${a.asset_id}: Y4M missing H"))
+      val frameData = w * h + 2 * (w / 2) * (h / 2)
+      var off = nl + 1
+      val starts = Seq.newBuilder[Int]
+      while (off < p.length) {
+        val fnl = p.indexOf('\n'.toByte, off)
+        starts += (fnl + 1)
+        off = fnl + 1 + frameData
+      }
+      val frames = starts.result()
+      val mid = frames(frames.length / 2) // luma plane of the middle frame
+      for (ty <- 0 until th; tx <- 0 until tw) {
+        val sy = ty * h / th; val sx = tx * w / tw
+        take(mid + sy * w + sx)
+      }
+      done(w, h)
+    } else sys.error(s"asset ${a.asset_id}: unknown container magic")
+  }
+
+  /** Distributed resize with the same batched-mapPartitions shape as
+    * [[extractFeatures]]. */
+  def resizeThumbs(assets: Dataset[MediaAsset], tw: Int = 8, th: Int = 6,
+                   batchSize: Int = 64): Dataset[MediaThumb] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(col("asset_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map(a => resize(a, tw, th))
+        }
+      }
+  }
+
   /** Deterministic synthetic media table keyed by `documents` (one asset
     * per document id): REAL encoded payloads — BMP / WAV / Y4M by id mod 3
     * — carried as `binary` parquet-style columns with typed metadata, the

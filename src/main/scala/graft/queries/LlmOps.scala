@@ -1344,6 +1344,21 @@ object LlmOps {
         col("frames_sampled"), col("phash"))
       .orderBy("asset_id")
 
+  /** RESIZE / RESAMPLE over the binary media column (Media.resizeThumbs):
+    * nearest-neighbor 8×6 thumbnails for images and video (middle-frame
+    * luma), 48-point waveform resample for audio — the post-decode
+    * transform stage of a multimodal ingest, batched mapPartitions like
+    * the decode. No oracle (byte-level codec work has no DuckDB twin);
+    * MediaSpec pins the nearest-neighbor identity property against the
+    * decoder's full-image mean and partition-invariance. */
+  val qMediaResize: Q = (s, dir) =>
+    graft.multimodal.Media.resizeThumbs(
+        graft.multimodal.Media.syntheticAssets(s, dir)).toDF()
+      .select(col("asset_id"), col("media_type"), col("src_width"),
+        col("src_height"), col("thumb_w"), col("thumb_h"),
+        round(col("thumb_mean"), 6).as("thumb_mean"), col("thumb_hash"))
+      .orderBy("asset_id")
+
   /** SimHash near-dup pairs (Hamming ≤ 3) via the pigeonhole 4-band bucket
     * join + exact bit_count refine (TextOps.simhashPairs, native simhash64
     * kernel). No oracle: xxhash64 has no DuckDB twin — NoOracleSpec checks
@@ -1793,6 +1808,7 @@ object LlmOps {
     "q_text_bpe_encode" -> qTextBpeEncode,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_media_features" -> qMediaFeatures,
+    "q_media_resize" -> qMediaResize,
     "q_sim_cosine_topk" -> qSimCosineTopk,
     "q_sim_lsh_ann" -> qSimLshAnn,
     "q_knn_bruteforce" -> qKnnBruteforce,

@@ -146,6 +146,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // two-phase distinct-count of the exploded derivative (2) + sort (1);
     // the present-days restriction is a broadcast (0)
     "q_window_distinct" -> 6,
+    // payload-spreading repartition (1) + total-order sort (1); decode
+    // work is all narrow mapPartitions
+    "q_media_resize" -> 2,
     // ONE per-distinct-score corpus agg (1) + the below-gate single-task
     // prefix window (1); the integer fold is a 1-row global agg (1)
     "q_ml_eval_auc" -> 3,

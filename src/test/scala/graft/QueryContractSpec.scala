@@ -13,14 +13,14 @@ class QueryContractSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("declared contract covers all 142 SURVEY §2 keys") {
-    assert(SparkEntry.queries.size == 142)
-    // 131 oracle-checked; the 11 declared non-oracle keys:
+  test("declared contract covers all 143 SURVEY §2 keys") {
+    assert(SparkEntry.queries.size == 143)
+    // 131 oracle-checked; the 12 declared non-oracle keys:
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_distinct", "q_agg_sketch_merge",
       "q_sim_lsh_ann", "q_dedup_simhash", "q_sim_ivf_ann", "q_sim_ivf_append",
-      "q_text_fingerprint", "q_media_features", "q_ml_pca_power",
-      "q_text_bpe_train", "q_text_bpe_encode"))
+      "q_text_fingerprint", "q_media_features", "q_media_resize",
+      "q_ml_pca_power", "q_text_bpe_train", "q_text_bpe_encode"))
   }
 
   test("entry flagship returns rows on sf0.001") {

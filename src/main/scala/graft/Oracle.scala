@@ -837,6 +837,32 @@ object Oracle {
     // over (node, hops) states with a hop bound (UNION ALL would enumerate
     // paths — 3^25 of them), min(hops) per node == level-synchronous BFS.
     // Same rank-based top-3 pruning (row_number, same tiebreak).
+    // Triangles: same distinct-pair edge aggregation, canonical a<b
+    // undirected edges, two-hop join + closing-edge check, per-member
+    // counts; nations in no triangle report 0.
+    "q_graph_triangles" ->
+      """WITH e0 AS (SELECT CAST(s_nationkey AS BIGINT) AS src,
+                            CAST(c_nationkey AS BIGINT) AS dst
+                     FROM lineitem l
+                     JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     JOIN customer c ON o.o_custkey = c.c_custkey
+                     GROUP BY 1, 2),
+          und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                  FROM e0 WHERE src <> dst),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM und e1
+                  JOIN und e2 ON e2.a = e1.b
+                  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          members AS (SELECT x AS n FROM tri
+                      UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri),
+          cnt AS (SELECT n, count(*) AS n_triangles FROM members GROUP BY 1)
+          SELECT CAST(nn.n_nationkey AS BIGINT) AS n_nationkey, nn.n_name,
+                 CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles
+          FROM nation nn LEFT JOIN cnt ON CAST(nn.n_nationkey AS BIGINT) = cnt.n
+          ORDER BY 1""",
+
     "q_graph_reachability" ->
       """WITH RECURSIVE e0 AS (SELECT CAST(s_nationkey AS BIGINT) AS src,
                                       CAST(c_nationkey AS BIGINT) AS dst, count(*) AS w

@@ -1558,6 +1558,51 @@ object Relational {
     * (same dsum twin, same literals) reproduces the rank sequence
     * bit-for-bit. Nations with no in-edges keep the base rank (the full
     * node list left-joins each iteration's sums). */
+  /** TRIANGLE COUNTING over the aggregated trade graph — the third member
+    * of the entity-graph family (pagerank = importance, reachability =
+    * connectivity, triangles = clustering): nations a<b<c pairwise linked
+    * by supplier→customer trade. Corpus cost is ONE edge aggregation (the
+    * qGraphPagerank construction — distinct nation pairs); the triangle
+    * enumeration is a two-hop self-join + closing-edge check over the
+    * ≤625-row undirected edge set, all broadcast-joined. Per-nation
+    * participation counts (each triangle counts once for each of its three
+    * members); nations in no triangle report 0 via the left join. At
+    * 100 TB the shape is unchanged — the entity graph stays bounded by the
+    * nation domain; an unbounded graph belongs to the Components
+    * machinery, not this key. */
+  val qGraphTriangles: Q = (s, dir) => {
+    val e0 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val und = graft.operators.ScaleOps.trackedPersist(
+      e0.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().coalesce(1))
+    val tri = und.as("e1")
+      .join(broadcast(und.as("e2")), col("e2.a") === col("e1.b"))
+      .join(broadcast(und.as("e3")),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val members = tri.select(col("x").as("n"))
+      .unionAll(tri.select(col("y").as("n")))
+      .unionAll(tri.select(col("z").as("n")))
+    val cnt = members.groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+    Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+      .join(cnt, col("n_nationkey") === col("n"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("n_nationkey")
+  }
+
   val qGraphPagerank: Q = (s, dir) => {
     import graft.functions.Det
     val edges0 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
@@ -1911,6 +1956,7 @@ object Relational {
     "q_agg_histogram" -> qAggHistogram,
     "q_stats_outliers" -> qStatsOutliers,
     "q_graph_pagerank" -> qGraphPagerank,
+    "q_graph_triangles" -> qGraphTriangles,
     "q_quality_constraints" -> qQualityConstraints,
     "q_graph_reachability" -> qGraphReachability,
     "q_events_anomaly" -> qEventsAnomaly,

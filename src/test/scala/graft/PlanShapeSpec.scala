@@ -146,6 +146,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // two-phase distinct-count of the exploded derivative (2) + sort (1);
     // the present-days restriction is a broadcast (0)
     "q_window_distinct" -> 6,
+    // ONE corpus edge agg (fact⋈orders 1-2 sides + agg 1); the triangle
+    // enumeration joins ride broadcasts over the persisted ≤625-row edge
+    // set; members agg (1) + sort (1)
+    "q_graph_triangles" -> 5,
     // payload-spreading repartition (1) + total-order sort (1); decode
     // work is all narrow mapPartitions
     "q_media_resize" -> 2,

@@ -2150,6 +2150,19 @@ object Oracle {
            AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '60 minutes'
          ORDER BY purchase_id, click_id""",
 
+    // Outer form: every click appears; NULL purchase rows are the
+    // watermark-finalized no-match proofs. Flush sentinels (event_type
+    // 'flush') never enter either side.
+    "q_stream_join_outer" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+                    FROM events WHERE event_type = 'click'),
+          p AS (SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS p_ts
+                FROM events WHERE event_type = 'purchase')
+          SELECT c.user_id, c.click_id, p.purchase_id, c.c_ts
+          FROM c LEFT JOIN p ON c.user_id = p.p_user_id
+            AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL '60 minutes'
+          ORDER BY c.click_id, p.purchase_id NULLS FIRST""",
+
     // Same relational answer as q_stream_session (the state machine must
     // reproduce session_window semantics exactly, decimal sum included).
     "q_stream_stateful" ->

@@ -145,6 +145,23 @@ object StreamingQs {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** LEFT-OUTER stream-stream join run as a REAL incremental stream
+    * (Runtime.clickPurchaseJoinOuter): every click with its within-window
+    * purchase or NULL — the outer semantics only a watermark can finalize
+    * (a null result is a PROOF no match can still arrive). The time-split
+    * replay makes some matches cross batches; the flush sentinel advances
+    * the watermark past every open window so the unmatched-click state
+    * drains. Oracle: the same LEFT JOIN over the source table — a leaked
+    * phantom null row (emitted despite a match) or a lost unmatched click
+    * breaks the hash. */
+  val qStreamJoinOuter: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    SR.runToCompletionAppend(s,
+        SR.clickPurchaseJoinOuter(SR.eventsStreamSplitByTime(s, dir)),
+        s"graft_ssjoinouter_${Integer.toHexString(dir.hashCode)}")
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+  }
+
   /** ARBITRARY STATEFUL sessionization, run as a REAL incremental stream:
     * flatMapGroupsWithState with event-time timeout over the replayed
     * events source (plus the watermark-advancing flush sentinel), memory
@@ -342,6 +359,7 @@ object StreamingQs {
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
     "q_stream_join" -> qStreamJoin,
+    "q_stream_join_outer" -> qStreamJoinOuter,
     "q_stream_stateful" -> qStreamStateful,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_dedup_content" -> qStreamDedupContent,

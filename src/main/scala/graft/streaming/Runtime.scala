@@ -355,6 +355,49 @@ object Runtime {
         col("c_ts"), col("p_ts"))
   }
 
+  /** LEFT-OUTER stream-stream join — every click, with the purchase it
+    * preceded within the window or NULL if none ever arrives. Unlike the
+    * inner form ([[clickPurchaseJoin]]), the null results can only emit
+    * once the WATERMARK proves no matching purchase can still arrive — so
+    * the watermark is applied at the SOURCE, before the per-side filters:
+    * the flush sentinel (event_type 'flush', filtered out of both sides)
+    * still advances it past every click's match window, and the engine's
+    * final no-data micro-batch flushes the unmatched-click state. Buffered
+    * state on both sides is watermark-bounded exactly as in the inner
+    * join. */
+  def clickPurchaseJoinOuter(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val wm = events.withWatermark("ts", "1 hour")
+    // The per-side type filters are pushed BELOW the EventTimeWatermark
+    // node by the optimizer, so a side that filters the flush sentinel out
+    // would compute its watermark from its own rows only (observed: the
+    // clicks-side watermark stalled at max-click-ts − delay and the last
+    // unmatched clicks never got their null proof). Both sides therefore
+    // KEEP the sentinel through the watermark collector; it can never
+    // reach the output: the purchase-side sentinel is remapped to user −2
+    // (the click-side one stays −1, so sentinel never matches sentinel or
+    // any real row), right-side rows don't emit alone under left-outer,
+    // and the left sentinel's own eviction threshold (sentinel_ts +
+    // window) sits ABOVE the maximum reachable watermark (sentinel_ts −
+    // delay) by construction, so it dies in state when the query ends.
+    val clicks = wm.filter(col("event_type").isin("click", "flush"))
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = wm.filter(col("event_type").isin("purchase", "flush"))
+      .select(when(col("event_type") === "flush", lit(-2L))
+          .otherwise(col("user_id")).as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      // p_ts stays internal: a nullable TIMESTAMP output column would hash
+      // as NaT — the one null representation the oracle-compare layers
+      // don't guarantee equal — while the nullable BIGINT purchase_id
+      // identifies the match just as well (both sides surface its null as
+      // NaN, which compares equal).
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("c_ts"))
+  }
+
   /** Typed input rows of [[statefulSessions]]. `ts` stays a Timestamp —
     * the event-time-timeout analysis requires the WATERMARKED column to
     * survive into the stateful operator's child plan, so it cannot be

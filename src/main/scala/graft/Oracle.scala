@@ -1934,6 +1934,21 @@ object Oracle {
            AND sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 1.0
          ORDER BY doc_id""",
 
+    // Feature hashing: same md5-hex bucket/sign arithmetic (DuckDB's
+    // CAST('0x…') == Spark's conv(…,16,10)); counts and signed sums are
+    // exact integers.
+    "q_ml_feature_hash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+          b AS (SELECT doc_id,
+                       CAST(concat('0x', substring(md5(tok), 1, 4)) AS BIGINT) % 64 AS bucket,
+                       CASE WHEN CAST(concat('0x', substring(md5(tok), 5, 1)) AS BIGINT) % 2 = 0
+                            THEN 1 ELSE -1 END AS sgn
+                FROM tok)
+          SELECT doc_id, bucket, count(*) AS n_tokens,
+                 CAST(sum(sgn) AS BIGINT) AS feat_val
+          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_sample_split" ->
       """SELECT split, lang, count(*) AS n_docs,
                 count(DISTINCT text) AS n_uniq_texts, CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -1344,6 +1344,29 @@ object LlmOps {
         col("frames_sampled"), col("phash"))
       .orderBy("asset_id")
 
+  /** HASHING-TRICK FEATURIZATION [pub: Weinberger et al. 2009, "Feature
+    * Hashing for Large Scale Multitask Learning"] — the fixed-width
+    * featurizer that feeds bag-of-words classifiers without a vocabulary
+    * pass: token → bucket = first 4 md5 hex digits mod 64, with the
+    * standard ± sign hash (5th digit parity) so collisions cancel in
+    * expectation. Output: per (doc, bucket) token count + signed feature
+    * value — the sparse feature matrix, one explode + ONE map-side-combined
+    * aggregation at any corpus size (no vocabulary state, the trick's whole
+    * point). md5 hex arithmetic is the repo's portable content-addressed
+    * recipe (q_sample_split), so the oracle reproduces it exactly. */
+  val qMlFeatureHash: Q = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val h = md5(col("tok"))
+    tok.select(col("doc_id"),
+        (conv(substring(h, 1, 4), 16, 10).cast("long") % 64).as("bucket"),
+        when(conv(substring(h, 5, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("sgn")).as("feat_val"))
+      .orderBy("doc_id", "bucket")
+  }
+
   /** RESIZE / RESAMPLE over the binary media column (Media.resizeThumbs):
     * nearest-neighbor 8×6 thumbnails for images and video (middle-frame
     * luma), 48-point waveform resample for audio — the post-decode
@@ -1809,6 +1832,7 @@ object LlmOps {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_media_features" -> qMediaFeatures,
     "q_media_resize" -> qMediaResize,
+    "q_ml_feature_hash" -> qMlFeatureHash,
     "q_sim_cosine_topk" -> qSimCosineTopk,
     "q_sim_lsh_ann" -> qSimLshAnn,
     "q_knn_bruteforce" -> qKnnBruteforce,

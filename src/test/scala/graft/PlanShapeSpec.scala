@@ -146,6 +146,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // two-phase distinct-count of the exploded derivative (2) + sort (1);
     // the present-days restriction is a broadcast (0)
     "q_window_distinct" -> 6,
+    // ONE explode + map-side-combined (doc, bucket) agg (1) + sort (1) —
+    // no vocabulary pass exists to shuffle
+    "q_ml_feature_hash" -> 2,
     // ONE corpus edge agg (fact⋈orders 1-2 sides + agg 1); the triangle
     // enumeration joins ride broadcasts over the persisted ≤625-row edge
     // set; members agg (1) + sort (1)

@@ -1273,6 +1273,21 @@ object Oracle {
                          / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
             FROM t""",
 
+      // Regression eval: same decimal-exact sufficient statistics, same
+      // epilogue algebra (IEEE sqrt is correctly rounded — identical in
+      // both engines).
+      "q_ml_eval_regression" ->
+        s"""WITH t AS (SELECT $y AS y, $y - $q * 1000.0 AS e FROM lineitem),
+            st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                          ${dsum("abs(e)", 4)} AS sae, ${dsum("e * e")} AS sse,
+                          ${dsum("y")} AS sy, ${dsum("y * y")} AS syy
+                   FROM t)
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   round(sae / n, 6) AS mae,
+                   round(sqrt(sse / n), 6) AS rmse,
+                   round(1.0 - sse / (syy - sy * sy / n), 6) AS r2
+            FROM st""",
+
       // Calibration bins: identical IEEE bin product, exact-decimal mean
       // score, integer positive rates.
       "q_ml_eval_calibration" ->

@@ -149,6 +149,17 @@ object ScaleSoak {
     // duplicated — the worst-case dup density for the covered-position
     // explode, which is exactly the claim to soak (output stays linear in
     // corpus tokens, never quadratic in duplicate count).
+    // The gbdt round gets its own 60M-row lineitem staging (quantity kept
+    // INTEGRAL — the round-1 exact-integer histogram path is part of the
+    // claim; prices get the cent perturbation, which only moves bin
+    // populations).
+    if (wanted.isEmpty || wanted("gbdt")) {
+      Files.createDirectories(Paths.get(out, "gbdt"))
+      stage(spark, src, s"$out/gbdt", "lineitem", copies = 100)(df => df
+        .withColumn("l_orderkey", col("l_orderkey") + col("__c") * lit(100000000L))
+        .withColumn("l_extendedprice",
+          round(col("l_extendedprice") + (col("__c") % 64).cast("double") * 0.01, 2)))
+    }
     if (wanted.isEmpty || wanted("dupspans")) {
       Files.createDirectories(Paths.get(out, "spans"))
       stage(spark, src, s"$out/spans", "documents", copies = 200)(df => df
@@ -239,7 +250,13 @@ object ScaleSoak {
       // Duplicated-span coverage over the dedicated max-dup-density
       // staging (see above) — reads $out/spans, not the 2500x corpus.
       ("dupspans", () => spark.read.parquet(s"$out/spans/documents.parquet"),
-        (s: SparkSession, _: String) => LlmOps.qTextDupSpans(s, s"$out/spans")))
+        (s: SparkSession, _: String) => LlmOps.qTextDupSpans(s, s"$out/spans")),
+      // Full boosting round at lineitem x100 = 60M rows: the claim is
+      // exactly two corpus passes with bounded epilogues — wall time must
+      // track the two scans, not the split search.
+      ("gbdt", () => spark.read.parquet(s"$out/gbdt/lineitem.parquet"),
+        (s: SparkSession, _: String) =>
+          graft.queries.MlSuffStats.qMlGbdtRound(s, s"$out/gbdt")))
 
     // A wanted key with no pair would otherwise time NOTHING and still
     // write a soak_results.json that reads as a completed A/B (ADVICE r12).

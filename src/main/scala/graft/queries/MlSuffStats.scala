@@ -706,6 +706,31 @@ object MlSuffStats {
       Tables.embeddings(s, dir), graft.Conf.OneTaskSortMaxBytes)(
       aucWindowForm(s, dir))(aucScaleForm(s, dir))
 
+  /** REGRESSION EVALUATION — MAE / RMSE / R² of a deterministic predictor
+    * (ŷ = 1000·quantity for extendedprice), completing the eval family
+    * (confusion = classification, AUC = ranking, calibration =
+    * probability, this = regression). ONE map-side-combined corpus pass of
+    * decimal-exact sufficient statistics (Σ|e|, Σe², Σy, Σy²); the
+    * epilogue algebra (mean, √, the R² ratio) is identical IEEE double
+    * arithmetic on identical rounded-decimal inputs — IEEE sqrt is
+    * correctly rounded, so both engines agree bit-for-bit. */
+  val qMlEvalRegression: Q = (s, dir) => {
+    val y = col("l_extendedprice")
+    val e = y - col("l_quantity") * lit(1000.0)
+    Tables.lineitem(s, dir)
+      // Quadratic sums at scale 2: their magnitudes (~1e15 at sf0.1) put a
+      // 4-dp scaled integer past Long range — 2 dp keeps the dsum dance in
+      // range with identical cross-engine casts.
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(abs(e), 4).as("sae"), dsum(e * e).as("sse"),
+        dsum(y).as("sy"), dsum(y * y).as("syy"))
+      .select(col("n").cast("long").as("n_rows"),
+        round(col("sae") / col("n"), 6).as("mae"),
+        round(sqrt(col("sse") / col("n")), 6).as("rmse"),
+        round(lit(1.0) - col("sse")
+          / (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2"))
+  }
+
   /** CALIBRATION / RELIABILITY BINS — the companion eval surface: the score
     * domain row-locally binned (floor((score+1)·5), both engines floor the
     * same IEEE product), per bin the population, mean score (exact decimal
@@ -738,5 +763,6 @@ object MlSuffStats {
     "q_ml_ridge_path" -> qMlRidgePath,
     "q_ml_eval_confusion" -> qMlEvalConfusion,
     "q_ml_eval_auc" -> qMlEvalAuc,
-    "q_ml_eval_calibration" -> qMlEvalCalibration)
+    "q_ml_eval_calibration" -> qMlEvalCalibration,
+    "q_ml_eval_regression" -> qMlEvalRegression)
 }

@@ -837,6 +837,10 @@ object Oracle {
     // over (node, hops) states with a hop bound (UNION ALL would enumerate
     // paths — 3^25 of them), min(hops) per node == level-synchronous BFS.
     // Same rank-based top-3 pruning (row_number, same tiebreak).
+    // The SQL-surface key: the statement IS the oracle — the identical
+    // text runs in both engines (graft.queries.Relational.tpchQ5Sql).
+    "q_sql_tpch" -> graft.queries.Relational.tpchQ5OracleSql,
+
     // Triangles: same distinct-pair edge aggregation, canonical a<b
     // undirected edges, two-hop join + closing-edge check, per-member
     // counts; nations in no triangle report 0.

@@ -1558,6 +1558,44 @@ object Relational {
     * (same dsum twin, same literals) reproduces the rank sequence
     * bit-for-bit. Nations with no in-edges keep the base rank (the full
     * node list left-joins each iteration's sums). */
+  /** The SQL TEXT surface — the same engine through `spark.sql` instead of
+    * the DataFrame DSL: a TPC-H Q5-shaped six-table join-aggregate (local
+    * supplier volume: revenue per nation where customer and supplier share
+    * the nation, one region, one order year). The STATEMENT IS THE ORACLE
+    * — the identical SQL text runs in DuckDB over the same tables (ANSI
+    * joins, TIMESTAMP literals, and the dsum decimal dance are common
+    * dialect), so the key grades Spark's parser/analyzer path end-to-end,
+    * not a hand-built plan. Catalyst does what the DSL keys do by
+    * construction: pushes the date filter into the orders scan, broadcasts
+    * the dimension chain, and map-side-combines the aggregate — the
+    * q_join_multiway plan from text. */
+  private val tpchQ5Sql =
+    """SELECT n_name,
+              CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(38,10))), 2) * 100 AS BIGINT)
+                / CAST(100 AS DOUBLE) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         AND c.c_nationkey = s.s_nationkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name"""
+
+  val qSqlTpch: Q = (s, dir) => {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => Tables.table(s, dir, t).createOrReplaceTempView(t))
+    s.sql(tpchQ5Sql)
+  }
+
+  /** The oracle twin: the SAME statement (Oracle.all wires it). */
+  def tpchQ5OracleSql: String = tpchQ5Sql
+
   /** TRIANGLE COUNTING over the aggregated trade graph — the third member
     * of the entity-graph family (pagerank = importance, reachability =
     * connectivity, triangles = clustering): nations a<b<c pairwise linked
@@ -1957,6 +1995,7 @@ object Relational {
     "q_stats_outliers" -> qStatsOutliers,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
+    "q_sql_tpch" -> qSqlTpch,
     "q_quality_constraints" -> qQualityConstraints,
     "q_graph_reachability" -> qGraphReachability,
     "q_events_anomaly" -> qEventsAnomaly,

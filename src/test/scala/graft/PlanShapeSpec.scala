@@ -149,6 +149,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // ONE explode + map-side-combined (doc, bucket) agg (1) + sort (1) —
     // no vocabulary pass exists to shuffle
     "q_ml_feature_hash" -> 2,
+    // parsed TPC-H Q5 shape: fact⋈orders (1-2 sides) + agg (1) + sort (1)
+    // — dims broadcast, same budget as the DSL q_join_multiway family
+    "q_sql_tpch" -> 4,
     // ONE corpus edge agg (fact⋈orders 1-2 sides + agg 1); the triangle
     // enumeration joins ride broadcasts over the persisted ≤625-row edge
     // set; members agg (1) + sort (1)

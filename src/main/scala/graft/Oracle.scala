@@ -837,9 +837,11 @@ object Oracle {
     // over (node, hops) states with a hop bound (UNION ALL would enumerate
     // paths — 3^25 of them), min(hops) per node == level-synchronous BFS.
     // Same rank-based top-3 pruning (row_number, same tiebreak).
-    // The SQL-surface key: the statement IS the oracle — the identical
-    // text runs in both engines (graft.queries.Relational.tpchQ5Sql).
+    // The SQL-surface keys: the statement IS the oracle — the identical
+    // text runs in both engines (graft.queries.Relational).
     "q_sql_tpch" -> graft.queries.Relational.tpchQ5OracleSql,
+    "q_sql_correlated" -> graft.queries.Relational.correlatedOracleSql,
+    "q_sql_recursive" -> graft.queries.Relational.recursiveOracleSql,
 
     // Triangles: same distinct-pair edge aggregation, canonical a<b
     // undirected edges, two-hop join + closing-edge check, per-member

@@ -1596,6 +1596,65 @@ object Relational {
   /** The oracle twin: the SAME statement (Oracle.all wires it). */
   def tpchQ5OracleSql: String = tpchQ5Sql
 
+  /** CORRELATED-SUBQUERY DECORRELATION from text: EXISTS + NOT EXISTS over
+    * per-customer order predicates. The optimizer must rewrite both into
+    * semi/anti joins (RewriteSubquery rules) — executing a correlated probe
+    * per row would be the 100 TB disaster the rule family exists to
+    * prevent. Statement-is-oracle (all-integer/timestamp predicates, no
+    * float surface). */
+  private val correlatedSql =
+    """SELECT c.c_custkey, c.c_name
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 400000)
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_orderdate < TIMESTAMP '1996-01-01')
+       ORDER BY c.c_custkey"""
+
+  val qSqlCorrelated: Q = (s, dir) => {
+    Seq("customer", "orders").foreach(t =>
+      Tables.table(s, dir, t).createOrReplaceTempView(t))
+    s.sql(correlatedSql)
+  }
+
+  def correlatedOracleSql: String = correlatedSql
+
+  /** RECURSIVE CTE from text — Spark 4's `WITH RECURSIVE` (UnionLoopExec)
+    * computing BFS reachability over the trade graph, the SQL-surface twin
+    * of q_graph_reachability's driver loop: seed = min source nation,
+    * per-iteration frontier = previous iteration's rows joined to the edge
+    * set (standard working-table semantics, identical in DuckDB), DISTINCT
+    * per step + a hop bound keep the per-level row count ≤ the node count,
+    * min(hops) per node = BFS depth. The edge CTE is the one corpus-sized
+    * aggregation; every recursion step joins a ≤25-row frontier. */
+  private val recursiveSql =
+    """WITH RECURSIVE edges AS (
+         SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+                         CAST(c.c_nationkey AS BIGINT) AS dst
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE s.s_nationkey <> c.c_nationkey),
+       reach(n, hops) AS (
+         SELECT src, 0 FROM (SELECT min(src) AS src FROM edges) seed
+         UNION ALL
+         SELECT DISTINCT e.dst, r.hops + 1
+         FROM reach r JOIN edges e ON e.src = r.n
+         WHERE r.hops < 6)
+       SELECT n, CAST(min(hops) AS BIGINT) AS min_hops
+       FROM reach GROUP BY n ORDER BY n"""
+
+  val qSqlRecursive: Q = (s, dir) => {
+    Seq("customer", "orders", "lineitem", "supplier").foreach(t =>
+      Tables.table(s, dir, t).createOrReplaceTempView(t))
+    s.sql(recursiveSql)
+  }
+
+  def recursiveOracleSql: String = recursiveSql
+
   /** TRIANGLE COUNTING over the aggregated trade graph — the third member
     * of the entity-graph family (pagerank = importance, reachability =
     * connectivity, triangles = clustering): nations a<b<c pairwise linked
@@ -1996,6 +2055,8 @@ object Relational {
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
     "q_sql_tpch" -> qSqlTpch,
+    "q_sql_correlated" -> qSqlCorrelated,
+    "q_sql_recursive" -> qSqlRecursive,
     "q_quality_constraints" -> qQualityConstraints,
     "q_graph_reachability" -> qGraphReachability,
     "q_events_anomaly" -> qEventsAnomaly,

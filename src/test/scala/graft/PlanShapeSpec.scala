@@ -152,6 +152,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // parsed TPC-H Q5 shape: fact⋈orders (1-2 sides) + agg (1) + sort (1)
     // — dims broadcast, same budget as the DSL q_join_multiway family
     "q_sql_tpch" -> 4,
+    // decorrelated EXISTS/NOT EXISTS: semi + anti legs (≤2) + sort (1) —
+    // NO per-row probe exists to count
+    "q_sql_correlated" -> 3,
+    // edge CTE agg (1-2) + per-iteration frontier joins (bounded rows,
+    // broadcast) + final group agg (1) + sort (1); UnionLoop materializes
+    // per-level results outside this plan's exchanges
+    "q_sql_recursive" -> 8,
     // ONE corpus edge agg (fact⋈orders 1-2 sides + agg 1); the triangle
     // enumeration joins ride broadcasts over the persisted ≤625-row edge
     // set; members agg (1) + sort (1)

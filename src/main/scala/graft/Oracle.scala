@@ -842,6 +842,7 @@ object Oracle {
     "q_sql_tpch" -> graft.queries.Relational.tpchQ5OracleSql,
     "q_sql_correlated" -> graft.queries.Relational.correlatedOracleSql,
     "q_sql_recursive" -> graft.queries.Relational.recursiveOracleSql,
+    "q_sql_lateral" -> graft.queries.Relational.lateralOracleSql,
 
     // Triangles: same distinct-pair edge aggregation, canonical a<b
     // undirected edges, two-hop join + closing-edge check, per-member

@@ -1655,6 +1655,28 @@ object Relational {
 
   def recursiveOracleSql: String = recursiveSql
 
+  /** LATERAL correlated subquery from text — per-group top-k as the SQL
+    * standard writes it (the REF-P3 pattern through the parser): each
+    * nation's top-3 suppliers by balance via a correlated ORDER BY/LIMIT
+    * derived table. Spark plans this as a LateralJoin → the decorrelated
+    * per-group window/limit — never a per-row re-execution. s_name is
+    * unique per supplier, so the outer ORDER BY is total. */
+  private val lateralSql =
+    """SELECT n.n_name, t.s_name, t.s_acctbal
+       FROM nation n, LATERAL (
+         SELECT s_name, s_acctbal
+         FROM supplier s WHERE s.s_nationkey = n.n_nationkey
+         ORDER BY s.s_acctbal DESC, s.s_suppkey LIMIT 3) t
+       ORDER BY n.n_name, t.s_acctbal DESC, t.s_name"""
+
+  val qSqlLateral: Q = (s, dir) => {
+    Seq("nation", "supplier").foreach(t =>
+      Tables.table(s, dir, t).createOrReplaceTempView(t))
+    s.sql(lateralSql)
+  }
+
+  def lateralOracleSql: String = lateralSql
+
   /** TRIANGLE COUNTING over the aggregated trade graph — the third member
     * of the entity-graph family (pagerank = importance, reachability =
     * connectivity, triangles = clustering): nations a<b<c pairwise linked
@@ -2057,6 +2079,7 @@ object Relational {
     "q_sql_tpch" -> qSqlTpch,
     "q_sql_correlated" -> qSqlCorrelated,
     "q_sql_recursive" -> qSqlRecursive,
+    "q_sql_lateral" -> qSqlLateral,
     "q_quality_constraints" -> qQualityConstraints,
     "q_graph_reachability" -> qGraphReachability,
     "q_events_anomaly" -> qEventsAnomaly,

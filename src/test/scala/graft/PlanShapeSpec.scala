@@ -155,6 +155,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // decorrelated EXISTS/NOT EXISTS: semi + anti legs (≤2) + sort (1) —
     // NO per-row probe exists to count
     "q_sql_correlated" -> 3,
+    // decorrelated lateral: per-group rank/limit (1) + join (broadcast at
+    // this size; +1 headroom) + sort (1)
+    "q_sql_lateral" -> 3,
     // edge CTE agg (1-2) + per-iteration frontier joins (bounded rows,
     // broadcast) + final group agg (1) + sort (1); UnionLoop materializes
     // per-level results outside this plan's exchanges

@@ -243,6 +243,37 @@ class StreamingEquivSpec extends AnyFunSuite {
       s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
   }
 
+  test("left-outer stream-stream join: null rows exactly complement the inner matches") {
+    import org.apache.spark.sql.functions._
+    // Partition identity over the time-split replay: matched outer rows ==
+    // the inner join's pair set, and the null rows are exactly the clicks
+    // the inner join never matched — no phantom null beside a real match,
+    // no unmatched click lost in state (the watermark-sentinel claim).
+    val outer = SRuntime.runToCompletionAppend(spark,
+      SRuntime.clickPurchaseJoinOuter(SRuntime.eventsStreamSplitByTime(spark, Sf0001)),
+      "t_ssjoin_outer")
+    val inner = SRuntime.runToCompletionAppend(spark,
+      SRuntime.clickPurchaseJoin(SRuntime.eventsStreamSplitByTime(spark, Sf0001)),
+      "t_ssjoin_inner")
+    val matchedOuter = outer.filter(col("purchase_id").isNotNull)
+      .select("click_id", "purchase_id").collect().map(_.toSeq).toSet
+    val innerPairs = inner.select("click_id", "purchase_id")
+      .collect().map(_.toSeq).toSet
+    assert(matchedOuter == innerPairs,
+      s"matched-row mismatch: missing=${(innerPairs -- matchedOuter).take(3)} " +
+        s"extra=${(matchedOuter -- innerPairs).take(3)}")
+    val nullClicks = outer.filter(col("purchase_id").isNull)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    val matchedClicks = innerPairs.map(_.head.asInstanceOf[Long])
+    val allClicks = Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "click")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(nullClicks == (allClicks -- matchedClicks),
+      s"null-proof set wrong: missing=${((allClicks -- matchedClicks) -- nullClicks).take(5)} " +
+        s"phantom=${(nullClicks -- (allClicks -- matchedClicks)).take(5)}")
+    assert(!nullClicks.contains(-1L), "flush sentinel leaked into the output")
+  }
+
   test("flatMapGroupsWithState sessions == session_window batch result") {
     import org.apache.spark.sql.functions._
     // The custom state machine (incl. its event-time-timeout emission path,

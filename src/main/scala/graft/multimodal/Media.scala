@@ -270,7 +270,9 @@ object Media {
       val nf = dataLen / blockAlign
       val target = tw * th
       for (i <- 0 until target) {
-        val fi = i * nf / target
+        // Long intermediate: i * nf overflows Int past ~45M PCM frames
+        // (a ~91 MB mono payload), sending the index negative.
+        val fi = (i.toLong * nf / target).toInt
         val base = dataFrom + fi * blockAlign
         for (b <- 0 until blockAlign) take(base + b)
       }

@@ -421,26 +421,21 @@ object MlSuffStats {
     * (empty right side). is_best tie-breaks on (gain desc, bin asc) over the
     * ROUNDED gain. Corpus cost at any scale: one scan + one ≤26-group
     * shuffle. */
-  val qMlTreeSplit: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    // Persist the bounded bin table: it feeds three consumers (both sides
-    // of the triangle self-join + the totals row) — without the persist
-    // each one re-runs the corpus aggregation.
-    val bins = graft.operators.ScaleOps.trackedPersist(
-      Tables.lineitem(s, dir)
-        .select(floor(col("l_extendedprice") / 4096.0).cast("long").as("bin"),
-          col("l_quantity").as("y"))
-        .groupBy(col("bin"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("y").cast("decimal(38,10)")).cast("long").as("s"),
-          sum((col("y") * col("y")).cast("decimal(38,10)")).cast("long").as("q")))
+  /** The integer-exact split machinery shared by q_ml_tree_split and
+    * q_ml_gbdt_round's round 1 (factored so the gain algebra / tie-break /
+    * prefix strategy cannot drift between the two keys): from a PERSISTED
+    * bounded bin table (bin, n, s=Σy exact BIGINT, q=Σy² exact BIGINT),
+    * every candidate boundary's left/right stats via the triangle
+    * self-join + the totals row, with the variance-reduction gain rounded
+    * to 4 dp. Max bin excluded (empty right side). */
+  private def intSplitCandidates(bins: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("double")
     val tot = bins.agg(sum(col("n")).as("n_tot"), sum(col("s")).as("s_tot"),
       sum(col("q")).as("q_tot"))
     val cum = bins.as("c").join(bins.as("b"), col("b.bin") <= col("c.bin"))
       .groupBy(col("c.bin").as("split_bin"))
       .agg(sum(col("b.n")).as("nl"), sum(col("b.s")).as("sl"), sum(col("b.q")).as("ql"))
-    val d = (c: Column) => c.cast("double")
-    val withTot = cum.crossJoin(tot)
+    cum.crossJoin(tot)
       .withColumn("nr", col("n_tot") - col("nl"))
       .filter(col("nr") > 0)
       .withColumn("sr", col("s_tot") - col("sl"))
@@ -449,7 +444,26 @@ object MlSuffStats {
         (d(col("q_tot")) - d(col("s_tot")) * d(col("s_tot")) / d(col("n_tot"))) -
         (d(col("ql")) - d(col("sl")) * d(col("sl")) / d(col("nl"))) -
         (d(col("qr")) - d(col("sr")) * d(col("sr")) / d(col("nr"))), 4))
-    withTot.select(col("split_bin"), col("nl").as("n_left"), col("nr").as("n_right"),
+  }
+
+  /** Bounded bin table of an integral-valued target over a row-local bin
+    * expression, PERSISTED: it feeds three consumers (both triangle sides
+    * + the totals row) — without the persist each re-runs the corpus
+    * aggregation. */
+  private def intBins(rows: DataFrame, bin: Column, y: Column): DataFrame =
+    graft.operators.ScaleOps.trackedPersist(
+      rows.select(bin.as("bin"), y.as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast("decimal(38,10)")).cast("long").as("s"),
+          sum((col("y") * col("y")).cast("decimal(38,10)")).cast("long").as("q")))
+
+  val qMlTreeSplit: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bins = intBins(Tables.lineitem(s, dir),
+      floor(col("l_extendedprice") / 4096.0).cast("long"), col("l_quantity"))
+    intSplitCandidates(bins)
+      .select(col("split_bin"), col("nl").as("n_left"), col("nr").as("n_right"),
         col("gain"),
         (row_number().over(Window.orderBy(col("gain").desc, col("split_bin"))) === 1)
           .as("is_best"))
@@ -486,31 +500,14 @@ object MlSuffStats {
       floor(col("l_extendedprice") / 4096.0).cast("long").as("bin1"),
       floor(col("l_discount") * 100.0).cast("long").as("bin2"),
       col("l_quantity").as("y"))
-    // ---- round 1: exact-integer histogram + best split (tree_split form)
-    val bins1 = graft.operators.ScaleOps.trackedPersist(
-      rows.groupBy(col("bin1"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("y").cast("decimal(38,10)")).cast("long").as("sv"),
-          sum((col("y") * col("y")).cast("decimal(38,10)")).cast("long").as("qv")))
-    val tot1 = bins1.agg(sum(col("n")).as("n_tot"), sum(col("sv")).as("s_tot"),
-      sum(col("qv")).as("q_tot"))
-    val cum1 = bins1.as("c").join(bins1.as("b"), col("b.bin1") <= col("c.bin1"))
-      .groupBy(col("c.bin1").as("sb"))
-      .agg(sum(col("b.n")).as("nl"), sum(col("b.sv")).as("sl"),
-        sum(col("b.qv")).as("ql"))
-    val best1 = cum1.crossJoin(tot1)
-      .withColumn("nr", col("n_tot") - col("nl"))
-      .filter(col("nr") > 0)
-      .withColumn("sr", col("s_tot") - col("sl"))
-      .withColumn("qr", col("q_tot") - col("ql"))
-      .withColumn("gain1", round(
-        (d(col("q_tot")) - d(col("s_tot")) * d(col("s_tot")) / d(col("n_tot"))) -
-        (d(col("ql")) - d(col("sl")) * d(col("sl")) / d(col("nl"))) -
-        (d(col("qr")) - d(col("sr")) * d(col("sr")) / d(col("nr"))), 4))
+    // ---- round 1: the SHARED tree-split machinery (intBins +
+    // intSplitCandidates — one definition of the gain/tie-break for both
+    // keys), reduced to the argmax row's leaf means.
+    val best1 = intSplitCandidates(intBins(rows, col("bin1"), col("y")))
       .withColumn("rn",
-        row_number().over(Window.orderBy(col("gain1").desc, col("sb"))))
+        row_number().over(Window.orderBy(col("gain").desc, col("split_bin"))))
       .filter(col("rn") === 1)
-      .select(col("sb").as("r1_split"),
+      .select(col("split_bin").as("r1_split"),
         (d(col("sl")) / d(col("nl"))).as("mu_l"),
         (d(col("sr")) / d(col("nr"))).as("mu_r"))
     // ---- round 2: residual histogram over the second feature
@@ -653,10 +650,13 @@ object MlSuffStats {
     * score group = cum_before + (n_g+1)/2, so
     *   2·Σ_pos avgrank = Σ p_g · (2·(run − n_g) + n_g + 1)  (exact),
     *   AUC = (2·Σ_pos avgrank − n⁺(n⁺+1)) / (2·n⁺·n⁻).
-    * The sum rides DECIMAL(38,0) (overflow-proof: the term is O(n²)),
-    * comes back as an exact BIGINT, and the ONE float op is the final
-    * correctly-rounded division — bit-identical in any engine at any
-    * partitioning. */
+    * The sum rides DECIMAL(38,0) (the accumulated term is O(n²), far past
+    * Long range at extreme n), comes back as a BIGINT, and the ONE float
+    * op is the final correctly-rounded division — bit-identical in any
+    * engine at any partitioning. Envelope (the dsum convention): the
+    * BIGINT epilogue is exact while n² fits 2^63 (n ≲ 3e9 rows) and the
+    * division's operands are exactly representable while n² fits 2^53
+    * (n ≲ 9e7) — past that, keep the epilogue in decimal end-to-end. */
   private def aucFromRuns(withRun: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     withRun

@@ -1632,7 +1632,7 @@ object Relational {
     * The edge table is a PERSISTED artifact registered as a view, NOT a
     * CTE inside the statement: Spark's UnionLoop inlines non-recursive
     * CTEs into every iteration, so an inline edges CTE re-ran the 4-table
-    * corpus join once per recursion step (measured 6.2 s warm vs 0.7 s
+    * corpus join once per recursion step (measured 6.2 s warm vs 1.5 s
     * with the persisted table at sf0.1 — at 100 TB that inlining is
     * `iterations × corpus joins`). The oracle keeps the single-statement
     * inline form; the recursion text itself is shared verbatim. */
@@ -1647,20 +1647,12 @@ object Relational {
        FROM reach GROUP BY n ORDER BY n"""
 
   val qSqlRecursive: Q = (s, dir) => {
+    // The weighted aggregate IS the distinct-pair set; drop self-loops and
+    // the weight for the recursion's edge view.
     val edges = graft.operators.ScaleOps.trackedPersist(
-      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.supplier(s, dir)
-          .select(col("s_suppkey"), col("s_nationkey"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_nationkey"))),
-          col("o_custkey") === col("c_custkey"))
-        .filter(col("s_nationkey") =!= col("c_nationkey"))
-        .select(col("s_nationkey").cast("long").as("src"),
-          col("c_nationkey").cast("long").as("dst"))
-        .distinct().coalesce(1))
+      tradeEdges(s, dir)
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).coalesce(1))
     edges.createOrReplaceTempView("trade_edges")
     s.sql(recursiveReachSql("trade_edges"))
   }
@@ -1711,16 +1703,7 @@ object Relational {
     * nation domain; an unbounded graph belongs to the Components
     * machinery, not this key. */
   val qGraphTriangles: Q = (s, dir) => {
-    val e0 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy(col("s_nationkey").cast("long").as("src"),
-        col("c_nationkey").cast("long").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    val e0 = tradeEdges(s, dir)
     val und = graft.operators.ScaleOps.trackedPersist(
       e0.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
@@ -1745,16 +1728,7 @@ object Relational {
 
   val qGraphPagerank: Q = (s, dir) => {
     import graft.functions.Det
-    val edges0 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy(col("s_nationkey").cast("long").as("src"),
-        col("c_nationkey").cast("long").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    val edges0 = tradeEdges(s, dir)
     val outw = edges0.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // The entity graph is nation×nation — bounded at ≤625 rows by
     // construction, whatever the corpus size — so the persisted iteration
@@ -1808,9 +1782,15 @@ object Relational {
     * The oracle is a real recursive CTE (UNION-dedup with a hop bound), so
     * the hash match grades Spark-side recursion-by-loop against genuine
     * SQL recursion. */
-  val qGraphReachability: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val edges625 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+  /** The graph family's ONE corpus-sized stage, shared by pagerank /
+    * reachability / triangles / the recursive-CTE key: supplier-nation →
+    * customer-nation trade edges weighted by lineitem count (fact⋈orders
+    * shuffle + broadcast dims, the q_join_multiway plan; the aggregate IS
+    * the distinct-pair set). Factored so an edge-definition change (self-
+    * loop policy, broadcast hints, weighting) cannot silently desynchronize
+    * the family. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
@@ -1820,6 +1800,10 @@ object Relational {
       .groupBy(col("s_nationkey").cast("long").as("src"),
         col("c_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
+
+  val qGraphReachability: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val edges625 = tradeEdges(s, dir)
     val wTop = Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst"))
     val pruned = edges625
       .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)

@@ -200,7 +200,14 @@ object Runtime {
     val names = Seq("events_0_early.parquet", "events_1_late.parquet")
     // Decoded-layout fixture (see eventsStreamWithFlush); the median split
     // runs over epoch-micros of the normalized ts.
-    val streamDir = stageReplay(spark, dir, "stream-split", "v5", names) { d =>
+    // v6: the flush sentinel sits at max + 4h, not max + 2h. The outer
+    // stream-stream join emits a left row's null proof only when the final
+    // watermark (sentinel − 1h delay) STRICTLY passes c_ts + 60min window;
+    // a 2h margin gave exactly zero headroom, so an unmatched click AT the
+    // global max event timestamp would have been stranded in state (data-
+    // dependent: it only needs the corpus's last event to be a click).
+    // Margin > delay + window makes the proof unconditional.
+    val streamDir = stageReplay(spark, dir, "stream-split", "v6", names) { d =>
       val batch = Tables.decodeEventTs(spark.read.parquet(src.toString))
       val bounds = batch.select(
         expr("approx_percentile(unix_micros(ts), 0.5)").as("mid"),
@@ -209,7 +216,7 @@ object Runtime {
       stageOne(batch.filter(unix_micros(col("ts")) <= midUs),
         d, "events_0_early.parquet")
       stageOne(batch.filter(unix_micros(col("ts")) > midUs)
-        .unionByName(flushFrame(batch, maxTsUs + 2L * 3600L * 1000000L)),
+        .unionByName(flushFrame(batch, maxTsUs + 4L * 3600L * 1000000L)),
         d, "events_1_late.parquet")
     }
     Tables.decodeEventTs(spark.readStream

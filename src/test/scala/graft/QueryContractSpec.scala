@@ -15,7 +15,7 @@ class QueryContractSpec extends AnyFunSuite {
 
   test("declared contract covers all 151 SURVEY §2 keys") {
     assert(SparkEntry.queries.size == 151)
-    // 131 oracle-checked; the 12 declared non-oracle keys:
+    // 139 oracle-checked; the 12 declared non-oracle keys:
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_distinct", "q_agg_sketch_merge",
       "q_sim_lsh_ann", "q_dedup_simhash", "q_sim_ivf_ann", "q_sim_ivf_append",

@@ -115,14 +115,6 @@ class R14OpsSpec extends AnyFunSuite {
     assert(got.toSeq === expected)
   }
 
-  /** Driver twin of the dsum decimal path (StatsSpec.dsumLike). */
-  private def dsumLike(xs: Seq[Double], scale: Int): Double = {
-    val sum = xs.foldLeft(java.math.BigDecimal.ZERO)((a, x) =>
-      a.add(java.math.BigDecimal.valueOf(x).setScale(10, java.math.RoundingMode.HALF_UP)))
-    sum.setScale(scale, java.math.RoundingMode.HALF_UP)
-      .movePointRight(scale).longValueExact().toDouble / math.pow(10, scale)
-  }
-
   test("q_ml_gbdt_round equals a brute-force two-round boosting fold") {
     val raw = Tables.lineitem(spark, Sf0001)
       .select(col("l_extendedprice"), col("l_discount"), col("l_quantity")).collect()

@@ -27,4 +27,16 @@ object SparkFixture {
 
   val Sf0001 = "/root/testdata/sf0.001"
   val Sf001 = "/root/testdata/sf0.01"
+
+  /** Driver twin of Det.dsum's decimal dance, SHARED by the property specs
+    * (StatsSpec, R14OpsSpec) so the twin cannot drift from itself:
+    * BigDecimal.valueOf == Spark's cast(double as decimal) (canonical
+    * string repr, HALF_UP to 10 places), exact sum, round to `scale`,
+    * scaled exact integer, one double division. */
+  def dsumLike(xs: Seq[Double], scale: Int): Double = {
+    val sum = xs.foldLeft(java.math.BigDecimal.ZERO)((a, x) =>
+      a.add(java.math.BigDecimal.valueOf(x).setScale(10, java.math.RoundingMode.HALF_UP)))
+    sum.setScale(scale, java.math.RoundingMode.HALF_UP)
+      .movePointRight(scale).longValueExact().toDouble / math.pow(10, scale)
+  }
 }

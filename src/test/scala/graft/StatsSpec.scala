@@ -13,15 +13,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class StatsSpec extends AnyFunSuite {
   import SparkFixture._
 
-  /** Driver twin of Det.dsum: BigDecimal.valueOf == Spark's
-    * cast(double as decimal): canonical string repr, HALF_UP to 10 places
-    * (the Runtime.statefulSessions precedent). */
-  private def dsumLike(xs: Seq[Double], scale: Int): Double = {
-    val sum = xs.foldLeft(java.math.BigDecimal.ZERO)((a, x) =>
-      a.add(java.math.BigDecimal.valueOf(x).setScale(10, java.math.RoundingMode.HALF_UP)))
-    sum.setScale(scale, java.math.RoundingMode.HALF_UP)
-      .movePointRight(scale).longValueExact().toDouble / math.pow(10, scale)
-  }
+  // Det.dsum's driver twin lives in SparkFixture.dsumLike (shared with
+  // R14OpsSpec so the twin cannot drift from itself).
 
   private def roundN(x: Double, n: Int): Double =
     java.math.BigDecimal.valueOf(x).setScale(n, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -240,6 +240,60 @@ class R14OpsSpec extends AnyFunSuite {
     assert(w.toSeq === got.toSeq)
   }
 
+  test("q_graph_triangles equals brute-force triangle enumeration") {
+    val rows = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val orderCust = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val suppNation = Tables.supplier(spark, Sf0001)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val custNation = Tables.customer(spark, Sf0001)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val und = rows.flatMap { case (ok, sk) =>
+      for {
+        cust <- orderCust.get(ok); sn <- suppNation.get(sk); cn <- custNation.get(cust)
+        if sn != cn
+      } yield (math.min(sn, cn), math.max(sn, cn))
+    }.distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triCount = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } { triCount(a) += 1; triCount(b) += 1; triCount(c) += 1 }
+    val expected = Tables.nation(spark, Sf0001)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), triCount(r.getInt(0).toLong)))
+      .sortBy(_._1)
+    val got = SparkEntry.queries("q_graph_triangles")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.map(_._3).sum > 0, "corpus should contain at least one triangle")
+  }
+
+  test("q_ml_eval_calibration equals brute-force reliability bins") {
+    val rows = Tables.embeddings(spark, Sf0001)
+      .select(col("embedding"), col("label")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](0)
+        val score = e(0).toDouble + e(1).toDouble
+        (math.floor((score + 1.0) * 5.0).toLong, score, r.getInt(1) % 2 == 1)
+      }
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, g) =>
+      (bin, g.size.toLong,
+        roundN(SparkFixture.dsumLike(g.map(_._2), 6) / g.size, 6),
+        g.count(_._3).toLong,
+        roundN(g.count(_._3).toDouble / g.size.toDouble, 6))
+    }
+    val got = SparkEntry.queries("q_ml_eval_calibration")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === expected)
+  }
+
   test("q_text_dup_spans equals brute-force shared-8-gram coverage") {
     val docs = Tables.documents(spark, Sf0001)
       .select(col("doc_id"), col("text")).collect()

@@ -1280,6 +1280,28 @@ object Oracle {
                          / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
             FROM t""",
 
+      // Correlation matrix: same sufficient statistics (same dsum scales),
+      // identical per-pair Pearson algebra — deliberately NOT the engines'
+      // own corr() (their streaming float paths differ).
+      "q_agg_corr" ->
+        s"""WITH st AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     ${dsum(q)} AS s_q, ${dsum(d, 4)} AS s_d, ${dsum(y)} AS s_y,
+                     ${dsum(s"$q * $q")} AS s_qq, ${dsum(s"$d * $d", 6)} AS s_dd,
+                     ${dsum(s"$y * $y")} AS s_yy,
+                     ${dsum(s"$q * $d", 4)} AS s_qd, ${dsum(s"$q * $y")} AS s_qy,
+                     ${dsum(s"$d * $y", 4)} AS s_dy
+              FROM lineitem),
+            rr AS (SELECT
+                     round((s_qd - s_q * s_d / n) / sqrt((s_qq - s_q * s_q / n) * (s_dd - s_d * s_d / n)), 6) AS rqd,
+                     round((s_qy - s_q * s_y / n) / sqrt((s_qq - s_q * s_q / n) * (s_yy - s_y * s_y / n)), 6) AS rqy,
+                     round((s_dy - s_d * s_y / n) / sqrt((s_dd - s_d * s_d / n) * (s_yy - s_y * s_y / n)), 6) AS rdy
+                   FROM st)
+            SELECT 'l_quantity' AS var_x, 'l_discount' AS var_y, rqd AS r FROM rr
+            UNION ALL SELECT 'l_quantity', 'l_extendedprice', rqy FROM rr
+            UNION ALL SELECT 'l_discount', 'l_extendedprice', rdy FROM rr
+            ORDER BY var_x, var_y""",
+
       // Regression eval: same decimal-exact sufficient statistics, same
       // epilogue algebra (IEEE sqrt is correctly rounded — identical in
       // both engines).

@@ -706,6 +706,43 @@ object MlSuffStats {
       Tables.embeddings(s, dir), graft.Conf.OneTaskSortMaxBytes)(
       aucWindowForm(s, dir))(aucScaleForm(s, dir))
 
+  /** PAIRWISE PEARSON CORRELATION MATRIX of the lineitem numerics
+    * (quantity, discount, extendedprice) — the exploratory-stats operator
+    * every modeling pass runs first, and a GDA/regression prerequisite.
+    * NOT Spark's `corr()`/DuckDB's `corr()` (their streaming float paths
+    * differ engine-to-engine): the same decimal-exact sufficient
+    * statistics as q_ml_ridge_path (one map-side-combined pass), then the
+    * identical IEEE algebra r = (Sxy − SxSy/n) / √((Sxx−Sx²/n)(Syy−Sy²/n))
+    * per pair — bit-identical in both engines, rounded to 6 dp. */
+  val qAggCorr: Q = (s, dir) => {
+    import s.implicits._
+    val q = col("l_quantity"); val dd = col("l_discount"); val y = col("l_extendedprice")
+    val stats = Tables.lineitem(s, dir)
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(q).as("s_q"), dsum(dd, 4).as("s_d"), dsum(y).as("s_y"),
+        dsum(q * q).as("s_qq"), dsum(dd * dd, 6).as("s_dd"),
+        dsum(y * y).as("s_yy"),
+        dsum(q * dd, 4).as("s_qd"), dsum(q * y).as("s_qy"),
+        dsum(dd * y, 4).as("s_dy"))
+    // All three r's from the ONE stats row, unpivoted with stack — a
+    // per-pair select-and-union would re-run the corpus aggregation once
+    // per pair.
+    def r(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+      round((col(sxy) - col(sx) * col(sy) / col("n")) /
+        sqrt((col(sxx) - col(sx) * col(sx) / col("n"))
+          * (col(syy) - col(sy) * col(sy) / col("n"))), 6)
+    stats
+      .withColumn("rqd", r("s_q", "s_d", "s_qq", "s_dd", "s_qd"))
+      .withColumn("rqy", r("s_q", "s_y", "s_qq", "s_yy", "s_qy"))
+      .withColumn("rdy", r("s_d", "s_y", "s_dd", "s_yy", "s_dy"))
+      .select(expr(
+        """stack(3,
+             'l_quantity', 'l_discount', rqd,
+             'l_quantity', 'l_extendedprice', rqy,
+             'l_discount', 'l_extendedprice', rdy) AS (var_x, var_y, r)"""))
+      .orderBy("var_x", "var_y")
+  }
+
   /** REGRESSION EVALUATION — MAE / RMSE / R² of a deterministic predictor
     * (ŷ = 1000·quantity for extendedprice), completing the eval family
     * (confusion = classification, AUC = ranking, calibration =
@@ -764,5 +801,6 @@ object MlSuffStats {
     "q_ml_eval_confusion" -> qMlEvalConfusion,
     "q_ml_eval_auc" -> qMlEvalAuc,
     "q_ml_eval_calibration" -> qMlEvalCalibration,
-    "q_ml_eval_regression" -> qMlEvalRegression)
+    "q_ml_eval_regression" -> qMlEvalRegression,
+    "q_agg_corr" -> qAggCorr)
 }

@@ -176,6 +176,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_ml_eval_calibration" -> 2,
     // ONE single-grouped-row corpus agg (1); 1-row epilogue, no sort
     "q_ml_eval_regression" -> 1,
+    // ONE single-grouped-row corpus agg (1) + the 3-row stack sort (≤1)
+    "q_agg_corr" -> 2,
     // two corpus passes (one bounded-bin histogram agg per boosting
     // round) + the bounded epilogues (totals aggs, is_best windows, sort)
     // — both bin tables persisted, so neither corpus pass repeats;

@@ -13,8 +13,8 @@ class QueryContractSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("declared contract covers all 151 SURVEY §2 keys") {
-    assert(SparkEntry.queries.size == 151)
+  test("declared contract covers all 152 SURVEY §2 keys") {
+    assert(SparkEntry.queries.size == 152)
     // 139 oracle-checked; the 12 declared non-oracle keys:
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_distinct", "q_agg_sketch_merge",

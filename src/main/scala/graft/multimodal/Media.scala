@@ -203,6 +203,8 @@ object Media {
         require(new String(p, off, 5, java.nio.charset.StandardCharsets.US_ASCII) == "FRAME",
           s"asset ${a.asset_id}: bad Y4M frame marker at $off")
         val fnl = p.indexOf('\n'.toByte, off)
+        require(fnl >= 0 && fnl + 1 + frameData <= p.length,
+          s"asset ${a.asset_id}: truncated Y4M frame at $off")
         ranges += ((fnl + 1, fnl + 1 + frameData))
         frames += 1
         off = fnl + 1 + frameData
@@ -290,11 +292,18 @@ object Media {
       var off = nl + 1
       val starts = Seq.newBuilder[Int]
       while (off < p.length) {
+        // Unchecked -1 from a truncated/malformed payload would misparse
+        // the frame walk (and the mid-frame pick would throw on zero
+        // frames) — fail with the explicit asset-id message the other
+        // branches use (ADVICE r14).
         val fnl = p.indexOf('\n'.toByte, off)
+        require(fnl >= 0 && fnl + 1 + frameData <= p.length,
+          s"asset ${a.asset_id}: truncated Y4M frame at $off")
         starts += (fnl + 1)
         off = fnl + 1 + frameData
       }
       val frames = starts.result()
+      require(frames.nonEmpty, s"asset ${a.asset_id}: Y4M payload has no frames")
       val mid = frames(frames.length / 2) // luma plane of the middle frame
       for (ty <- 0 until th; tx <- 0 until tw) {
         val sy = ty * h / th; val sx = tx * w / tw

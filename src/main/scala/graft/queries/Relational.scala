@@ -615,8 +615,16 @@ object Relational {
     * order count + exact decimal revenue partial), staged once per corpus
     * snapshot — the artifact q_join_view_maintain folds deltas into. */
   def stagedSegOrderView(s: SparkSession, dir: String): DataFrame = {
+    // The view joins TWO sources; stagedFixture's signature covers only the
+    // primary (orders), so customer's size+mtime is folded into the version
+    // string — regenerating customer alone now restages instead of silently
+    // serving a stale base view (ADVICE r14).
+    val custAttrs = java.nio.file.Files.readAttributes(
+      java.nio.file.Paths.get(s"$dir/customer.parquet"),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val ver = s"v2-${custAttrs.size}-${custAttrs.lastModifiedTime.toMillis}"
     val staged = Tables.stagedFixture(s, s"$dir/orders.parquet",
-      "seg-order-view", dir, "v1") { d =>
+      "seg-order-view", dir, ver) { d =>
       Tables.orders(s, dir).filter(col("o_orderkey") % 10 =!= 7)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("seg"))
@@ -1587,11 +1595,25 @@ object Relational {
        GROUP BY n_name
        ORDER BY revenue DESC, n_name"""
 
-  val qSqlTpch: Q = (s, dir) => {
-    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
-      .foreach(t => Tables.table(s, dir, t).createOrReplaceTempView(t))
-    s.sql(tpchQ5Sql)
+  /** Register the named testdata tables as PREFIXED temp views
+    * (graft_sql_<t>) and return the statement with each bare table name
+    * rewritten to its prefixed view — Spark-side only; the oracle keeps the
+    * bare names over its own attached tables. Bare createOrReplaceTempView
+    * mutated session-global state per invocation: any later catalog lookup
+    * of `customer` etc. would silently get the LAST dir's table (ADVICE
+    * r14). Word-boundary replace — column names like c_custkey embed table
+    * words only between word characters, which \b does not match. */
+  private def sqlOnPrefixedViews(s: SparkSession, dir: String,
+                                 stmt: String, tables: Seq[String]): String = {
+    tables.foldLeft(stmt) { (q, t) =>
+      Tables.table(s, dir, t).createOrReplaceTempView(s"graft_sql_$t")
+      q.replaceAll(s"\\b$t\\b", s"graft_sql_$t")
+    }
   }
+
+  val qSqlTpch: Q = (s, dir) =>
+    s.sql(sqlOnPrefixedViews(s, dir, tpchQ5Sql,
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")))
 
   /** The oracle twin: the SAME statement (Oracle.all wires it). */
   def tpchQ5OracleSql: String = tpchQ5Sql
@@ -1613,11 +1635,8 @@ object Relational {
                            AND o2.o_orderdate < TIMESTAMP '1996-01-01')
        ORDER BY c.c_custkey"""
 
-  val qSqlCorrelated: Q = (s, dir) => {
-    Seq("customer", "orders").foreach(t =>
-      Tables.table(s, dir, t).createOrReplaceTempView(t))
-    s.sql(correlatedSql)
-  }
+  val qSqlCorrelated: Q = (s, dir) =>
+    s.sql(sqlOnPrefixedViews(s, dir, correlatedSql, Seq("customer", "orders")))
 
   def correlatedOracleSql: String = correlatedSql
 
@@ -1653,8 +1672,8 @@ object Relational {
       tradeEdges(s, dir)
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst")).coalesce(1))
-    edges.createOrReplaceTempView("trade_edges")
-    s.sql(recursiveReachSql("trade_edges"))
+    edges.createOrReplaceTempView("graft_sql_trade_edges")
+    s.sql(recursiveReachSql("graft_sql_trade_edges"))
   }
 
   def recursiveOracleSql: String =
@@ -1682,11 +1701,8 @@ object Relational {
          ORDER BY s.s_acctbal DESC, s.s_suppkey LIMIT 3) t
        ORDER BY n.n_name, t.s_acctbal DESC, t.s_name"""
 
-  val qSqlLateral: Q = (s, dir) => {
-    Seq("nation", "supplier").foreach(t =>
-      Tables.table(s, dir, t).createOrReplaceTempView(t))
-    s.sql(lateralSql)
-  }
+  val qSqlLateral: Q = (s, dir) =>
+    s.sql(sqlOnPrefixedViews(s, dir, lateralSql, Seq("nation", "supplier")))
 
   def lateralOracleSql: String = lateralSql
 

@@ -15,7 +15,9 @@ class QueryContractSpec extends AnyFunSuite {
 
   test("declared contract covers all 152 SURVEY §2 keys") {
     assert(SparkEntry.queries.size == 152)
-    // 139 oracle-checked; the 12 declared non-oracle keys:
+    // All keys are oracle-checked except the declared non-oracle set below
+    // (count pinned by the set literal itself — a stale prose count here
+    // was ADVICE r14's first finding, so no number is repeated).
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q_agg_approx_distinct", "q_agg_sketch_merge",
       "q_sim_lsh_ann", "q_dedup_simhash", "q_sim_ivf_ann", "q_sim_ivf_append",

@@ -162,6 +162,28 @@ object StreamingQs {
       .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
   }
 
+  /** FULL-OUTER stream-stream join run as a REAL incremental stream
+    * (Runtime.clickPurchaseJoinFull) — the one join shape where BOTH sides
+    * need watermark-finalized null proofs: unmatched clicks AND unmatched
+    * purchases each emit exactly once, only after the watermark proves no
+    * partner can still arrive. The time-split replay makes some matches
+    * cross batches; the flush sentinel advances the watermark past every
+    * open range so both sides' unmatched state drains. Oracle: the same
+    * FULL JOIN over the source table — a leaked phantom null row on either
+    * side, a lost unmatched click/purchase, or a duplicate emission breaks
+    * the hash. Sentinel rows (event_id −1) die in state by the replay's
+    * margin construction; the filter here is defense in depth. */
+  val qStreamJoinFull: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    SR.runToCompletionAppend(s,
+        SR.clickPurchaseJoinFull(SR.eventsStreamSplitByTime(s, dir)),
+        s"graft_ssjoinfull_${Integer.toHexString(dir.hashCode)}")
+      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0)
+      .orderBy(col("user_id"), col("click_id").asc_nulls_first,
+        col("purchase_id").asc_nulls_first)
+  }
+
   /** ARBITRARY STATEFUL sessionization, run as a REAL incremental stream:
     * flatMapGroupsWithState with event-time timeout over the replayed
     * events source (plus the watermark-advancing flush sentinel), memory
@@ -360,6 +382,7 @@ object StreamingQs {
     "q_stream_session" -> qStreamSession,
     "q_stream_join" -> qStreamJoin,
     "q_stream_join_outer" -> qStreamJoinOuter,
+    "q_stream_join_full" -> qStreamJoinFull,
     "q_stream_stateful" -> qStreamStateful,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_dedup_content" -> qStreamDedupContent,

@@ -405,6 +405,48 @@ object Runtime {
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("c_ts"))
   }
 
+  /** FULL-OUTER stream-stream join — the reconciliation shape streaming
+    * CDC consumers run: every click↔purchase attribution pair, PLUS every
+    * click that never found a purchase (null purchase side) AND every
+    * purchase no click preceded (null click side). Both directions of null
+    * proof are watermark-finalized: a click's null emits once the watermark
+    * passes c_ts + window (no matching purchase can still arrive), a
+    * purchase's once it passes p_ts (no matching click can). Sentinel
+    * discipline is [[clickPurchaseJoinOuter]]'s — watermark applied at the
+    * SOURCE so the optimizer's filter pushdown can't starve either side's
+    * watermark collector, purchase-side sentinel remapped to user −2 so
+    * sentinel never matches anything — with one full-outer-specific twist:
+    * under full outer a right row CAN emit alone, so the sentinels
+    * themselves would surface as unmatched rows if their own eviction
+    * thresholds were reachable. They are not, by the replay's margin
+    * construction (sentinel at max_ts + 4 h, delay 1 h: the maximum
+    * reachable watermark is sentinel_ts − delay, strictly below both the
+    * click sentinel's c_ts + window and the purchase sentinel's p_ts), so
+    * both die in state when the bounded query ends; the gate query filters
+    * event_id −1 defensively anyway.
+    *
+    * Output carries no timestamp column: under full outer BOTH c_ts and
+    * p_ts are nullable, and a nullable TIMESTAMP output hashes as NaT —
+    * the one null representation the oracle-compare layers don't guarantee
+    * equal (nullable BIGINTs surface as NaN, which does). user_id =
+    * coalesce(click side, purchase side) is never null. */
+  def clickPurchaseJoinFull(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val wm = events.withWatermark("ts", "1 hour")
+    val clicks = wm.filter(col("event_type").isin("click", "flush"))
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = wm.filter(col("event_type").isin("purchase", "flush"))
+      .select(when(col("event_type") === "flush", lit(-2L))
+          .otherwise(col("user_id")).as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"))
+  }
+
   /** Typed input rows of [[statefulSessions]]. `ts` stays a Timestamp —
     * the event-time-timeout analysis requires the WATERMARKED column to
     * survive into the stateful operator's child plan, so it cannot be

@@ -274,6 +274,62 @@ class StreamingEquivSpec extends AnyFunSuite {
     assert(!nullClicks.contains(-1L), "flush sentinel leaked into the output")
   }
 
+  test("full-outer stream-stream join: BOTH sides' null rows complement the matches; no null proof before watermark passage") {
+    import org.apache.spark.sql.functions._
+    val full = SRuntime.runToCompletionAppend(spark,
+      SRuntime.clickPurchaseJoinFull(SRuntime.eventsStreamSplitByTime(spark, Sf0001)),
+      "t_ssjoin_full")
+      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0)
+    val inner = SRuntime.runToCompletionAppend(spark,
+      SRuntime.clickPurchaseJoin(SRuntime.eventsStreamSplitByTime(spark, Sf0001)),
+      "t_ssjoin_inner_for_full")
+    val matched = full.filter(col("click_id").isNotNull && col("purchase_id").isNotNull)
+      .select("click_id", "purchase_id").collect().map(_.toSeq).toSet
+    val innerPairs = inner.select("click_id", "purchase_id")
+      .collect().map(_.toSeq).toSet
+    assert(matched == innerPairs,
+      s"matched-row mismatch: missing=${(innerPairs -- matched).take(3)} " +
+        s"extra=${(matched -- innerPairs).take(3)}")
+    // Each side's null set is exactly its unmatched complement — no phantom
+    // null beside a real match, nothing stranded in state on either side.
+    val ev = Tables.events(spark, Sf0001)
+    val allClicks = ev.filter(col("event_type") === "click")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val allPurchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val nullClicks = full.filter(col("purchase_id").isNull)
+      .select("click_id").collect().map(_.getLong(0)).toSet
+    val nullPurchases = full.filter(col("click_id").isNull)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+    val matchedClicks = innerPairs.map(_.head.asInstanceOf[Long])
+    val matchedPurchases = innerPairs.map(_(1).asInstanceOf[Long])
+    assert(nullClicks == (allClicks -- matchedClicks), "unmatched-click set wrong")
+    assert(nullPurchases == (allPurchases -- matchedPurchases),
+      s"unmatched-purchase set wrong: missing=${((allPurchases -- matchedPurchases) -- nullPurchases).take(5)} " +
+        s"phantom=${(nullPurchases -- (allPurchases -- matchedPurchases)).take(5)}")
+    assert(nullClicks.nonEmpty && nullPurchases.nonEmpty,
+      "corpus must exercise both null directions")
+    // Null proofs are watermark-FINALIZED: micro-batch 0 runs against
+    // watermark 0, so no null-sided row may emit there — a per-batch probe
+    // via foreachBatch pins the wait.
+    val nullRowsPerBatch = scala.collection.mutable.Map[Long, Long]()
+    val q = SRuntime.clickPurchaseJoinFull(SRuntime.eventsStreamSplitByTime(spark, Sf0001))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val n = b.filter(col("click_id").isNull || col("purchase_id").isNull).count()
+        nullRowsPerBatch.synchronized { nullRowsPerBatch(id) = n }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000L), "per-batch probe stream timed out")
+    assert(nullRowsPerBatch.getOrElse(0L, 0L) == 0L,
+      s"null proof emitted in batch 0, before any watermark passage: $nullRowsPerBatch")
+    assert(nullRowsPerBatch.values.sum > 0L,
+      s"no null proofs emitted at all: $nullRowsPerBatch")
+  }
+
   test("flatMapGroupsWithState sessions == session_window batch result") {
     import org.apache.spark.sql.functions._
     // The custom state machine (incl. its event-time-timeout emission path,

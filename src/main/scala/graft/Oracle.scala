@@ -2261,6 +2261,19 @@ object Oracle {
       s"""SELECT event_type, count(*) AS n, ${dsum("value", 6)} AS sum_value
           FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // The serving table is maintained by update-mode re-emissions +
+    // latest-wins merges; converging to the from-scratch aggregate (then
+    // ranked) is exactly the law the key grades.
+    "q_stream_update_topk" ->
+      s"""WITH agg AS (SELECT event_type, user_id, count(*) AS n,
+                              ${dsum("value", 6)} AS sum_value
+                       FROM events GROUP BY event_type, user_id),
+               r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY sum_value DESC, user_id) AS rnk
+                     FROM agg)
+          SELECT event_type, rnk, user_id, n, sum_value
+          FROM r WHERE rnk <= 3 ORDER BY event_type, rnk""",
+
     // The stream dedups on (source, md5(text)) — redelivered copies AND
     // in-corpus same-(source, text) duplicates collapse to one row each,
     // so the batch DISTINCT-content aggregate is the exactly-once answer.

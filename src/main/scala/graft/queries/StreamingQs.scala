@@ -373,7 +373,53 @@ object StreamingQs {
       .orderBy("event_type")
   }
 
+  /** UPDATE-MODE STREAMING SERVING (Runtime.runUpdateServing) — the
+    * running-top-k dashboard every other graded stream can't express:
+    * append mode only emits watermark-FINALIZED rows, but a live serving
+    * table needs each key's CURRENT aggregate re-emitted whenever it
+    * changes. The per-(type, user) count+sum aggregation runs in update
+    * mode over the time-split replay; each micro-batch's changed keys fold
+    * into a stored serving table as a latest-wins merge committed as a new
+    * version (so mid-stream snapshots remain inspectable — the update-mode
+    * evidence StreamingEquivSpec pins is v00000 ≠ final with re-emitted
+    * keys CHANGING value). The graded read takes the LATEST version and
+    * ranks the top 3 users per type. Latest-wins over update-mode
+    * re-emissions must converge to the batch aggregate, so the oracle is
+    * the from-scratch per-(type, user) aggregate + rank over the source —
+    * a stale serving row (missed re-emission) or a phantom (state leak)
+    * breaks the hash. Flush sentinels are filtered BEFORE aggregation —
+    * safe here precisely because this pipeline needs no watermark (update
+    * mode re-emits on every change; nothing waits on event time), so the
+    * pushed-down filter cannot starve a watermark collector. */
+  val qStreamUpdateTopk: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    import org.apache.spark.sql.expressions.Window
+    val root = Tables.stageDir(s, "stream-serving", dir)
+    val ckpt = Tables.stageDir(s, "stream-serving-ckpt", dir)
+    Tables.deleteRecursively(root)
+    Tables.deleteRecursively(ckpt)
+    SR.runUpdateServing(
+      SR.eventsStreamSplitByTime(s, dir)
+        .filter(col("event_type") =!= "flush")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value")),
+      root, ckpt, keyCols = Seq("event_type", "user_id"))
+    val serving = s.read.parquet(
+      s"$root/${SR.latestServingVersion(root).getOrElse(sys.error("no serving version"))}")
+    // The rank runs over the SERVING TABLE (O(active keys)), never the
+    // corpus — that reduction already happened in the streaming state.
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sum_value").desc, col("user_id"))
+    serving
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("event_type"), col("rnk"), col("user_id"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_update_topk" -> qStreamUpdateTopk,
     "q_stream_view_maintain" -> qStreamViewMaintain,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_late" -> qStreamLate,

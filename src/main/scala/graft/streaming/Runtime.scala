@@ -692,6 +692,66 @@ object Runtime {
     }
   }
 
+  /** UPDATE-MODE streaming → a latest-wins SERVING TABLE: each micro-batch
+    * of an update-mode aggregation carries the NEW full aggregate for every
+    * key whose state changed this tick (append mode would emit nothing
+    * until a watermark finalized the key — a running serving table has no
+    * finalization); foreachBatch folds it into the stored table as a
+    * latest-wins MERGE (q_merge_upsert's algebra with the changeset = the
+    * tick's updated keys: survivors anti-join, updates/inserts union) and
+    * commits the result as a NEW VERSION directory, `v<tick>` — the
+    * snapshot-versioned commit every serving layer uses so readers never
+    * see a half-written table and a mid-stream snapshot stays inspectable
+    * (the q_layout_timetravel posture, one version per tick). Per-tick cost
+    * is O(serving keys + tick's updates), never the event corpus; at scale
+    * the serving table is key-partitioned and the anti-join co-locates on
+    * the key — the corpus was already reduced by the streaming aggregation's
+    * own state. Readers take [[latestServingVersion]]. */
+  def runUpdateServing(agg: DataFrame, servingRoot: String, checkpoint: String,
+                       keyCols: Seq[String]): Unit =
+    withStreamShufflePartitions(agg.sparkSession) {
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        val spark = batch.sparkSession
+        val merged = latestServingVersion(servingRoot) match {
+          case None => batch
+          case Some(prev) =>
+            val cur = spark.read.parquet(s"$servingRoot/$prev")
+            cur.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+              .unionByName(batch)
+        }
+        merged.coalesce(1).write
+          .mode(SaveMode.Overwrite).parquet(f"$servingRoot/v$tick%05d")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(120000L)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"serving stream into $servingRoot did not finish within 120s")
+    }
+  }
+
+  /** Highest committed `v<tick>` directory under a [[runUpdateServing]]
+    * root (zero-padded names sort lexically), or None before the first
+    * tick. */
+  def latestServingVersion(servingRoot: String): Option[String] = {
+    val root = java.nio.file.Paths.get(servingRoot)
+    if (!java.nio.file.Files.isDirectory(root)) return None
+    val listing = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("v\\d{5}"))
+        .maxOption
+    } finally listing.close()
+  }
+
   def runToManifestedParquet(rows: DataFrame, path: String, checkpoint: String,
                              statsCol: String, numFilesPerTick: Int): Unit =
     withStreamShufflePartitions(rows.sparkSession) {

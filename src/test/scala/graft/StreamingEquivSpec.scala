@@ -330,6 +330,49 @@ class StreamingEquivSpec extends AnyFunSuite {
       s"no null proofs emitted at all: $nullRowsPerBatch")
   }
 
+  test("update-mode serving: mid-stream snapshot differs from final, re-emitted keys changed value, final == batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val root = Tables.stageDir(spark, "t-upd-serving")
+    val ckpt = Tables.stageDir(spark, "t-upd-serving-ckpt")
+    Tables.deleteRecursively(root); Tables.deleteRecursively(ckpt)
+    SRuntime.runUpdateServing(
+      SRuntime.eventsStreamSplitByTime(spark, Sf0001)
+        .filter(col("event_type") =!= "flush")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Det.dsum(col("value"), 6).as("sum_value")),
+      root, ckpt, keyCols = Seq("event_type", "user_id"))
+    val versions = {
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d{5}")).toSeq.sorted
+      finally l.close()
+    }
+    assert(versions.size >= 2, s"need >=2 ticks to exercise update mode: $versions")
+    assert(SRuntime.latestServingVersion(root).contains(versions.last))
+    val first = spark.read.parquet(s"$root/${versions.head}")
+    val last = spark.read.parquet(s"$root/${versions.last}")
+    // Update mode EXERCISED: the mid-stream snapshot is not the final one,
+    // and some key was re-emitted with a CHANGED aggregate (not merely
+    // appended) — the exact behavior append mode cannot produce.
+    val firstRows = first.collect().map(_.toSeq).toSet
+    val lastRows = last.collect().map(_.toSeq).toSet
+    assert(firstRows != lastRows, "mid-stream snapshot == final: update mode not exercised")
+    val changed = first.as("a").join(last.as("b"), Seq("event_type", "user_id"))
+      .filter(col("a.n") =!= col("b.n")).count()
+    assert(changed > 0, "no key re-emitted with a changed value across ticks")
+    // Convergence law: latest-wins over re-emissions == from-scratch batch.
+    val batchAgg = Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.dsum(col("value"), 6).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(lastRows == batchAgg,
+      s"serving table diverged from batch: missing=${(batchAgg -- lastRows).take(3)} " +
+        s"extra=${(lastRows -- batchAgg).take(3)}")
+  }
+
   test("flatMapGroupsWithState sessions == session_window batch result") {
     import org.apache.spark.sql.functions._
     // The custom state machine (incl. its event-time-timeout emission path,

@@ -2318,6 +2318,17 @@ object Oracle {
                  ${dsum("value", 6)} AS sum_value
           FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // The Spark side serves a day-range dashboard aggregate from the
+    // day-grained partial rollup via the Catalyst MV-rewrite rule; the
+    // from-scratch filtered aggregate IS the claim. Day boundaries are UTC
+    // calendar days of ts (the partition derivation), so the equivalent ts
+    // range replaces the day predicate here.
+    "q_agg_rollup_filter" ->
+      s"""SELECT event_type, count(*) AS n, ${dsum("value", 6)} AS sum_value
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+          GROUP BY event_type ORDER BY event_type""",
+
     // Same planted header/footer construction and ". " segmentation as the
     // Spark side (split is a literal two-char separator in both dialects).
     "q_text_boilerplate" ->

@@ -8,33 +8,50 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.DecimalType
 
-/** A registered MATERIALIZED ROLLUP: `rollupDir` holds ONE row per
-  * `groupCol` value of the source table at `sourceDir`, with columns
-  * (`groupOut`, `countOut` = count(1), `sumOut` = sum(cast(`valCol` as
-  * decimal(38,10)))) — exactly the mergeable-aggregate artifact
-  * q_agg_view_maintain maintains. Registration is the caller's currency
-  * contract (register after each maintenance tick), as with any
-  * materialized view. */
+/** A registered MATERIALIZED ROLLUP of the source table at `sourceDir`,
+  * with columns (`groupOut`, [`filterOut`,] `countOut` = count(1),
+  * `sumOut` = sum(cast(`valCol` as decimal(38,10)))) — exactly the
+  * mergeable-aggregate artifact q_agg_view_maintain maintains.
+  *
+  * Two grains:
+  *  - `filterCol = None`: ONE row per `groupCol` value — serves the bare
+  *    aggregate by direct substitution (no aggregate left in the plan);
+  *  - `filterCol = Some(f)`: one row per (`groupCol`, f) — the DAY-GRAINED
+  *    partial-rollup shape (q_agg_incremental's stored artifact). Serves
+  *    the same aggregate WITH any deterministic predicate on f: the
+  *    predicate replays on the rollup's `filterOut` column and the partials
+  *    merge (sum of counts / exact decimal sums) — correct for ANY
+  *    row-predicate on f because filter-rows-then-aggregate ≡
+  *    aggregate-per-f-then-filter-f-then-merge when the predicate depends
+  *    on f alone.
+  *
+  * Registration is the caller's currency contract (register after each
+  * maintenance tick), as with any materialized view. */
 case class RollupSpec(sourceDir: String, groupCol: String, valCol: String,
                       rollupDir: String, groupOut: String = "seg",
-                      countOut: String = "n", sumOut: String = "sb")
+                      countOut: String = "n", sumOut: String = "sb",
+                      filterCol: Option[String] = None,
+                      filterOut: String = "day")
 
 /** TRANSPARENT MATERIALIZED-VIEW REWRITE — the classic warehouse
   * optimization (Calcite/BigQuery/Snowflake MV rewrite) as a custom
   * Catalyst `Rule[LogicalPlan]`: an `Aggregate(group by groupCol;
   * count(1) / sum(cast(valCol as decimal(38,10))) in any enclosing
   * arithmetic)` over a clean scan of a REGISTERED source table is served
-  * from its maintained rollup instead — the aggregate node disappears and
-  * the plan reads O(groups) rollup rows, never the corpus. Correctness
+  * from its maintained rollup instead — the plan reads O(groups) (or
+  * O(groups × filter-grain)) rollup rows, never the corpus. Correctness
   * rests on the same law q_agg_view_maintain grades: the rollup stores
-  * exact decimal partials, so group-level substitution is bit-identical.
+  * exact decimal partials, so group-level substitution (and partial
+  * merging, for the filter-grained form) is bit-identical.
   *
   * Deliberately conservative: the rewrite fires only when (a) the
-  * aggregate's child is a bare (possibly column-pruned) scan of the
-  * registered path — any Filter/Join means the rollup does not cover the
-  * query; (b) the single grouping expression is the registered group
-  * column; (c) EVERY aggregate function in the output is one of the two
-  * registered shapes. Anything else passes through untouched. Attached
+  * aggregate's child is a scan of the registered path under attr-only
+  * Projects, with AT MOST one Filter — and a Filter is served only by a
+  * `filterCol` spec whose column is the predicate's ONLY reference (any
+  * other column, nondeterminism, or a subquery means the rollup does not
+  * cover the query); (b) the single grouping expression is the registered
+  * group column; (c) EVERY aggregate function in the output is one of the
+  * two registered shapes. Anything else passes through untouched. Attached
   * via `spark.experimental.extraOptimizations` ([[RollupRewrite.attach]])
   * so driver-owned sessions can opt in at runtime, or session-wide
   * through `GraftExtensions`.
@@ -50,25 +67,52 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }.headOption.getOrElse(agg)
     }
 
-  private def scansSource(plan: LogicalPlan, sourceDir: String): Boolean =
+  /** Strip attr-only Projects and at most ONE Filter off the aggregate's
+    * child; yields (optional filter condition, relation) when what remains
+    * is a bare scan. (Stacked Filters are merged by CombineFilters before
+    * user-provided optimizations run; a residual second one means an exotic
+    * plan — pass through.) */
+  private def splitChild(plan: LogicalPlan): Option[(Option[Expression], LogicalRelation)] =
     plan match {
       case Project(projList, inner) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-        scansSource(inner, sourceDir)
-      case rel: LogicalRelation =>
-        rel.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.exists(_.toUri.getPath ==
-              new org.apache.hadoop.fs.Path(sourceDir).toUri.getPath)
-          case _ => false
+        splitChild(inner)
+      case Filter(cond, inner) =>
+        splitChild(inner) match {
+          case Some((None, rel)) => Some((Some(cond), rel))
+          case _ => None
         }
+      case rel: LogicalRelation => Some((None, rel))
+      case _ => None
+    }
+
+  private def scansSource(rel: LogicalRelation, sourceDir: String): Boolean =
+    rel.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.rootPaths.exists(_.toUri.getPath ==
+          new org.apache.hadoop.fs.Path(sourceDir).toUri.getPath)
       case _ => false
     }
 
   private def tryRewrite(spec: RollupSpec, agg: Aggregate,
                          g: AttributeReference, aggExprs: Seq[NamedExpression],
                          child: LogicalPlan): Option[LogicalPlan] = {
-    if (g.name != spec.groupCol || !scansSource(child, spec.sourceDir))
-      return None
+    if (g.name != spec.groupCol) return None
+    val (condOpt, rel) = splitChild(child) match {
+      case Some((c, r)) if scansSource(r, spec.sourceDir) => (c, r)
+      case _ => return None
+    }
+    // A Filter is served only by a filter-grained spec whose column is the
+    // predicate's sole reference; the predicate must be deterministic (it
+    // will be re-evaluated once per rollup row instead of once per source
+    // row) and subquery-free.
+    val filterOk = condOpt.forall { cond =>
+      spec.filterCol.exists { fc =>
+        cond.deterministic &&
+          cond.references.toSeq.map(_.name).distinct == Seq(fc) &&
+          !cond.exists(_.isInstanceOf[PlanExpression[_]])
+      }
+    }
+    if (!filterOk) return None
 
     // Every AggregateExpression in the output must be a registered shape.
     def shapeOf(ae: AggregateExpression): Option[String] =
@@ -101,16 +145,49 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => return None
       }
 
-    def subst(e: Expression): Expression = e match {
-      case ae: AggregateExpression => shapeOf(ae) match {
-        case Some("count") => nA
-        case Some("sum") => sbA
-        case _ => ae // unreachable: allCovered checked above
-      }
-      case a: AttributeReference if a.semanticEquals(g) => segA
-      case other => other.mapChildren(subst)
+    spec.filterCol match {
+      case None =>
+        // Group-grained rollup: ONE row per group — the aggregate node
+        // disappears entirely (direct column substitution).
+        def subst(e: Expression): Expression = e match {
+          case ae: AggregateExpression => shapeOf(ae) match {
+            case Some("count") => nA
+            case Some("sum") => sbA
+            case _ => ae // unreachable: allCovered checked above
+          }
+          case a: AttributeReference if a.semanticEquals(g) => segA
+          case other => other.mapChildren(subst)
+        }
+        Some(Project(realias(aggExprs, subst), rollup))
+
+      case Some(_) =>
+        // Filter-grained rollup: replay the predicate on the rollup's
+        // filter column, then MERGE the per-(group, filter) partials —
+        // count → sum(n), exact decimal partial → sum(sb). The aggregate
+        // node survives but runs over O(groups × grain) rollup rows.
+        val fA = attr(spec.filterOut).getOrElse(return None)
+        val remapped = condOpt.map(_.transform {
+          case _: AttributeReference => fA // sole-reference checked above
+        })
+        val filtered = remapped.map(Filter(_, rollup)).getOrElse(rollup)
+        def subst(e: Expression): Expression = e match {
+          case ae: AggregateExpression => shapeOf(ae) match {
+            case Some("count") => Sum(nA).toAggregateExpression()
+            case Some("sum") => Sum(sbA).toAggregateExpression()
+            case _ => ae // unreachable: allCovered checked above
+          }
+          case a: AttributeReference if a.semanticEquals(g) => segA
+          case other => other.mapChildren(subst)
+        }
+        Some(Aggregate(Seq(segA), realias(aggExprs, subst), filtered))
     }
-    val projected = aggExprs.map {
+  }
+
+  /** Rewrap substituted output expressions, preserving each original name
+    * and exprId so parent operators keep resolving. */
+  private def realias(aggExprs: Seq[NamedExpression],
+                      subst: Expression => Expression): Seq[NamedExpression] =
+    aggExprs.map {
       case a: Alias =>
         Alias(subst(a.child), a.name)(exprId = a.exprId, qualifier = a.qualifier)
       case attr: AttributeReference =>
@@ -118,18 +195,20 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case other =>
         Alias(subst(other), other.name)(exprId = other.exprId)
     }
-    Some(Project(projected, rollup))
-  }
 }
 
 object RollupRewrite {
   private[plans] val registry =
     new scala.collection.concurrent.TrieMap[String, RollupSpec]()
 
-  /** Register (or refresh) a maintained rollup for its source table. */
-  def register(spec: RollupSpec): Unit = registry.put(spec.sourceDir, spec)
+  /** Register (or refresh) a maintained rollup for its source table. One
+    * spec per (sourceDir, grain): a group-grained and a filter-grained
+    * rollup of the same source register under distinct keys. */
+  def register(spec: RollupSpec): Unit =
+    registry.put(s"${spec.sourceDir}#${spec.filterCol.getOrElse("")}", spec)
 
-  def unregister(sourceDir: String): Unit = registry.remove(sourceDir)
+  def unregister(sourceDir: String, filterCol: Option[String] = None): Unit =
+    registry.remove(s"$sourceDir#${filterCol.getOrElse("")}")
 
   def clear(): Unit = registry.clear()
 

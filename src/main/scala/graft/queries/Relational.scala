@@ -722,6 +722,56 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** FILTER-CONTAINMENT MATERIALIZED-VIEW REWRITE — the dashboard query a
+    * bare-scan matcher can't serve (the first real query has a WHERE
+    * clause): a per-type aggregate over the day-partitioned events layout
+    * WITH a day-range predicate. The registered rollup is DAY-GRAINED
+    * (one exact partial row per (event_type, day) — the q_agg_incremental
+    * artifact shape), so the custom Catalyst rule replays the predicate on
+    * the rollup's day column and MERGES the surviving partials: the
+    * Aggregate survives but runs over O(types × days) rollup rows; the
+    * corpus is scanned by NOTHING (ExtensionsSpec pins rollup-scanned /
+    * corpus-not-scanned, pass-through on residual predicates, and result
+    * equality). Correct for ANY deterministic day-only predicate:
+    * filter-rows-then-aggregate ≡ aggregate-per-day-then-filter-days-then-
+    * merge, and the partials are exact decimals. The oracle recomputes
+    * from scratch over the source with the equivalent ts range — the
+    * from-scratch answer IS the claim. */
+  val qAggRollupFilter: Q = (s, dir) => {
+    val part = stagedEventsByDay(s, dir)
+    val rollup = stagedEventsDayRollup(s, dir)
+    graft.plans.RollupRewrite.register(graft.plans.RollupSpec(
+      part, "event_type", "value", rollup,
+      groupOut = "event_type", countOut = "n", sumOut = "sb",
+      filterCol = Some("day"), filterOut = "day"))
+    graft.plans.RollupRewrite.attach(s)
+    graft.sources.Layout.readPartitioned(s, part)
+      .filter(col("day") >= lit("2024-01-08") && col("day") < lit("2024-01-22"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** The maintained DAY-GRAINED partial rollup q_agg_rollup_filter serves
+    * from — one (event_type, day) row with exact decimal partials, staged
+    * once per events snapshot (in production: the table the incremental /
+    * streaming maintenance keys keep current per tick). The day column
+    * keeps the partition read-back type (DATE) so replayed predicates
+    * type-check against the scan's. */
+  def stagedEventsDayRollup(s: SparkSession, dir: String): String = {
+    val part = stagedEventsByDay(s, dir)
+    Tables.stagedFixture(s, s"$dir/events.parquet",
+      "events-day-rollup", dir, "v1") { d =>
+      graft.sources.Layout.readPartitioned(s, part)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Det.dsumPartial(col("value")).as("sb"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$d/rollup")
+    } + "/rollup"
+  }
+
   /** The maintained per-segment rollup q_agg_rollup_rewrite serves from —
     * ONE exact-decimal-partial row per segment, staged once per customer
     * snapshot (in production it is the table q_agg_view_maintain /
@@ -2064,6 +2114,7 @@ object Relational {
     "q_agg_view_maintain" -> qAggViewMaintain,
     "q_join_view_maintain" -> qJoinViewMaintain,
     "q_agg_rollup_rewrite" -> qAggRollupRewrite,
+    "q_agg_rollup_filter" -> qAggRollupFilter,
     "q_scd2_snapshot" -> qScd2Snapshot,
     "q_scd2_merge" -> qScd2Merge,
     "q_scd2_asof" -> qScd2Asof,

@@ -81,4 +81,68 @@ class ExtensionsSpec extends AnyFunSuite {
         "max() aggregate must NOT be rewritten")
     } finally graft.plans.RollupRewrite.clear()
   }
+
+  test("filter-containment rewrite: day predicates served from the day-grained rollup; residuals pass through") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val spark = SparkFixture.spark
+    val dir = SparkFixture.Sf0001
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      PlanCheck.flatten(PlanCheck.finalPlan(df)).collect {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+    val part = graft.queries.Relational.stagedEventsByDay(spark, dir)
+    val rollup = graft.queries.Relational.stagedEventsDayRollup(spark, dir)
+    def q(pred: org.apache.spark.sql.Column) = () =>
+      graft.sources.Layout.readPartitioned(spark, part)
+        .filter(pred)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Det.dsum(col("value"), 6).as("sum_value"))
+        .orderBy("event_type")
+    val dayPred = col("day") >= lit("2024-01-08") && col("day") < lit("2024-01-22")
+    try {
+      graft.plans.RollupRewrite.clear()
+      graft.plans.RollupRewrite.attach(spark)
+      val direct = q(dayPred)().collect().map(_.toSeq).toSeq
+      assert(scanPaths(q(dayPred)()).exists(_.contains("events-by-day")))
+      graft.plans.RollupRewrite.register(graft.plans.RollupSpec(
+        part, "event_type", "value", rollup,
+        groupOut = "event_type", countOut = "n", sumOut = "sb",
+        filterCol = Some("day"), filterOut = "day"))
+      // Fires on the day-only predicate: rollup scanned, corpus NOT.
+      val served = q(dayPred)()
+      val paths = scanPaths(served)
+      assert(paths.exists(_.contains("events-day-rollup")), s"rollup not scanned: $paths")
+      assert(!paths.exists(_.contains("events-by-day")), s"corpus still scanned: $paths")
+      assert(served.collect().map(_.toSeq).toSeq == direct, "rewrite changed the result")
+      // An IN-list day predicate is also day-only → served.
+      val inPred = col("day").isin("2024-01-03", "2024-01-09", "2024-01-17")
+      assert(scanPaths(q(inPred)()).exists(_.contains("events-day-rollup")),
+        "IN-list day predicate should be served from the rollup")
+      val directIn = {
+        graft.plans.RollupRewrite.clear()
+        val r = q(inPred)().collect().map(_.toSeq).toSeq
+        graft.plans.RollupRewrite.register(graft.plans.RollupSpec(
+          part, "event_type", "value", rollup,
+          groupOut = "event_type", countOut = "n", sumOut = "sb",
+          filterCol = Some("day"), filterOut = "day"))
+        r
+      }
+      assert(q(inPred)().collect().map(_.toSeq).toSeq == directIn,
+        "IN-list rewrite changed the result")
+      // Residual predicate (touches a non-grain column): pass through.
+      val residual = q(dayPred && col("value") > 0)()
+      assert(scanPaths(residual).exists(_.contains("events-by-day")),
+        "a predicate on value must NOT be served from the day rollup")
+      // Bare aggregate (no filter) over a filter-grained spec: also served
+      // (all partials merge).
+      val bare = graft.sources.Layout.readPartitioned(spark, part)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(bare).exists(_.contains("events-day-rollup")),
+        "bare aggregate should merge all partials from the rollup")
+    } finally graft.plans.RollupRewrite.clear()
+  }
 }

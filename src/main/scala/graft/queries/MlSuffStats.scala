@@ -706,6 +706,35 @@ object MlSuffStats {
       Tables.embeddings(s, dir), graft.Conf.OneTaskSortMaxBytes)(
       aucWindowForm(s, dir))(aucScaleForm(s, dir))
 
+  /** END-TO-END `ml.Pipeline`, GRADED (BASELINE.json's north-star approach
+    * by name): VectorAssembler → StandardScaler(withMean) →
+    * LogisticRegression fit as ONE PipelineModel
+    * (ml/Pipelines.fittedLogregPipeline), then the SAME model's transform()
+    * replayed over the corpus and summarized as truth×prediction confusion
+    * counts — fit AND serve, the full estimator lifecycle in one key.
+    * DECLARED NO-ORACLE: MLlib's treeAggregate float-sum order makes the
+    * fitted coefficients partitioning-sensitive in the last ulps, so
+    * cross-engine hashing is the wrong contract; MlCrossCheckSpec pins the
+    * fit against q_ml_logreg_converged's sufficient-statistics weights
+    * (raw-space direction cosine; the convex optimum's mean NLL must beat
+    * the fixed-step GD loss) and the confusion counts against the model's
+    * own prediction replay. Scale posture: each L-BFGS iteration is one
+    * aggregation pass over the persisted feature frame (the P2 loop run by
+    * the estimator instead of the driver); transform is a narrow map. */
+  val qMlPipeline: Q = (s, dir) => {
+    val base = Tables.embeddings(s, dir).select(
+      (col("label") % 2).cast("double").as("y") +:
+      (0 until 4).map(i => col("embedding")(i).cast("double").as(s"x$i")): _*)
+    val df = graft.operators.ScaleOps.trackedPersist(base)
+    val model = graft.ml.Pipelines.fittedLogregPipeline(
+      df, "y", (0 until 4).map(i => s"x$i"))
+    model.transform(df)
+      .groupBy(col("y").cast("long").as("truth"),
+        col("prediction").cast("long").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("truth", "pred")
+  }
+
   /** PAIRWISE PEARSON CORRELATION MATRIX of the lineitem numerics
     * (quantity, discount, extendedprice) — the exploratory-stats operator
     * every modeling pass runs first, and a GDA/regression prerequisite.
@@ -802,5 +831,6 @@ object MlSuffStats {
     "q_ml_eval_auc" -> qMlEvalAuc,
     "q_ml_eval_calibration" -> qMlEvalCalibration,
     "q_ml_eval_regression" -> qMlEvalRegression,
+    "q_ml_pipeline" -> qMlPipeline,
     "q_agg_corr" -> qAggCorr)
 }

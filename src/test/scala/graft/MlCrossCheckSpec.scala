@@ -196,4 +196,52 @@ class MlCrossCheckSpec extends AnyFunSuite {
       assert(dot < 1e-3, s"components ${a + 1},${b + 1} not orthogonal: $dot")
     }
   }
+
+  test("q_ml_pipeline: fitted Pipeline agrees with the sufficient-stats GD weights; optimum beats the fixed-step loss; confusion counts consistent") {
+    import org.apache.spark.ml.classification.LogisticRegressionModel
+    import org.apache.spark.ml.feature.StandardScalerModel
+    val base = Tables.embeddings(spark, Sf0001).select(
+      (col("label") % 2).cast("double").as("y") +:
+      (0 until 4).map(i => col("embedding")(i).cast("double").as(s"x$i")): _*)
+    val model = graft.ml.Pipelines.fittedLogregPipeline(
+      base, "y", (0 until 4).map(i => s"x$i"))
+    val scaler = model.stages(1).asInstanceOf[StandardScalerModel]
+    val lr = model.stages(2).asInstanceOf[LogisticRegressionModel]
+    // Scaled-space coefficients map back raw via w_i / sigma_i (the scaler's
+    // mean shift lands in the intercept). The same convex objective fit RAW
+    // (no assembler/scaler stages) converges to the same optimum, so the
+    // mapped-back direction must agree — this pins the pipeline's stage
+    // plumbing, not optimizer luck. (The 4-step GD iterate of
+    // q_ml_logreg_converged is still near its arbitrary init and is NOT a
+    // direction reference; it anchors the loss bound below instead.)
+    val wPipe = (0 until 4).map(i => lr.coefficients(i) / scaler.std(i))
+    val rawFit = graft.ml.Pipelines.logistic(base, "y", (0 until 4).map(i => s"x$i"))
+    val wRaw = (0 until 4).map(i => rawFit.coefficients(i))
+    val cos = wPipe.zip(wRaw).map { case (a, b) => a * b }.sum /
+      (math.sqrt(wPipe.map(x => x * x).sum) * math.sqrt(wRaw.map(x => x * x).sum))
+    info(s"raw-space direction cosine vs unscaled MLlib fit: $cos")
+    assert(cos > 0.999,
+      s"pipeline coefficients diverge from the raw-space optimum: $cos " +
+        s"(pipe=$wPipe raw=$wRaw)")
+    val gd = SparkEntry.queries("q_ml_logreg_converged")(spark, Sf0001).collect()(0)
+    // The convex optimum's mean NLL must be <= the 4-step GD iterate's
+    // (objectiveHistory at regParam 0 IS the mean NLL; the GD key reports
+    // the dsum'd NLL total and n).
+    val gdMeanNll = gd.getDouble(9) / gd.getLong(0).toDouble
+    val pipeMeanNll = lr.summary.objectiveHistory.last
+    info(s"mean NLL: pipeline=$pipeMeanNll gd=$gdMeanNll")
+    assert(pipeMeanNll <= gdMeanNll + 1e-9,
+      s"optimizer worse than 4 GD steps: $pipeMeanNll vs $gdMeanNll")
+    // The graded key's confusion counts == this model's own replay.
+    val key = SparkEntry.queries("q_ml_pipeline")(spark, Sf0001)
+      .collect().map(_.toSeq).toSet
+    val replay = model.transform(base)
+      .groupBy(col("y").cast("long").as("truth"),
+        col("prediction").cast("long").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(key == replay, s"graded counts diverge from the model replay")
+    assert(key.map(_(2).asInstanceOf[Long]).sum ==
+      Tables.embeddings(spark, Sf0001).count(), "confusion counts must cover the corpus")
+  }
 }

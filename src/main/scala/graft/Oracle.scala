@@ -1259,7 +1259,10 @@ object Oracle {
 
       // AUC: the same per-distinct-score grouping + inclusive running
       // count, folded through the identical all-integer Mann-Whitney
-      // identity; the only float op is the one final division.
+      // identity INCLUDING the 6-dp HALF_UP rounding (r15:
+      // round(x·10⁶/d) = (2·x·10⁶ + d) // (2·d) for non-negative x — the
+      // double-division epilogue left the 2^53 mantissa past ~9e7 rows);
+      // the only float op is the exact final auc₆/10⁶ division.
       "q_ml_eval_auc" ->
         """WITH r AS (SELECT CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) AS score,
                              CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
@@ -1271,13 +1274,13 @@ object Oracle {
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
                   FROM g),
             t AS (SELECT CAST(sum(CAST(p_g AS DECIMAL(38,0))
-                                  * CAST(2 * (run - n_g) + n_g + 1 AS DECIMAL(38,0))) AS BIGINT) AS numer2,
-                         CAST(sum(p_g) AS BIGINT) AS n_pos,
-                         CAST(sum(n_g - p_g) AS BIGINT) AS n_neg
+                                  * CAST(2 * (run - n_g) + n_g + 1 AS DECIMAL(38,0))) AS HUGEINT) AS numer2,
+                         CAST(sum(p_g) AS HUGEINT) AS np,
+                         CAST(sum(n_g - p_g) AS HUGEINT) AS nn
                   FROM c)
-            SELECT n_pos, n_neg,
-                   round(CAST(numer2 - n_pos * (n_pos + 1) AS DOUBLE)
-                         / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc
+            SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+                   CAST((2 * (numer2 - np * (np + 1)) * 1000000 + 2 * np * nn)
+                        // (4 * np * nn) AS BIGINT) / 1000000.0 AS auc
             FROM t""",
 
       // Correlation matrix: same sufficient statistics (same dsum scales),

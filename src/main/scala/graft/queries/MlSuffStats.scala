@@ -650,24 +650,29 @@ object MlSuffStats {
     * score group = cum_before + (n_g+1)/2, so
     *   2·Σ_pos avgrank = Σ p_g · (2·(run − n_g) + n_g + 1)  (exact),
     *   AUC = (2·Σ_pos avgrank − n⁺(n⁺+1)) / (2·n⁺·n⁻).
-    * The sum rides DECIMAL(38,0) (the accumulated term is O(n²), far past
-    * Long range at extreme n), comes back as a BIGINT, and the ONE float
-    * op is the final correctly-rounded division — bit-identical in any
-    * engine at any partitioning. Envelope (the dsum convention): the
-    * BIGINT epilogue is exact while n² fits 2^63 (n ≲ 3e9 rows) and the
-    * division's operands are exactly representable while n² fits 2^53
-    * (n ≲ 9e7) — past that, keep the epilogue in decimal end-to-end. */
+    * Everything rides DECIMAL(38,0) (the accumulated term is O(n²), far
+    * past Long range at extreme n), INCLUDING the 6-dp rounding: HALF_UP
+    * of a non-negative ratio is the integer identity
+    *   round(numer·10⁶ / denom) = (2·numer·10⁶ + denom) div (2·denom),
+    * so the one float op left is the exact final division auc₆/10⁶ (auc₆
+    * ≤ 10⁶, both exactly representable) — bit-identical in any engine at
+    * ANY n (r15: this closes the old ≲9e7-row envelope where
+    * round-after-double-division left the 2^53 mantissa; the decimal
+    * identity is unconditional, and R14OpsSpec pins it equal to the
+    * brute-force double-division epilogue at testable scale, both
+    * routes). */
   private def aucFromRuns(withRun: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     withRun
       .agg(
         sum(dec(col("p_g")) * dec(lit(2L) * (col("run") - col("n_g"))
-          + col("n_g") + lit(1L))).cast("long").as("numer2"),
+          + col("n_g") + lit(1L))).as("numer2"),
         sum(col("p_g")).as("n_pos"), sum(col("n_g") - col("p_g")).as("n_neg"))
+      .select(col("numer2"), dec(col("n_pos")).as("np"),
+        dec(col("n_neg")).as("nn"), col("n_pos"), col("n_neg"))
       .select(col("n_pos"), col("n_neg"),
-        round((col("numer2") - col("n_pos") * (col("n_pos") + lit(1L)))
-          .cast("double") /
-          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+        (expr("CAST((2 * (numer2 - np * (np + 1)) * 1000000 + 2 * np * nn) " +
+          "DIV (4 * np * nn) AS BIGINT)").cast("double") / lit(1e6)).as("auc"))
   }
 
   private def aucGroups(s: SparkSession, dir: String): DataFrame =

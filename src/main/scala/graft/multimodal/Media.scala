@@ -6,15 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal (binary) column processing — north-star surface: image/audio/
   * video ride through the engine as opaque `binary` payloads plus typed
   * metadata, and the decode/feature steps run distributed with a real batch
-  * shape. The codec is REAL: payloads are synthesized in three public
+  * shape. The codec is REAL: payloads are synthesized in four public
   * container formats — BMP (24-bpp BITMAPINFOHEADER images), WAV (RIFF PCM
-  * audio), and Y4M (YUV4MPEG2 C420 video) — and the decoder sniffs the
-  * magic, parses the actual headers (little-endian fields, chunk walks,
-  * stride-aware pixel rows), and extracts features from the decoded data
-  * sections. No image/audio libraries exist in this container, so the
-  * formats are parsed from their published layouts directly; a JNI/javacpp
-  * decoder for compressed formats (JPEG/FLAC/H.264) would slot into the
-  * same [[decode]] seam without touching any Spark-side plumbing.
+  * audio), Y4M (YUV4MPEG2 C420 video), and PNG (8-bit truecolor,
+  * zlib-deflated multi-IDAT — the COMPRESSED tier, r15) — and the decoder
+  * sniffs the magic, parses the actual headers (little/big-endian fields,
+  * chunk walks, stride-aware pixel rows, inflate + all five PNG
+  * unfilters), and extracts features from the decoded data sections. No
+  * image/audio libraries exist in this container, so the formats are
+  * parsed from their published layouts directly (PNG's compression via
+  * the public java.util.zip Inflater/Deflater/CRC32); a JNI/javacpp
+  * decoder for other compressed formats (JPEG/FLAC/H.264) would slot into
+  * the same [[decode]] seam without touching any Spark-side plumbing.
   *
   * Scale posture: payloads never pass through a shuffle wider than their
   * repartition; decode is mapPartitions (the documented last-resort tier of
@@ -108,6 +111,149 @@ object Media {
     putIntLE(b, 40, dataBytes)
     fill(b, 44, b.length, id * 2000003L)
     b
+  }
+
+  private def putIntBE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+  private def getIntBE(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngSig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+    0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** One PNG chunk: BE length + 4-char tag + data + CRC32 over tag+data
+    * (java.util.zip.CRC32 — the polynomial the PNG spec mandates). */
+  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + data.length)
+    putIntBE(out, 0, data.length)
+    for (i <- 0 until 4) out(4 + i) = tag.charAt(i).toByte
+    System.arraycopy(data, 0, out, 8, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 4, 4 + data.length)
+    putIntBE(out, 8 + data.length, crc.getValue.toInt)
+    out
+  }
+
+  /** 8-bit truecolor PNG — the COMPRESSED container tier (the BMP/WAV/Y4M
+    * encoders above are raw): signature + IHDR + a zlib-deflated scanline
+    * stream split across MULTIPLE small IDAT chunks (real encoders chunk
+    * their stream; a decoder must concatenate before inflating) + IEND.
+    * Scanlines rotate per-row filter types 0/1/2 (None/Sub/Up), so the
+    * decoder's unfiltering is genuinely exercised, not a pass-through. */
+  private[graft] def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val bpp = 3
+    val raw = Array.ofDim[Byte](h, w * bpp)
+    for (y <- 0 until h) fill(raw(y), 0, w * bpp, id * 4000037L + y)
+    val scan = new Array[Byte](h * (1 + w * bpp))
+    var off = 0
+    for (y <- 0 until h) {
+      val ft = y % 3
+      scan(off) = ft.toByte; off += 1
+      for (i <- 0 until w * bpp) {
+        val cur = raw(y)(i) & 0xff
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - (if (i >= bpp) raw(y)(i - bpp) & 0xff else 0)
+          case _ => cur - (if (y > 0) raw(y - 1)(i) & 0xff else 0)
+        }
+        scan(off) = v.toByte; off += 1
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(scan); defl.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](1024)
+    while (!defl.finished()) {
+      val n = defl.deflate(tmp)
+      bos.write(tmp, 0, n)
+    }
+    defl.end()
+    val ihdr = new Array[Byte](13)
+    putIntBE(ihdr, 0, w); putIntBE(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor; compression/filter/interlace 0
+    val idats = bos.toByteArray.grouped(97).map(pngChunk("IDAT", _))
+    PngSig ++ pngChunk("IHDR", ihdr) ++ idats.flatten ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length > 8 && (0 until 8).forall(i => p(i) == PngSig(i))
+
+  /** PNG decode to unfiltered RGB bytes: chunk walk (IHDR dims/depth/color
+    * checks, ancillary chunks skipped), multi-IDAT concatenation, zlib
+    * inflate (java.util.zip.Inflater — the public JVM API), then per-row
+    * unfiltering of ALL FIVE spec filter types (None/Sub/Up/Average/Paeth
+    * — the encoder above emits 0–2; a foreign encoder may emit any).
+    * Returns (width, height, h·w·3 reconstructed bytes). */
+  private[multimodal] def pngPixels(assetId: Long, p: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(isPng(p), s"asset $assetId: not a PNG")
+    var off = 8
+    var w = 0; var h = 0; var seenIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done && off + 8 <= p.length) {
+      val len = getIntBE(p, off)
+      val tag = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(len >= 0 && off + 12 + len <= p.length,
+        s"asset $assetId: truncated PNG chunk at $off")
+      tag match {
+        case "IHDR" =>
+          w = getIntBE(p, off + 8); h = getIntBE(p, off + 12)
+          val bitDepth = p(off + 16) & 0xff
+          val colorType = p(off + 17) & 0xff
+          require(bitDepth == 8 && colorType == 2,
+            s"asset $assetId: unsupported PNG ($bitDepth-bit colortype $colorType)")
+          require(w > 0 && h > 0, s"asset $assetId: bad PNG dims ${w}x$h")
+          seenIhdr = true
+        case "IDAT" => idat.write(p, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks (tEXt, pHYs, ...) are skippable
+      }
+      off += 12 + len
+    }
+    require(seenIhdr && idat.size() > 0, s"asset $assetId: PNG missing IHDR/IDAT")
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val bpp = 3
+    val stride = 1 + w * bpp
+    val scan = new Array[Byte](h * stride)
+    var got = 0
+    while (!inf.finished() && got < scan.length) {
+      val n = inf.inflate(scan, got, scan.length - got)
+      require(n > 0 || inf.finished(), s"asset $assetId: PNG inflate stalled at $got")
+      got += n
+    }
+    inf.end()
+    require(got == scan.length,
+      s"asset $assetId: PNG pixel data short: $got of ${scan.length}")
+    val out = new Array[Byte](h * w * bpp)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val pp = a + b - c
+      val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    for (y <- 0 until h) {
+      val ft = scan(y * stride) & 0xff
+      for (i <- 0 until w * bpp) {
+        val x = scan(y * stride + 1 + i) & 0xff
+        val a = if (i >= bpp) out(y * w * bpp + i - bpp) & 0xff else 0
+        val b = if (y > 0) out((y - 1) * w * bpp + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) out((y - 1) * w * bpp + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, c)
+          case other => sys.error(s"asset $assetId: bad PNG filter $other on row $y")
+        }
+        out(y * w * bpp + i) = (v & 0xff).toByte
+      }
+    }
+    (w, h, out)
   }
 
   /** YUV4MPEG2 (y4m) video: the textual stream header, then per frame a
@@ -217,6 +363,18 @@ object Media {
       val (mean, hash, _) = meanAndHash(pick)
       MediaFeatures(a.asset_id, a.media_type, p.length.toLong, w, h, mean,
         pick.length, hash)
+    } else if (isPng(p)) {
+      // PNG — the COMPRESSED tier of the codec seam: chunk walk,
+      // multi-IDAT inflate, per-row unfilter; features come from the
+      // RECONSTRUCTED pixels (same mean + rolling hash as the raw tiers).
+      val (w, h, px) = pngPixels(a.asset_id, p)
+      var sum = 0L; var hh = 1125899906842597L
+      var i = 0
+      while (i < px.length) {
+        sum += px(i) & 0xff; hh = hh * 31 + (px(i) & 0xff); i += 1
+      }
+      MediaFeatures(a.asset_id, a.media_type, p.length.toLong, w, h,
+        if (px.isEmpty) 0.0 else sum.toDouble / px.length, 1, hh)
     } else sys.error(s"asset ${a.asset_id}: unknown container magic")
   }
 
@@ -310,6 +468,21 @@ object Media {
         take(mid + sy * w + sx)
       }
       done(w, h)
+    } else if (isPng(p)) {
+      // PNG: nearest-neighbor over the RECONSTRUCTED pixel array (decode
+      // first — compressed bytes cannot be picked positionally).
+      val (w, h, px) = pngPixels(a.asset_id, p)
+      for (ty <- 0 until th; tx <- 0 until tw) {
+        val sy = ty * h / th; val sx = tx * w / tw
+        val base = (sy * w + sx) * 3
+        var k = 0
+        while (k < 3) {
+          sum += px(base + k) & 0xff
+          hash = hash * 31 + (px(base + k) & 0xff)
+          n += 1; k += 1
+        }
+      }
+      done(w, h)
     } else sys.error(s"asset ${a.asset_id}: unknown container magic")
   }
 
@@ -328,21 +501,25 @@ object Media {
   }
 
   /** Deterministic synthetic media table keyed by `documents` (one asset
-    * per document id): REAL encoded payloads — BMP / WAV / Y4M by id mod 3
+    * per document id): REAL encoded payloads — BMP / WAV / Y4M / PNG by id
+    * mod 4 (PNG added r15: the compressed tier, zlib-deflated multi-IDAT)
     * — carried as `binary` parquet-style columns with typed metadata, the
     * shape a production ingest lands. Audio's sample count is width ×
-    * height so every asset's content size derives from its metadata. */
+    * height so every asset's content size derives from its metadata; the
+    * container is sniffed from the magic, never the media_type (both image
+    * containers declare "image"). */
   def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .map { id =>
-        val mediaType = Seq("image", "audio", "video")((id % 3).toInt)
+        val mediaType = Seq("image", "audio", "video", "image")((id % 4).toInt)
         val w = ((id % 16) * 2 + 8).toInt
         val h = ((id % 12) * 2 + 6).toInt
-        val payload = mediaType match {
-          case "image" => encodeBmp(id, w, h)
-          case "audio" => encodeWav(id, w * h)
-          case "video" => encodeY4m(id, w, h, (id % 7 + 1).toInt)
+        val payload = (id % 4).toInt match {
+          case 0 => encodeBmp(id, w, h)
+          case 1 => encodeWav(id, w * h)
+          case 2 => encodeY4m(id, w, h, (id % 7 + 1).toInt)
+          case _ => encodePng(id, w, h)
         }
         MediaAsset(id, mediaType, w, h, payload)
       }

@@ -21,16 +21,92 @@ class MediaSpec extends AnyFunSuite {
   }
 
   test("payloads are real containers: magic bytes match the declared type") {
+    var sawBmp = 0; var sawPng = 0
     for (a <- Media.syntheticAssets(spark, Sf0001).collect()) {
       val magic = new String(a.payload.take(9).map(b => (b & 0xff).toChar))
       a.media_type match {
-        case "image" => assert(magic.startsWith("BM"), s"asset ${a.asset_id}")
+        case "image" =>
+          // Two image containers: raw BMP and compressed PNG (sniffed from
+          // the magic, never the media_type).
+          val png = (a.payload(0) & 0xff) == 0x89 && magic.substring(1, 4) == "PNG"
+          assert(magic.startsWith("BM") || png, s"asset ${a.asset_id}")
+          if (png) sawPng += 1 else sawBmp += 1
         case "audio" => assert(magic.startsWith("RIFF") &&
           new String(a.payload.slice(8, 12).map(_.toChar)) == "WAVE",
           s"asset ${a.asset_id}")
         case "video" => assert(magic == "YUV4MPEG2", s"asset ${a.asset_id}")
       }
     }
+    assert(sawBmp > 0 && sawPng > 0, s"both image containers must appear: bmp=$sawBmp png=$sawPng")
+  }
+
+  test("PNG decode: independent chunk walk + inflate + unfilter reproduces the features; multi-IDAT exercised") {
+    val pngs = Media.syntheticAssets(spark, Sf0001)
+      .filter(col("asset_id") % 4 === 3).collect().take(8)
+    assert(pngs.nonEmpty)
+    val feats = Media.extractFeatures(Media.syntheticAssets(spark, Sf0001))
+      .collect().map(f => f.asset_id -> f).toMap
+    for (a <- pngs) {
+      val p = a.payload
+      def be32(o: Int) = ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+        ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+      // Independent walk (separately written from Media.pngPixels).
+      assert((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      var off = 8; var w = 0; var h = 0; var nIdat = 0
+      val zs = new java.io.ByteArrayOutputStream()
+      while (off + 8 <= p.length) {
+        val len = be32(off)
+        val tag = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        // CRC of every chunk must validate (tag + data).
+        val crc = new java.util.zip.CRC32()
+        crc.update(p, off + 4, 4 + len)
+        assert(crc.getValue.toInt == be32(off + 8 + len),
+          s"asset ${a.asset_id}: chunk $tag CRC mismatch")
+        if (tag == "IHDR") { w = be32(off + 8); h = be32(off + 12) }
+        if (tag == "IDAT") { nIdat += 1; zs.write(p, off + 8, len) }
+        off += 12 + len
+      }
+      assert(nIdat >= 2, s"asset ${a.asset_id}: expected a multi-IDAT stream, got $nIdat")
+      assert(w == a.width && h == a.height)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(zs.toByteArray)
+      val scan = new Array[Byte](h * (1 + w * 3))
+      var got = 0
+      while (!inf.finished()) got += inf.inflate(scan, got, scan.length - got)
+      inf.end()
+      assert(got == scan.length)
+      // Unfilter (encoder rotates None/Sub/Up) with separately written code.
+      val px = Array.ofDim[Int](h, w * 3)
+      for (y <- 0 until h) {
+        val ft = scan(y * (1 + w * 3)) & 0xff
+        for (i <- 0 until w * 3) {
+          val x = scan(y * (1 + w * 3) + 1 + i) & 0xff
+          px(y)(i) = ft match {
+            case 0 => x
+            case 1 => (x + (if (i >= 3) px(y)(i - 3) else 0)) & 0xff
+            case 2 => (x + (if (y > 0) px(y - 1)(i) else 0)) & 0xff
+          }
+        }
+      }
+      var sum = 0L; var n = 0L; var hh = 1125899906842597L
+      for (y <- 0 until h; i <- 0 until w * 3) {
+        sum += px(y)(i); hh = hh * 31 + px(y)(i); n += 1
+      }
+      val f = feats(a.asset_id)
+      assert(f.decoded_width == w && f.decoded_height == h)
+      assert(f.mean_byte == sum.toDouble / n, s"asset ${a.asset_id}: mean diverged")
+      assert(f.phash == hh, s"asset ${a.asset_id}: hash diverged")
+    }
+  }
+
+  test("PNG resize at source dims reproduces the decoder's full-image mean") {
+    import spark.implicits._
+    val asset = Media.MediaAsset(7L, "image", 8, 6, Media.encodePng(7L, 8, 6))
+    val f = Media.extractFeatures(Seq(asset).toDS()).collect()(0)
+    val t = Media.resizeThumbs(Seq(asset).toDS(), tw = 8, th = 6).collect()(0)
+    assert(t.src_width == 8 && t.src_height == 6)
+    assert(t.thumb_mean == f.mean_byte,
+      "PNG decode/resize mean diverged at identity dims")
   }
 
   test("decoder recovers the true header dimensions, not the metadata") {
@@ -115,7 +191,7 @@ class MediaSpec extends AnyFunSuite {
     val thumbs = Media.resizeThumbs(assets).toDF()
       .select(col("asset_id"), col("thumb_mean"), col("src_width"), col("src_height"))
     val both = feats.join(thumbs, "asset_id")
-      .filter(col("asset_id") % 48 === 0 && col("asset_id") % 3 === 0)
+      .filter(col("asset_id") % 48 === 0 && col("asset_id") % 4 === 0)
       .collect()
     assert(both.nonEmpty)
     both.foreach { r =>

@@ -143,14 +143,19 @@ class NoOracleSpec extends AnyFunSuite {
       (BigDecimal(if (n == 0) 0.0 else sum.toDouble / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, h)
     }
+    def be32(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+        ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
     val exp = graft.multimodal.Media.syntheticAssets(spark, Sf0001).collect()
       .map { a =>
         val p = a.payload
-        val (w, h, frames, ranges) =
+        val (w, h, frames, mean, hash) =
           if (p(0) == 'B' && p(1) == 'M') {
             val off = le32(p, 10); val w = le32(p, 18); val hh = le32(p, 22)
             val rowSize = ((3 * w + 3) / 4) * 4
-            (w, hh, 1, (0 until hh).map(y => (off + y * rowSize, off + y * rowSize + 3 * w)))
+            val (m, hs) = feat(
+              (0 until hh).map(y => (off + y * rowSize, off + y * rowSize + 3 * w)), p)
+            (w, hh, 1, m, hs)
           } else if (p(0) == 'R') { // RIFF/WAVE
             var off = 12; var ch = 0; var ba = 0; var dFrom = -1; var dLen = 0
             while (off + 8 <= p.length) {
@@ -160,7 +165,40 @@ class NoOracleSpec extends AnyFunSuite {
               if (cid == "data") { dFrom = off + 8; dLen = len }
               off += 8 + len + (len & 1)
             }
-            (dLen / ba, ch, 1, Seq((dFrom, dFrom + dLen)))
+            val (m, hs) = feat(Seq((dFrom, dFrom + dLen)), p)
+            (dLen / ba, ch, 1, m, hs)
+          } else if ((p(0) & 0xff) == 0x89) { // PNG (r15: compressed tier)
+            var off = 8; var w = 0; var hh = 0
+            val zs = new java.io.ByteArrayOutputStream()
+            while (off + 8 <= p.length) {
+              val len = be32(p, off)
+              val tag = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+              if (tag == "IHDR") { w = be32(p, off + 8); hh = be32(p, off + 12) }
+              if (tag == "IDAT") zs.write(p, off + 8, len)
+              off += 12 + len
+            }
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(zs.toByteArray)
+            val scan = new Array[Byte](hh * (1 + w * 3))
+            var got2 = 0
+            while (!inf.finished()) got2 += inf.inflate(scan, got2, scan.length - got2)
+            inf.end()
+            val px = Array.ofDim[Int](hh, w * 3)
+            for (y <- 0 until hh; i <- 0 until w * 3) {
+              val x = scan(y * (1 + w * 3) + 1 + i) & 0xff
+              px(y)(i) = (scan(y * (1 + w * 3)) & 0xff) match {
+                case 0 => x
+                case 1 => (x + (if (i >= 3) px(y)(i - 3) else 0)) & 0xff
+                case 2 => (x + (if (y > 0) px(y - 1)(i) else 0)) & 0xff
+              }
+            }
+            var sum = 0L; var n = 0L; var hs = 1125899906842597L
+            for (y <- 0 until hh; i <- 0 until w * 3) {
+              sum += px(y)(i); hs = hs * 31 + px(y)(i); n += 1
+            }
+            val m = BigDecimal(sum.toDouble / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (w, hh, 1, m, hs)
           } else { // YUV4MPEG2
             val nl = p.indexOf('\n'.toByte)
             val params = new String(p, 0, nl, java.nio.charset.StandardCharsets.US_ASCII).split(' ')
@@ -175,9 +213,9 @@ class NoOracleSpec extends AnyFunSuite {
             val s = all.result()
             val step = math.max(1, n / 4)
             val pick = s.indices.by(step).take(4).map(s)
-            (w, hh, pick.length, pick)
+            val (m, hs) = feat(pick, p)
+            (w, hh, pick.length, m, hs)
           }
-        val (mean, hash) = feat(ranges, p)
         a.asset_id -> ((a.media_type, p.length.toLong, w, h, mean, frames, hash))
       }.toMap
     assert(got == exp,

@@ -48,9 +48,22 @@ object Ivf {
     * parquet layout (sources/Layout), so probing becomes directory-level
     * partition pruning — the read itself skips ≈ 1 − nProbe/nCells of the
     * bytes before any IO, which is where the IVF win actually lives at
-    * 100 TB (an in-memory `filter` still scans everything). */
+    * 100 TB (an in-memory `filter` still scans everything).
+    * `tunedNProbe` is the build-time measured setting ([[tuneNProbe]]),
+    * stored beside the layout as `_ivf_nprobe` and used when a search
+    * passes no explicit width. */
   case class DiskIndex(path: String, model: KMeansModel,
-                       arrayCol: String, idCol: String)
+                       arrayCol: String, idCol: String,
+                       tunedNProbe: Option[Int] = None)
+
+  /** Read back a layout's stored tuned probe width (the `_ivf_nprobe`
+    * sidecar [[buildPartitioned]] writes). */
+  def storedNProbe(path: String): Option[Int] = {
+    val f = java.nio.file.Paths.get(path, "_ivf_nprobe")
+    if (java.nio.file.Files.exists(f))
+      Some(java.nio.file.Files.readString(f).trim.toInt)
+    else None
+  }
 
   /** The nProbe cells whose centroids are nearest the query. Centroids are
     * model parameters — a tiny driver-side array, not a data collect. */
@@ -87,6 +100,55 @@ object Ivf {
       index.arrayCol, index.idCol, query, k)
   }
 
+  /** BUILD-TIME nProbe AUTO-TUNING from a MEASURED recall curve (r15 — a
+    * fixed probe width either over-reads easy corpora or under-recalls
+    * hard ones): take the `nSamples` smallest-id vectors as held sample
+    * queries, compute their EXACT top-k in ONE corpus pass (all samples
+    * ride a single broadcast cross join — not a pass per query), keep each
+    * true neighbour's assigned cell, and rank that cell in the SAME
+    * centroid-distance order [[nearestCells]] probes. Recall at probe
+    * width p is then just `fraction of true-neighbour cells ranking < p` —
+    * the whole curve falls out of one pass plus driver arithmetic on
+    * S·k integers. Returns the smallest p whose measured recall ≥
+    * `targetRecall` (p = nCells always reaches 1.0). At 100 TB the one
+    * exact pass is a build-time cost on the order of the quantizer's own
+    * assignment pass; the curve is stored beside the centroids
+    * ([[buildPartitioned]]) so every search inherits the tuned setting. */
+  def tuneNProbe(index: Index, k: Int, targetRecall: Double,
+                 nSamples: Int = 8): Int = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val idC = col(index.idCol)
+    val samples = index.assigned
+      .select(idC.cast("long"), col(index.arrayCol).cast("array<double>"))
+      .orderBy(idC).limit(nSamples)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(samples.nonEmpty, "tuneNProbe: empty index")
+    val qdf = samples.toSeq.toDF("__qid", "__qe")
+    val topk = index.assigned
+      .crossJoin(broadcast(qdf))
+      .withColumn("__d", Vec.euclid(index.arrayCol, "__qe"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__qid")).orderBy(col("__d"), idC)))
+      .filter(col("__r") <= k)
+      .select(col("__qid"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))) // S·k rows — parameters
+    val centroids = index.model.clusterCenters.map(_.toArray)
+    val rankByQid: Map[Long, Array[Int]] = samples.map { case (qid, q) =>
+      val order = centroids.zipWithIndex.map { case (c, i) =>
+        (i, c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (i, d) => (d, i) }.map(_._1)
+      val rank = new Array[Int](centroids.length)
+      for ((cell, pos) <- order.zipWithIndex) rank(cell) = pos
+      qid -> rank
+    }.toMap
+    val ranks = topk.map { case (qid, cell) => rankByQid(qid)(cell) }
+    val total = ranks.length.toDouble
+    (1 to centroids.length).find(p => ranks.count(_ < p) / total >= targetRecall)
+      .getOrElse(centroids.length)
+  }
+
   /** APPEND a new vector batch to an existing index WITHOUT retraining the
     * quantizer — the per-ingest maintenance op of the ANN family (the
     * incremental argument of q_agg_incremental / q_dedup_incremental,
@@ -114,24 +176,41 @@ object Ivf {
       assign(index.model, batch, index.arrayCol), index.path, "cell",
       mode = org.apache.spark.sql.SaveMode.Append)
 
-  /** Build and PERSIST: quantize, then write the assigned table partitioned
-    * by cell (bounded file counts via Layout's hash-bucket redistribution).
-    * This is the 100 TB build path — the index layout IS the table layout. */
+  /** Build and PERSIST: quantize, TUNE the probe width on a held sample
+    * ([[tuneNProbe]] — the assigned frame is persisted across the tune +
+    * write passes), then write the assigned table partitioned by cell
+    * (bounded file counts via Layout's hash-bucket redistribution) with
+    * the tuned width stored beside it. This is the 100 TB build path —
+    * the index layout IS the table layout, and its recall setting ships
+    * with it. */
   def buildPartitioned(embeddings: DataFrame, arrayCol: String, nCells: Int,
                        path: String, seed: Long = 42L,
-                       idCol: String = "vec_id"): DiskIndex = {
-    val idx = build(embeddings, arrayCol, nCells, seed, idCol)
+                       idCol: String = "vec_id",
+                       tuneForK: Int = 10,
+                       targetRecall: Double = 0.9): DiskIndex = {
+    val idx0 = build(embeddings, arrayCol, nCells, seed, idCol)
+    val idx = idx0.copy(assigned =
+      graft.operators.ScaleOps.trackedPersist(idx0.assigned))
+    val nProbe = tuneNProbe(idx, tuneForK, targetRecall)
     graft.sources.Layout.writePartitioned(idx.assigned, path, "cell")
-    DiskIndex(path, idx.model, arrayCol, idCol)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_ivf_nprobe"), nProbe.toString)
+    DiskIndex(path, idx.model, arrayCol, idCol, Some(nProbe))
   }
 
   /** Search the on-disk layout: the probe filter lands on the partition
     * column, so the scan prunes non-probed cell directories before reading
     * a byte (PartitionFilters in the scan node — asserted in IvfSpec).
-    * Results are identical to the in-memory `search` over the same index. */
+    * Results are identical to the in-memory `search` over the same index.
+    * `nProbe` ≤ 0 uses the index's build-time tuned width (in-memory field
+    * or the `_ivf_nprobe` sidecar). */
   def searchPartitioned(spark: SparkSession, index: DiskIndex,
-                        query: Array[Double], k: Int, nProbe: Int): DataFrame = {
-    val probes = nearestCells(index.model, query, nProbe)
+                        query: Array[Double], k: Int, nProbe: Int = -1): DataFrame = {
+    val width =
+      if (nProbe > 0) nProbe
+      else index.tunedNProbe.orElse(storedNProbe(index.path)).getOrElse(
+        sys.error(s"no tuned nProbe stored at ${index.path}; pass one explicitly"))
+    val probes = nearestCells(index.model, query, width)
     val assigned = graft.sources.Layout.readPartitioned(spark, index.path)
     rerank(
       assigned.filter(col("cell").isin(probes.map(Integer.valueOf): _*)),

@@ -1399,13 +1399,20 @@ object LlmOps {
   val qSimIvfAnn: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     // maxIter 4: the quantizer only has to ROUTE (recall comes from the
-    // 6-cell probe + exact re-rank); extra Lloyd iterations buy cell
-    // balance, not answer quality — NoOracleSpec still asserts recall.
-    val index = graft.ml.Ivf.build(
+    // probe + exact re-rank); extra Lloyd iterations buy cell balance, not
+    // answer quality — NoOracleSpec still asserts recall. The probe WIDTH
+    // is not guessed: Ivf.tuneNProbe measures the recall curve on a held
+    // sample at build time (r15) and the search runs at the smallest width
+    // whose measured recall ≥ 0.9 — the assigned frame is persisted across
+    // the tune + search passes.
+    val index0 = graft.ml.Ivf.build(
       e.filter(col("vec_id") =!= 0), "embedding", nCells = 16, maxIter = 4)
+    val index = index0.copy(assigned =
+      graft.operators.ScaleOps.trackedPersist(index0.assigned))
+    val nProbe = graft.ml.Ivf.tuneNProbe(index, k = 10, targetRecall = 0.9)
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
-    graft.ml.Ivf.search(index, q, k = 10, nProbe = 6)
+    graft.ml.Ivf.search(index, q, k = 10, nProbe = nProbe)
       .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
   }

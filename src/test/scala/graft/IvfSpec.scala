@@ -117,4 +117,34 @@ class IvfSpec extends AnyFunSuite {
       assert(got == mem, s"disk=$got mem=$mem (before append: $before)")
     } finally Tables.deleteRecursively(dir)
   }
+
+  test("auto-tuned nProbe: stored beside the layout, used by default, recall >= 0.8 on held-out queries") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_tuned").toString
+    try {
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val disk = Ivf.buildPartitioned(corpus, "embedding", nCells = 16,
+        path = dir, tuneForK = 10, targetRecall = 0.9)
+      // Stored beside the centroids' layout and round-trippable.
+      val stored = Ivf.storedNProbe(dir)
+      assert(stored == disk.tunedNProbe && stored.exists(p => p >= 1 && p <= 16),
+        s"stored=$stored field=${disk.tunedNProbe}")
+      // The tuning samples are the smallest ids — evaluate recall on
+      // held-out queries OUTSIDE that sample (largest ids), at the stored
+      // width used by DEFAULT (no explicit nProbe).
+      val heldOut = all.filter(_._1 != 0L).sortBy(-_._1).take(5)
+      val recalls = heldOut.map { case (qid, q) =>
+        val truth = all.filter(t => t._1 != 0L)
+          .map { case (id, v) =>
+            (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+          }
+          .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+        val got = Ivf.searchPartitioned(spark, disk, q, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (got & truth).size.toDouble / truth.size
+      }
+      val mean = recalls.sum / recalls.length
+      info(s"tuned nProbe=${stored.get}, held-out recalls=${recalls.mkString(",")}")
+      assert(mean >= 0.8, s"mean held-out recall $mean at tuned width $stored")
+    } finally Tables.deleteRecursively(dir)
+  }
 }

@@ -261,7 +261,8 @@ object ScaleSoak {
     // A wanted key with no pair would otherwise time NOTHING and still
     // write a soak_results.json that reads as a completed A/B (ADVICE r12).
     val unknown =
-      wanted -- pairs.map(_._1).toSet -- solos.map(_._1).toSet - "skew" - "manifest"
+      wanted -- pairs.map(_._1).toSet -- solos.map(_._1).toSet -
+        "skew" - "manifest" - "chain"
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"ScaleSoak: no A/B pair for wanted key(s): ${unknown.mkString(",")} " +
@@ -340,6 +341,36 @@ object ScaleSoak {
         spark.sparkContext.removeSparkListener(listener)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       }
+    }
+
+    // ADVERSARIAL-CHAIN components soak (key "chain", r15): a 1M-node path
+    // is min-label propagation's worst case (diameter = n — the 50-round
+    // budget is hopeless by six orders of magnitude), so
+    // connectedComponentsAuto MUST read the flat change trajectory inside
+    // its probe budget and escalate to the star contraction (O(log n)
+    // rounds). Graded claims: the single correct min-labeled component
+    // over 1M nodes, and completion at all — a wall time consistent with
+    // ~20 contraction rounds, not a million propagation rounds.
+    if (wanted.isEmpty || wanted("chain")) {
+      val n = 1000000L
+      val pairsDf = spark.range(1L, n)
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      println(s"[soak] chain: $n-node path via connectedComponentsAuto ...")
+      val t0 = System.nanoTime()
+      val labels = graft.operators.Components
+        .connectedComponentsAuto(pairsDf, "a", "b")
+      val stats = labels.agg(count(lit(1)), countDistinct(col("comp")),
+        min(col("comp")), max(col("comp"))).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.operators.ScaleOps.releaseTracked()
+      println(f"[soak] chain: ${dt}%.1f s nodes=${stats.getLong(0)} " +
+        f"components=${stats.getLong(1)} labels=[${stats.getLong(2)},${stats.getLong(3)}]")
+      Files.writeString(Paths.get(out, "soak_chain.json"),
+        f"""{"key":"chain","nodes":$n,"sec":$dt%.2f,"components":${stats.getLong(1)},"min_label":${stats.getLong(2)},"max_label":${stats.getLong(3)}}""" + "\n")
+      if (stats.getLong(0) != n || stats.getLong(1) != 1L ||
+          stats.getLong(2) != 1L || stats.getLong(3) != 1L)
+        throw new IllegalStateException(
+          "chain soak: labels are not the single min-labeled component")
     }
 
     // MANIFEST-MAINTENANCE soak — the O(touched) claim of the

@@ -29,35 +29,43 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** (id, comp) for every node that appears in `pairs`; comp is the
-    * minimum node id reachable from the node (including itself). */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 50): DataFrame = {
-    // Symmetrize in ONE pass over `pairs` (explode of the two orientations),
-    // not a union of two selects — a union would reference the pair plan
-    // twice and recompute the (expensive) pair-generation pipeline per side.
-    val edges = ScaleOps.trackedPersist(
+  // Each round's frame is LINEAGE-TRUNCATED (eager checkpoint): without
+  // it the logical plan nests one join deeper per round and analysis cost
+  // grows without bound — the classic iterative-lineage explosion. When a
+  // checkpoint dir is configured (any cluster deployment: HDFS/object
+  // store), the truncation is a RELIABLE checkpoint, so a lost executor
+  // replays one round, not the whole loop; locally (no checkpoint dir) it
+  // falls back to executor-block localCheckpoint, whose non-recoverability
+  // doesn't matter in a single-JVM run.
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  // Symmetrize in ONE pass over `pairs` (explode of the two orientations),
+  // not a union of two selects — a union would reference the pair plan
+  // twice and recompute the (expensive) pair-generation pipeline per side.
+  private def symmetrized(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    ScaleOps.trackedPersist(
       pairs.select(explode(array(
           struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
           struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
         .as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct())
-    // Each round's frame is LINEAGE-TRUNCATED (eager checkpoint): without
-    // it the logical plan nests one join deeper per round and analysis cost
-    // grows without bound — the classic iterative-lineage explosion. When a
-    // checkpoint dir is configured (any cluster deployment: HDFS/object
-    // store), the truncation is a RELIABLE checkpoint, so a lost executor
-    // replays one round, not the whole loop; locally (no checkpoint dir) it
-    // falls back to executor-block localCheckpoint, whose non-recoverability
-    // doesn't matter in a single-JVM run.
-    def truncate(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+
+  /** The min-propagation loop over a symmetrized edge set. `escalateAfter`
+    * is the [[connectedComponentsAuto]] probe: once that many rounds have
+    * run, a round whose changed-label count fails to HALVE the previous
+    * round's (a shallow graph collapses geometrically; a chain's count
+    * stays ~flat — each round moves ~one link) returns None so the caller
+    * can switch algorithms; Int.MaxValue disables the probe. */
+  private def propagate(edges: DataFrame, maxIters: Int,
+                        escalateAfter: Int): Option[DataFrame] = {
     var labels = truncate(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
     var round = 0
     var done = labels.isEmpty // empty pair set: fixpoint by definition
+    var prevChanged = Long.MaxValue
     while (!done && round < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("id"))
@@ -70,9 +78,13 @@ object Components {
         .join(nbrMin.as("N"), col("L.id") === col("N.id"), "left")
         .select(col("L.id").as("id"), col("L.comp").as("prev"),
           least(col("L.comp"), coalesce(col("N.nbr"), col("L.comp"))).as("comp")))
-      done = next.filter(col("comp") < col("prev")).isEmpty
+      val changed = next.filter(col("comp") < col("prev")).count()
+      done = changed == 0L
       labels = next.select(col("id"), col("comp"))
       round += 1
+      if (!done && round >= escalateAfter && changed * 2 > prevChanged)
+        return None // trajectory says high diameter — let the caller escalate
+      prevChanged = changed
     }
     // Exhausting the round budget without reaching the fixpoint means the
     // labels are NOT the transitive closure (a >maxIters-diameter chain) —
@@ -81,9 +93,37 @@ object Components {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds — " +
           "the graph's diameter exceeds the budget; raise maxIters " +
-          "(or use connectedComponentsStars for high-diameter graphs)")
-    labels
+          "(or use connectedComponentsStars / connectedComponentsAuto " +
+          "for high-diameter graphs)")
+    Some(labels)
   }
+
+  /** (id, comp) for every node that appears in `pairs`; comp is the
+    * minimum node id reachable from the node (including itself). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 50): DataFrame =
+    propagate(symmetrized(pairs, aCol, bCol), maxIters, Int.MaxValue).get
+
+  /** DIAMETER-ROUTED components (r15) — the routing twin of the size
+    * routers: min-label propagation is the right default for dedup graphs
+    * (dense shallow cliques — two light shuffles per round, a handful of
+    * rounds), but an adversarial long chain makes it O(diameter). Rather
+    * than guess the diameter up front (unknowable without a closure), run
+    * the propagation and watch its OWN convergence trajectory: after
+    * `probeRounds` rounds, a changed-label count that stops halving is the
+    * long-chain signature (geometric collapse is the shallow-graph one) —
+    * escalate to the alternating large-star/small-star contraction
+    * (O(log d) rounds, Kiveris et al.). Both algorithms land on the same
+    * contract (comp = minimum reachable id — ComponentsSpec pins equality
+    * on every shape incl. the escalating chain), so routing never changes
+    * results; the discarded probe work is bounded by `probeRounds` cheap
+    * rounds and the common case pays only the per-round count it already
+    * ran. */
+  def connectedComponentsAuto(pairs: DataFrame, aCol: String, bCol: String,
+                              probeRounds: Int = 4,
+                              maxIters: Int = 50): DataFrame =
+    propagate(symmetrized(pairs, aCol, bCol), maxIters, probeRounds)
+      .getOrElse(connectedComponentsStars(pairs, aCol, bCol))
 
   /** INCREMENTAL component maintenance — fold a batch of NEW pairs into a
     * STANDING (id, comp) labeling without recomputing the global closure:

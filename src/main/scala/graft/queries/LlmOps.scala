@@ -127,7 +127,11 @@ object LlmOps {
     * q_dedup_minhash reads — the LSH pipeline runs once per corpus
     * snapshot, not once per consumer. */
   val qDedupComponents: Q = (s, dir) =>
-    graft.operators.Components.connectedComponents(
+    // DIAMETER-ROUTED (r15): propagation by default, escalating to the
+    // large-star/small-star contraction when the probe's change trajectory
+    // says long-chain — both routes land on the identical min-label
+    // contract, so the recursive-CTE oracle is route-blind.
+    graft.operators.Components.connectedComponentsAuto(
         stagedMinhashPairs(s, dir), "doc_a", "doc_b")
       .groupBy(col("comp").as("comp_id"))
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))

@@ -58,6 +58,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(run(chain, maxIters = 20) == (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("auto routing: a long chain escalates to stars (converges under a budget propagation alone cannot meet)") {
+    import spark.implicits._
+    // A 60-link chain needs ~59 propagation rounds; with maxIters = 20 the
+    // plain loop throws (pinned above), so Auto converging correctly under
+    // the same budget PROVES the trajectory probe escalated to the star
+    // contraction (O(log d) rounds).
+    val chain = (1L until 61L).map(i => (i, i + 1))
+    val got = try {
+      Components.connectedComponentsAuto(
+          chain.toDF("a", "b"), "a", "b", probeRounds = 4, maxIters = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally graft.operators.ScaleOps.releaseTracked()
+    assert(got == (1L to 61L).map(_ -> 1L).toMap)
+    // Shallow dup-cluster shape: Auto stays on propagation (converges well
+    // inside the probe budget) and agrees with the plain loop + union-find.
+    val cliques = Seq((10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L), (30L, 30L))
+    val auto = try {
+      Components.connectedComponentsAuto(cliques.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally graft.operators.ScaleOps.releaseTracked()
+    assert(auto == run(cliques) && auto == unionFind(cliques))
+  }
+
   private def runStars(pairs: Seq[(Long, Long)], maxIters: Int = 25): Map[Long, Long] = {
     import spark.implicits._
     try {

@@ -193,8 +193,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // per-doc token join rides a broadcast); +2 headroom for the above-
     // gate regime where that join degrades to a shuffle pair — all on
     // corpus-linear derivatives, NO all-pairs node
-    "q_text_dup_spans" -> 7
+    "q_text_dup_spans" -> 7,
 
+    // r15 keys:
+    // served FROM the day-grained rollup (the corpus never enters this
+    // plan — ExtensionsSpec pins that separately): partial-merge agg over
+    // O(types × days) rollup rows (1) + total-order sort (1)
+    "q_agg_rollup_filter" -> 2,
+    // the L-BFGS fit runs its own jobs before this plan exists; the graded
+    // plan is transform (narrow) + ≤4-group confusion agg (1) + sort (1)
+    "q_ml_pipeline" -> 2
+    // (q_stream_* r15 keys follow the streaming precedent above: the
+    // graded plan is a sink readback; their shuffle story is the batch
+    // form's, already budgeted via the q_stream_tumbling entry.)
   )
 
   for ((name, budget) <- budgets)

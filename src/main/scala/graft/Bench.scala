@@ -64,6 +64,10 @@ object Bench {
       queries.Relational.stagedManifestUpdateLayout(spark, sfDir)
       queries.Relational.stagedManifestOptimizeLayout(spark, sfDir)
       queries.Relational.stagedEventsByDay(spark, sfDir)
+      queries.Relational.stagedEventsDayRollup(spark, sfDir)
+      queries.Relational.stagedSegRollup(spark, sfDir)
+      queries.Relational.stagedSegOrderView(spark, sfDir)
+      queries.Relational.stagedCustOrderRollup(spark, sfDir)
       graft.streaming.Runtime.stageAllReplays(spark, sfDir)
     }
 

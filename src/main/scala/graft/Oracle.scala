@@ -2240,6 +2240,19 @@ object Oracle {
             AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL '60 minutes'
           ORDER BY user_id, c.click_id NULLS FIRST, p.purchase_id NULLS FIRST""",
 
+    // Right outer: every purchase, with each preceding click or a
+    // watermark-finalized null-click proof.
+    "q_stream_join_right" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+                    FROM events WHERE event_type = 'click'),
+          p AS (SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS p_ts
+                FROM events WHERE event_type = 'purchase')
+          SELECT CAST(coalesce(c.user_id, p.p_user_id) AS BIGINT) AS user_id,
+                 c.click_id, p.purchase_id
+          FROM c RIGHT JOIN p ON c.user_id = p.p_user_id
+            AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL '60 minutes'
+          ORDER BY user_id, p.purchase_id, c.click_id NULLS FIRST""",
+
     // Same relational answer as q_stream_session (the state machine must
     // reproduce session_window semantics exactly, decimal sum included).
     "q_stream_stateful" ->

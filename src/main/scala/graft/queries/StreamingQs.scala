@@ -184,6 +184,23 @@ object StreamingQs {
         col("purchase_id").asc_nulls_first)
   }
 
+  /** RIGHT-OUTER stream-stream join run as a REAL incremental stream
+    * (Runtime.clickPurchaseJoinRight) — completes the streaming join
+    * family (inner / left / right / full): every attribution pair plus
+    * every unmatched purchase, its null click a watermark-finalized
+    * no-click proof. Oracle: the same RIGHT JOIN over the source; sentinel
+    * rows filtered defensively as in q_stream_join_full. */
+  val qStreamJoinRight: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    SR.runToCompletionAppend(s,
+        SR.clickPurchaseJoinRight(SR.eventsStreamSplitByTime(s, dir)),
+        s"graft_ssjoinright_${Integer.toHexString(dir.hashCode)}")
+      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0)
+      .orderBy(col("user_id"), col("purchase_id"),
+        col("click_id").asc_nulls_first)
+  }
+
   /** ARBITRARY STATEFUL sessionization, run as a REAL incremental stream:
     * flatMapGroupsWithState with event-time timeout over the replayed
     * events source (plus the watermark-advancing flush sentinel), memory
@@ -429,6 +446,7 @@ object StreamingQs {
     "q_stream_join" -> qStreamJoin,
     "q_stream_join_outer" -> qStreamJoinOuter,
     "q_stream_join_full" -> qStreamJoinFull,
+    "q_stream_join_right" -> qStreamJoinRight,
     "q_stream_stateful" -> qStreamStateful,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_dedup_content" -> qStreamDedupContent,

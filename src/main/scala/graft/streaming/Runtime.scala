@@ -447,6 +447,35 @@ object Runtime {
         col("click_id"), col("purchase_id"))
   }
 
+  /** RIGHT-OUTER stream-stream join — the mirror of
+    * [[clickPurchaseJoinOuter]]: every attribution pair PLUS every purchase
+    * no click preceded within the window (null click side, emitted once
+    * the watermark passes p_ts — no matching click can still arrive).
+    * Sentinel discipline as in [[clickPurchaseJoinFull]]: under right
+    * outer the RIGHT side's sentinel is the one that could emit alone, and
+    * the replay margin keeps its eviction threshold above the maximum
+    * reachable watermark; the click-side sentinel cannot emit alone by the
+    * join shape. Output mirrors the left-outer key's: no timestamp
+    * column (p_ts would be fine non-null, but c_ts is null on unmatched
+    * rows — keep the NaT trap out entirely), user_id = coalesce of
+    * whichever side is present. */
+  def clickPurchaseJoinRight(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val wm = events.withWatermark("ts", "1 hour")
+    val clicks = wm.filter(col("event_type").isin("click", "flush"))
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = wm.filter(col("event_type").isin("purchase", "flush"))
+      .select(when(col("event_type") === "flush", lit(-2L))
+          .otherwise(col("user_id")).as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "right_outer")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"))
+  }
+
   /** Typed input rows of [[statefulSessions]]. `ts` stays a Timestamp —
     * the event-time-timeout analysis requires the WATERMARKED column to
     * survive into the stateful operator's child plan, so it cannot be

@@ -330,6 +330,29 @@ class StreamingEquivSpec extends AnyFunSuite {
       s"no null proofs emitted at all: $nullRowsPerBatch")
   }
 
+  test("right-outer stream-stream join == full-outer minus the unmatched-click rows") {
+    import org.apache.spark.sql.functions._
+    // Family consistency law, both sides run as REAL streams: right outer
+    // is exactly the full-outer result with the null-purchase (unmatched
+    // click) rows removed.
+    val right = SRuntime.runToCompletionAppend(spark,
+      SRuntime.clickPurchaseJoinRight(SRuntime.eventsStreamSplitByTime(spark, Sf0001)),
+      "t_ssjoin_right")
+      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0)
+      .collect().map(_.toSeq).toSet
+    val full = SRuntime.runToCompletionAppend(spark,
+      SRuntime.clickPurchaseJoinFull(SRuntime.eventsStreamSplitByTime(spark, Sf0001)),
+      "t_ssjoin_full_for_right")
+      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0)
+    val expected = full.filter(col("purchase_id").isNotNull)
+      .collect().map(_.toSeq).toSet
+    assert(right.nonEmpty && right == expected,
+      s"missing=${(expected -- right).take(3)} extra=${(right -- expected).take(3)}")
+    assert(right.exists(_(1) == null), "no null-click proof emitted")
+  }
+
   test("update-mode serving: mid-stream snapshot differs from final, re-emitted keys changed value, final == batch aggregate") {
     import org.apache.spark.sql.functions._
     val root = Tables.stageDir(spark, "t-upd-serving")

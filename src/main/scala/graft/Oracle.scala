@@ -1092,6 +1092,16 @@ object Oracle {
          WHERE token <> ''
          GROUP BY token ORDER BY n DESC, token LIMIT 20""",
 
+    // The Spark side never shuffles the vocabulary (Misra-Gries candidates
+    // + exact recount, certificate-checked); the from-scratch full groupBy
+    // IS the exactness claim.
+    "q_agg_heavyhitters" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents)
+         WHERE token <> ''
+         GROUP BY token ORDER BY n DESC, token LIMIT 10""",
+
     // The map itself is checked through its sorted-entry JSON serialization:
     // Spark to_json over a key-sorted map == DuckDB's ordered string_agg
     // (event_type values are plain identifiers, so no JSON escaping differs).

@@ -1429,6 +1429,57 @@ object Relational {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
         count(lit(1)).as("n_rows"))
 
+  /** EXACT TWO-PASS HEAVY HITTERS (r15) — the sketch family's
+    * frequent-items member, with an ORACLE despite riding a sketch: the
+    * top-10 corpus words by occurrence, computed WITHOUT ever shuffling
+    * the vocabulary. Pass 1: a Misra-Gries summary
+    * (functions/FreqSketch — capacity-bounded counters, map-side merged,
+    * ONE ≤512-entry row per partition crosses the wire) plus the total
+    * token count in the same aggregation. Pass 2: EXACT counts of the
+    * ≤512 candidate tokens only (broadcast semi-join; the aggregate's
+    * map-side combine emits ≤512 rows per partition). The MG guarantee —
+    * any token absent from the summary has true count ≤
+    * (N − S)/(capacity+1) — is CHECKED at runtime: the 10th candidate's
+    * exact count must exceed that bound, which PROVES no unseen token can
+    * belong in the top 10, so the answer is exact and the from-scratch
+    * full-groupBy oracle must hash-match. At 100 TB the full groupBy
+    * shuffles every distinct token (trillions at web scale); this plan's
+    * exchanges carry O(partitions × capacity) summary entries + ≤512
+    * final rows — the two corpus scans are the irreducible cost. The
+    * summary collect is ≤512 entries — a parameter fetch, like the ANN
+    * query vector. */
+  val qAggHeavyHitters: Q = (s, dir) => {
+    import s.implicits._
+    val cap = 512
+    val k = 10
+    val tokens = graft.operators.ScaleOps.trackedPersist(
+      Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= ""))
+    val row = tokens.agg(
+      graft.functions.FreqSketch.misraGries(col("token"), cap).as("mg"),
+      count(lit(1)).as("n")).head()
+    val summary = row.getMap[String, Long](0)
+    val n = row.getLong(1)
+    val err = (n - summary.values.sum).toDouble / (cap + 1)
+    val candidates = summary.keys.toSeq.toDF("token")
+    val exact = tokens
+      .join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+    // The exactness certificate: every non-candidate's true count ≤ err,
+    // so a k-th candidate strictly above it proves the top-k is global.
+    // Violations (a near-uniform stream at tiny capacity) fail loudly —
+    // the operator never silently returns an approximate answer.
+    val kth = exact.collect().lastOption.map(_.getLong(1)).getOrElse(0L)
+    if (kth <= err)
+      sys.error(s"heavy-hitters certificate failed: top-$k boundary count " +
+        s"$kth is within the MG error bound $err — raise capacity")
+    exact
+  }
+
   /** RE-AGGREGATABLE SKETCH PARTIALS — the two-level distinct-count pattern
     * every 100 TB metrics pipeline lands on: per-(type, day) DataSketches
     * HLL sketches built once (the shape you'd MATERIALIZE as a sketch
@@ -2142,6 +2193,7 @@ object Relational {
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_approx_distinct" -> qAggApproxDistinct,
     "q_agg_sketch_merge" -> qAggSketchMerge,
+    "q_agg_heavyhitters" -> qAggHeavyHitters,
     "q_agg_groupingsets" -> qAggGroupingSets,
     "q_agg_stats" -> qAggStats,
     "q_agg_histogram" -> qAggHistogram,

@@ -202,7 +202,12 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_agg_rollup_filter" -> 2,
     // the L-BFGS fit runs its own jobs before this plan exists; the graded
     // plan is transform (narrow) + ≤4-group confusion agg (1) + sort (1)
-    "q_ml_pipeline" -> 2
+    "q_ml_pipeline" -> 2,
+    // the MG summary pass runs in its own job (one ≤512-entry row per
+    // partition to a 1-row merge); the GRADED plan is the exact recount:
+    // broadcast candidate semi-join (0) + ≤512-key map-side-combined agg
+    // (1) + top-k TakeOrderedAndProject (0) — measured 1, +1 headroom
+    "q_agg_heavyhitters" -> 2
     // (q_stream_* r15 keys follow the streaming precedent above: the
     // graded plan is a sink readback; their shuffle story is the batch
     // form's, already budgeted via the q_stream_tumbling entry.)

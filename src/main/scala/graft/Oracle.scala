@@ -2355,6 +2355,15 @@ object Oracle {
           WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
           GROUP BY event_type ORDER BY event_type""",
 
+    // The Spark side serves this star-schema aggregate from the maintained
+    // JOIN-view rollup (Join and Aggregate both deleted by the Catalyst
+    // rule); the from-scratch join aggregate IS the claim.
+    "q_agg_rollup_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+                 ${dsum("o_totalprice")} AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     // Same planted header/footer construction and ". " segmentation as the
     // Spark side (split is a literal two-char separator in both dialects).
     "q_text_boilerplate" ->

@@ -33,6 +33,19 @@ case class RollupSpec(sourceDir: String, groupCol: String, valCol: String,
                       filterCol: Option[String] = None,
                       filterOut: String = "day")
 
+/** A registered JOIN-VIEW ROLLUP: `rollupDir` holds ONE row per dim-side
+  * `groupCol` value of the inner equi-join factDir ⋈ dimDir on
+  * (factKey = dimKey), with (`groupOut`, `countOut` = count(1),
+  * `sumOut` = sum(cast(fact.`valCol` as decimal(38,10)))) — the artifact
+  * q_join_view_maintain keeps current. Serves the star-schema dashboard
+  * aggregate with BOTH the Join and the Aggregate deleted from the
+  * plan. */
+case class JoinRollupSpec(factDir: String, dimDir: String,
+                          factKey: String, dimKey: String,
+                          groupCol: String, valCol: String,
+                          rollupDir: String, groupOut: String = "seg",
+                          countOut: String = "n", sumOut: String = "rev")
+
 /** TRANSPARENT MATERIALIZED-VIEW REWRITE — the classic warehouse
   * optimization (Calcite/BigQuery/Snowflake MV rewrite) as a custom
   * Catalyst `Rule[LogicalPlan]`: an `Aggregate(group by groupCol;
@@ -59,12 +72,14 @@ case class RollupSpec(sourceDir: String, groupCol: String, valCol: String,
 class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (RollupRewrite.registry.isEmpty) plan
+    if (RollupRewrite.registry.isEmpty && RollupRewrite.joinRegistry.isEmpty) plan
     else plan.transformUp {
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
-        RollupRewrite.registry.values.flatMap { spec =>
+        (RollupRewrite.registry.values.flatMap { spec =>
           tryRewrite(spec, agg, g, aggExprs, child)
-        }.headOption.getOrElse(agg)
+        } ++ RollupRewrite.joinRegistry.values.flatMap { spec =>
+          tryJoinRewrite(spec, agg, g, aggExprs, child)
+        }).headOption.getOrElse(agg)
     }
 
   /** Strip attr-only Projects and at most ONE Filter off the aggregate's
@@ -183,6 +198,114 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Strip attr-only Projects and Filters that are pure conjunctions of
+    * IsNotNull over the given column name (the filters pushdown infers
+    * onto equi-join inputs — semantically a no-op under an INNER
+    * equi-join) down to the bare relation. Anything else disqualifies. */
+  private def stripJoinSide(plan: LogicalPlan,
+                            joinKey: String): Option[LogicalRelation] =
+    plan match {
+      case Project(projList, inner) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        stripJoinSide(inner, joinKey)
+      case Filter(cond, inner) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        if (conjuncts.forall {
+          case IsNotNull(a: AttributeReference) => a.name == joinKey
+          case _ => false
+        }) stripJoinSide(inner, joinKey) else None
+      case rel: LogicalRelation => Some(rel)
+      case _ => None
+    }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
+  }
+
+  /** The star-schema rewrite: `Aggregate(group by dim.groupCol;
+    * count(1) / sum(cast(fact.valCol as decimal(38,10)));
+    * Join(factScan, dimScan, Inner, factKey = dimKey))` — modulo attr-only
+    * Projects, join-side order, condition operand order, and the
+    * IsNotNull(joinKey) filters pushdown infers — is served from the
+    * maintained join-view rollup with the Join AND the Aggregate both
+    * deleted (direct column substitution, the group-grained shape). Any
+    * residual predicate, extra join, non-registered aggregate shape, or
+    * non-inner join passes through untouched. */
+  private def tryJoinRewrite(spec: JoinRollupSpec, agg: Aggregate,
+                             g: AttributeReference, aggExprs: Seq[NamedExpression],
+                             child: LogicalPlan): Option[LogicalPlan] = {
+    if (g.name != spec.groupCol) return None
+    def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+      case Project(projList, inner) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        stripProjects(inner)
+      case other => other
+    }
+    val (fact, dim, cond) = stripProjects(child) match {
+      case Join(l, r, org.apache.spark.sql.catalyst.plans.Inner, Some(c), _) =>
+        // Identify the sides by registered path, either order; each side
+        // must strip to a bare scan (IsNotNull-on-its-join-key allowed).
+        val lf = stripJoinSide(l, spec.factKey).filter(scansSource(_, spec.factDir))
+        val rd = stripJoinSide(r, spec.dimKey).filter(scansSource(_, spec.dimDir))
+        val ld = stripJoinSide(l, spec.dimKey).filter(scansSource(_, spec.dimDir))
+        val rf = stripJoinSide(r, spec.factKey).filter(scansSource(_, spec.factDir))
+        (lf, rd, ld, rf) match {
+          case (Some(f), Some(d), _, _) => (f, d, c)
+          case (_, _, Some(d), Some(f)) => (f, d, c)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    // The condition must be exactly the registered equi-pair (either
+    // operand order), with each attribute belonging to its side.
+    val condOk = cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (a.name == spec.factKey && b.name == spec.dimKey &&
+          fact.outputSet.contains(a) && dim.outputSet.contains(b)) ||
+        (a.name == spec.dimKey && b.name == spec.factKey &&
+          dim.outputSet.contains(a) && fact.outputSet.contains(b))
+      case _ => false
+    }
+    if (!condOk || !dim.outputSet.contains(g)) return None
+
+    def shapeOf(ae: AggregateExpression): Option[String] =
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(1, _))) if !ae.isDistinct => Some("count")
+        case Count(Nil) if !ae.isDistinct => Some("count")
+        case Sum(c: Cast, _) => c.child match {
+          case a: AttributeReference
+            if a.name == spec.valCol && c.dataType == DecimalType(38, 10) &&
+              fact.outputSet.contains(a) => Some("sum")
+          case _ => None
+        }
+        case _ => None
+      }
+    val allCovered = aggExprs.forall { ne =>
+      ne.collect { case ae: AggregateExpression => ae }
+        .forall(shapeOf(_).isDefined)
+    }
+    if (!allCovered) return None
+
+    val rollup =
+      try spark.read.parquet(spec.rollupDir).queryExecution.analyzed
+      catch { case _: Throwable => return None }
+    def attr(n: String): Option[Attribute] = rollup.output.find(_.name == n)
+    val (segA, nA, sumA) =
+      (attr(spec.groupOut), attr(spec.countOut), attr(spec.sumOut)) match {
+        case (Some(a), Some(b), Some(c)) => (a, b, c)
+        case _ => return None
+      }
+    def subst(e: Expression): Expression = e match {
+      case ae: AggregateExpression => shapeOf(ae) match {
+        case Some("count") => nA
+        case Some("sum") => sumA
+        case _ => ae // unreachable: allCovered checked above
+      }
+      case a: AttributeReference if a.semanticEquals(g) => segA
+      case other => other.mapChildren(subst)
+    }
+    Some(Project(realias(aggExprs, subst), rollup))
+  }
+
   /** Rewrap substituted output expressions, preserving each original name
     * and exprId so parent operators keep resolving. */
   private def realias(aggExprs: Seq[NamedExpression],
@@ -200,6 +323,12 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 object RollupRewrite {
   private[plans] val registry =
     new scala.collection.concurrent.TrieMap[String, RollupSpec]()
+  private[plans] val joinRegistry =
+    new scala.collection.concurrent.TrieMap[String, JoinRollupSpec]()
+
+  /** Register (or refresh) a maintained JOIN-view rollup. */
+  def registerJoin(spec: JoinRollupSpec): Unit =
+    joinRegistry.put(s"${spec.factDir}|${spec.dimDir}|${spec.groupCol}", spec)
 
   /** Register (or refresh) a maintained rollup for its source table. One
     * spec per (sourceDir, grain): a group-grained and a filter-grained
@@ -210,7 +339,7 @@ object RollupRewrite {
   def unregister(sourceDir: String, filterCol: Option[String] = None): Unit =
     registry.remove(s"$sourceDir#${filterCol.getOrElse("")}")
 
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); joinRegistry.clear() }
 
   /** Attach the rewrite to a session the library does not own (idempotent)
     * — the runtime twin of the `GraftExtensions` session-build injection. */

@@ -752,6 +752,61 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** JOIN-AWARE MATERIALIZED-VIEW REWRITE (r15) — the star-schema
+    * dashboard query itself: revenue and order count per customer segment,
+    * written as the plain orders ⋈ customer join-aggregate. With the
+    * maintained JOIN-view rollup registered (the q_join_view_maintain
+    * artifact family), the custom Catalyst rule deletes BOTH the Join and
+    * the Aggregate: the plan reads O(segments) rollup rows; neither the
+    * fact nor the dimension corpus is scanned (ExtensionsSpec pins
+    * rollup-scanned / fact-not / dim-not, the residual-filter and wrong-
+    * key guards, and result equality). The matcher stays conservative:
+    * INNER equi-join on exactly the registered key pair, bare scans
+    * modulo attr-only Projects and the IsNotNull(join key) filters
+    * pushdown infers (no-ops under an inner equi-join), registered
+    * aggregate shapes only. Exactness is the same decimal-partial law as
+    * the other rewrites, so the oracle is the from-scratch join
+    * aggregate. At 100 TB this is THE dashboard serving path: the nightly
+    * tick maintains the join view incrementally (q_join_view_maintain);
+    * every query over the registered shape pays O(groups), never the
+    * fact⋈dim shuffle. */
+  val qAggRollupJoin: Q = (s, dir) => {
+    val rollup = stagedSegOrderViewFull(s, dir)
+    graft.plans.RollupRewrite.registerJoin(graft.plans.JoinRollupSpec(
+      s"$dir/orders.parquet", s"$dir/customer.parquet",
+      "o_custkey", "c_custkey", "c_mktsegment", "o_totalprice", rollup))
+    graft.plans.RollupRewrite.attach(s)
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** The FULL orders ⋈ customer per-segment rollup q_agg_rollup_join
+    * serves from (unlike [[stagedSegOrderView]]'s base-subset view, this
+    * covers the whole fact table — it is what the maintenance tick keeps
+    * current): one (seg, n, rev) row per segment with the exact decimal
+    * revenue partial. Signature covers BOTH sources (the ADVICE r14
+    * dual-source rule). */
+  def stagedSegOrderViewFull(s: SparkSession, dir: String): String = {
+    val custAttrs = java.nio.file.Files.readAttributes(
+      java.nio.file.Paths.get(s"$dir/customer.parquet"),
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val ver = s"v1-${custAttrs.size}-${custAttrs.lastModifiedTime.toMillis}"
+    Tables.stagedFixture(s, s"$dir/orders.parquet",
+      "seg-order-view-full", dir, ver) { d =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Det.dsumPartial(col("o_totalprice")).as("rev"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$d/view")
+    } + "/view"
+  }
+
   /** The maintained DAY-GRAINED partial rollup q_agg_rollup_filter serves
     * from — one (event_type, day) row with exact decimal partials, staged
     * once per events snapshot (in production: the table the incremental /
@@ -2166,6 +2221,7 @@ object Relational {
     "q_join_view_maintain" -> qJoinViewMaintain,
     "q_agg_rollup_rewrite" -> qAggRollupRewrite,
     "q_agg_rollup_filter" -> qAggRollupFilter,
+    "q_agg_rollup_join" -> qAggRollupJoin,
     "q_scd2_snapshot" -> qScd2Snapshot,
     "q_scd2_merge" -> qScd2Merge,
     "q_scd2_asof" -> qScd2Asof,

@@ -145,4 +145,57 @@ class ExtensionsSpec extends AnyFunSuite {
         "bare aggregate should merge all partials from the rollup")
     } finally graft.plans.RollupRewrite.clear()
   }
+
+  test("join-view rewrite: the star-schema aggregate is served with Join AND Aggregate deleted; guards hold") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val spark = SparkFixture.spark
+    val dir = SparkFixture.Sf0001
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      PlanCheck.flatten(PlanCheck.finalPlan(df)).collect {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+    def q() = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+    try {
+      graft.plans.RollupRewrite.clear()
+      graft.plans.RollupRewrite.attach(spark)
+      val direct = q().collect().map(_.toSeq).toSeq
+      assert(scanPaths(q()).exists(_.contains("orders.parquet")))
+      val rollup = graft.queries.Relational.stagedSegOrderViewFull(spark, dir)
+      graft.plans.RollupRewrite.registerJoin(graft.plans.JoinRollupSpec(
+        s"$dir/orders.parquet", s"$dir/customer.parquet",
+        "o_custkey", "c_custkey", "c_mktsegment", "o_totalprice", rollup))
+      val served = q()
+      val paths = scanPaths(served)
+      assert(paths.exists(_.contains("seg-order-view-full")), s"rollup not scanned: $paths")
+      assert(!paths.exists(_.contains("orders.parquet")), s"fact still scanned: $paths")
+      assert(!paths.exists(_.contains("customer.parquet")), s"dim still scanned: $paths")
+      assert(served.collect().map(_.toSeq).toSeq == direct, "join rewrite changed the result")
+      // Guard: a residual fact-side predicate disqualifies.
+      val filtered = Tables.orders(spark, dir)
+        .filter(col("o_totalprice") > 1000.0)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      assert(scanPaths(filtered).exists(_.contains("orders.parquet")),
+        "a filtered join must NOT be served from the join rollup")
+      // Guard: a different join key disqualifies.
+      val wrongKey = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_orderkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      assert(scanPaths(wrongKey).exists(_.contains("orders.parquet")),
+        "a different join key must NOT be served from the join rollup")
+      // Guard: an unregistered aggregate shape disqualifies.
+      val otherAgg = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(max(col("o_totalprice")).as("mx"))
+      assert(scanPaths(otherAgg).exists(_.contains("orders.parquet")),
+        "max() over the join must NOT be served from the join rollup")
+    } finally graft.plans.RollupRewrite.clear()
+  }
 }

@@ -207,7 +207,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // partition to a 1-row merge); the GRADED plan is the exact recount:
     // broadcast candidate semi-join (0) + ≤512-key map-side-combined agg
     // (1) + top-k TakeOrderedAndProject (0) — measured 1, +1 headroom
-    "q_agg_heavyhitters" -> 2
+    "q_agg_heavyhitters" -> 2,
+    // served from the JOIN-view rollup: Join and Aggregate both deleted;
+    // the 5-row sort is the only exchange — measured 1
+    "q_agg_rollup_join" -> 1
     // (q_stream_* r15 keys follow the streaming precedent above: the
     // graded plan is a sink readback; their shuffle story is the batch
     // form's, already budgeted via the q_stream_tumbling entry.)

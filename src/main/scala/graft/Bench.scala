@@ -67,6 +67,7 @@ object Bench {
       queries.Relational.stagedEventsDayRollup(spark, sfDir)
       queries.Relational.stagedSegRollup(spark, sfDir)
       queries.Relational.stagedSegOrderView(spark, sfDir)
+      queries.Relational.stagedSegOrderViewFull(spark, sfDir)
       queries.Relational.stagedCustOrderRollup(spark, sfDir)
       graft.streaming.Runtime.stageAllReplays(spark, sfDir)
     }

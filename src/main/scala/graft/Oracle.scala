@@ -1289,8 +1289,9 @@ object Oracle {
                          CAST(sum(n_g - p_g) AS HUGEINT) AS nn
                   FROM c)
             SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-                   CAST((2 * (numer2 - np * (np + 1)) * 1000000 + 2 * np * nn)
-                        // (4 * np * nn) AS BIGINT) / 1000000.0 AS auc
+                   CASE WHEN np = 0 OR nn = 0 THEN NULL
+                        ELSE CAST((2 * (numer2 - np * (np + 1)) * 1000000 + 2 * np * nn)
+                             // (4 * np * nn) AS BIGINT) / 1000000.0 END AS auc
             FROM t""",
 
       // Correlation matrix: same sufficient statistics (same dsum scales),

@@ -186,6 +186,9 @@ object Tables {
         }
       }
       if (!fresh) { // double-checked: winner may have finished as we locked
+        // A rollup spec pinned to (or sourced from) this artifact must not
+        // serve the restage query — or anything after — from stale data.
+        graft.plans.RollupRewrite.invalidate(dir)
         deleteRecursively(dir)
         Files.createDirectories(Paths.get(dir))
         write(dir)

@@ -339,6 +339,23 @@ object RollupRewrite {
   def unregister(sourceDir: String, filterCol: Option[String] = None): Unit =
     registry.remove(s"$sourceDir#${filterCol.getOrElse("")}")
 
+  /** Drop every registered spec that reads from or serves out of `path`
+    * (or a path above/below it). Called by the staging machinery BEFORE a
+    * restage: a session-lifetime spec pinned to the old artifact could
+    * otherwise serve later matching aggregates — including the restage
+    * query itself, whose shape matches the registered spec — from stale
+    * data (r15 ADVICE). The graded queries re-register after (re)staging,
+    * so currency is restored by the same call that always established
+    * it. */
+  def invalidate(path: String): Unit = {
+    def hits(p: String): Boolean =
+      p == path || p.startsWith(path + "/") || path.startsWith(p + "/")
+    registry.filterInPlace((_, s) =>
+      !(hits(s.sourceDir) || hits(s.rollupDir)))
+    joinRegistry.filterInPlace((_, s) =>
+      !(hits(s.factDir) || hits(s.dimDir) || hits(s.rollupDir)))
+  }
+
   def clear(): Unit = { registry.clear(); joinRegistry.clear() }
 
   /** Attach the rewrite to a session the library does not own (idempotent)

@@ -671,8 +671,13 @@ object MlSuffStats {
       .select(col("numer2"), dec(col("n_pos")).as("np"),
         dec(col("n_neg")).as("nn"), col("n_pos"), col("n_neg"))
       .select(col("n_pos"), col("n_neg"),
-        (expr("CAST((2 * (numer2 - np * (np + 1)) * 1000000 + 2 * np * nn) " +
-          "DIV (4 * np * nn) AS BIGINT)").cast("double") / lit(1e6)).as("auc"))
+        // Degenerate single-class corpus (np or nn = 0): AUC is undefined —
+        // NULL on BOTH engines (Spark's DIV would yield null but DuckDB's
+        // `//` raises division-by-zero, so the guard is explicit; r15
+        // ADVICE).
+        (expr("CASE WHEN np = 0 OR nn = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST((2 * (numer2 - np * (np + 1)) * 1000000 + 2 * np * nn) " +
+          "DIV (4 * np * nn) AS BIGINT) END").cast("double") / lit(1e6)).as("auc"))
   }
 
   private def aucGroups(s: SparkSession, dir: String): DataFrame =

@@ -1527,8 +1527,15 @@ object Relational {
     // The exactness certificate: every non-candidate's true count ≤ err,
     // so a k-th candidate strictly above it proves the top-k is global.
     // Violations (a near-uniform stream at tiny capacity) fail loudly —
-    // the operator never silently returns an approximate answer.
-    val kth = exact.collect().lastOption.map(_.getLong(1)).getOrElse(0L)
+    // the operator never silently returns an approximate answer. The
+    // certificate needs k FULL rows: with < k candidates the boundary
+    // count proves nothing about positions m+1..k (r15 ADVICE), so a
+    // short candidate list is itself a certificate failure.
+    val exactRows = exact.collect()
+    if (exactRows.length < k)
+      sys.error(s"heavy-hitters certificate failed: only " +
+        s"${exactRows.length} candidates for top-$k — raise capacity")
+    val kth = exactRows.last.getLong(1)
     if (kth <= err)
       sys.error(s"heavy-hitters certificate failed: top-$k boundary count " +
         s"$kth is within the MG error bound $err — raise capacity")

@@ -766,8 +766,13 @@ object Runtime {
   }
 
   /** Highest committed `v<tick>` directory under a [[runUpdateServing]]
-    * root (zero-padded names sort lexically), or None before the first
-    * tick. */
+    * root, or None before the first tick. "Committed" = carries the
+    * `_SUCCESS` marker the parquet committer writes last — a foreachBatch
+    * retry that died mid-write leaves a partial directory WITHOUT the
+    * marker, and selecting that as `prev` would propagate the corruption
+    * into every later version (r15 ADVICE). Names are zero-padded to a
+    * MINIMUM of five digits (`f"v$tick%05d"`), so ordering is numeric,
+    * not lexical: tick ≥ 100000 writes six digits. */
   def latestServingVersion(servingRoot: String): Option[String] = {
     val root = java.nio.file.Paths.get(servingRoot)
     if (!java.nio.file.Files.isDirectory(root)) return None
@@ -776,8 +781,9 @@ object Runtime {
       import scala.jdk.CollectionConverters._
       listing.iterator().asScala
         .map(_.getFileName.toString)
-        .filter(_.matches("v\\d{5}"))
-        .maxOption
+        .filter(n => n.matches("v\\d{5,}") &&
+          java.nio.file.Files.exists(root.resolve(n).resolve("_SUCCESS")))
+        .maxByOption(_.drop(1).toLong)
     } finally listing.close()
   }
 

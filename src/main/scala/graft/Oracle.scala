@@ -2158,6 +2158,15 @@ object Oracle {
                  count(*) AS n, ${dsum("value", 6)} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
 
+    // Restart/recovery must be invisible in results: the resumed stream's
+    // committed sink equals the from-scratch batch aggregate — the SAME
+    // oracle as q_stream_tumbling (any reprocessed or lost batch shows up
+    // as duplicate/missing window rows and breaks the hash).
+    "q_stream_restart" ->
+      s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
+                 count(*) AS n, ${dsum("value", 6)} AS sum_value
+          FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
     "q_stream_sliding" ->
       s"""SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS w_start,
                  count(*) AS n, ${dsum("value", 6)} AS sum_value

@@ -49,6 +49,31 @@ object StreamingQs {
       .orderBy("w_start", "event_type")
   }
 
+  /** CHECKPOINT RESTART / RECOVERY run as part of the correctness gate
+    * (SURVEY §2.10): the tumbling aggregation processes the early half of
+    * the time-split replay, STOPS, and a new query resumes from the SAME
+    * checkpoint once the late half arrives
+    * (Runtime.runTumblingWithRestart). Recovery must be INVISIBLE in the
+    * results — the graded sink is the parquet file sink's committed
+    * contents, hash-matched against the from-scratch batch aggregate — and
+    * the runner's recovery certificate additionally requires the restarted
+    * run to have read EXACTLY the late file's rows from the source: a
+    * checkpoint that failed to carry the source offsets would reprocess
+    * the early file (double-emitting its windows into the append sink, a
+    * hash break) and fail the certificate even where re-emission happened
+    * to dedup. StreamingEquivSpec pins resumed ≡ uninterrupted and
+    * no-duplicate-epochs explicitly. */
+  val qStreamRestart: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    val (sink, runs, lateRows) = SR.runTumblingWithRestart(s, dir)
+    if (runs.length != 2 || runs(1) != lateRows)
+      sys.error(s"restart recovery failed: restarted run read " +
+        s"${runs.lift(1).getOrElse(-1L)} source rows, expected exactly the " +
+        s"late file's $lateRows — the checkpoint did not resume")
+    sink.filter(col("event_type") =!= "flush")
+      .orderBy("w_start", "event_type")
+  }
+
   /** 1-hour/30-minute sliding windows, batch form — each event lands in
     * exactly two windows (epoch-aligned starts, same grid as the oracle's
     * time_bucket arithmetic). Equivalence tests' comparison target. */
@@ -439,6 +464,7 @@ object StreamingQs {
     "q_stream_update_topk" -> qStreamUpdateTopk,
     "q_stream_view_maintain" -> qStreamViewMaintain,
     "q_stream_tumbling" -> qStreamTumbling,
+    "q_stream_restart" -> qStreamRestart,
     "q_stream_late" -> qStreamLate,
     "q_stream_sink_manifest" -> qStreamSinkManifest,
     "q_stream_sliding" -> qStreamSliding,

@@ -182,6 +182,39 @@ object Runtime {
       .parquet(streamDir.toString + "/events_*.parquet"))
   }
 
+  /** Stage (once, content-keyed) the TWO time-split replay files — early
+    * half / late half by the median timestamp — and return the fixture
+    * directory. Shared by [[eventsStreamSplitByTime]] (which watches the
+    * whole directory) and [[runTumblingWithRestart]] (which copies the
+    * files into a run-scoped arrivals directory one at a time).
+    *
+    * v6: the flush sentinel sits at max + 4h, not max + 2h. The outer
+    * stream-stream join emits a left row's null proof only when the final
+    * watermark (sentinel − 1h delay) STRICTLY passes c_ts + 60min window;
+    * a 2h margin gave exactly zero headroom, so an unmatched click AT the
+    * global max event timestamp would have been stranded in state (data-
+    * dependent: it only needs the corpus's last event to be a click).
+    * Margin > delay + window makes the proof unconditional. */
+  private[graft] def stagedSplitDir(spark: SparkSession,
+                                    dir: String): java.nio.file.Path = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val names = Seq("events_0_early.parquet", "events_1_late.parquet")
+    // Decoded-layout fixture (see eventsStreamWithFlush); the median split
+    // runs over epoch-micros of the normalized ts.
+    stageReplay(spark, dir, "stream-split", "v6", names) { d =>
+      val batch = Tables.decodeEventTs(spark.read.parquet(src.toString))
+      val bounds = batch.select(
+        expr("approx_percentile(unix_micros(ts), 0.5)").as("mid"),
+        max(unix_micros(col("ts"))).as("mx")).head()
+      val (midUs, maxTsUs) = (bounds.getLong(0), bounds.getLong(1))
+      stageOne(batch.filter(unix_micros(col("ts")) <= midUs),
+        d, "events_0_early.parquet")
+      stageOne(batch.filter(unix_micros(col("ts")) > midUs)
+        .unionByName(flushFrame(batch, maxTsUs + 4L * 3600L * 1000000L)),
+        d, "events_1_late.parquet")
+    }
+  }
+
   /** The events stream staged as TWO time-split files (early half / late
     * half by the median timestamp) — two micro-batches. Exercises the
     * CROSS-BATCH paths of stateful operators: open sessions (or buffered
@@ -197,28 +230,7 @@ object Runtime {
   def eventsStreamSplitByTime(spark: SparkSession, dir: String): DataFrame = {
     Tables.prep(spark)
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val names = Seq("events_0_early.parquet", "events_1_late.parquet")
-    // Decoded-layout fixture (see eventsStreamWithFlush); the median split
-    // runs over epoch-micros of the normalized ts.
-    // v6: the flush sentinel sits at max + 4h, not max + 2h. The outer
-    // stream-stream join emits a left row's null proof only when the final
-    // watermark (sentinel − 1h delay) STRICTLY passes c_ts + 60min window;
-    // a 2h margin gave exactly zero headroom, so an unmatched click AT the
-    // global max event timestamp would have been stranded in state (data-
-    // dependent: it only needs the corpus's last event to be a click).
-    // Margin > delay + window makes the proof unconditional.
-    val streamDir = stageReplay(spark, dir, "stream-split", "v6", names) { d =>
-      val batch = Tables.decodeEventTs(spark.read.parquet(src.toString))
-      val bounds = batch.select(
-        expr("approx_percentile(unix_micros(ts), 0.5)").as("mid"),
-        max(unix_micros(col("ts"))).as("mx")).head()
-      val (midUs, maxTsUs) = (bounds.getLong(0), bounds.getLong(1))
-      stageOne(batch.filter(unix_micros(col("ts")) <= midUs),
-        d, "events_0_early.parquet")
-      stageOne(batch.filter(unix_micros(col("ts")) > midUs)
-        .unionByName(flushFrame(batch, maxTsUs + 4L * 3600L * 1000000L)),
-        d, "events_1_late.parquet")
-    }
+    val streamDir = stagedSplitDir(spark, dir)
     Tables.decodeEventTs(spark.readStream
       .schema(Tables.decodeEventTs(spark.read.parquet(src.toString)).schema)
       .option("maxFilesPerTrigger", 1)
@@ -634,6 +646,92 @@ object Runtime {
     val dropped = q.recentProgress.iterator
       .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
     (spark.table(name), dropped)
+  }
+
+  /** CHECKPOINT RESTART / RECOVERY — the exactly-once-across-restart proof
+    * (SURVEY §2.10): run the 1-hour tumbling aggregation over the EARLY
+    * half of the time-split replay to completion, let the query STOP, then
+    * start a NEW query from the SAME checkpointLocation after the late
+    * half arrives. The checkpoint's source log carries the processed-file
+    * offsets and its commit log the event-time watermark, so the restarted
+    * query RESUMES instead of reprocessing: it reads ONLY the newly
+    * arrived file, restores the watermark, and appends only the
+    * not-yet-emitted windows to the parquet FILE SINK, whose
+    * `_spark_metadata` commit log is what makes the directory exactly-once
+    * across restarts (batch readers list committed files from the log, so
+    * an uncommitted partial write is invisible). A reprocessed first file
+    * would double-emit the early windows into the append sink — visible as
+    * duplicate (w_start, event_type) rows, which the batch oracle's
+    * hash-match rules out; a lost watermark would re-emit or drop windows
+    * the same way.
+    *
+    * Returns (committed sink rows, per-run source input-row counts, the
+    * late file's row count). `interrupted = false` runs the SAME pipeline
+    * uninterrupted (both files present from the start, one query) — the
+    * equivalence twin StreamingEquivSpec compares against.
+    *
+    * At 100 TB this is THE streaming durability story: a 1000-executor
+    * ingest job is guaranteed to be preempted mid-stream; recovery must be
+    * invisible in the results, and the only state that crosses the failure
+    * is the O(open windows) store plus the O(files) source log — never
+    * reprocessed data. */
+  def runTumblingWithRestart(spark: SparkSession, dir: String,
+                             interrupted: Boolean = true)
+      : (DataFrame, Seq[Long], Long) =
+    withStreamShufflePartitions(spark) {
+    Tables.prep(spark)
+    val fixture = stagedSplitDir(spark, dir)
+    val names = Seq("events_0_early.parquet", "events_1_late.parquet")
+    val tag = if (interrupted) "restart" else "restart-uninterrupted"
+    val arrivals = java.nio.file.Paths.get(
+      Tables.stageDir(spark, s"stream-$tag-arrivals", dir))
+    val sinkPath = Tables.stageDir(spark, s"stream-$tag-sink", dir)
+    val ckpt = Tables.stageDir(spark, s"stream-$tag-ckpt", dir)
+    Seq(arrivals.toString, sinkPath, ckpt).foreach(Tables.deleteRecursively)
+    java.nio.file.Files.createDirectories(arrivals)
+    def arrive(name: String): Unit =
+      java.nio.file.Files.copy(fixture.resolve(name), arrivals.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    val schema = Tables.decodeEventTs(
+      spark.read.parquet(s"$dir/events.parquet")).schema
+    // One run = one StreamingQuery instance over whatever has arrived;
+    // AvailableNow drains the unprocessed files and stops cleanly (the
+    // controlled stand-in for a crash AFTER the last batch commit).
+    def runOnce(): Long = {
+      val q = tumblingCounts(Tables.decodeEventTs(spark.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(arrivals.toString + "/events_*.parquet")))
+        .writeStream
+        .format("parquet")
+        .option("path", sinkPath)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val finished = q.awaitTermination(120000L)
+      if (!finished) {
+        q.stop()
+        throw new IllegalStateException(
+          s"restart-recovery stream into $sinkPath did not finish within 120s")
+      }
+      q.recentProgress.iterator.map(_.numInputRows).sum
+    }
+    val runs =
+      if (interrupted) {
+        arrive(names(0))
+        val r1 = runOnce() // early half only, clean stop
+        arrive(names(1))
+        val r2 = runOnce() // RESTART from the same checkpoint
+        Seq(r1, r2)
+      } else {
+        names.foreach(arrive)
+        Seq(runOnce())
+      }
+    val lateRows =
+      spark.read.parquet(fixture.resolve(names(1)).toString).count()
+    (spark.read.parquet(sinkPath), runs, lateRows)
   }
 
   /** The PRODUCTION sink (SURVEY §2.10's "foreachBatch parquet sink"): run

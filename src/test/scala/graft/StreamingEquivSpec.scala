@@ -498,4 +498,32 @@ class StreamingEquivSpec extends AnyFunSuite {
       .orderBy("event_type").collect().map(_.toSeq).toSeq
     assert(got == exp, "tick-partial accretion diverges from full recompute")
   }
+
+  test("checkpoint restart: resumed == uninterrupted, offsets resumed, no duplicate epochs") {
+    // The exactly-once-across-restart proof behind q_stream_restart: stop
+    // the tumbling stream after the early half, restart from the SAME
+    // checkpoint once the late half arrives.
+    val (resumedSink, runs, lateRows) =
+      SRuntime.runTumblingWithRestart(spark, Sf0001)
+    // (1) Source-offset recovery: the restarted run read EXACTLY the newly
+    // arrived file — neither zero rows (stuck) nor early+late (reprocessed).
+    assert(runs.length == 2, s"expected 2 runs, got $runs")
+    assert(runs(0) > 0, "first run processed nothing")
+    assert(runs(1) == lateRows,
+      s"restarted run read ${runs(1)} rows, expected the late file's $lateRows")
+    // (2) Recovery invisible in results: resumed ≡ uninterrupted.
+    val resumed = resumedSink.collect().map(_.toSeq).toSet
+    val (unSink, unRuns, _) =
+      SRuntime.runTumblingWithRestart(spark, Sf0001, interrupted = false)
+    assert(unRuns.length == 1)
+    val un = unSink.collect().map(_.toSeq).toSet
+    assert(resumed.nonEmpty)
+    assert(resumed == un,
+      s"missing=${(un -- resumed).take(3)} extra=${(resumed -- un).take(3)}")
+    // (3) No duplicate epochs: a re-committed batch would double-append its
+    // windows — every (w_start, event_type) must appear exactly once.
+    assert(resumedSink.count() ==
+      resumedSink.select("w_start", "event_type").distinct().count(),
+      "append sink holds duplicate window rows — a batch committed twice")
+  }
 }

@@ -1554,6 +1554,69 @@ object Relational {
     * agreement and the error bound vs exact counts are spec-asserted
     * (NoOracleSpec) — the estimate itself has no DuckDB twin, hence
     * no-oracle. */
+  /** MERGEABLE QUANTILE PARTIALS — the third member of the sketch-table
+    * family (HLL distinct = q_agg_sketch_merge, frequent items =
+    * q_agg_heavyhitters): per-(type, day) COMPRESSED QUANTILE SUMMARIES
+    * built once — 129 equi-spaced order statistics (percentile_approx at
+    * levels 0, 1/128, …, 1) plus the day's row count, the shape you'd
+    * MATERIALIZE as a sketch table — then merged across days per type.
+    * The merge is the classic weighted-summary union (GK/KLL merge law:
+    * merging ε-approximate summaries yields an ε-approximate summary of
+    * the union): each stored order statistic represents n_day/129 rows, so
+    * the merged quantile is selected from the weighted empirical CDF of
+    * the O(days × 129) summary points — ENTIRELY IN INTEGER ARITHMETIC
+    * (point weight = n_day, threshold test cum·100 ≥ p·total), so the
+    * selection is deterministic and partitioning-independent. Rank error ≤
+    * ~1/128 + the per-day sketch error (exact below percentile_approx's
+    * accuracy threshold); NoOracleSpec bounds the merged estimates' ranks
+    * against the exact distribution and pins scramble-determinism, exactly
+    * as the HLL key is bounded. The day-level pass shuffles 129-double
+    * summaries, never raw values; adding a day means sketching ONE day and
+    * re-merging — history is never rescanned. At 100 TB this is the
+    * latency-percentile dashboard shape: the exact alternative re-sorts
+    * the corpus per query. */
+  val qAggQuantileSketch: Q = (s, dir) =>
+    quantileSketchFrom(Tables.events(s, dir))
+
+  /** The q_agg_quantile_sketch pipeline over an arbitrary events frame —
+    * factored out so NoOracleSpec can feed a deliberately re-partitioned
+    * input and pin scramble-determinism. */
+  private[graft] def quantileSketchFrom(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val levels = 128
+    val ps = (0 to levels).map(i => i.toDouble / levels)
+    val daily = events
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("event_type"), col("day"))
+      .agg(percentile_approx(col("value"), array(ps.map(lit): _*), lit(10000))
+          .as("qs"),
+        count(lit(1)).as("n"))
+    // The weighted empirical CDF of the summary points: O(days × 129) rows
+    // per type — the windows below are over the SKETCH TABLE, never the
+    // corpus. Ties across days break on `day` so the running weight is a
+    // total (deterministic) order.
+    val points = daily.select(col("event_type"), col("day"), col("n"),
+      explode(col("qs")).as("v"))
+    val wCum = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = points
+      .withColumn("cw", sum(col("n")).over(wCum))
+      .withColumn("tw", sum(col("n")).over(wTot))
+    def pick(p: Int): org.apache.spark.sql.Column =
+      min(when(col("cw") * 100 >= col("tw") * p, col("v"))).as(s"p$p")
+    val merged = cum.groupBy(col("event_type"))
+      .agg(pick(50), pick(90), pick(99))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_total"), count(lit(1)).as("n_days"))
+    merged.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"),
+        col("n_days"), col("n_total"))
+      .orderBy("event_type")
+  }
+
   val qAggSketchMerge: Q = (s, dir) => {
     val daily = Tables.events(s, dir)
       .withColumn("day", to_date(col("ts")))
@@ -2256,6 +2319,7 @@ object Relational {
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_approx_distinct" -> qAggApproxDistinct,
     "q_agg_sketch_merge" -> qAggSketchMerge,
+    "q_agg_quantile_sketch" -> qAggQuantileSketch,
     "q_agg_heavyhitters" -> qAggHeavyHitters,
     "q_agg_groupingsets" -> qAggGroupingSets,
     "q_agg_stats" -> qAggStats,

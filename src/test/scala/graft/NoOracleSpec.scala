@@ -25,6 +25,35 @@ class NoOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_quantile_sketch: merged ranks within the summary error bound, deterministic") {
+    val got = SparkEntry.queries("q_agg_quantile_sketch")(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, Sf0001)
+    // Rank-error bound: the merged estimate's TRUE rank must sit within
+    // ~2/levels of the requested quantile (each 129-point day summary
+    // carries ≤ n_day/129 rank slack; summing across days keeps the
+    // relative bound — the GK/KLL merge law).
+    for (r <- got) {
+      val t = r.getString(0)
+      val n = r.getLong(5).toDouble
+      assert(r.getLong(4) > 1, s"$t: merge needs ≥2 day partials")
+      for ((p, i) <- Seq((50, 1), (90, 2), (99, 3))) {
+        val est = r.getDouble(i)
+        val rank = ev.filter(col("event_type") === t && col("value") <= est)
+          .count().toDouble / n
+        assert(math.abs(rank - p / 100.0) <= 0.03,
+          s"$t p$p: estimate $est has rank $rank")
+      }
+    }
+    // Integer weighted-rank selection is partitioning-independent: the same
+    // rows under a deliberately different partitioning must produce
+    // IDENTICAL rows (no float accumulation order anywhere in the merge).
+    val scrambled = graft.queries.Relational
+      .quantileSketchFrom(ev.repartition(7)).collect()
+    assert(scrambled.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq,
+      "quantile merge is partitioning-sensitive")
+  }
+
   test("q_agg_approx_distinct: HLL estimates within 10% of exact") {
     val r = SparkEntry.queries("q_agg_approx_distinct")(spark, Sf0001).collect()(0)
     val exact = Tables.lineitem(spark, Sf0001)

@@ -2365,6 +2365,15 @@ object Oracle {
           WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
           GROUP BY event_type ORDER BY event_type""",
 
+    // The Spark side serves this WEEKLY aggregate from the day-grained
+    // rollup (grain-containment rewrite); the from-scratch ISO-week
+    // aggregate over the source IS the claim. week-of-ts == week-of-day(ts)
+    // (both engines: ISO 8601 week numbering).
+    "q_agg_rollup_grain" ->
+      s"""SELECT CAST(weekofyear(ts) AS BIGINT) AS week, count(*) AS n,
+                 ${dsum("value", 6)} AS sum_value
+          FROM events GROUP BY 1 ORDER BY week""",
+
     // The Spark side serves this star-schema aggregate from the maintained
     // JOIN-view rollup (Join and Aggregate both deleted by the Catalyst
     // rule); the from-scratch join aggregate IS the claim.

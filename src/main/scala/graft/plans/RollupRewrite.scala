@@ -74,11 +74,27 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (RollupRewrite.registry.isEmpty && RollupRewrite.joinRegistry.isEmpty) plan
     else plan.transformUp {
-      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _) =>
-        (RollupRewrite.registry.values.flatMap { spec =>
-          tryRewrite(spec, agg, g, aggExprs, child)
-        } ++ RollupRewrite.joinRegistry.values.flatMap { spec =>
-          tryJoinRewrite(spec, agg, g, aggExprs, child)
+      case agg @ Aggregate(Seq(g), aggExprs, child, _) =>
+        val attrServed = g match {
+          case ga: AttributeReference =>
+            RollupRewrite.registry.values.flatMap { spec =>
+              tryRewrite(spec, agg, ga, aggExprs, child)
+            } ++ RollupRewrite.joinRegistry.values.flatMap { spec =>
+              tryJoinRewrite(spec, agg, ga, aggExprs, child)
+            }
+          case _ => Nil
+        }
+        // GRAIN CONTAINMENT: a single grouping expression that is a
+        // FUNCTION of a registered filter-grained rollup's grain column
+        // (month-of-day, week-of-day, any deterministic f(day)) — the
+        // coarser-grain dashboard query served by re-aggregating the
+        // stored finer-grain partials. By optimization time
+        // PullOutGroupingExpressions has extracted complex groupings into
+        // a `_groupingexpression` Project alias below the Aggregate, so
+        // the matcher resolves the grouping attribute through its
+        // defining alias.
+        (attrServed ++ RollupRewrite.registry.values.flatMap { spec =>
+          tryGrainRewrite(spec, agg, g, aggExprs, child)
         }).headOption.getOrElse(agg)
     }
 
@@ -196,6 +212,126 @@ class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         Some(Aggregate(Seq(segA), realias(aggExprs, subst), filtered))
     }
+  }
+
+  /** GRAIN-CONTAINMENT REWRITE: `Aggregate(f(grainCol); registered agg
+    * shapes; scan-of-registered-source)` — a COARSER grain than the stored
+    * (group × grain) rollup (the month-over-day dashboard shape) — is
+    * served by re-aggregating the rollup's partials under the replayed
+    * grouping expression. Correct for ANY deterministic subquery-free
+    * f(grainCol): rows sharing a grain value always share f's output
+    * group, so aggregate-per-grain-then-group-grains-then-merge ≡
+    * aggregate-rows-directly, and the partials are exact (count → sum(n),
+    * exact decimal → sum(sb)). An optional residual Filter is allowed
+    * under the same grain-column-only discipline as the filter-containment
+    * path. The registered group column (event_type) simply merges away —
+    * the rollup covers every coarser grouping of its grain. Anything
+    * else — another column in f, nondeterminism, a subquery, an unknown
+    * agg shape — passes through untouched. */
+  /** Strip attr-only Projects, at most ONE Filter, and at most ONE
+    * defining `Alias(e, _)` for `gAttr` (PullOutGroupingExpressions'
+    * extracted grouping — the alias may sit above or below the Filter) off
+    * the plan; yields (filter condition, g's defining expression,
+    * relation) when what remains is a bare scan. */
+  private def splitGrainChild(plan: LogicalPlan, gAttr: AttributeReference)
+      : Option[(Option[Expression], Option[Expression], LogicalRelation)] =
+    plan match {
+      case Project(projList, inner) =>
+        val (aliases, rest) = projList.partition(_.isInstanceOf[Alias])
+        if (!rest.forall(_.isInstanceOf[AttributeReference])) return None
+        aliases match {
+          case Nil => splitGrainChild(inner, gAttr)
+          case Seq(a: Alias) if a.exprId == gAttr.exprId =>
+            splitGrainChild(inner, gAttr) match {
+              case Some((cond, None, rel)) => Some((cond, Some(a.child), rel))
+              case _ => None
+            }
+          case _ => None
+        }
+      case Filter(cond, inner) =>
+        splitGrainChild(inner, gAttr) match {
+          case Some((None, gd, rel)) => Some((Some(cond), gd, rel))
+          case _ => None
+        }
+      case rel: LogicalRelation => Some((None, None, rel))
+      case _ => None
+    }
+
+  private def tryGrainRewrite(spec: RollupSpec, agg: Aggregate,
+                              g: Expression, aggExprs: Seq[NamedExpression],
+                              child: LogicalPlan): Option[LogicalPlan] = {
+    val fc = spec.filterCol.getOrElse(return None)
+    // Resolve the grouping to its defining expression: either the grouping
+    // IS a bare expression over the grain column, or it is the attribute
+    // of a pulled-out `_groupingexpression` alias in a Project below.
+    val (condOpt, gExpr, rel) = g match {
+      case ga: AttributeReference =>
+        splitGrainChild(child, ga) match {
+          case Some((c, Some(gd), r)) if scansSource(r, spec.sourceDir) =>
+            (c, gd, r)
+          case _ => return None
+        }
+      case other =>
+        splitChild(child) match {
+          case Some((c, r)) if scansSource(r, spec.sourceDir) => (c, other, r)
+          case _ => return None
+        }
+    }
+    val grainOnly = gExpr.deterministic && gExpr.references.nonEmpty &&
+      gExpr.references.toSeq.map(_.name).distinct == Seq(fc) &&
+      !gExpr.exists(_.isInstanceOf[PlanExpression[_]])
+    if (!grainOnly) return None
+    val filterOk = condOpt.forall { cond =>
+      cond.deterministic &&
+        cond.references.toSeq.map(_.name).distinct == Seq(fc) &&
+        !cond.exists(_.isInstanceOf[PlanExpression[_]])
+    }
+    if (!filterOk) return None
+    def shapeOf(ae: AggregateExpression): Option[String] =
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(1, _))) if !ae.isDistinct => Some("count")
+        case Count(Nil) if !ae.isDistinct => Some("count")
+        case Sum(c: Cast, _) => c.child match {
+          case a: AttributeReference
+            if a.name == spec.valCol && c.dataType == DecimalType(38, 10) =>
+            Some("sum")
+          case _ => None
+        }
+        case _ => None
+      }
+    val allCovered = aggExprs.forall { ne =>
+      ne.collect { case ae: AggregateExpression => ae }
+        .forall(shapeOf(_).isDefined)
+    }
+    if (!allCovered) return None
+    val rollup =
+      try spark.read.parquet(spec.rollupDir).queryExecution.analyzed
+      catch { case _: Throwable => return None }
+    def attr(n: String): Option[Attribute] = rollup.output.find(_.name == n)
+    val (nA, sbA, fA) =
+      (attr(spec.countOut), attr(spec.sumOut), attr(spec.filterOut)) match {
+        case (Some(b), Some(c), Some(f)) => (b, c, f)
+        case _ => return None
+      }
+    // Replay the grouping expression (and any residual predicate) on the
+    // rollup's grain column — sole-reference checked above, so a blanket
+    // attribute swap is exact.
+    val gR = gExpr.transform { case _: AttributeReference => fA }
+    val filtered = condOpt
+      .map(c => Filter(c.transform { case _: AttributeReference => fA }, rollup))
+      .getOrElse(rollup)
+    def subst(e: Expression): Expression = e match {
+      case ae: AggregateExpression => shapeOf(ae) match {
+        case Some("count") => Sum(nA).toAggregateExpression()
+        case Some("sum") => Sum(sbA).toAggregateExpression()
+        case _ => ae // unreachable: allCovered checked above
+      }
+      // The output references the grouping either as the pulled-out
+      // attribute or as the expression tree itself — both map to gR.
+      case e2 if e2.semanticEquals(g) || e2.semanticEquals(gExpr) => gR
+      case other => other.mapChildren(subst)
+    }
+    Some(Aggregate(Seq(gR), realias(aggExprs, subst), filtered))
   }
 
   /** Strip attr-only Projects and Filters that are pure conjunctions of

@@ -752,6 +752,35 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** GRAIN-CONTAINMENT MATERIALIZED-VIEW REWRITE (r16) — the most common
+    * dashboard rollup miss after WHERE clauses: a coarser-calendar-grain
+    * aggregate (here ISO WEEK — the corpus spans one month, so week gives
+    * a multi-row certificate; ExtensionsSpec pins month too) over the
+    * day-partitioned events layout, served from the DAY-GRAINED rollup.
+    * The grouping expression is a pure function of the grain column
+    * (week = weekofyear(day)), so rows sharing a day always share a week
+    * and the stored per-(type, day) partials re-aggregate exactly
+    * (count → sum(n), exact decimal → sum(sb)) under the replayed
+    * expression — the registered type dimension simply merges away. The
+    * Aggregate survives but runs over O(types × days) rollup rows; the
+    * corpus is scanned by NOTHING (ExtensionsSpec pins rollup-scanned /
+    * corpus-not-scanned, mixed-grain pass-through, and result equality).
+    * Correct for ANY deterministic subquery-free f(day); the oracle
+    * recomputes the weekly aggregate from scratch over the source. */
+  val qAggRollupGrain: Q = (s, dir) => {
+    val part = stagedEventsByDay(s, dir)
+    val rollup = stagedEventsDayRollup(s, dir)
+    graft.plans.RollupRewrite.register(graft.plans.RollupSpec(
+      part, "event_type", "value", rollup,
+      groupOut = "event_type", countOut = "n", sumOut = "sb",
+      filterCol = Some("day"), filterOut = "day"))
+    graft.plans.RollupRewrite.attach(s)
+    graft.sources.Layout.readPartitioned(s, part)
+      .groupBy(weekofyear(col("day")).cast("long").as("week"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy("week")
+  }
+
   /** JOIN-AWARE MATERIALIZED-VIEW REWRITE (r15) — the star-schema
     * dashboard query itself: revenue and order count per customer segment,
     * written as the plain orders ⋈ customer join-aggregate. With the
@@ -2292,6 +2321,7 @@ object Relational {
     "q_agg_rollup_rewrite" -> qAggRollupRewrite,
     "q_agg_rollup_filter" -> qAggRollupFilter,
     "q_agg_rollup_join" -> qAggRollupJoin,
+    "q_agg_rollup_grain" -> qAggRollupGrain,
     "q_scd2_snapshot" -> qScd2Snapshot,
     "q_scd2_merge" -> qScd2Merge,
     "q_scd2_asof" -> qScd2Asof,

@@ -146,6 +146,84 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally graft.plans.RollupRewrite.clear()
   }
 
+  test("grain-containment rewrite: coarser-grain groupings served from the day rollup; guards hold") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val spark = SparkFixture.spark
+    val dir = SparkFixture.Sf0001
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      PlanCheck.flatten(PlanCheck.finalPlan(df)).collect {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.map(_.toUri.getPath)
+      }.flatten
+    val part = graft.queries.Relational.stagedEventsByDay(spark, dir)
+    val rollup = graft.queries.Relational.stagedEventsDayRollup(spark, dir)
+    def q(group: org.apache.spark.sql.Column) = () =>
+      graft.sources.Layout.readPartitioned(spark, part)
+        .groupBy(group)
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Det.dsum(col("value"), 6).as("sum_value"))
+    val monthG = date_format(col("day"), "yyyy-MM").as("month")
+    val weekG = weekofyear(col("day")).cast("long").as("week")
+    try {
+      graft.plans.RollupRewrite.clear()
+      graft.plans.RollupRewrite.attach(spark)
+      val direct = q(monthG)().orderBy("month").collect().map(_.toSeq).toSeq
+      val directWeek = q(weekG)().orderBy("week").collect().map(_.toSeq).toSeq
+      assert(scanPaths(q(monthG)()).exists(_.contains("events-by-day")))
+      graft.plans.RollupRewrite.register(graft.plans.RollupSpec(
+        part, "event_type", "value", rollup,
+        groupOut = "event_type", countOut = "n", sumOut = "sb",
+        filterCol = Some("day"), filterOut = "day"))
+      // Month-of-day grouping fires: rollup scanned, corpus NOT, rows equal.
+      val served = q(monthG)()
+      val paths = scanPaths(served)
+      assert(paths.exists(_.contains("events-day-rollup")),
+        s"rollup not scanned: $paths")
+      assert(!paths.exists(_.contains("events-by-day")),
+        s"corpus still scanned: $paths")
+      assert(served.orderBy("month").collect().map(_.toSeq).toSeq == direct,
+        "grain rewrite changed the result")
+      // Any deterministic f(day) qualifies — week-of-year too.
+      val servedWeek = q(weekG)()
+      assert(scanPaths(servedWeek).exists(_.contains("events-day-rollup")),
+        "week grouping should be served from the rollup")
+      assert(servedWeek.orderBy("week").collect().map(_.toSeq).toSeq == directWeek,
+        "week grain rewrite changed the result")
+      // Grain + day-only predicate composes (filter replayed, then grouped).
+      val pred = col("day") >= lit("2024-01-08")
+      graft.plans.RollupRewrite.clear()
+      graft.plans.RollupRewrite.attach(spark)
+      val directFiltered = graft.sources.Layout.readPartitioned(spark, part)
+        .filter(pred).groupBy(monthG)
+        .agg(count(lit(1)).as("n")).orderBy("month")
+        .collect().map(_.toSeq).toSeq
+      graft.plans.RollupRewrite.register(graft.plans.RollupSpec(
+        part, "event_type", "value", rollup,
+        groupOut = "event_type", countOut = "n", sumOut = "sb",
+        filterCol = Some("day"), filterOut = "day"))
+      val servedFiltered = graft.sources.Layout.readPartitioned(spark, part)
+        .filter(pred).groupBy(monthG)
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(servedFiltered).exists(_.contains("events-day-rollup")),
+        "grain grouping with a day predicate should be served from the rollup")
+      assert(servedFiltered.orderBy("month").collect().map(_.toSeq).toSeq
+        == directFiltered, "filtered grain rewrite changed the result")
+      // Guard: a grouping touching a NON-grain column passes through.
+      val mixed = graft.sources.Layout.readPartitioned(spark, part)
+        .groupBy(concat(col("event_type"), date_format(col("day"), "yyyy-MM")).as("g"))
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(mixed).exists(_.contains("events-by-day")),
+        "a grouping over (type, day) columns must NOT take the grain path")
+      // Guard: nondeterministic f(day) passes through.
+      val nondet = graft.sources.Layout.readPartitioned(spark, part)
+        .groupBy((unix_date(col("day")) + floor(rand() * 0)).as("g"))
+        .agg(count(lit(1)).as("n"))
+      assert(scanPaths(nondet).exists(_.contains("events-by-day")),
+        "a nondeterministic grouping must NOT be rewritten")
+    } finally graft.plans.RollupRewrite.clear()
+  }
+
   test("join-view rewrite: the star-schema aggregate is served with Join AND Aggregate deleted; guards hold") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec

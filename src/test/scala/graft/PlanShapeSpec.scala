@@ -210,7 +210,19 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_agg_heavyhitters" -> 2,
     // served from the JOIN-view rollup: Join and Aggregate both deleted;
     // the 5-row sort is the only exchange — measured 1
-    "q_agg_rollup_join" -> 1
+    "q_agg_rollup_join" -> 1,
+
+    // r16 keys:
+    // GRAIN-containment rewrite: month re-aggregation over O(types × days)
+    // rollup rows (1) + total-order sort (1) — the corpus never enters the
+    // plan (ExtensionsSpec pins that separately); same shape as
+    // q_agg_rollup_filter
+    "q_agg_rollup_grain" -> 2,
+    // sketch-table merge: per-(type, day) summary agg (1) + the two
+    // windows + final group ride the same O(days × 129)-row exchange
+    // family (measured 5 with the totals join); +1 headroom — every
+    // exchange carries summary rows, never the corpus
+    "q_agg_quantile_sketch" -> 6
     // (q_stream_* r15 keys follow the streaming precedent above: the
     // graded plan is a sink readback; their shuffle story is the batch
     // form's, already budgeted via the q_stream_tumbling entry.)

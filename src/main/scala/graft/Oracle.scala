@@ -1582,6 +1582,40 @@ object Oracle {
           FROM t LEFT JOIN cnt ON t.doc_id = cnt.doc_id
           ORDER BY t.doc_id""",
 
+    // Duplicate-span EXCISION: same 1-indexed gram construction; the
+    // keep-first rule is row_number() over (doc_id, pos) per gram == the
+    // Spark side's min(struct(doc_id, pos)); the rebuild concatenates the
+    // surviving token positions in order. Index base cancels (each engine
+    // is internally consistent); retained text is hash-compared via md5.
+    "q_text_dup_excise" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS pos, toks
+                FROM t WHERE len(toks) >= 8),
+          g2 AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+7], ' ') AS gram FROM g),
+          dup AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          occ AS (SELECT g2.doc_id, g2.pos,
+                         row_number() OVER (PARTITION BY g2.gram
+                                            ORDER BY g2.doc_id, g2.pos) AS rn
+                  FROM g2 JOIN dup USING (gram)),
+          rmp AS (SELECT DISTINCT doc_id, p FROM
+                    (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+                     FROM occ WHERE rn > 1)),
+          tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks FROM t),
+          keep AS (SELECT tok.doc_id, tok.p, tok.toks[tok.p] AS tok
+                   FROM tok LEFT JOIN rmp ON tok.doc_id = rmp.doc_id AND tok.p = rmp.p
+                   WHERE rmp.p IS NULL),
+          agg AS (SELECT doc_id, count(*) AS n_ret,
+                         string_agg(tok, ' ' ORDER BY p) AS rt
+                  FROM keep GROUP BY doc_id),
+          rmc AS (SELECT doc_id, count(*) AS n_rm FROM rmp GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                 CAST(coalesce(rmc.n_rm, 0) AS BIGINT) AS n_removed,
+                 CAST(coalesce(agg.n_ret, 0) AS BIGINT) AS n_retained,
+                 md5(coalesce(agg.rt, '')) AS retained_md5
+          FROM t LEFT JOIN rmc ON t.doc_id = rmc.doc_id
+                 LEFT JOIN agg ON t.doc_id = agg.doc_id
+          ORDER BY t.doc_id""",
+
     "q_join_asof" ->
       """SELECT event_id, user_id, ts, o.o_orderkey, o.o_orderdate
          FROM events e ASOF JOIN

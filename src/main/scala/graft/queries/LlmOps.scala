@@ -1817,8 +1817,65 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** DUPLICATE-SPAN EXCISION — the TRANSFORM `q_text_dup_spans` only
+    * measures: rewrite each document with cross-doc duplicated 8-token
+    * spans REMOVED, keep-first-occurrence by global (doc_id, pos) order so
+    * the result is deterministic (the excision step of Lee et al. 2022's
+    * dedup pipeline, in its parallel fixed-n form). A gram appearing in ≥2
+    * distinct docs keeps exactly its globally-first occurrence; every
+    * other occurrence's 8 token positions are excised (overlapping spans
+    * union exactly via the position-set semantics — a kept span partially
+    * covered by another excised occurrence loses those positions, same
+    * rule both engines).
+    *
+    * Plan: the gram family (one groupBy + one co-partitioned join on the
+    * gram key) is `q_text_dup_spans`' audited shape — the single-distinct
+    * countDistinct + min(struct(doc_id, pos)) rides one two-phase
+    * aggregate, no Expand; excised occurrences (bounded by dup density,
+    * never the corpus) explode to per-doc removed-index SETS; the rebuild
+    * is a NARROW higher-order filter over each doc's token array after one
+    * doc_id join of that dup-bounded table — the corpus is never exploded
+    * into a token-level shuffle. At 100 TB the join key becomes
+    * xxhash64(gram) (8-byte shuffle keys; a collision only ever adds a
+    * false dup pair, absorbed by curation). Output: per-doc retained-text
+    * stats + md5(retained_text) — the full rewritten corpus hash-checked
+    * row-by-row against DuckDB's window-function rebuild. */
+  val qTextDupExcise: Q = (s, dir) => {
+    val n = 8
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val g = docs.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
+      .toDF("doc_id", "pos", "gram")
+    // min(struct(doc_id, pos)) IS the keep-first rule: struct ordering is
+    // lexicographic (doc_id, then pos).
+    val dup = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), col("first"))
+    val rm = g.join(dup, "gram")
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("rm"))
+    docs.join(rm, Seq("doc_id"), "left")
+      .withColumn("retained",
+        expr("filter(toks, (x, i) -> rm IS NULL OR NOT array_contains(rm, i))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("rm")).cast("long"), lit(0L)).as("n_removed"),
+        size(col("retained")).cast("long").as("n_retained"),
+        md5(array_join(col("retained"), " ")).as("retained_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_dup_spans" -> qTextDupSpans,
+    "q_text_dup_excise" -> qTextDupExcise,
     "q_sample_split" -> qSampleSplit,
     "q_sample_quota" -> qSampleQuota,
     "q_sample_mixture" -> qSampleMixture,

@@ -222,7 +222,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // windows + final group ride the same O(days × 129)-row exchange
     // family (measured 5 with the totals join); +1 headroom — every
     // exchange carries summary rows, never the corpus
-    "q_agg_quantile_sketch" -> 6
+    "q_agg_quantile_sketch" -> 6,
+    // duplicate-span excision: gram two-phase distinct agg + co-partitioned
+    // gram join + per-doc removed-set agg (broadcast back to docs) + sort —
+    // measured 4, +1 headroom; every post-gram exchange is dup-density
+    // bounded, the rebuild is a narrow higher-order filter
+    "q_text_dup_excise" -> 5
     // (q_stream_* r15 keys follow the streaming precedent above: the
     // graded plan is a sink readback; their shuffle story is the batch
     // form's, already budgeted via the q_stream_tumbling entry.)

@@ -2192,6 +2192,14 @@ object Oracle {
                  count(*) AS n, ${dsum("value", 6)} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
 
+    // Complete-mode serving: the final memory-sink snapshot must equal the
+    // from-scratch per-type aggregate over the full replay (the key's own
+    // runtime certificate separately proves the snapshot was recomputed
+    // across >=2 micro-batches).
+    "q_stream_complete" ->
+      s"""SELECT event_type, count(*) AS n, ${dsum("value", 6)} AS sum_value
+          FROM events GROUP BY 1 ORDER BY event_type""",
+
     // Restart/recovery must be invisible in results: the resumed stream's
     // committed sink equals the from-scratch batch aggregate — the SAME
     // oracle as q_stream_tumbling (any reprocessed or lost batch shows up

@@ -460,7 +460,43 @@ object StreamingQs {
       .orderBy("event_type", "rnk")
   }
 
+  /** COMPLETE-mode output — the third member of the output-mode family
+    * (append = q_stream_tumbling's exactly-once emission, update =
+    * q_stream_update_topk's changed-rows serving): the small-cardinality
+    * per-type running aggregate whose memory-sink snapshot is the FULL
+    * recomputed result after every micro-batch
+    * (Runtime.runCompleteWithSnapshot — one query instance over the
+    * two-arrival time-split replay). The runtime certificate requires the
+    * MID-STREAM snapshot (captured between the two micro-batches) to be
+    * nonempty, differ from the final one, and be a per-type prefix of it
+    * (counts only grow — complete mode RECOMPUTED rather than appended);
+    * a run that collapsed to one batch, or a sink that kept stale rows,
+    * fails loudly. The graded final snapshot hash-matches the from-scratch
+    * batch aggregate. Flush sentinels are filtered BEFORE the aggregate —
+    * complete mode has no watermark to stall (state is O(types), kept
+    * forever by definition), so the pre-agg filter is safe here, unlike
+    * the watermarked keys. */
+  val qStreamComplete: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    val (fin, mid) = SR.runCompleteWithSnapshot(s, dir,
+      df => df.filter(col("event_type") =!= "flush")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value")),
+      s"graft_complete_${Integer.toHexString(dir.hashCode)}")
+    val finRows = fin.collect().toSeq
+    val midN = mid.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val finN = finRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prefix = midN.forall { case (t, n) => finN.get(t).exists(_ >= n) }
+    if (mid.isEmpty || mid.toSet == finRows.toSet || !prefix)
+      sys.error(s"complete-mode certificate failed: mid-stream snapshot " +
+        s"(${mid.size} rows) must be nonempty, differ from the final " +
+        s"snapshot, and per-type counts must only grow — the stream did " +
+        s"not recompute across two micro-batches")
+    fin.orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_complete" -> qStreamComplete,
     "q_stream_update_topk" -> qStreamUpdateTopk,
     "q_stream_view_maintain" -> qStreamViewMaintain,
     "q_stream_tumbling" -> qStreamTumbling,

@@ -925,6 +925,58 @@ object Runtime {
     spark.table(name)
   }
 
+  /** COMPLETE-MODE SERVING SNAPSHOT — the third member of the output-mode
+    * family (append = exactly-once emission of finalized rows, update =
+    * changed-rows serving merge, COMPLETE = the sink holds the FULL
+    * recomputed aggregate after every micro-batch — the dashboard-snapshot
+    * mode, only sane when the aggregate is O(groups)-small, exactly the
+    * per-type shape here; complete mode re-emits all STATE per batch,
+    * never the corpus). ONE query instance spans a two-arrival schedule:
+    * the early half of the time-split replay arrives, processAllAvailable
+    * drains it, and the memory sink's snapshot is captured MID-STREAM;
+    * then the late half arrives and the SAME query drains it — complete
+    * mode truncates and rewrites the sink, so the final table replaces the
+    * mid snapshot. Returns (final table, mid-stream snapshot rows): the
+    * caller certifies the mode was actually exercised across ≥2
+    * micro-batches (mid ≠ final — a one-batch run would make complete mode
+    * indistinguishable from a batch query) and grades the final snapshot
+    * against the from-scratch batch aggregate. */
+  def runCompleteWithSnapshot(spark: SparkSession, dir: String,
+                              agg: DataFrame => DataFrame, name: String)
+      : (DataFrame, Seq[org.apache.spark.sql.Row]) =
+    withStreamShufflePartitions(spark) {
+    Tables.prep(spark)
+    val fixture = stagedSplitDir(spark, dir)
+    val names = Seq("events_0_early.parquet", "events_1_late.parquet")
+    val arrivals = java.nio.file.Paths.get(
+      Tables.stageDir(spark, "stream-complete-arrivals", dir))
+    Tables.deleteRecursively(arrivals.toString)
+    java.nio.file.Files.createDirectories(arrivals)
+    def arrive(n: String): Unit =
+      java.nio.file.Files.copy(fixture.resolve(n), arrivals.resolve(n),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    val schema = Tables.decodeEventTs(
+      spark.read.parquet(s"$dir/events.parquet")).schema
+    arrive(names(0))
+    val src = Tables.decodeEventTs(spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(arrivals.toString + "/events_*.parquet"))
+    val q = agg(src).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val mid = spark.table(name).collect().toSeq
+      arrive(names(1))
+      q.processAllAvailable()
+      (spark.table(name), mid)
+    } finally q.stop()
+  }
+
   /** Pre-build every content-keyed replay fixture for `dir` — the bench
     * warmup calls this so arrival-dir staging (a build-once artifact, not
     * stream work) is never billed to whichever timed streaming key runs

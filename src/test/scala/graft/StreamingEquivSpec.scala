@@ -526,4 +526,37 @@ class StreamingEquivSpec extends AnyFunSuite {
       resumedSink.select("w_start", "event_type").distinct().count(),
       "append sink holds duplicate window rows — a batch committed twice")
   }
+
+  test("complete mode: mid-stream snapshot differs from final and is a prefix; final == batch aggregate") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Det.dsum
+    // The output-mode family's third member (q_stream_complete): ONE query
+    // over the two-arrival split replay; the memory sink is truncated and
+    // rewritten with the FULL aggregate each micro-batch.
+    val (fin, mid) = SRuntime.runCompleteWithSnapshot(spark, Sf0001,
+      df => df.filter(col("event_type") =!= "flush")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value")),
+      "t_complete")
+    val finRows = fin.collect().map(_.toSeq).toSet
+    val midRows = mid.map(_.toSeq).toSet
+    // (1) Complete mode actually exercised across two micro-batches: the
+    // mid-stream snapshot is a nonempty, strictly-smaller-count prefix.
+    assert(midRows.nonEmpty, "mid-stream snapshot empty — batch 1 emitted nothing")
+    assert(midRows != finRows,
+      "mid-stream snapshot equals final — the stream collapsed to one batch")
+    val midN = mid.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val finN = fin.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(midN.forall { case (t, n) => finN.get(t).exists(_ >= n) },
+      "a per-type count shrank between snapshots — the sink kept stale rows")
+    assert(midN.values.sum < finN.values.sum,
+      "total count did not grow — batch 2 contributed nothing")
+    // (2) The final snapshot IS the batch aggregate over the full replay.
+    val batch = graft.Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(finRows == batch,
+      s"missing=${(batch -- finRows).take(3)} extra=${(finRows -- batch).take(3)}")
+  }
 }

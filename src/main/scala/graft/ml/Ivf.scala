@@ -66,9 +66,10 @@ object Ivf {
   }
 
   /** The nProbe cells whose centroids are nearest the query. Centroids are
-    * model parameters — a tiny driver-side array, not a data collect. */
-  private def nearestCells(model: KMeansModel, query: Array[Double],
-                           nProbe: Int): Seq[Int] =
+    * model parameters — a tiny driver-side array, not a data collect.
+    * (Shared with the PQ tier — Pq probes the same coarse quantizer.) */
+  private[ml] def nearestCells(model: KMeansModel, query: Array[Double],
+                               nProbe: Int): Seq[Int] =
     model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
         val d = c.toArray.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum

@@ -1421,6 +1421,31 @@ object LlmOps {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** IVF-PQ COMPRESSION TIER (ml/Pq — re-derived from Jégou, Douze &
+    * Schmid, TPAMI 2011): residuals against the coarse cell centroids are
+    * product-quantized into m=8 one-byte codes (8 subspaces × 256-centroid
+    * codebooks), so the 64-dim float corpus stores 8 B/vector instead of
+    * 256 B — 32× (IvfSpec measures ≥8× pinned). Search is the paper's ADC:
+    * probe the tuned-nProbe nearest cells, scan ONLY their codes summing m
+    * broadcast-LUT lookups per row (codegen'd built-ins, no UDF), shortlist
+    * 4k candidates, exact-re-rank the shortlist from full vectors. At
+    * 100 TB the corpus-sized read is m bytes/row over the probed cell
+    * partitions; full vectors are touched O(k) times per query. No oracle:
+    * seeded k-means has no DuckDB twin — declared no-oracle like
+    * q_sim_ivf_ann; IvfSpec pins recall ≥ the tuned target, the
+    * compression ratio, and shortlist ⊇ final top-k. */
+  val qSimIvfPq: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val index = graft.ml.Pq.build(
+      e.filter(col("vec_id") =!= 0), "embedding", nCells = 16)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    graft.ml.Pq.search(index, q, k = 10)
+      .select(col("vec_id"), col("label"),
+        round(col("adist"), 6).as("adist"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** INCREMENTAL ANN index maintenance (ml/Ivf.append) — the ANN member of
     * the incremental family: the corpus index (vec_id % 10 != 7, quantizer
     * trained on it alone) ingests the arriving batch (vec_id % 10 == 7) by
@@ -1914,5 +1939,6 @@ object LlmOps {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_sim_ivf_ann" -> qSimIvfAnn,
     "q_sim_ivf_append" -> qSimIvfAppend,
+    "q_sim_ivf_pq" -> qSimIvfPq,
     "q_multimodal_join" -> qMultimodalJoin)
 }

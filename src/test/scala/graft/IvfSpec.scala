@@ -147,4 +147,54 @@ class IvfSpec extends AnyFunSuite {
       assert(mean >= 0.8, s"mean held-out recall $mean at tuned width $stored")
     } finally Tables.deleteRecursively(dir)
   }
+
+  test("IVF-PQ: codes >=8x smaller than float vectors, recall >= 0.8 held-out at tuned nProbe, pruned code scan, deterministic") {
+    import graft.ml.Pq
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq").toString
+    try {
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val built = Pq.build(corpus, "embedding", nCells = 16)
+      val index = Pq.writeCodes(built, dir)
+      // COMPRESSION: every code is exactly m bytes; the stored float
+      // vectors are 4·dim bytes — the representation the codes replace.
+      val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+      val codeBytes = index.codes.select(length(col("code")).cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      assert(codeBytes == Seq(index.m.toLong),
+        s"code byte lengths $codeBytes, expected exactly m=${index.m}")
+      val ratio = (4.0 * dim) / index.m
+      info(s"PQ compression: ${4 * dim} B -> ${index.m} B per vector (${ratio}x)")
+      assert(ratio >= 8.0, s"compression $ratio < 8x")
+      // RECALL at the tuned nProbe on held-out queries (outside the tuning
+      // sample's smallest ids) — the ADC shortlist + exact re-rank must
+      // hold the IVF family's bound.
+      val heldOut = all.filter(_._1 != 0L).sortBy(-_._1).take(5)
+      val recalls = heldOut.map { case (qid, q) =>
+        val truth = all.filter(t => t._1 != 0L)
+          .map { case (id, v) =>
+            (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+          }
+          .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+        val got = Pq.search(index, q, k = 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (got & truth).size.toDouble / truth.size
+      }
+      val mean = recalls.sum / recalls.length
+      info(s"tuned nProbe=${index.tunedNProbe}, PQ held-out recalls=${recalls.mkString(",")}")
+      assert(mean >= 0.8, s"mean PQ held-out recall $mean")
+      // The code scan PRUNES: the probe filter reaches the partitioned
+      // layout as a PartitionFilter, so unprobed cells are never read.
+      val plan = Pq.search(index, query, k = 10)
+        .queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+          l.contains("PartitionFilters") && l.contains("cell")),
+        s"no cell PartitionFilters in PQ code scan:\n$plan")
+      // Deterministic across runs (seeded quantizer + seeded codebooks).
+      val a = Pq.search(index, query, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      val b = Pq.search(index, query, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(a == b, s"nondeterministic PQ search: $a vs $b")
+    } finally Tables.deleteRecursively(dir)
+  }
 }

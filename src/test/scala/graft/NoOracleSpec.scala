@@ -267,6 +267,31 @@ class NoOracleSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall; ivf=$ivf true=$top")
   }
 
+  test("q_sim_ivf_pq: recall >= 0.6 vs brute-force top-10; ADC approximates the exact distance") {
+    val rows = SparkEntry.queries("q_sim_ivf_pq")(spark, Sf0001).collect()
+    val pq = rows.map(_.getLong(0)).toSet
+    val e = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val q = e.find(_._1 == 0L).get._2
+    val top = e.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, math.sqrt(v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum))
+      }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val recall = (pq & top).size.toDouble / top.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall; pq=$pq true=$top")
+    // adist is the ADC estimate of the SQUARED distance from the m-byte
+    // code — it must sit in the right ballpark of dist² (quantization
+    // error bounded well below the distance scale), or the shortlist
+    // ranking the re-rank depends on would be noise.
+    rows.foreach { r =>
+      val (ad, d) = (r.getDouble(2), r.getDouble(3))
+      assert(math.abs(ad - d * d) <= 0.5 * d * d + 0.25,
+        s"ADC estimate $ad far from exact ${d * d} for vec ${r.getLong(0)}")
+    }
+  }
+
   test("q_sim_lsh_ann: recall >= 0.6 vs brute-force Euclidean top-10") {
     val lsh = SparkEntry.queries("q_sim_lsh_ann")(spark, Sf0001)
       .select("vec_id").collect().map(_.getLong(0)).toSet

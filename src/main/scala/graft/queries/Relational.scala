@@ -1384,16 +1384,19 @@ object Relational {
 
   /** Skew-safe equi-join — the graded exposure of operators/SkewJoin.scala.
     * The fixture plants the classic hot-key shape on real data: 3/4 of
-    * orders collapse onto skew_key 1, the rest keep their custkey. The salt
-    * FACTOR is self-tuned from the fact's measured hot-key share
-    * (SkewJoin.adaptiveSaltFactor — ~3/4 of rows on one key asks for ~3/4
-    * of the session's parallelism) instead of a guessed constant. The salt
-    * value never reaches the result (every salt matches an exploded dim
-    * copy; LayoutSkewSpec asserts equality with the plain join AND that the
-    * hot key spreads across salt buckets at two skew profiles), so the
-    * oracle is the PLAIN equi-join SQL. At 100 TB this is the portable
-    * rewrite when one key would funnel a shuffle join into a single giant
-    * task; AQE's runtime skew split only covers sort-merge joins. */
+    * orders collapse onto skew_key 1, the rest keep their custkey. Salting
+    * is PER KEY from the measured histogram (SkewJoin.saltedJoinPerKey,
+    * r16): only the hot key gets salt buckets — sized to its own row count
+    * against the uniform per-task share — while every cold key keeps
+    * factor 1, so the dimension explodes Σ_hot(factor−1) extra rows
+    * instead of nKeys × the hottest key's factor (the global-factor
+    * variant, kept as SkewJoin.saltedJoinAdaptive). The salt value never
+    * reaches the result (LayoutSkewSpec asserts equality with the plain
+    * join, invariance across maxFactor, the hot-table-only-hot-keys
+    * guarantee, and the amplification saving), so the oracle is the PLAIN
+    * equi-join SQL. At 100 TB this is the portable rewrite when one key
+    * would funnel a shuffle join into a single giant task; AQE's runtime
+    * skew split only covers sort-merge joins. */
   val qJoinSkewed: Q = (s, dir) => {
     val fact = Tables.orders(s, dir).select(
       when(col("o_orderkey") % 4 =!= 0, lit(1L))
@@ -1401,7 +1404,7 @@ object Relational {
       col("o_totalprice"))
     val dim = Tables.customer(s, dir)
       .select(col("c_custkey").as("skew_key"), col("c_name"), col("c_mktsegment"))
-    graft.operators.SkewJoin.saltedJoinAdaptive(fact, dim, "skew_key")
+    graft.operators.SkewJoin.saltedJoinPerKey(fact, dim, "skew_key")
       .groupBy(col("skew_key"), col("c_name"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
       .orderBy("skew_key")

@@ -180,6 +180,49 @@ class LayoutSkewSpec extends AnyFunSuite {
       "uniform fact should not pay for salting")
   }
 
+  test("per-key salting: only hot keys salted, dim amplification < global-factor explosion, answer invariant") {
+    import spark.implicits._
+    // 90% of rows on key 5, 63 cold keys — the planted hot-key shape.
+    val fact = spark.range(0, 10000).select(
+      when(col("id") % 10 =!= 0, lit(5L)).otherwise(pmod(col("id"), lit(64L))).as("k"),
+      col("id").as("payload"))
+    val dim = (0L until 64L).map(k => (k, s"d$k")).toDF("k", "name")
+    // (1) The hot table holds ONLY the hot key, with a real factor.
+    val hot = SkewJoin.perKeySaltFactors(fact, "k").collect()
+    assert(hot.map(_.getLong(0)).toSeq == Seq(5L),
+      s"hot table should hold exactly the planted key: ${hot.toSeq}")
+    val hotFactor = hot.head.getLong(1)
+    assert(hotFactor > 1, s"hot key derived factor $hotFactor — would not spread")
+    // (2) Dim amplification: Σ per-key factors beats nKeys × global factor.
+    val globalFactor = SkewJoin.adaptiveSaltFactor(fact, "k")
+    val perKeyDimRows = 64 - 1 + hotFactor // cold keys once + hot key f times
+    assert(perKeyDimRows < 64L * globalFactor,
+      s"per-key explosion $perKeyDimRows !< global ${64L * globalFactor}")
+    // (3) Result equality with the plain join, and invariance across caps.
+    val plain = fact.join(dim, "k").select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    for (cap <- Seq(2, 8, 64)) {
+      val got = SkewJoin.saltedJoinPerKey(fact, dim, "k", maxFactor = cap)
+        .select("k", "payload", "name").collect().map(_.toSeq).toSet
+      assert(got == plain, s"maxFactor=$cap: got=${got.size} plain=${plain.size}")
+    }
+    // (4) The hot key's rows actually spread across its salt buckets.
+    val spread = SkewJoin.saltedJoinPerKey(fact, dim, "k")
+      .filter(col("k") === 5L).count()
+    assert(spread == 9000L, s"hot-key rows lost/duplicated: $spread")
+    // (5) A uniform fact derives NO hot keys — the join degenerates to the
+    // plain join with zero extra dim copies.
+    val uniform = spark.range(0, 8000)
+      .select(pmod(col("id"), lit(64L)).as("k"), col("id").as("payload"))
+    assert(SkewJoin.perKeySaltFactors(uniform, "k").isEmpty,
+      "uniform fact should not pay for salting")
+    val uPlain = uniform.join(dim, "k").select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val uGot = SkewJoin.saltedJoinPerKey(uniform, dim, "k")
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(uGot == uPlain)
+  }
+
   test("Layout.compact sizes a hive-partitioned tree from its nested data files") {
     // The small-files shape compaction exists for is often a partitioned
     // tree; a top-level-only listing would measure 0 bytes and collapse

@@ -844,6 +844,39 @@ object Oracle {
     "q_sql_recursive" -> graft.queries.Relational.recursiveOracleSql,
     "q_sql_lateral" -> graft.queries.Relational.lateralOracleSql,
 
+    // SQL-text DML family: the engine runs real MERGE/UPDATE/DELETE
+    // statements against the v2 catalog table; the oracle REBUILDS each
+    // statement's semantics relationally over the same orders seed.
+    "q_sql_merge" ->
+      """WITH seed AS (SELECT o_orderkey, o_custkey, o_totalprice, 'base' AS status
+                       FROM orders WHERE o_orderkey % 3 <> 0),
+              src AS (SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS price
+                      FROM orders WHERE o_orderkey % 2 = 0),
+              kept AS (SELECT t.o_orderkey, t.o_custkey,
+                              CASE WHEN s.o_orderkey IS NOT NULL THEN s.price
+                                   ELSE t.o_totalprice END AS o_totalprice,
+                              CASE WHEN s.o_orderkey IS NOT NULL THEN 'upd'
+                                   ELSE t.status END AS status
+                       FROM seed t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+                       WHERE s.o_orderkey IS NULL OR s.price <= 400000.0),
+              ins AS (SELECT s.o_orderkey, s.o_custkey, s.price AS o_totalprice,
+                             'ins' AS status
+                      FROM src s LEFT JOIN seed t ON s.o_orderkey = t.o_orderkey
+                      WHERE t.o_orderkey IS NULL)
+         SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY o_orderkey""",
+
+    "q_sql_update" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 0.9
+                     ELSE o_totalprice END AS o_totalprice,
+                CASE WHEN o_custkey % 10 = 0 THEN 'disc' ELSE 'base' END AS status
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_sql_delete" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, 'base' AS status
+         FROM orders WHERE NOT (o_totalprice < 50000.0 OR o_custkey % 7 = 0)
+         ORDER BY o_orderkey""",
+
     // Triangles: same distinct-pair edge aggregation, canonical a<b
     // undirected edges, two-hop join + closing-edge check, per-member
     // counts; nations in no triangle report 0.

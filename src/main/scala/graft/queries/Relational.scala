@@ -1964,6 +1964,67 @@ object Relational {
 
   def lateralOracleSql: String = lateralSql
 
+  // ----------------------------------------------------- SQL-text DML (r16)
+
+  /** Shared scaffolding for the SQL-text DML family (q_sql_merge /
+    * q_sql_update / q_sql_delete — the parser-level twins of
+    * operators/Merge + Layout.updateManifested): register the graft v2
+    * catalog (catalog/GraftCatalog — group-based `SupportsRowLevelOperations`,
+    * the binding that lets Spark 4's `MERGE INTO`/`UPDATE`/`DELETE FROM`
+    * plan through RewriteMergeIntoTable → ReplaceData with no external
+    * format jar), then rebuild the key's own target table from an orders
+    * seed predicate so every invocation is independent and idempotent
+    * (DROP + CREATE + INSERT INTO … SELECT). The DuckDB oracle REBUILDS
+    * each statement's semantics relationally (left-join CASE for MERGE,
+    * CASE for UPDATE, negated predicate for DELETE) — engine DML vs
+    * relational reconstruction, hash-matched row by row. */
+  private def dmlTable(s: SparkSession, dir: String, name: String,
+                       seedWhere: String): String = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val t = s"graft.dml.$name"
+    Tables.orders(s, dir).createOrReplaceTempView("graft_dml_orders")
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_totalprice DOUBLE, status STRING)")
+    s.sql(s"INSERT INTO $t SELECT o_orderkey, o_custkey, o_totalprice, " +
+      s"'base' FROM graft_dml_orders WHERE $seedWhere")
+    t
+  }
+
+  /** SQL-text MERGE INTO with all three branch kinds — matched-and DELETE,
+    * matched UPDATE, not-matched INSERT — against the v2 catalog table.
+    * The graded result is the table's full post-merge contents. */
+  val qSqlMerge: Q = (s, dir) => {
+    val t = dmlTable(s, dir, "merge_target", "o_orderkey % 3 != 0")
+    s.sql(
+      s"""MERGE INTO $t t
+          USING (SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS price
+                 FROM graft_dml_orders WHERE o_orderkey % 2 = 0) s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.price > 400000.0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET o_totalprice = s.price, status = 'upd'
+          WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_totalprice, status)
+            VALUES (s.o_orderkey, s.o_custkey, s.price, 'ins')""")
+    s.table(t).orderBy("o_orderkey")
+  }
+
+  /** SQL-text UPDATE (predicate + computed SET) through the same
+    * group-based row-level route. */
+  val qSqlUpdate: Q = (s, dir) => {
+    val t = dmlTable(s, dir, "update_target", "true")
+    s.sql(s"UPDATE $t SET o_totalprice = o_totalprice * 0.9, " +
+      "status = 'disc' WHERE o_custkey % 10 = 0")
+    s.table(t).orderBy("o_orderkey")
+  }
+
+  /** SQL-text DELETE FROM with a compound predicate. */
+  val qSqlDelete: Q = (s, dir) => {
+    val t = dmlTable(s, dir, "delete_target", "true")
+    s.sql(s"DELETE FROM $t WHERE o_totalprice < 50000.0 OR o_custkey % 7 = 0")
+    s.table(t).orderBy("o_orderkey")
+  }
+
   /** TRIANGLE COUNTING over the aggregated trade graph — the third member
     * of the entity-graph family (pagerank = importance, reachability =
     * connectivity, triangles = clustering): nations a<b<c pairwise linked
@@ -2364,6 +2425,9 @@ object Relational {
     "q_sql_correlated" -> qSqlCorrelated,
     "q_sql_recursive" -> qSqlRecursive,
     "q_sql_lateral" -> qSqlLateral,
+    "q_sql_merge" -> qSqlMerge,
+    "q_sql_update" -> qSqlUpdate,
+    "q_sql_delete" -> qSqlDelete,
     "q_quality_constraints" -> qQualityConstraints,
     "q_graph_reachability" -> qGraphReachability,
     "q_events_anomaly" -> qEventsAnomaly,

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-text DML through the v2 GraftCatalog (catalog/GraftCatalog): the
+  * MERGE INTO / UPDATE / DELETE statements must plan through Spark's
+  * group-based row-level rewrites and leave exactly the semantics the
+  * standard defines. */
+class SqlDmlSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def freshTable(name: String): String = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val t = s"graft.dml.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE, status STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10.0, 'base'), (2, 20.0, 'base'), (3, 30.0, 'base')")
+    t
+  }
+
+  test("MERGE INTO: matched update, matched-and delete, not-matched insert") {
+    val t = freshTable("m1")
+    spark.sql(
+      s"""MERGE INTO $t t
+          USING (SELECT * FROM VALUES (2L, 99.0), (3L, 1000.0), (4L, 40.0) AS s(k, v)) s
+          ON t.k = s.k
+          WHEN MATCHED AND s.v >= 1000.0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = s.v, status = 'upd'
+          WHEN NOT MATCHED THEN INSERT (k, v, status) VALUES (s.k, s.v, 'ins')""")
+    val got = spark.table(t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 10.0, "base"), (2L, 99.0, "upd"), (4L, 40.0, "ins")),
+      got.toString)
+  }
+
+  test("UPDATE and DELETE statements") {
+    val t = freshTable("u1")
+    spark.sql(s"UPDATE $t SET v = v * 2, status = 'doubled' WHERE k >= 2")
+    val afterUpdate = spark.table(t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(afterUpdate == Seq((1L, 10.0, "base"), (2L, 40.0, "doubled"),
+      (3L, 60.0, "doubled")), afterUpdate.toString)
+    spark.sql(s"DELETE FROM $t WHERE status = 'doubled' AND v > 50.0")
+    val afterDelete = spark.table(t).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(afterDelete == Seq((1L, 10.0, "base"), (2L, 40.0, "doubled")),
+      afterDelete.toString)
+  }
+}

@@ -61,21 +61,30 @@ object Pq {
     val withRes = assigned.join(centersDf, "cell")
       .withColumn("__res", expr(
         s"zip_with(CAST($arrayCol AS ARRAY<DOUBLE>), __ctr, (a, b) -> a - b)"))
-    // One k-means codebook per subspace over the residual subvectors; the
-    // corpus is encoded by m chained pointwise transforms (each O(rows ×
+    // One k-means codebook per subspace over the residual subvectors. Every
+    // fit reads the PERSISTED residual frame directly (fitting off the
+    // growing transform chain would recompute all earlier subspaces'
+    // assignments per fit), with 2 Lloyd iterations — codebook quality only
+    // shifts which candidates make the shortlist, never the final ranking,
+    // so the build buys routing, not polish. The corpus is then encoded by
+    // m chained pointwise transforms evaluated in one pass (each O(rows ×
     // 256 × dsub) — the same cost shape as the coarse assignment).
-    var cur = graft.operators.ScaleOps.trackedPersist(withRes)
-    val books = (0 until m).map { s =>
-      val feats = Pipelines.withFeatures(
-        cur.withColumn("__sub", subCol("__res", s, dsub)), "__sub")
-      val model = new KMeans().setK(256).setSeed(seed + s)
-        .setInitMode("random").setMaxIter(4).setFeaturesCol("features")
-        .fit(feats.select("features"))
-      cur = model.transform(feats)
+    val resP = graft.operators.ScaleOps.trackedPersist(withRes)
+    val models = (0 until m).map { s =>
+      new KMeans().setK(256).setSeed(seed + s)
+        .setInitMode("random").setMaxIter(2).setFeaturesCol("features")
+        .fit(Pipelines.withFeatures(
+          resP.withColumn("__sub", subCol("__res", s, dsub)), "__sub")
+          .select("features"))
+    }
+    var cur: DataFrame = resP
+    models.zipWithIndex.foreach { case (model, s) =>
+      cur = model.transform(Pipelines.withFeatures(
+        cur.withColumn("__sub", subCol("__res", s, dsub)), "__sub"))
         .withColumnRenamed("prediction", s"__c$s")
         .drop("features", "__sub")
-      model.clusterCenters.map(_.toArray)
-    }.toArray
+    }
+    val books = models.map(_.clusterCenters.map(_.toArray)).toArray
     val codeArr = array((0 until m).map(s => col(s"__c$s")): _*)
     val codes = cur
       .withColumn("code", unhex(concat_ws("",

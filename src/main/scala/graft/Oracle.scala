@@ -865,6 +865,29 @@ object Oracle {
                       WHERE t.o_orderkey IS NULL)
          SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY o_orderkey""",
 
+    // Merge-on-read twin: the same relational rebuild composed with the
+    // layered UPDATE's CASE — the engine's event-log replay must agree.
+    "q_sql_merge_delta" ->
+      """WITH seed AS (SELECT o_orderkey, o_custkey, o_totalprice, 'base' AS status
+                       FROM orders WHERE o_orderkey % 4 <> 0),
+              src AS (SELECT o_orderkey, o_custkey, o_totalprice * 1.2 AS price
+                      FROM orders WHERE o_orderkey % 5 = 0),
+              kept AS (SELECT t.o_orderkey, t.o_custkey,
+                              CASE WHEN s.o_orderkey IS NOT NULL THEN s.price
+                                   ELSE t.o_totalprice END AS o_totalprice,
+                              CASE WHEN s.o_orderkey IS NOT NULL THEN 'upd'
+                                   ELSE t.status END AS status
+                       FROM seed t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+                       WHERE s.o_orderkey IS NULL OR s.price <= 300000.0),
+              ins AS (SELECT s.o_orderkey, s.o_custkey, s.price AS o_totalprice,
+                             'ins' AS status
+                      FROM src s LEFT JOIN seed t ON s.o_orderkey = t.o_orderkey
+                      WHERE t.o_orderkey IS NULL),
+              merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         SELECT o_orderkey, o_custkey, o_totalprice,
+                CASE WHEN o_custkey % 9 = 0 THEN 'flag' ELSE status END AS status
+         FROM merged ORDER BY o_orderkey""",
+
     "q_sql_update" ->
       """SELECT o_orderkey, o_custkey,
                 CASE WHEN o_custkey % 10 = 0 THEN o_totalprice * 0.9

@@ -46,14 +46,57 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * committed state untouched (exactly-once at the statement level).
   */
 object GraftStore {
-  final case class State(schema: StructType, rows: Vector[InternalRow])
+  /** One committed table. `rows` is the BASE (bulk-loaded data files, in
+    * merge-on-read terms); `deltas` is the row-level event LOG a delta
+    * table's scan replays over the base (delete files + change records) —
+    * empty for copy-on-write tables, whose row-level writes replace `rows`
+    * outright. `rowIdCol` marks the merge-on-read flavor and names the
+    * stable row identity the delta contract keys on. */
+  final case class State(schema: StructType, rows: Vector[InternalRow],
+                         rowIdCol: Option[String] = None,
+                         deltas: Vector[DeltaEvent] = Vector.empty)
+
+  sealed trait DeltaEvent
+  final case class DeltaDelete(id: Any) extends DeltaEvent
+  final case class DeltaUpdate(id: Any, row: InternalRow) extends DeltaEvent
+  final case class DeltaInsert(row: InternalRow) extends DeltaEvent
+
+  /** READ-PATH MERGE — what makes the flavor "merge-on-read": replay the
+    * event log over the id-keyed base. Base ids are unique (appends are
+    * bulk loads; MERGE inserts are NOT-MATCHED keys by definition), so the
+    * replay is a deterministic fold: deletes drop, updates replace in
+    * place, inserts append (re-inserting a deleted id re-adds it). */
+  def effectiveRows(st: State): Vector[InternalRow] = st.rowIdCol match {
+    case None => st.rows
+    case Some(c) =>
+      val i = st.schema.fieldIndex(c)
+      val dt = st.schema(i).dataType
+      def idOf(r: InternalRow): Any = r.get(i, dt)
+      val keyed = scala.collection.mutable.LinkedHashMap.empty[Any, InternalRow]
+      st.rows.foreach(r => keyed.put(idOf(r), r))
+      st.deltas.foreach {
+        case DeltaDelete(id) => keyed.remove(id)
+        case DeltaUpdate(id, row) => if (keyed.contains(id)) keyed.update(id, row)
+        case DeltaInsert(row) => keyed.put(idOf(row), row)
+      }
+      keyed.values.toVector
+  }
   private[catalog] val tables = new TrieMap[String, State]
 
   private[catalog] def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
-  /** Test/inspection hook: committed row count. */
+  /** Test/inspection hooks: committed base-row and delta-event counts —
+    * the merge-on-read proof reads these (DML must grow the log, never
+    * touch the base). */
   def rowCount(name: String): Long = tables.get(name).map(_.rows.size.toLong).getOrElse(-1L)
+  def baseCount(name: String): Long = rowCount(name)
+  def deltaCount(name: String): Long = tables.get(name).map(_.deltas.size.toLong).getOrElse(-1L)
+  def deltaLog(name: String): Seq[String] = tables.get(name).toSeq.flatMap(_.deltas).map {
+    case DeltaDelete(id) => s"D($id)"
+    case DeltaUpdate(id, _) => s"U($id)"
+    case DeltaInsert(_) => "I"
+  }
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
@@ -76,7 +119,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val k = GraftStore.key(ident)
     GraftStore.tables.get(k) match {
-      case Some(st) => new GraftTable(k, st.schema)
+      case Some(st) => new GraftTable(k, st.schema, st.rowIdCol)
       case None => throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
     }
   }
@@ -86,7 +129,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                            properties: util.Map[String, String]): Table = {
     val k = GraftStore.key(ident)
     require(partitions.isEmpty, "graft catalog tables are unpartitioned")
-    if (GraftStore.tables.putIfAbsent(k, GraftStore.State(schema, Vector.empty)).isDefined)
+    val rowId = Option(properties.get("graft.rowid"))
+    rowId.foreach(c => require(schema.fieldNames.contains(c),
+      s"graft.rowid column $c not in schema"))
+    if (GraftStore.tables.putIfAbsent(k,
+        GraftStore.State(schema, Vector.empty, rowIdCol = rowId)).isDefined)
       throw new TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
     new GraftTable(k, schema)
   }
@@ -118,7 +165,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = false
 }
 
-class GraftTable(key: String, tableSchema: StructType)
+class GraftTable(key: String, tableSchema: StructType,
+                 rowIdCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   override def name(): String = key
@@ -135,16 +183,37 @@ class GraftTable(key: String, tableSchema: StructType)
       override def build(): Write = new GraftWrite(key, tableSchema, replace = false)
     }
 
-  /** MERGE / UPDATE / DELETE — one whole-table group: the operation's scan
-    * reads everything, so its write replaces everything. */
+  /** MERGE / UPDATE / DELETE. Copy-on-write flavor (no rowIdCol): one
+    * whole-table group — the operation's scan reads everything, so its
+    * write replaces everything. Merge-on-read flavor (rowIdCol set):
+    * `SupportsDelta` — Spark's delta rewrites (WriteDelta) split each
+    * output row into DELETE / UPDATE / INSERT calls keyed by the declared
+    * row identity, and the commit APPENDS those events to the log; the
+    * base is never rewritten, the scan replays the log. */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new RowLevelOperation {
-      override def command(): RowLevelOperation.Command = info.command()
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        () => new GraftScan(key, tableSchema)
-      override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
-        new WriteBuilder {
-          override def build(): Write = new GraftWrite(key, tableSchema, replace = true)
+    rowIdCol match {
+      case None =>
+        () => new RowLevelOperation {
+          override def command(): RowLevelOperation.Command = info.command()
+          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+            () => new GraftScan(key, tableSchema)
+          override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+            new WriteBuilder {
+              override def build(): Write = new GraftWrite(key, tableSchema, replace = true)
+            }
+        }
+      case Some(idCol) =>
+        () => new SupportsDelta {
+          override def command(): RowLevelOperation.Command = info.command()
+          override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+            Array(org.apache.spark.sql.connector.expressions.Expressions.column(idCol))
+          override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+            () => new GraftScan(key, tableSchema)
+          override def newWriteBuilder(writeInfo: LogicalWriteInfo): DeltaWriteBuilder =
+            new DeltaWriteBuilder {
+              override def build(): DeltaWrite =
+                new GraftDeltaWrite(key, tableSchema, idCol)
+            }
         }
     }
 }
@@ -157,7 +226,8 @@ class GraftScan(key: String, tableSchema: StructType) extends Scan with Batch {
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val rows = GraftStore.tables.get(key).map(_.rows).getOrElse(Vector.empty)
+    val rows = GraftStore.tables.get(key)
+      .map(GraftStore.effectiveRows).getOrElse(Vector.empty)
     if (rows.isEmpty) Array.empty
     else {
       val slices = math.min(8, rows.size)
@@ -222,8 +292,68 @@ class GraftWrite(key: String, schema: StructType, replace: Boolean)
       .collect { case GraftCommit(rows) => rows }.flatten.toVector
     GraftStore.tables.updateWith(key) {
       case Some(st) =>
-        Some(st.copy(rows = if (replace) incoming else st.rows ++ incoming))
+        if (replace) Some(st.copy(rows = incoming))
+        else if (st.rowIdCol.isDefined && st.deltas.nonEmpty)
+          // Merge-on-read sequencing: an append that lands AFTER delete
+          // events (e.g. Spark plans an insert-only MERGE as a plain
+          // append) must not be affected by them — the disk formats solve
+          // this with data-sequence numbers; the log-ordered event replay
+          // is the in-store equivalent, so post-DML appends ride the log.
+          Some(st.copy(deltas = st.deltas ++ incoming.map(GraftStore.DeltaInsert)))
+        else Some(st.copy(rows = st.rows ++ incoming))
       case None => sys.error(s"commit to dropped table $key")
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** One serialized row-level event from a delta writer: op ∈
+  * {1=delete, 2=update, 3=insert} (RowDeltaUtils' numbering), `id` the
+  * projected row-identity row (null for insert), `row` the projected data
+  * row (null for delete). */
+case class GraftDeltaOp(op: Int, id: InternalRow, row: InternalRow)
+case class GraftDeltaCommit(ops: Array[GraftDeltaOp]) extends WriterCommitMessage
+
+/** Merge-on-read write: buffer the per-row DELETE/UPDATE/INSERT calls
+  * Spark's DeltaWritingSparkTask issues (already projected to the rowId /
+  * data schemas — unlike the group-based path, the delta task owns the
+  * projections), and APPEND them to the table's event log at commit. The
+  * base is untouched — exactly the delete-file + change-record posture a
+  * merge-on-read format (e.g. the public Iceberg v2 spec) takes on disk,
+  * where the cost of DML is O(changed rows) and the read path pays the
+  * merge. */
+class GraftDeltaWrite(key: String, schema: StructType, idCol: String)
+    extends DeltaWrite with DeltaBatchWrite {
+  override def toBatch: DeltaBatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    (_: Int, _: Long) => new DeltaWriter[InternalRow] {
+      private val buf = Vector.newBuilder[GraftDeltaOp]
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        buf += GraftDeltaOp(1, id.copy(), null)
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        buf += GraftDeltaOp(2, id.copy(), row.copy())
+      override def insert(row: InternalRow): Unit =
+        buf += GraftDeltaOp(3, null, row.copy())
+      override def commit(): WriterCommitMessage = GraftDeltaCommit(buf.result().toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    GraftStore.tables.updateWith(key) {
+      case Some(st) =>
+        val i = st.schema.fieldIndex(idCol)
+        val dt = st.schema(i).dataType
+        val events = messages.iterator
+          .collect { case GraftDeltaCommit(ops) => ops }.flatten
+          .map {
+            case GraftDeltaOp(1, id, _) => GraftStore.DeltaDelete(id.get(0, dt))
+            case GraftDeltaOp(2, id, row) => GraftStore.DeltaUpdate(id.get(0, dt), row)
+            case GraftDeltaOp(3, _, row) => GraftStore.DeltaInsert(row)
+            case GraftDeltaOp(o, _, _) => sys.error(s"unknown delta op $o")
+          }.toVector
+        Some(st.copy(deltas = st.deltas ++ events))
+      case None => sys.error(s"delta commit to dropped table $key")
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -2009,6 +2009,50 @@ object Relational {
     s.table(t).orderBy("o_orderkey")
   }
 
+  /** SQL-text MERGE on the MERGE-ON-READ table flavor (r16) — the
+    * `SupportsDelta` twin of q_sql_merge's copy-on-write path, completing
+    * the DSv2 row-level matrix: the table declares a stable row identity
+    * (TBLPROPERTIES graft.rowid, NOT NULL as the delta contract requires),
+    * so Spark plans WriteDelta and the writer receives per-row
+    * DELETE/UPDATE/INSERT calls that APPEND to an event log — the base is
+    * never rewritten, the scan replays the log (catalog/GraftCatalog
+    * `effectiveRows`; post-DML appends ride the log too, the in-store form
+    * of the disk formats' data-sequence numbers). A second UPDATE
+    * statement layers more events over the same base. The runtime
+    * certificate requires the base row count to still equal the seed and
+    * the log to be nonempty — a run silently served by the copy-on-write
+    * path fails loudly. DML cost is O(changed rows); the read pays the
+    * merge — the other half of the cost trade q_sql_merge takes. */
+  val qSqlMergeDelta: Q = (s, dir) => {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val t = "graft.dml.merge_mor"
+    Tables.orders(s, dir).createOrReplaceTempView("graft_dml_orders")
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"CREATE TABLE $t (o_orderkey BIGINT NOT NULL, o_custkey BIGINT, " +
+      "o_totalprice DOUBLE, status STRING) " +
+      "TBLPROPERTIES ('graft.rowid' = 'o_orderkey')")
+    s.sql(s"INSERT INTO $t SELECT o_orderkey, o_custkey, o_totalprice, " +
+      "'base' FROM graft_dml_orders WHERE o_orderkey % 4 != 0")
+    val seeded = graft.catalog.GraftStore.baseCount("dml.merge_mor")
+    s.sql(
+      s"""MERGE INTO $t t
+          USING (SELECT o_orderkey, o_custkey, o_totalprice * 1.2 AS price
+                 FROM graft_dml_orders WHERE o_orderkey % 5 = 0) s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.price > 300000.0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET o_totalprice = s.price, status = 'upd'
+          WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_totalprice, status)
+            VALUES (s.o_orderkey, s.o_custkey, s.price, 'ins')""")
+    s.sql(s"UPDATE $t SET status = 'flag' WHERE o_custkey % 9 = 0")
+    val (base, log) = (graft.catalog.GraftStore.baseCount("dml.merge_mor"),
+      graft.catalog.GraftStore.deltaCount("dml.merge_mor"))
+    if (base != seeded || log == 0L)
+      sys.error(s"merge-on-read certificate failed: base $seeded -> $base " +
+        s"rows, $log log events — the DML did not ride the delta path")
+    s.table(t).orderBy("o_orderkey")
+  }
+
   /** SQL-text UPDATE (predicate + computed SET) through the same
     * group-based row-level route. */
   val qSqlUpdate: Q = (s, dir) => {
@@ -2426,6 +2470,7 @@ object Relational {
     "q_sql_recursive" -> qSqlRecursive,
     "q_sql_lateral" -> qSqlLateral,
     "q_sql_merge" -> qSqlMerge,
+    "q_sql_merge_delta" -> qSqlMergeDelta,
     "q_sql_update" -> qSqlUpdate,
     "q_sql_delete" -> qSqlDelete,
     "q_quality_constraints" -> qQualityConstraints,

@@ -422,6 +422,20 @@ object Oracle {
             AND l_shipdate < TIMESTAMP '1998-01-01'
           GROUP BY 1 ORDER BY l_linestatus""",
 
+    // GC passes (orphan vacuum + retention expiry) physically deleted the
+    // planted orphan and the delete-tombstoned originals at staging time;
+    // the graded read spans the delete hole, so the hash match proves GC
+    // removed only dead bytes.
+    "q_layout_vacuum" ->
+      s"""SELECT l_linestatus, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-07-01'
+            AND l_shipdate < TIMESTAMP '1996-12-01'
+            AND NOT (l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1996-07-01')
+          GROUP BY 1 ORDER BY l_linestatus""",
+
     // The Spark side's scale → morton → z-clustered write → read-back chain
     // is lossless and integer-exact, so the oracle recomputes the same
     // z-buckets straight from the source: min-max scale to 16 bits with
@@ -900,6 +914,15 @@ object Oracle {
          FROM orders WHERE NOT (o_totalprice < 50000.0 OR o_custkey % 7 = 0)
          ORDER BY o_orderkey""",
 
+    // CTAS + INSERT INTO rebuilt as the UNION ALL of the two SELECTs.
+    "q_sql_ctas" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, 'ctas' AS status
+         FROM orders WHERE o_orderkey % 6 = 1
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_totalprice * 2.0, 'ins' AS status
+         FROM orders WHERE o_orderkey % 6 = 2
+         ORDER BY o_orderkey""",
+
     // Triangles: same distinct-pair edge aggregation, canonical a<b
     // undirected edges, two-hop join + closing-edge check, per-member
     // counts; nations in no triangle report 0.
@@ -946,6 +969,32 @@ object Oracle {
                       FROM bfs JOIN t3 ON bfs.nat = t3.src WHERE bfs.hops < 25)
          SELECT b.nat AS n_nationkey, n.n_name, min(b.hops) AS hops
          FROM bfs b JOIN nation n ON b.nat = CAST(n.n_nationkey AS BIGINT)
+         GROUP BY 1, 2 ORDER BY 1""",
+
+    // Weighted SSSP twin: same pruned graph with cost = 1 + w mod 5;
+    // recursion states are (node, cost) pairs deduped by UNION, pruned at
+    // cost >= 125 (a simple path in a 25-node graph with costs <= 5 costs
+    // <= 120, so no shortest path is pruned and the state space is finite).
+    "q_graph_sssp" ->
+      """WITH RECURSIVE e0 AS (SELECT CAST(s_nationkey AS BIGINT) AS src,
+                                      CAST(c_nationkey AS BIGINT) AS dst, count(*) AS w
+                               FROM lineitem
+                               JOIN orders ON l_orderkey = o_orderkey
+                               JOIN supplier ON l_suppkey = s_suppkey
+                               JOIN customer ON o_custkey = c_custkey
+                               GROUP BY 1, 2),
+              rk AS (SELECT src, dst, 1 + w % 5 AS cost,
+                            row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+                     FROM e0),
+              t3 AS (SELECT src, dst, cost FROM rk WHERE rn <= 3),
+              seed AS (SELECT CAST(s_nationkey AS BIGINT) AS nat FROM supplier
+                       ORDER BY s_suppkey LIMIT 1),
+              sssp AS (SELECT nat, CAST(0 AS BIGINT) AS cost FROM seed
+                       UNION
+                       SELECT t3.dst, sssp.cost + t3.cost
+                       FROM sssp JOIN t3 ON sssp.nat = t3.src WHERE sssp.cost < 125)
+         SELECT p.nat AS n_nationkey, n.n_name, min(p.cost) AS min_cost
+         FROM sssp p JOIN nation n ON p.nat = CAST(n.n_nationkey AS BIGINT)
          GROUP BY 1, 2 ORDER BY 1""",
 
     // Twin of the trailing-window spike detector: mean/std/z derived from
@@ -1322,6 +1371,34 @@ object Oracle {
             SELECT lambda, round(s_y / n - b1 * (s_q / n) - b2 * (s_d / n), 6) AS b0,
                    round(b1, 6) AS b1, round(b2, 6) AS b2
             FROM b ORDER BY lambda""",
+
+      // ALS half-step twin: per-user 2x2 normal equations solved in the
+      // same IEEE dag from the same rounded decimal sums; the fixed item
+      // factors are exact 2-decimal integer-mod embeddings.
+      "q_ml_als_step" ->
+        s"""WITH r AS (
+              SELECT o_custkey AS user_id,
+                     CAST((l_partkey % 101) - 50 AS DOUBLE) / 100.0 AS f1,
+                     CAST((l_partkey % 89) - 44 AS DOUBLE) / 100.0 AS f2,
+                     l_quantity AS r
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            g AS (
+              SELECT user_id, count(*) AS n,
+                     ${dsum("f1 * f1", 6)} AS s11, ${dsum("f1 * f2", 6)} AS s12,
+                     ${dsum("f2 * f2", 6)} AS s22,
+                     ${dsum("f1 * r", 4)} AS b1, ${dsum("f2 * r", 4)} AS b2
+              FROM r GROUP BY user_id),
+            sol AS (
+              SELECT user_id, n, s11, s12, s22, b1, b2,
+                     0.1 * CAST(n AS DOUBLE) AS lam,
+                     (s11 + 0.1 * CAST(n AS DOUBLE)) * (s22 + 0.1 * CAST(n AS DOUBLE))
+                       - s12 * s12 AS det
+              FROM g)
+            SELECT user_id, n, round(s11, 6) AS s11, round(s12, 6) AS s12,
+                   round(s22, 6) AS s22,
+                   round(((s22 + lam) * b1 - s12 * b2) / det, 6) AS w1,
+                   round(((s11 + lam) * b2 - s12 * b1) / det, 6) AS w2
+            FROM sol ORDER BY user_id""",
 
       // AUC: the same per-distinct-score grouping + inclusive running
       // count, folded through the identical all-integer Mann-Whitney
@@ -1937,6 +2014,94 @@ object Oracle {
                 round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)), 6) AS tfidf
          FROM tf JOIN df USING (term), n
          ORDER BY tfidf DESC, doc_id, term LIMIT 100""",
+
+    // BM25 twin: per-term contributions in the SAME IEEE dag (k1 = 1.2,
+    // b = 0.75), rounded to 6 dp (absorbing ln's cross-engine ulp) and
+    // summed on the exact decimal path; ranks tiebreak on doc_id.
+    "q_text_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                       FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              tot AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              qt AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id <= 4),
+              hits AS (SELECT qt.qid, tf.doc_id,
+                              round(ln(1.0 + (CAST(tot.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                                             / (CAST(df.df AS DOUBLE) + 0.5))
+                                    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+                                       / (CAST(tf.tf AS DOUBLE)
+                                          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                                   / (CAST(tot.sum_dl AS DOUBLE) / CAST(tot.n_docs AS DOUBLE))))), 6) AS contrib
+                       FROM tf JOIN qt USING (term)
+                       JOIN df ON tf.term = df.term
+                       JOIN dl ON tf.doc_id = dl.doc_id
+                       CROSS JOIN tot
+                       WHERE tf.doc_id <> qt.qid),
+              sc AS (SELECT qid, doc_id, ${dsum("contrib", 6)} AS score,
+                            count(*) AS n_terms
+                     FROM hits GROUP BY 1, 2),
+              rk AS (SELECT qid, doc_id, score, n_terms,
+                            row_number() OVER (PARTITION BY qid
+                                               ORDER BY score DESC, doc_id) AS rnk
+                     FROM sc)
+         SELECT qid, rnk AS rank, doc_id, score, n_terms
+         FROM rk WHERE rnk <= 10 ORDER BY qid, rnk""",
+
+    // RRF fusion twin: dense leg = the q_sim_cosine_topk cosine per query,
+    // sparse leg = the BM25 pipeline at topN = 20; 1/(60+r) and the
+    // two-term sum are exact IEEE ops on identical integer ranks.
+    "q_sim_hybrid_rrf" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                     FROM embeddings WHERE vec_id BETWEEN 0 AND 4),
+              c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              dcos AS (SELECT q.qid, c.vec_id AS id,
+                              round(list_dot_product(e, qe)
+                                    / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos
+                       FROM c, q WHERE c.vec_id <> q.qid),
+              dtop AS (SELECT qid, id, dr FROM (
+                         SELECT qid, id,
+                                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS dr
+                         FROM dcos) WHERE dr <= 20),
+              tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                      FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+              tot AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl),
+              df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              qt AS (SELECT doc_id AS qid, term FROM tf WHERE doc_id <= 4),
+              hits AS (SELECT qt.qid, tf.doc_id,
+                              round(ln(1.0 + (CAST(tot.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                                             / (CAST(df.df AS DOUBLE) + 0.5))
+                                    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)
+                                       / (CAST(tf.tf AS DOUBLE)
+                                          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                                   / (CAST(tot.sum_dl AS DOUBLE) / CAST(tot.n_docs AS DOUBLE))))), 6) AS contrib
+                       FROM tf JOIN qt USING (term)
+                       JOIN df ON tf.term = df.term
+                       JOIN dl ON tf.doc_id = dl.doc_id
+                       CROSS JOIN tot
+                       WHERE tf.doc_id <> qt.qid),
+              sc AS (SELECT qid, doc_id, ${dsum("contrib", 6)} AS score
+                     FROM hits GROUP BY 1, 2),
+              stop AS (SELECT qid, id, sr FROM (
+                         SELECT qid, doc_id AS id,
+                                row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS sr
+                         FROM sc) WHERE sr <= 20),
+              fused AS (SELECT coalesce(d.qid, s.qid) AS qid,
+                               coalesce(d.id, s.id) AS id, d.dr, s.sr,
+                               (CASE WHEN d.dr IS NOT NULL
+                                     THEN 1.0 / (60.0 + CAST(d.dr AS DOUBLE)) ELSE 0.0 END
+                                + CASE WHEN s.sr IS NOT NULL
+                                       THEN 1.0 / (60.0 + CAST(s.sr AS DOUBLE)) ELSE 0.0 END) AS rrf
+                        FROM dtop d FULL OUTER JOIN stop s
+                          ON d.qid = s.qid AND d.id = s.id),
+              frk AS (SELECT qid, id, dr, sr, rrf,
+                             row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rnk
+                      FROM fused)
+         SELECT qid, rnk AS rank, id, dr AS dense_rank, sr AS sparse_rank,
+                round(rrf, 6) AS rrf_score
+         FROM frk WHERE rnk <= 10 ORDER BY qid, rnk""",
 
     // Relational twin of the unigram perplexity filter: identical add-one
     // model (ln of the same IEEE division), per-doc sums through the exact

@@ -972,6 +972,116 @@ object LlmOps {
 
   val qTextTfidf: Q = tfidfRouted()
 
+  /** Shared BM25 ranked-retrieval core (q_text_bm25 + the sparse leg of
+    * q_sim_hybrid_rrf): Okapi BM25 (public: Robertson & Walker 1994;
+    * k1 = 1.2, b = 0.75) of every candidate doc against each query doc's
+    * distinct term set (query docs = doc_id 0..maxQid, the corpus-derived
+    * query convention of qKnnBruteforce). Returns (qid, doc_id, rank,
+    * score, n_terms) for rank ≤ topN.
+    *
+    * Shape at 100 TB: ONE token explode feeds tf; dl and df re-aggregate
+    * the (doc, term)-sized tf table (persisted past the gate — the same
+    * diamond as tfidf's scale form); the QUERY term set is tiny and rides
+    * a broadcast, so the postings probe `tf ⋈ qterms` is the
+    * inverted-index lookup shape — only postings of query terms survive;
+    * df joins back under the size-gated broadcast and dl by doc key. A
+    * stop-word query term touches every posting — the real retrieval
+    * cost; production engines cut it with impact-ordered postings/WAND
+    * pruning, an optimization over this exact baseline, not a different
+    * answer. Determinism: per-term contributions are rounded to 6 dp
+    * (absorbing ln's cross-engine ulp) and summed on the exact decimal
+    * path; ranks tiebreak on doc_id. */
+  private[graft] def bm25Ranked(s: SparkSession, dir: String,
+                                maxQid: Int, topN: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tfRaw = graft.operators.ScaleOps.parallelizeSmall(docs)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = graft.operators.ScaleOps.persistIfBig(tfRaw, docs)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(col("doc_id") <= maxQid)
+      .select(col("doc_id").as("qid"), col("term"))
+    val k1 = lit(1.2); val b = lit(0.75)
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val idf = log(lit(1.0) +
+      (nD - col("df").cast("double") + 0.5) / (col("df").cast("double") + 0.5))
+    val tfc = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf").cast("double") +
+        k1 * (lit(1.0) - b + b * col("dl").cast("double") / avgdl))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(graft.operators.ScaleOps.broadcastIfSourceSmall(dfTab, docs), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .select(col("qid"), col("doc_id"), round(idf * tfc, 6).as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(graft.functions.Det.dsum(col("contrib"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= topN)
+  }
+
+  /** BM25 RANKED RETRIEVAL graded end-to-end (r16) — the sparse-retrieval
+    * member of the text family (tf-idf scores pairs; this RANKS documents
+    * for queries): top-10 BM25 hits per corpus-derived query doc. */
+  val qTextBm25: Q = (s, dir) =>
+    bm25Ranked(s, dir, maxQid = 4, topN = 10)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        col("score"), col("n_terms"))
+      .orderBy("qid", "rank")
+
+  /** HYBRID RETRIEVAL via RECIPROCAL RANK FUSION (r16) — the
+    * dense+sparse fusion step every production RAG/retrieval stack runs
+    * (public: Cormack, Clarke & Buettcher SIGIR 2009, k = 60): the dense
+    * leg ranks by embedding cosine (the q_sim_cosine_topk plan per query),
+    * the sparse leg by BM25 ([[bm25Ranked]]), and the fused score is
+    * Σ 1/(60 + rank) over the legs a candidate appears in (absent leg
+    * contributes 0 — the standard convention). documents.doc_id and
+    * embeddings.vec_id are the SAME id domain in this corpus, so the two
+    * legs fuse on id directly.
+    *
+    * Determinism: each leg's ranks are integer row_numbers over rounded
+    * scores with id tiebreaks; 1/(60+r) and their two-term sum are exact
+    * IEEE ops on identical inputs — no decimal path needed. Scale: both
+    * legs broadcast only the 5-query parameter set; the fusion join is
+    * top-N × queries sized — negligible next to the legs themselves. */
+  val qSimHybridRrf: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id").between(0, 4))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wD = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("id"))
+    val dense = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(Vec.cosine("embedding", "qe"), 6).as("cos"))
+      .withColumn("dr", row_number().over(wD).cast("long"))
+      .filter(col("dr") <= 20)
+      .select(col("qid"), col("id"), col("dr"))
+    val sparse = bm25Ranked(s, dir, maxQid = 4, topN = 20)
+      .select(col("qid"), col("doc_id").as("id"), col("rank").as("sr"))
+    val rrf =
+      when(col("dr").isNotNull, lit(1.0) / (lit(60.0) + col("dr").cast("double")))
+        .otherwise(0.0) +
+      when(col("sr").isNotNull, lit(1.0) / (lit(60.0) + col("sr").cast("double")))
+        .otherwise(0.0)
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("id"))
+    dense.join(sparse, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"), col("dr"), col("sr"), rrf.as("rrf"))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("id"),
+        col("dr").as("dense_rank"), col("sr").as("sparse_rank"),
+        round(col("rrf"), 6).as("rrf_score"))
+      .orderBy("qid", "rank")
+  }
+
   /** CCNet-style PERPLEXITY quality filter — the LM-based scoring step every
     * large-scale pretraining pipeline runs between dedup and sampling: a
     * unigram add-one-smoothed language model is trained on the corpus itself
@@ -1931,6 +2041,8 @@ object LlmOps {
     "q_knn_bruteforce" -> qKnnBruteforce,
     "q_text_lang_stats" -> qTextLangStats,
     "q_text_tfidf" -> qTextTfidf,
+    "q_text_bm25" -> qTextBm25,
+    "q_sim_hybrid_rrf" -> qSimHybridRrf,
     "q_text_perplexity" -> qTextPerplexity,
     "q_text_collocations" -> qTextCollocations,
     "q_text_boilerplate" -> qTextBoilerplate,

@@ -568,6 +568,53 @@ object MlSuffStats {
     * identical IEEE double arithmetic (identical association order) in both
     * engines, rounded to 6 dp. λ=0 reproduces OLS (cross-checked against
     * MLlib in MlCrossCheckSpec alongside the λ>0 shrinkage direction). */
+  /** ALS RECOMMENDER HALF-STEP (r16) — per-user normal equations with the
+    * item factors held fixed, the map-reduce decomposition of one side of
+    * an alternating-least-squares round (public: Zhou et al. 2008, the
+    * Netflix-prize large-scale ALS paper; weighted-λ regularization
+    * λ_u = 0.1·n_u): ratings are (user = o_custkey, item = l_partkey,
+    * r = l_quantity) from the fact⋈orders join; the fixed rank-2 item
+    * factors are a deterministic integer-mod embedding of the item key
+    * (exact 2-decimal values, so every Gram product is exactly
+    * representable and the decimal sums are exact — the dsum rule), and
+    * each user's 2×2 system solves in closed form FROM THE ROUNDED SUMS,
+    * so both engines run the same IEEE dag on identical inputs. λ > 0
+    * keeps every determinant strictly positive (Cauchy-Schwarz plus the
+    * ridge — no degenerate user).
+    *
+    * The 100 TB shape is the same one the full ALS loop needs: ONE
+    * corpus join + ONE map-side-combined shuffle grouped by user — per-key
+    * sufficient statistics, never a per-user iteration; the symmetric
+    * per-item pass is this plan with the keys swapped. */
+  val qMlAlsStep: Q = (s, dir) => {
+    val f1 = ((col("l_partkey") % 101L) - 50L).cast("double") / 100.0
+    val f2 = ((col("l_partkey") % 89L) - 44L).cast("double") / 100.0
+    val r = col("l_quantity")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), f1.as("f1"), f2.as("f2"), r.as("r"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("f1") * col("f1"), 6).as("s11"),
+        dsum(col("f1") * col("f2"), 6).as("s12"),
+        dsum(col("f2") * col("f2"), 6).as("s22"),
+        dsum(col("f1") * col("r"), 4).as("b1"),
+        dsum(col("f2") * col("r"), 4).as("b2"))
+      .withColumn("lam", lit(0.1) * col("n").cast("double"))
+      .withColumn("det", (col("s11") + col("lam")) * (col("s22") + col("lam"))
+        - col("s12") * col("s12"))
+      .select(col("user_id"), col("n"),
+        round(col("s11"), 6).as("s11"), round(col("s12"), 6).as("s12"),
+        round(col("s22"), 6).as("s22"),
+        round(((col("s22") + col("lam")) * col("b1")
+          - col("s12") * col("b2")) / col("det"), 6).as("w1"),
+        round(((col("s11") + col("lam")) * col("b2")
+          - col("s12") * col("b1")) / col("det"), 6).as("w2"))
+      .orderBy("user_id")
+  }
+
   val qMlRidgePath: Q = (s, dir) => {
     import s.implicits._
     val q = col("l_quantity"); val dd = col("l_discount"); val y = col("l_extendedprice")
@@ -837,6 +884,7 @@ object MlSuffStats {
     "q_ml_tree_split" -> qMlTreeSplit,
     "q_ml_gbdt_round" -> qMlGbdtRound,
     "q_ml_ridge_path" -> qMlRidgePath,
+    "q_ml_als_step" -> qMlAlsStep,
     "q_ml_eval_confusion" -> qMlEvalConfusion,
     "q_ml_eval_auc" -> qMlEvalAuc,
     "q_ml_eval_calibration" -> qMlEvalCalibration,

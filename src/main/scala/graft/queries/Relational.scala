@@ -477,6 +477,35 @@ object Relational {
       .orderBy("l_linestatus")
   }
 
+  /** GARBAGE COLLECTION graded end-to-end (Layout.vacuumManifested +
+    * Layout.expireRemoved — Delta VACUUM / Iceberg remove-orphan-files +
+    * retention expiry, r16): the staged layout takes a copy-on-write
+    * DELETE (tombstones at v1), then a PLANTED orphan data file simulates
+    * the residue of a crashed append (bytes in data/ whose manifest row
+    * never committed — exactly the crash window appendManifested's commit
+    * ordering leaves). Both GC passes run at staging time: vacuum collects
+    * the orphan using the manifest as the liveness root, expiry physically
+    * deletes the tombstoned originals at/below the horizon, and the
+    * staging CERTIFICATE requires (a) >=1 orphan collected, (b) >=1 file
+    * expired, (c) the data directory to hold EXACTLY the live file set
+    * afterwards — an over-eager pass that ate a live file or a no-op pass
+    * both fail loudly. The graded read then plans a range spanning the
+    * delete hole from the post-GC manifest; the hash match against the
+    * predicate-reapplied oracle proves GC deleted only dead bytes. At
+    * 100 TB these are the maintenance passes that keep storage O(live
+    * data) under churn: both plan from the manifest (O(files)), never
+    * listing-and-reading data bytes. */
+  val qLayoutVacuum: Q = (s, dir) => {
+    val staged = stagedManifestVacuumLayout(s, dir)
+    val lo = lit("1995-07-01").cast("timestamp")
+    val hi = lit("1996-12-01").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, staged, lo, hi)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_linestatus")
+  }
+
   /** CDC MERGE / UPSERT graded end-to-end (operators/Merge.applyCdc): a
     * deterministic changeset — two-version updates (latest must win),
     * deletes, and inserts of new keys, all derived from the customer table
@@ -2069,6 +2098,33 @@ object Relational {
     s.table(t).orderBy("o_orderkey")
   }
 
+  /** SQL-text CTAS + INSERT INTO … SELECT (r16) — the table-creation half
+    * of the DSv2 DML matrix (CREATE/INSERT here; UPDATE/DELETE/MERGE
+    * above): `CREATE TABLE … AS SELECT` plans through the v2
+    * CreateTableAsSelect path against the same from-scratch catalog —
+    * schema inferred from the query, table materialized by the catalog's
+    * writer (GraftCatalog is a plain TableCatalog, so Spark takes the
+    * non-atomic create-then-append route; a StagingTableCatalog would make
+    * it atomic, the same contract split Delta documents) — then an
+    * `INSERT INTO … SELECT` appends a disjoint computed slice. The graded
+    * result is the table's full contents; the oracle rebuilds it as the
+    * UNION ALL of the two SELECTs. The price restatement (×2.0) is one
+    * IEEE double multiply — bit-identical in both engines. */
+  val qSqlCtas: Q = (s, dir) => {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftCatalog].getName)
+    val t = "graft.dml.ctas_target"
+    Tables.orders(s, dir).createOrReplaceTempView("graft_dml_orders")
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"""CREATE TABLE $t AS
+              SELECT o_orderkey, o_custkey, o_totalprice, 'ctas' AS status
+              FROM graft_dml_orders WHERE o_orderkey % 6 = 1""")
+    s.sql(s"""INSERT INTO $t
+              SELECT o_orderkey, o_custkey, o_totalprice * 2.0, 'ins'
+              FROM graft_dml_orders WHERE o_orderkey % 6 = 2""")
+    s.table(t).orderBy("o_orderkey")
+  }
+
   /** TRIANGLE COUNTING over the aggregated trade graph — the third member
     * of the entity-graph family (pagerank = importance, reachability =
     * connectivity, triangles = clustering): nations a<b<c pairwise linked
@@ -2216,6 +2272,62 @@ object Relational {
         .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))),
         "n_nationkey")
       .select(col("n_nationkey"), col("n_name"), col("hops"))
+      .orderBy("n_nationkey")
+  }
+
+  /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS (r16) — the weighted sibling of
+    * [[qGraphReachability]]'s BFS, completing the graph family's distance
+    * axis (pagerank = importance, reachability = hops, triangles =
+    * clustering, sssp = weighted distance): over the same top-3-pruned
+    * trade graph with integer edge costs derived from the aggregated trade
+    * weight (cost = 1 + w mod 5 — deterministic, positive, bounded), the
+    * minimum path cost from the same data-derived seed. Pure integers
+    * end-to-end.
+    *
+    * Scale shape: identical to reachability — the corpus-sized work is the
+    * ONE shared edge aggregation; Dijkstra then runs DRIVER-SIDE over the
+    * collected ≤75-edge entity graph (bounded by the nation domain at any
+    * corpus size; unbounded graphs belong to Components). The oracle is a
+    * genuine recursive CTE: states are (node, cost) pairs deduped by
+    * UNION, pruned at cost ≥ 125 — every simple path in a 25-node graph
+    * with costs ≤ 5 costs ≤ 120, so no shortest path is pruned and the
+    * state space is finite. The hash match grades driver Dijkstra against
+    * SQL recursion. */
+  val qGraphSssp: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val wTop = Window.partitionBy(col("src")).orderBy(col("w").desc, col("dst"))
+    val pruned = tradeEdges(s, dir)
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+      .select(col("src"), col("dst"), (lit(1L) + col("w") % 5L).as("cost"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val adj = pruned.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(e => (e._2, e._3)).toSeq }
+    val seed = Tables.supplier(s, dir)
+      .orderBy(col("s_suppkey")).limit(1)
+      .select(col("s_nationkey").cast("long")).head().getLong(0)
+    // Driver Dijkstra: settle the cheapest unsettled node each round —
+    // ≤ |nodes| rounds over the ≤75-edge entity graph.
+    var dist = Map(seed -> 0L)
+    var settled = Set.empty[Long]
+    var done = false
+    while (!done) {
+      val next = dist.filterNot { case (n, _) => settled(n) }
+        .minByOption { case (n, c) => (c, n) }
+      next match {
+        case None => done = true
+        case Some((u, du)) =>
+          settled += u
+          for ((v, c) <- adj.getOrElse(u, Seq.empty)
+               if !settled(v) && du + c < dist.getOrElse(v, Long.MaxValue))
+            dist += v -> (du + c)
+      }
+    }
+    import s.implicits._
+    dist.toSeq.toDF("n_nationkey", "min_cost")
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))),
+        "n_nationkey")
+      .select(col("n_nationkey"), col("n_name"), col("min_cost"))
       .orderBy("n_nationkey")
   }
 
@@ -2422,6 +2534,7 @@ object Relational {
     "q_layout_delete" -> qLayoutDelete,
     "q_layout_update" -> qLayoutUpdate,
     "q_layout_optimize" -> qLayoutOptimize,
+    "q_layout_vacuum" -> qLayoutVacuum,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,
@@ -2473,8 +2586,10 @@ object Relational {
     "q_sql_merge_delta" -> qSqlMergeDelta,
     "q_sql_update" -> qSqlUpdate,
     "q_sql_delete" -> qSqlDelete,
+    "q_sql_ctas" -> qSqlCtas,
     "q_quality_constraints" -> qQualityConstraints,
     "q_graph_reachability" -> qGraphReachability,
+    "q_graph_sssp" -> qGraphSssp,
     "q_events_anomaly" -> qEventsAnomaly,
     "q_agg_incremental" -> qAggIncremental,
     "q_agg_median" -> qAggMedian,
@@ -2552,6 +2667,44 @@ object Relational {
         graft.sources.Layout.appendManifested(
           li.filter(col("l_orderkey") % 4 === m), d, "l_shipdate", numFiles = 6)
       graft.sources.Layout.compactManifested(s, d, "l_shipdate", numFiles = 8)
+      ()
+    }
+
+  /** The GC'd manifested layout q_layout_vacuum plans from: full lineitem
+    * at v0, a copy-on-write DELETE of H1 1996 tombstoning at v1, a planted
+    * orphan in data/ (crashed-append residue), then both GC passes with
+    * the certificate q_layout_vacuum's contract documents. */
+  def stagedManifestVacuumLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-vacuum", dir, "v1") { d =>
+      import org.apache.hadoop.fs.Path
+      val li = Tables.lineitem(s, dir)
+      graft.sources.Layout.writeManifested(li, d, "l_shipdate", numFiles = 12)
+      graft.sources.Layout.deleteManifested(s, d, "l_shipdate",
+        lit("1996-01-01").cast("timestamp"), lit("1996-07-01").cast("timestamp"),
+        numFiles = 2)
+      // Plant the crash residue: a real parquet data file in data/ that no
+      // manifest row references (appendManifested moves data files into
+      // place moments BEFORE their manifest row commits — this is that
+      // window's leftover).
+      val fs = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tmp = s"$d/orphan-tmp"
+      li.limit(500).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      fs.rename(part, new Path(s"$d/data/orphan-crashed-append.parquet"))
+      fs.delete(new Path(tmp), true)
+      val orphans = graft.sources.Layout.vacuumManifested(s, d)
+      val expired = graft.sources.Layout.expireRemoved(s, d, throughVer = 1L)
+      val live = s.read.parquet(s"$d/manifest")
+        .groupBy(col("file_path")).agg(count(lit(1)).as("ops"))
+        .filter(col("ops") === 1).count() // add with no matching remove
+      val onDisk = fs.listStatus(new Path(s"$d/data"))
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
+      if (orphans < 1 || expired < 1 || onDisk != live)
+        sys.error(s"vacuum certificate failed: $orphans orphans, " +
+          s"$expired expired, $onDisk files on disk vs $live live manifest " +
+          "entries — GC deleted live bytes or skipped dead ones")
       ()
     }
 

@@ -55,6 +55,29 @@ object Runtime {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** STREAM-STATIC JOIN enrichment (r16) — the third join mode Structured
+    * Streaming supports (stream-stream interval joins are the
+    * clickPurchase* family; this is the dimension-enrichment shape every
+    * production ingest runs): the event stream LEFT-joins a bounded batch
+    * dimension (customer segment, deliberately FILTERED so part of the
+    * key domain is unmatched and the UNKNOWN bucket is exercised), then
+    * aggregates per (hour window, segment). Spark re-plans the static
+    * side per micro-batch — a broadcast of the dim, no stream state for
+    * the join itself; only the downstream windowed aggregate holds state.
+    * The flush sentinel (user_id −1, unmatched by construction) is mapped
+    * to its own segment and filtered AFTER the aggregate, the
+    * qStreamTumbling convention. */
+  def staticEnrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        when(col("event_type") === "flush", lit("flush"))
+          .otherwise(coalesce(col("c_mktsegment"), lit("UNKNOWN"))).as("segment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("segment"),
+        col("n"), col("sum_value"))
+
   /** 1-hour windows sliding every 30 minutes as a stream. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

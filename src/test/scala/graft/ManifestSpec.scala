@@ -398,4 +398,39 @@ class ManifestSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(got == exp)
   }
+
+  test("q_layout_vacuum: GC'd layout serves the predicate-reapplied twin; disk holds exactly the live set") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val got = SparkEntry.queries("q_layout_vacuum")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val vlo = lit("1995-07-01").cast("timestamp")
+    val vhi = lit("1996-12-01").cast("timestamp")
+    val dlo = lit("1996-01-01").cast("timestamp")
+    val dhi = lit("1996-07-01").cast("timestamp")
+    val exp = Tables.lineitem(spark, Sf0001)
+      .filter(col("l_shipdate") >= vlo && col("l_shipdate") < vhi &&
+        !(col("l_shipdate") >= dlo && col("l_shipdate") < dhi))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_linestatus")
+      .collect().map(_.toSeq).toSeq
+    assert(got == exp, "post-GC planned read diverges from the oracle twin")
+    // The staging certificate already enforced this, but pin it from the
+    // outside too: the data dir holds exactly the live (add w/o remove)
+    // manifest entries — the planted orphan and the tombstoned originals
+    // are physically gone.
+    val d = queries.Relational.stagedManifestVacuumLayout(spark, Sf0001)
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val live = spark.read.parquet(s"$d/manifest")
+      .groupBy(col("file_path")).agg(count(lit(1)).as("ops"))
+      .filter(col("ops") === 1).collect()
+      .map(r => base(r.getString(0))).toSet
+    val onDisk = Files.list(Paths.get(s"$d/data")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    assert(onDisk == live, s"disk/live drift: ${onDisk.diff(live)} extra, " +
+      s"${live.diff(onDisk)} missing")
+    assert(!onDisk.contains("orphan-crashed-append.parquet"))
+  }
 }

@@ -244,4 +244,42 @@ class MlCrossCheckSpec extends AnyFunSuite {
     assert(key.map(_(2).asInstanceOf[Long]).sum ==
       Tables.embeddings(spark, Sf0001).count(), "confusion counts must cover the corpus")
   }
+
+  test("q_ml_als_step: per-user closed-form solve matches a driver-side brute-force normal-equation solve") {
+    // Brute force: collect (user, partkey, quantity), rebuild the fixed
+    // item factors and solve each user's ridge system from RAW doubles
+    // (no decimal rounding) — the graded solve-from-rounded-sums must
+    // agree to well within the rounding's effect.
+    val ratings = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(Tables.orders(spark, Sf0001)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"), col("l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byUser = ratings.groupBy(_._1)
+    val brute = byUser.map { case (u, rows) =>
+      var (s11, s12, s22, b1, b2) = (0.0, 0.0, 0.0, 0.0, 0.0)
+      for ((_, p, r) <- rows) {
+        val f1 = ((p % 101) - 50).toDouble / 100.0
+        val f2 = ((p % 89) - 44).toDouble / 100.0
+        s11 += f1 * f1; s12 += f1 * f2; s22 += f2 * f2
+        b1 += f1 * r; b2 += f2 * r
+      }
+      val lam = 0.1 * rows.length
+      val det = (s11 + lam) * (s22 + lam) - s12 * s12
+      u -> (((s22 + lam) * b1 - s12 * b2) / det,
+        ((s11 + lam) * b2 - s12 * b1) / det, rows.length.toLong)
+    }
+    val got = SparkEntry.queries("q_ml_als_step")(spark, Sf0001).collect()
+    assert(got.length == byUser.size, "one output row per rated user")
+    for (r <- got) {
+      val (u, n) = (r.getLong(0), r.getLong(1))
+      val (w1, w2) = (r.getDouble(5), r.getDouble(6))
+      val (e1, e2, en) = brute(u)
+      assert(n == en, s"user $u: n $n != $en")
+      assert(math.abs(w1 - e1) < 1e-3 && math.abs(w2 - e2) < 1e-3,
+        s"user $u: ($w1, $w2) vs brute ($e1, $e2)")
+    }
+  }
 }

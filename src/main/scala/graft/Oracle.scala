@@ -782,6 +782,43 @@ object Oracle {
 
     // Twin of the constraint audit: the same eight checks as plain
     // aggregates/joins. All-integer outputs.
+    // PSI drift twin: identical bin grid (types x 0..9 via
+    // generate_series), add-one smoothing, the same IEEE term dag on exact
+    // integer counts, 6dp-rounded terms summed on the decimal path.
+    "q_quality_drift" ->
+      s"""WITH ev AS (SELECT event_type,
+                             CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                  THEN 'ref' ELSE 'cur' END AS period,
+                             least(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+                      FROM events),
+              c AS (SELECT event_type, period, bin, count(*) AS cnt
+                    FROM ev GROUP BY 1, 2, 3),
+              grid AS (SELECT event_type, bin
+                       FROM (SELECT DISTINCT event_type FROM events)
+                       CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin)),
+              f AS (SELECT g.event_type, g.bin,
+                           coalesce(r.cnt, 0) AS cr, coalesce(u.cnt, 0) AS cu
+                    FROM grid g
+                    LEFT JOIN c r ON r.event_type = g.event_type
+                                 AND r.bin = g.bin AND r.period = 'ref'
+                    LEFT JOIN c u ON u.event_type = g.event_type
+                                 AND u.bin = g.bin AND u.period = 'cur'),
+              t AS (SELECT event_type, CAST(sum(cr) AS BIGINT) AS n_ref,
+                           CAST(sum(cu) AS BIGINT) AS n_cur
+                    FROM f GROUP BY 1),
+              terms AS (SELECT f.event_type, t.n_ref, t.n_cur,
+                               round(((CAST(cr AS DOUBLE) + 1.0) / (CAST(n_ref AS DOUBLE) + 10.0)
+                                      - (CAST(cu AS DOUBLE) + 1.0) / (CAST(n_cur AS DOUBLE) + 10.0))
+                                     * ln(((CAST(cr AS DOUBLE) + 1.0) / (CAST(n_ref AS DOUBLE) + 10.0))
+                                          / ((CAST(cu AS DOUBLE) + 1.0) / (CAST(n_cur AS DOUBLE) + 10.0))), 6) AS term
+                        FROM f JOIN t ON f.event_type = t.event_type),
+              psi AS (SELECT event_type, n_ref, n_cur,
+                             ${dsum("term", 6)} AS psi
+                      FROM terms GROUP BY 1, 2, 3)
+         SELECT event_type, n_ref, n_cur, psi,
+                CAST(CASE WHEN psi > 0.1 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+         FROM psi ORDER BY event_type""",
+
     "q_quality_constraints" ->
       """SELECT 'pk_unique' AS check_name, 'customer' AS table_name,
                 count(*) AS n_checked,
@@ -2308,6 +2345,23 @@ object Oracle {
           FROM r WHERE rn <= ${graft.queries.LlmOps.QuotaK}
           GROUP BY lang ORDER BY lang""",
 
+    // A-Res weighted reservoir twin: the content-addressed uniform (first
+    // 8 md5 hex digits -> (v + 0.5)/2^32), key = ln(u)/w rounded to 6 dp,
+    // straight per-language top-5 (the engine's salted two-phase top-k is
+    // exact by the top-k union property, so the plain window agrees).
+    "q_sample_weighted" ->
+      """WITH k AS (SELECT lang, doc_id, n_chars,
+                           round(ln((CAST(CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+                                    / 4294967296.0)
+                                 / CAST(n_chars AS DOUBLE), 6) AS ares_key
+                    FROM documents),
+              r AS (SELECT lang, doc_id, n_chars, ares_key,
+                           row_number() OVER (PARTITION BY lang
+                                              ORDER BY ares_key DESC, doc_id) AS rnk
+                    FROM k)
+         SELECT lang, rnk AS rank, doc_id, n_chars, ares_key
+         FROM r WHERE rnk <= 5 ORDER BY lang, rnk""",
+
     // Counts literal bigram STRINGS where the Spark side counts 64-bit
     // bigram hashes — identical aggregates modulo hash collisions (the
     // q_dedup_minhash noise-floor argument).
@@ -2412,6 +2466,19 @@ object Oracle {
       s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
                  count(*) AS n, ${dsum("value", 6)} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
+    // Stream-static join twin: the batch LEFT join + hour/segment
+    // aggregate (the replay is exactly-once, so stream == batch).
+    "q_stream_join_static" ->
+      s"""SELECT date_trunc('hour', e.ts) AS w_start,
+                 CASE WHEN c.c_custkey IS NULL THEN 'UNKNOWN'
+                      ELSE c.c_mktsegment END AS segment,
+                 count(*) AS n, ${dsum("e.value", 6)} AS sum_value
+          FROM events e
+          LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                     WHERE c_custkey < 10) c
+            ON e.user_id = c.c_custkey
+          GROUP BY 1, 2 ORDER BY w_start, segment""",
 
     // Complete-mode serving: the final memory-sink snapshot must equal the
     // from-scratch per-type aggregate over the full replay (the key's own

@@ -1761,6 +1761,47 @@ object LlmOps {
 
   val qSampleQuota: Q = quotaRouted()
 
+  /** WEIGHTED RESERVOIR SAMPLE (r16) — the Efraimidis-Spirakis A-Res
+    * scheme (public: Efraimidis & Spirakis 2006, "Weighted random sampling
+    * with a reservoir"): each item draws key = ln(u)/w (equivalent to the
+    * paper's u^(1/w) ordering), the sample is the top-k keys — the
+    * distributed form of weighted sampling every multi-corpus training
+    * recipe needs (sample documents proportional to length/quality weight
+    * in ONE pass, no sequential reservoir). The uniform u is
+    * CONTENT-ADDRESSED, not RNG: the first 8 md5(text) hex digits as an
+    * integer, (v + 0.5)/2^32 — reproducible across runs AND engines (the
+    * q_sample_split convention), which is what makes the draw
+    * oracle-checkable. Weight = n_chars; top-5 per language.
+    *
+    * Scale shape: the top-k per group is computed SALTED — per-(lang,
+    * doc_id mod 32) top-5 first (WindowGroupLimit pushes the k-filter
+    * below the shuffle; each salt task sorts 1/32 of a language), then
+    * top-5 of the ≤ 32·5 survivors — exact by the top-k union property
+    * (the global top-5 is a subset of the union of per-salt top-5s), so
+    * no task ever sorts a whole language at any corpus size. Keys are
+    * rounded to 6 dp (absorbing ln's cross-engine ulp) with doc_id
+    * tiebreaks. */
+  val qSampleWeighted: Q = (s, dir) => {
+    val v = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    val key = round(
+      log((v.cast("double") + 0.5) / 4294967296.0) /
+        col("n_chars").cast("double"), 6)
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"), key.as("ares_key"))
+      .withColumn("salt", pmod(col("doc_id"), lit(32L)))
+    val wSalt = Window.partitionBy(col("lang"), col("salt"))
+      .orderBy(col("ares_key").desc, col("doc_id"))
+    val wLang = Window.partitionBy(col("lang"))
+      .orderBy(col("ares_key").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(wSalt)).filter(col("rn") <= 5)
+      .withColumn("rank", row_number().over(wLang).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"),
+        col("ares_key"))
+      .orderBy("lang", "rank")
+  }
+
   /** Within-document REPETITION signals (the Gopher-family quality rules):
     * duplicate-bigram fraction and top-bigram fraction per document.
     * Bigram identity via the native ngram_hashes kernel with
@@ -2013,6 +2054,7 @@ object LlmOps {
     "q_text_dup_excise" -> qTextDupExcise,
     "q_sample_split" -> qSampleSplit,
     "q_sample_quota" -> qSampleQuota,
+    "q_sample_weighted" -> qSampleWeighted,
     "q_sample_mixture" -> qSampleMixture,
     "q_split_contamination" -> qSplitContamination,
     "q_pack_sequences" -> qPackSequences,

@@ -1788,6 +1788,58 @@ object Relational {
     * else co-partitions — never a second pass for the denominator);
     * NOT-NULL/range/domain checks are narrow conditional counts folded
     * into one aggregate per table. The union moves 8 rows. */
+  /** POPULATION STABILITY INDEX drift detection (r16) — the distribution-
+    * drift monitor every ML-ops / training-data pipeline runs between a
+    * reference window and the current one (PSI is the standard credit-
+    * scoring/feature-monitoring statistic: Σ (p−q)·ln(p/q) over bins;
+    * the conventional alert threshold 0.1 flags the drift): the event
+    * value distribution per event_type, reference = first half of January
+    * vs current = the rest, 10 fixed width-50 bins, add-one smoothing over
+    * the bin domain so empty bins never produce ln(0). The bin GRID is
+    * generated explicitly (types × sequence(0,9)) — a bin absent from both
+    * periods still contributes its smoothed term, so the statistic is
+    * well-defined whatever the data does.
+    *
+    * Scale shape: the corpus collapses to ≤ types×2×10 rows in ONE
+    * map-side-combined aggregate; everything downstream (grid join,
+    * totals, PSI fold) is entity-domain-sized. Determinism: p, q and each
+    * ln term are fixed IEEE dags on exact integer counts; per-bin terms
+    * round to 6 dp and sum on the exact decimal path; the drift flag
+    * compares the ROUNDED sum. */
+  val qQualityDrift: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(
+      col("event_type"),
+      when(col("ts") < lit("2024-01-16").cast("timestamp"), lit("ref"))
+        .otherwise(lit("cur")).as("period"),
+      least(floor(col("value") / 50.0).cast("long"), lit(9L)).as("bin"))
+    val counts = ev.groupBy(col("event_type"), col("period"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = Tables.events(s, dir).select(col("event_type")).distinct()
+      .crossJoin(s.range(0, 10).select(col("id").as("bin")))
+    val filled = grid
+      .join(counts.filter(col("period") === "ref")
+        .select(col("event_type"), col("bin"), col("cnt").as("cr")),
+        Seq("event_type", "bin"), "left")
+      .join(counts.filter(col("period") === "cur")
+        .select(col("event_type"), col("bin"), col("cnt").as("cu")),
+        Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cu"), lit(0L)).as("cu"))
+    val totals = filled.groupBy(col("event_type"))
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cu")).as("n_cur"))
+    val p = (col("cr").cast("double") + 1.0) / (col("n_ref").cast("double") + 10.0)
+    val q = (col("cu").cast("double") + 1.0) / (col("n_cur").cast("double") + 10.0)
+    filled.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round((p - q) * log(p / q), 6).as("term"))
+      .groupBy(col("event_type"), col("n_ref"), col("n_cur"))
+      .agg(dsum(col("term"), 6).as("psi"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("psi"),
+        when(col("psi") > 0.1, lit(1L)).otherwise(lit(0L)).as("drifted"))
+      .orderBy("event_type")
+  }
+
   val qQualityConstraints: Q = (s, dir) => {
     def pk(tbl: String, df: DataFrame, key: String) =
       df.agg(count(lit(1)).as("n_checked"),
@@ -2588,6 +2640,7 @@ object Relational {
     "q_sql_delete" -> qSqlDelete,
     "q_sql_ctas" -> qSqlCtas,
     "q_quality_constraints" -> qQualityConstraints,
+    "q_quality_drift" -> qQualityDrift,
     "q_graph_reachability" -> qGraphReachability,
     "q_graph_sssp" -> qGraphSssp,
     "q_events_anomaly" -> qEventsAnomaly,

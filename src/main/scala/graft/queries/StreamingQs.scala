@@ -49,6 +49,31 @@ object StreamingQs {
       .orderBy("w_start", "event_type")
   }
 
+  /** STREAM-STATIC JOIN (r16) — the third Structured Streaming join mode,
+    * completing the join-mode axis (stream-stream interval joins: the
+    * q_stream_join* family; this: dimension enrichment): the replayed
+    * event stream LEFT-joins the bounded customer-segment dimension
+    * (FILTERED to c_custkey < 10, so the user-domain tail is genuinely unmatched
+    * and lands in the UNKNOWN bucket), then a watermarked per-(hour,
+    * segment) aggregate. The static side is re-planned per micro-batch as
+    * a broadcast — the join itself holds NO stream state; only the
+    * windowed aggregate does. At 100 TB this is the canonical ingest
+    * enrichment: dim changes are picked up at micro-batch granularity
+    * without restarting the stream, and the stream side never shuffles
+    * for the join. Oracle = the batch join+aggregate (the replay is
+    * exactly-once, so stream ≡ batch). */
+  val qStreamJoinStatic: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_custkey") < 10L)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    SR.runToCompletionAppend(s,
+        SR.staticEnrichedCounts(SR.eventsStreamWithFlush(s, dir), dim),
+        s"graft_sjstatic_${Integer.toHexString(dir.hashCode)}")
+      .filter(col("segment") =!= "flush")
+      .orderBy("w_start", "segment")
+  }
+
   /** CHECKPOINT RESTART / RECOVERY run as part of the correctness gate
     * (SURVEY §2.10): the tumbling aggregation processes the early half of
     * the time-split replay, STOPS, and a new query resumes from the SAME
@@ -500,6 +525,7 @@ object StreamingQs {
     "q_stream_update_topk" -> qStreamUpdateTopk,
     "q_stream_view_maintain" -> qStreamViewMaintain,
     "q_stream_tumbling" -> qStreamTumbling,
+    "q_stream_join_static" -> qStreamJoinStatic,
     "q_stream_restart" -> qStreamRestart,
     "q_stream_late" -> qStreamLate,
     "q_stream_sink_manifest" -> qStreamSinkManifest,

@@ -144,4 +144,74 @@ class R16OpsSpec extends AnyFunSuite {
         s"qid ${r.getLong(0)} id ${r.getLong(2)}: dense rank ${r.getLong(3)} != brute $exp")
     }
   }
+
+  test("q_sample_weighted equals a brute-force A-Res draw (salted two-phase top-k is exact)") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def aresKey(text: String, w: Long): Double = {
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      val v = java.lang.Long.parseLong(hex, 16)
+      round6(math.log((v.toDouble + 0.5) / 4294967296.0) / w.toDouble)
+    }
+    val brute = docs.map { case (l, d, nc, t) => (l, d, nc, aresKey(t, nc)) }
+      .groupBy(_._1).map { case (l, rows) =>
+        l -> rows.sortBy { case (_, d, _, k) => (-k, d) }.take(5)
+          .zipWithIndex.map { case ((_, d, nc, k), i) => (i + 1L, d, nc, k) }.toSeq
+      }
+    val got = SparkEntry.queries("q_sample_weighted")(spark, Sf0001).collect()
+      .groupBy(_.getString(0)).map { case (l, rows) =>
+        l -> rows.sortBy(_.getLong(1))
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+      }
+    assert(got.keySet == brute.keySet)
+    for ((l, rows) <- got)
+      assert(rows == brute(l), s"lang $l: $rows vs brute ${brute(l)}")
+    // Heavier docs must be overrepresented vs a uniform draw in
+    // expectation — sanity-check the weighting direction: the sampled
+    // mean n_chars exceeds the corpus mean (weights span a wide range).
+    val sampledMean = got.values.flatten.map(_._3).sum.toDouble /
+      got.values.flatten.size
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampledMean > corpusMean,
+      s"weighted draw not weight-biased: sampled $sampledMean vs corpus $corpusMean")
+  }
+
+  test("q_quality_drift equals a brute-force PSI; every type covered; totals sum to the corpus") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("ts"), col("value"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val cut = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val types = ev.map(_._1).distinct
+    val brute = types.map { t =>
+      val rows = ev.filter(_._1 == t)
+      def bins(p: Boolean) = {
+        val sel = rows.filter(r => r._2.before(cut) == p)
+        (0 to 9).map(b => sel.count(r =>
+          math.min(math.floor(r._3 / 50.0).toLong, 9L) == b).toLong)
+      }
+      val (cr, cu) = (bins(true), bins(false))
+      val (nr, nc) = (cr.sum, cu.sum)
+      val terms = (0 to 9).map { b =>
+        val p = (cr(b).toDouble + 1.0) / (nr.toDouble + 10.0)
+        val q = (cu(b).toDouble + 1.0) / (nc.toDouble + 10.0)
+        round6((p - q) * math.log(p / q))
+      }
+      t -> (nr, nc, dsum6(terms))
+    }.toMap
+    val got = SparkEntry.queries("q_quality_drift")(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet == types.toSet, "every type covered")
+    var total = 0L
+    for (r <- got) {
+      val (nr, nc, psi) = brute(r.getString(0))
+      assert(r.getLong(1) == nr && r.getLong(2) == nc)
+      assert(r.getDouble(3) == psi,
+        s"${r.getString(0)}: psi ${r.getDouble(3)} != brute $psi")
+      assert(r.getLong(4) == (if (psi > 0.1) 1L else 0L))
+      total += nr + nc
+    }
+    assert(total == ev.length, "ref+cur totals must cover the corpus")
+  }
 }

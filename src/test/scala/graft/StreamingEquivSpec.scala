@@ -559,4 +559,26 @@ class StreamingEquivSpec extends AnyFunSuite {
     assert(finRows == batch,
       s"missing=${(batch -- finRows).take(3)} extra=${(finRows -- batch).take(3)}")
   }
+
+  test("stream-static join: stream == batch twin; unmatched users land in UNKNOWN; flush never surfaces") {
+    import org.apache.spark.sql.functions._
+    val dim = graft.Tables.customer(spark, Sf0001)
+      .filter(col("c_custkey") < 10L)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val got = SparkEntry.queries("q_stream_join_static")(spark, Sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.Tables.events(spark, Sf0001)
+      .join(dim, Seq("user_id"), "left")
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"), graft.functions.Det.dsum(col("value"), 6).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == batch,
+      s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+    // user_id 10..14 exists at sf0.001 and the dim stops at 9, so the UNKNOWN bucket must be populated; the flush sentinel's
+    // segment must have been filtered out.
+    val segs = got.map(_(1).asInstanceOf[String])
+    assert(segs.contains("UNKNOWN"), s"no UNKNOWN bucket in $segs")
+    assert(!segs.contains("flush"))
+  }
 }

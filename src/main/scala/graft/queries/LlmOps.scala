@@ -997,7 +997,11 @@ object LlmOps {
     val tfRaw = graft.operators.ScaleOps.parallelizeSmall(docs)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val tf = graft.operators.ScaleOps.persistIfBig(tfRaw, docs)
+    // tf feeds FOUR consumers (dl, totals, df, the postings probe) — an
+    // unconditional persist, not the size-gated one: below the gate the
+    // duplicated explode+agg subtree costs 4× the corpus scan and 14
+    // shuffles (measured); persisted, every consumer reuses one exchange.
+    val tf = graft.operators.ScaleOps.trackedPersist(tfRaw)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val totals = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1016,7 +1020,7 @@ object LlmOps {
     tf.join(broadcast(qterms), "term")
       .filter(col("doc_id") =!= col("qid"))
       .join(graft.operators.ScaleOps.broadcastIfSourceSmall(dfTab, docs), "term")
-      .join(dl, "doc_id")
+      .join(graft.operators.ScaleOps.broadcastIfSourceSmall(dl, docs), "doc_id")
       .crossJoin(broadcast(totals))
       .select(col("qid"), col("doc_id"), round(idf * tfc, 6).as("contrib"))
       .groupBy(col("qid"), col("doc_id"))

@@ -227,7 +227,33 @@ class PlanShapeSpec extends AnyFunSuite {
     // gram join + per-doc removed-set agg (broadcast back to docs) + sort —
     // measured 4, +1 headroom; every post-gram exchange is dup-density
     // bounded, the rebuild is a narrow higher-order filter
-    "q_text_dup_excise" -> 5
+    "q_text_dup_excise" -> 5,
+
+    // r16 batch-2/3 keys:
+    // corpus join rides the orders shuffle (1) + per-user grouped agg (1);
+    // the solve is a narrow epilogue, sort is TakeOrdered-free total order
+    "q_ml_als_step" -> 2,
+    // the persisted tf diamond: parallelize (1) + tf agg (1, REUSED by all
+    // four consumers) + dl/totals/df aggs (3, summary-sized) + score agg
+    // (1) + rank/sort (1) — measured 7 (was 14 before the unconditional
+    // persist; the gated-broadcast dl/df join-backs cost 0)
+    "q_text_bm25" -> 8,
+    // the BM25 leg's 7 + dense rank window (1) + tiny fusion full-outer
+    // join (2) + final rank/sort (1) — measured 11
+    "q_sim_hybrid_rrf" -> 12,
+    // ONE corpus agg to types×2×10 rows (1) + grid/totals joins + PSI fold
+    // on entity-domain-sized frames (3) — measured 4
+    "q_quality_drift" -> 5,
+    // salted top-5 window (1) + lang top-5 window (1) + sort (1); the
+    // WindowGroupLimit keeps per-salt task input at 5×maps rows
+    "q_sample_weighted" -> 3,
+    // ONE corpus edge aggregation; Dijkstra is a driver epilogue over the
+    // bounded entity graph; result join-back broadcasts
+    "q_graph_sssp" -> 1,
+    // post-GC manifest-planned read: pruned scan + agg (1) + sort (1)
+    "q_layout_vacuum" -> 2,
+    // graded plan is the catalog table readback + total-order sort (1)
+    "q_sql_ctas" -> 1
     // (q_stream_* r15 keys follow the streaming precedent above: the
     // graded plan is a sink readback; their shuffle story is the batch
     // form's, already budgeted via the q_stream_tumbling entry.)

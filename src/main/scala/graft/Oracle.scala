@@ -951,6 +951,19 @@ object Oracle {
          FROM orders WHERE NOT (o_totalprice < 50000.0 OR o_custkey % 7 = 0)
          ORDER BY o_orderkey""",
 
+    // PIVOT rebuilt as conditional aggregates (DuckDB's own PIVOT syntax
+    // differs — the relational rebuild is the portable twin); count is
+    // integer, max an order-independent exact double.
+    "q_sql_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                count(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS f_n,
+                max(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS f_mx,
+                count(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS o_n,
+                max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS o_mx,
+                count(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS p_n,
+                max(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS p_mx
+         FROM orders GROUP BY 1 ORDER BY yr""",
+
     // CTAS + INSERT INTO rebuilt as the UNION ALL of the two SELECTs.
     "q_sql_ctas" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, 'ctas' AS status

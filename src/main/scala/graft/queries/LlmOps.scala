@@ -809,6 +809,45 @@ object LlmOps {
     cosineNearDupPairs(plantedNearDupEmbeddings(Tables.embeddings(s, dir)),
       minCos = 0.98)
 
+  /** SEMANTIC DEDUPLICATION — the SemDeDup recipe (public: Abbas et al.
+    * 2023, "SemDeDup: data-efficient learning at web-scale through
+    * semantic deduplication"; the LAION/DataComp curation step): k-means
+    * cluster the embedding space, then compare pairs ONLY within a
+    * cluster — cosine ≥ 0.98 marks semantic duplicates, and the
+    * keep-MIN-id member of each dup neighborhood survives (the
+    * keep-first-occurrence convention of q_text_dup_excise, deterministic
+    * given the assignments). Output = per-cluster member/drop counts.
+    *
+    * This is the third candidate-generation strategy in the embedding-
+    * dedup family (q_dedup_embed: sign-random-projection LSH bands;
+    * q_contamination_embed: the same bands cross-split; here: coarse
+    * quantization) — exactly the trade the paper makes: clustering buys
+    * O(Σ|cluster|²) comparisons instead of LSH's per-band buckets, and at
+    * 100 TB k scales ∝ corpus so clusters stay bounded (the paper uses
+    * k ≈ N/10⁴; the within-cluster join shuffles by cluster id and AQE's
+    * skew split breaks up a hot centroid). No oracle — the k-means
+    * assignment is MLlib-impl-specific (the q_sim_ivf_ann argument);
+    * NoOracleSpec recomputes the per-cluster drop counts brute-force from
+    * the model's own assignments and pins planted-pair recall. */
+  val qDedupSemantic: Q = (s, dir) => {
+    val emb = plantedNearDupEmbeddings(Tables.embeddings(s, dir))
+    val model = graft.ml.Pipelines.kmeansQuantizer(emb, "embedding", k = 16)
+    val unit = model.transform(graft.ml.Pipelines.withFeatures(emb, "embedding"))
+      .select(col("vec_id"), col("prediction").cast("long").as("cluster"),
+        expr("transform(embedding, x -> double(x) / sqrt(vec_dot(embedding, embedding)))").as("unit"))
+    val dropped = unit.as("a")
+      .join(unit.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") > col("b.vec_id"))
+      .filter(graft.functions.Vec.dot("a.unit", "b.unit") >= 0.98)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    unit.join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+      .orderBy("cluster")
+  }
+
   /** SEMANTIC train/test CONTAMINATION — the embedding-space twin of
     * q_split_contamination's n-gram check (modern decontamination runs
     * BOTH: paraphrased leakage evades exact n-grams but not embedding
@@ -2073,6 +2112,7 @@ object LlmOps {
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,
+    "q_dedup_semantic" -> qDedupSemantic,
     "q_contamination_embed" -> qContaminationEmbed,
     "q_text_tokens" -> qTextTokens,
     "q_text_bpe_pairs" -> qTextBpePairs,

@@ -2045,6 +2045,27 @@ object Relational {
 
   def lateralOracleSql: String = lateralSql
 
+  /** PIVOT from SQL text (r16) — the relational-to-crosstab reshape
+    * through the parser (the statement form of the DataFrame q_pivot_
+    * events key): per-year order counts and max price pivoted BY order
+    * status with a two-aggregate measure list, exercising Spark's
+    * `PIVOT (agg₁, agg₂ FOR col IN (…))` clause and its {value}_{alias}
+    * output naming. Catalyst plans this as ONE aggregate with conditional
+    * measures — never a per-value scan. count is pure integer; max is an
+    * order-independent exact double — no float-sum surface, so the CASE
+    * rebuild oracle agrees bit-for-bit (DuckDB's own PIVOT syntax differs,
+    * which is the point of rebuilding relationally). */
+  private val pivotSql =
+    """SELECT * FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                             o_orderstatus, o_totalprice
+                      FROM orders)
+       PIVOT (count(o_totalprice) AS n, max(o_totalprice) AS mx
+              FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+       ORDER BY yr"""
+
+  val qSqlPivot: Q = (s, dir) =>
+    s.sql(sqlOnPrefixedViews(s, dir, pivotSql, Seq("orders")))
+
   // ----------------------------------------------------- SQL-text DML (r16)
 
   /** Shared scaffolding for the SQL-text DML family (q_sql_merge /
@@ -2639,6 +2660,7 @@ object Relational {
     "q_sql_update" -> qSqlUpdate,
     "q_sql_delete" -> qSqlDelete,
     "q_sql_ctas" -> qSqlCtas,
+    "q_sql_pivot" -> qSqlPivot,
     "q_quality_constraints" -> qQualityConstraints,
     "q_quality_drift" -> qQualityDrift,
     "q_graph_reachability" -> qGraphReachability,

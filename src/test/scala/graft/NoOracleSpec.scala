@@ -374,4 +374,42 @@ class NoOracleSpec extends AnyFunSuite {
       }.toSeq.sortBy(_._1)
     assert(got == exp, "distributed encode diverges from the reference fold")
   }
+
+  test("q_dedup_semantic: per-cluster drop counts == brute force over the model's own assignments; planted same-cluster pairs dropped") {
+    val got = SparkEntry.queries("q_dedup_semantic")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    // Re-derive the assignments with the same seeded helper and recompute
+    // drops brute-force (keep-min-id within each cluster at cos >= 0.98).
+    val emb = graft.queries.LlmOps.plantedNearDupEmbeddings(
+      Tables.embeddings(spark, Sf0001))
+    val model = graft.ml.Pipelines.kmeansQuantizer(emb, "embedding", k = 16)
+    val rows = model.transform(graft.ml.Pipelines.withFeatures(emb, "embedding"))
+      .select(col("vec_id"), col("prediction").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exp = rows.groupBy(_._2).map { case (c, ms) =>
+      val dropped = ms.count { case (id, _, v) =>
+        ms.exists { case (id2, _, v2) => id2 < id && cos(v, v2) >= 0.98 }
+      }
+      (c, ms.length.toLong, dropped.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(got == exp, s"got $got vs brute $exp")
+    assert(got.map(_._3).sum > 0, "the planted near-dups must produce drops")
+    // Every planted pair (id, id + 10^6) that landed in the SAME cluster
+    // must have dropped its high-id member (cos ~ 0.999 >> 0.98).
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    val sameCluster = rows.collect {
+      case (id, c, _) if id >= 1000000L && byId.get(id - 1000000L).contains(c) => id
+    }
+    assert(sameCluster.nonEmpty, "no planted pair landed in one cluster — fixture broken")
+    val droppedTotal = got.map(_._3).sum
+    assert(droppedTotal >= sameCluster.length,
+      s"planted same-cluster dups $sameCluster not all dropped ($droppedTotal)")
+  }
 }

@@ -253,7 +253,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // post-GC manifest-planned read: pruned scan + agg (1) + sort (1)
     "q_layout_vacuum" -> 2,
     // graded plan is the catalog table readback + total-order sort (1)
-    "q_sql_ctas" -> 1
+    "q_sql_ctas" -> 1,
+    // ONE conditional-measure aggregate (1) + Expand-free final merge +
+    // sort (1); measured 3 (a local-read exchange rides along at this SF)
+    "q_sql_pivot" -> 3,
+    // assignment transform is narrow; within-cluster self-join shuffles
+    // by cluster (2 sides) + dedup distinct + per-cluster agg — measured 4
+    "q_dedup_semantic" -> 5
     // (q_stream_* r15 keys follow the streaming precedent above: the
     // graded plan is a sink readback; their shuffle story is the batch
     // form's, already budgeted via the q_stream_tumbling entry.)

@@ -1047,6 +1047,19 @@ object Oracle {
          FROM sssp p JOIN nation n ON p.nat = CAST(n.n_nationkey AS BIGINT)
          GROUP BY 1, 2 ORDER BY 1""",
 
+    // Sequence-pattern twin: the same total-order journey string via
+    // ordered string_agg; non-overlapping match counts agree between
+    // Java regex and RE2 for this class-only pattern.
+    "q_events_pattern" ->
+      """WITH j AS (SELECT user_id, count(*) AS n_events,
+                           string_agg(substring(event_type, 1, 1), ''
+                                      ORDER BY ts, event_id) AS journey
+                    FROM events GROUP BY user_id)
+         SELECT user_id, n_events,
+                CAST(len(regexp_extract_all(journey, 'v[ces]*cp')) AS BIGINT) AS n_funnels,
+                regexp_extract(journey, 'v[ces]*cp') AS first_funnel
+         FROM j ORDER BY user_id""",
+
     // Twin of the trailing-window spike detector: mean/std/z derived from
     // the same exact integer frame sums in the same IEEE op order — never
     // an engine-internal stddev accumulation.

@@ -2348,6 +2348,40 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** SEQUENCE-PATTERN DETECTION (r16) — the MATCH_RECOGNIZE class (regex
+    * over an ordered event sequence, the operator Flink/Oracle sell for
+    * journey analysis; the regex generalization of q_funnel_steps' fixed
+    * step list): each user's events collapse to a JOURNEY string (one
+    * initial per event, ordered by (ts, event_id) — a total order, so the
+    * string is deterministic), and the funnel pattern `v[ces]*cp` (a view,
+    * any non-purchase noise, then click→purchase) is counted and sampled
+    * per user with ordinary regex functions — non-overlapping left-to-right
+    * match semantics agree between Java regex and DuckDB's RE2 for this
+    * class-only pattern.
+    *
+    * Scale shape: ONE shuffle by user collects each user's events;
+    * journeys are per-user-bounded (the sessionized corpus shape), and the
+    * regex runs narrow per row. The 100 TB caveat is the same one
+    * MATCH_RECOGNIZE implementations document: an unbounded per-key
+    * history belongs in a session-windowed variant (q_stream_session's
+    * state), not one string. */
+  val qEventsPattern: Q = (s, dir) => {
+    val pat = "v[ces]*cp"
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("s"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
+      .select(col("user_id"),
+        size(col("arr")).cast("long").as("n_events"),
+        concat_ws("", expr("transform(arr, x -> x.c)")).as("journey"))
+      .select(col("user_id"), col("n_events"),
+        regexp_count(col("journey"), lit(pat)).cast("long").as("n_funnels"),
+        regexp_extract(col("journey"), pat, 0).as("first_funnel"))
+      .orderBy("user_id")
+  }
+
   /** WEIGHTED SINGLE-SOURCE SHORTEST PATHS (r16) — the weighted sibling of
     * [[qGraphReachability]]'s BFS, completing the graph family's distance
     * axis (pagerank = importance, reachability = hops, triangles =
@@ -2666,6 +2700,7 @@ object Relational {
     "q_graph_reachability" -> qGraphReachability,
     "q_graph_sssp" -> qGraphSssp,
     "q_events_anomaly" -> qEventsAnomaly,
+    "q_events_pattern" -> qEventsPattern,
     "q_agg_incremental" -> qAggIncremental,
     "q_agg_median" -> qAggMedian,
     "q_sort_multi" -> qSortMulti,

@@ -257,6 +257,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // ONE conditional-measure aggregate (1) + Expand-free final merge +
     // sort (1); measured 3 (a local-read exchange rides along at this SF)
     "q_sql_pivot" -> 3,
+    // one shuffle by user collects the journey; regex narrow; sort (1)
+    "q_events_pattern" -> 2,
     // assignment transform is narrow; within-cluster self-join shuffles
     // by cluster (2 sides) + dedup distinct + per-cluster agg — measured 4
     "q_dedup_semantic" -> 5

@@ -64,6 +64,7 @@ object Bench {
       queries.Relational.stagedManifestUpdateLayout(spark, sfDir)
       queries.Relational.stagedManifestOptimizeLayout(spark, sfDir)
       queries.Relational.stagedManifestVacuumLayout(spark, sfDir)
+      queries.Relational.stagedManifestCloneLayout(spark, sfDir)
       queries.Relational.stagedEventsByDay(spark, sfDir)
       queries.Relational.stagedEventsDayRollup(spark, sfDir)
       queries.Relational.stagedSegRollup(spark, sfDir)

@@ -422,6 +422,19 @@ object Oracle {
             AND l_shipdate < TIMESTAMP '1998-01-01'
           GROUP BY 1 ORDER BY l_linestatus""",
 
+    // Shallow clone: inherited source files serve the flanks, the clone's
+    // own rewrites serve the boundaries; the hash match proves zero-copy
+    // inheritance and copy-on-write isolation at once.
+    "q_layout_clone" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-10-01'
+            AND l_shipdate < TIMESTAMP '1997-10-01'
+            AND NOT (l_shipdate >= TIMESTAMP '1997-01-01'
+                     AND l_shipdate < TIMESTAMP '1997-07-01')
+          GROUP BY 1 ORDER BY l_returnflag""",
+
     // GC passes (orphan vacuum + retention expiry) physically deleted the
     // planted orphan and the delete-tombstoned originals at staging time;
     // the graded read spans the delete hole, so the hash match proves GC
@@ -1434,6 +1447,30 @@ object Oracle {
             SELECT lambda, round(s_y / n - b1 * (s_q / n) - b2 * (s_d / n), 6) AS b0,
                    round(b1, 6) AS b1, round(b2, 6) AS b2
             FROM b ORDER BY lambda""",
+
+      // ROC twin: the calibration binning, cumulative TP/FP via exact
+      // integer window sums descending over the <=10 bin rows, TPR/FPR as
+      // rounded ratios of exact integers.
+      "q_ml_eval_roc" ->
+        s"""WITH r AS (SELECT CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) AS score,
+                              CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos
+                       FROM embeddings),
+                b AS (SELECT CAST(floor((score + 1.0) * 5.0) AS BIGINT) AS bin,
+                             count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+                      FROM r GROUP BY 1),
+                c AS (SELECT bin, n, n_pos,
+                             CAST(sum(n_pos) OVER w AS BIGINT) AS cum_tp,
+                             CAST(sum(n) OVER w AS BIGINT) AS cum_n
+                      FROM b
+                      WINDOW w AS (ORDER BY bin DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                t AS (SELECT CAST(sum(n) AS BIGINT) AS n_all,
+                             CAST(sum(n_pos) AS BIGINT) AS p_all FROM b)
+            SELECT bin, n, n_pos, cum_tp, cum_n - cum_tp AS cum_fp,
+                   round(CAST(cum_tp AS DOUBLE) / CAST(p_all AS DOUBLE), 6) AS tpr,
+                   round(CAST(cum_n - cum_tp AS DOUBLE)
+                         / CAST(n_all - p_all AS DOUBLE), 6) AS fpr
+            FROM c, t ORDER BY bin DESC""",
 
       // ALS half-step twin: per-user 2x2 normal equations solved in the
       // same IEEE dag from the same rounded decimal sums; the fixed item

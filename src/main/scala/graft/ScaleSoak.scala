@@ -160,6 +160,25 @@ object ScaleSoak {
         .withColumn("l_extendedprice",
           round(col("l_extendedprice") + (col("__c") % 64).cast("double") * 0.01, 2)))
     }
+    // bm25 gets its OWN staging with copy-PREFIXED words: the base corpus
+    // draws from a ~50-word vocabulary where EVERY term appears in >10% of
+    // docs — all stopwords, so exact BM25 degenerately touches every
+    // posting of every query term (measured: the suffix-perturbed 12.5M-doc
+    // staging exceeds the 420 s budget in the 62M-group score aggregate and
+    // corpus-sized dl/df joins; no pruning can rescue a corpus with no
+    // selective terms). Prefixing every word with its copy id gives the
+    // realistic Zipf-ish shape retrieval assumes — vocabulary 125k terms,
+    // query-term postings = the 5000-doc copy-0 cohort — so the soak
+    // measures the actual claim: the INDEX pass is corpus-linear, the
+    // QUERY work is postings-bounded and independent of corpus size.
+    if (wanted.isEmpty || wanted("bm25")) {
+      Files.createDirectories(Paths.get(out, "bm25"))
+      stage(spark, src, s"$out/bm25", "documents", copies = 2500)(df => df
+        .withColumn("doc_id", col("doc_id") + col("__c") * lit(100000000L))
+        .withColumn("text", concat_ws(" ", expr(
+          "transform(split(text, ' '), w -> concat('c', CAST(__c AS STRING), w))")))
+        .withColumn("n_chars", length(col("text"))))
+    }
     if (wanted.isEmpty || wanted("dupspans")) {
       Files.createDirectories(Paths.get(out, "spans"))
       stage(spark, src, s"$out/spans", "documents", copies = 200)(df => df
@@ -236,6 +255,13 @@ object ScaleSoak {
     // SFs; the checksum here just forces full materialization).
     val solos: Seq[(String, () => DataFrame, Q)] = Seq(
       ("perplexity", () => Tables.documents(spark, out), LlmOps.qTextPerplexity),
+      // BM25 over its own prefixed-vocabulary staging (see the staging
+      // comment above): ONE corpus explode+agg (persisted) serves the
+      // dl/totals/df consumers; the query-term probe touches only the
+      // query terms' postings (the copy-0 cohort), and the salted
+      // two-phase rank never sorts a whole query's candidates in one task.
+      ("bm25", () => spark.read.parquet(s"$out/bm25/documents.parquet"),
+        (s: SparkSession, _: String) => LlmOps.qTextBm25(s, s"$out/bm25")),
       ("collocations", () => Tables.documents(spark, out), LlmOps.qTextCollocations),
       ("sessionize", () => Tables.events(spark, out), Relational.qSessionizeGap),
       ("funnel", () => Tables.events(spark, out), Relational.qFunnelSteps),

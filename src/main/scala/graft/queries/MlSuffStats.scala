@@ -870,6 +870,41 @@ object MlSuffStats {
       .withColumn("pos_rate", round(col("n_pos").cast("double") / col("n").cast("double"), 6))
       .orderBy("bin")
 
+  /** ROC CURVE TABLE (r16) — the threshold sweep completing the eval
+    * family (confusion = one operating point, AUC = the whole ranking,
+    * calibration = probability quality; this: the TPR/FPR trade-off at
+    * every candidate threshold): scores binned row-locally (the
+    * calibration binning), thresholds swept from the highest bin down,
+    * cumulative TP/FP from exact integer window sums over the ≤10-row bin
+    * table, TPR/FPR as rounded ratios of exact integers (never an
+    * engine-internal float accumulation).
+    *
+    * Scale shape: ONE map-side-combined corpus aggregate to ≤10 bin rows;
+    * the descending cumulative window runs single-task over those bins —
+    * the bounded post-agg window of q_ml_tree_split, not a corpus sort. */
+  val qMlEvalRoc: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bins = Tables.embeddings(s, dir)
+      .select((col("embedding")(0).cast("double") + col("embedding")(1).cast("double"))
+        .as("score"),
+        when(col("label") % 2 === 1, 1L).otherwise(0L).as("pos"))
+      .groupBy(floor((col("score") + lit(1.0)) * 5.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = bins.agg(sum(col("n")).as("n_all"), sum(col("n_pos")).as("p_all"))
+    bins
+      .withColumn("cum_tp", sum(col("n_pos")).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("cum_tp"), (col("cum_n") - col("cum_tp")).as("cum_fp"),
+        round(col("cum_tp").cast("double") / col("p_all").cast("double"), 6).as("tpr"),
+        round((col("cum_n") - col("cum_tp")).cast("double")
+          / (col("n_all") - col("p_all")).cast("double"), 6).as("fpr"))
+      .orderBy(col("bin").desc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_ml_linreg_normal" -> qMlLinregNormal,
     "q_ml_wls" -> qMlWls,
@@ -888,6 +923,7 @@ object MlSuffStats {
     "q_ml_eval_confusion" -> qMlEvalConfusion,
     "q_ml_eval_auc" -> qMlEvalAuc,
     "q_ml_eval_calibration" -> qMlEvalCalibration,
+    "q_ml_eval_roc" -> qMlEvalRoc,
     "q_ml_eval_regression" -> qMlEvalRegression,
     "q_ml_pipeline" -> qMlPipeline,
     "q_agg_corr" -> qAggCorr)

@@ -506,6 +506,31 @@ object Relational {
       .orderBy("l_linestatus")
   }
 
+  /** SHALLOW CLONE graded end-to-end (Layout.shallowClone — Delta CLONE,
+    * r16): the staged fixture clones the full lineitem layout ZERO-COPY
+    * (the clone's manifest references the source's live files; no data
+    * bytes move), then runs a copy-on-write DELETE ON THE CLONE —
+    * survivors rewrite into the CLONE's own data dir, tombstones reference
+    * source files, and the staging CERTIFICATE requires the source to be
+    * bit-untouched (same file set, same manifest version) and the clone's
+    * data dir to hold EXACTLY the rewrite outputs. The graded read plans a
+    * range spanning the delete hole from the clone's manifest — rows come
+    * from BOTH source files (inherited, untouched flanks) and clone files
+    * (rewritten boundaries), so the hash match proves the zero-copy
+    * inheritance and the copy-on-write isolation at once. At 100 TB this
+    * is the dev/test-snapshot workflow: clone in O(files), mutate
+    * without touching production bytes. */
+  val qLayoutClone: Q = (s, dir) => {
+    val staged = stagedManifestCloneLayout(s, dir)
+    val lo = lit("1996-10-01").cast("timestamp")
+    val hi = lit("1997-10-01").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, staged, lo, hi)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** CDC MERGE / UPSERT graded end-to-end (operators/Merge.applyCdc): a
     * deterministic changeset — two-version updates (latest must win),
     * deletes, and inserts of new keys, all derived from the customer table
@@ -2642,6 +2667,7 @@ object Relational {
     "q_layout_update" -> qLayoutUpdate,
     "q_layout_optimize" -> qLayoutOptimize,
     "q_layout_vacuum" -> qLayoutVacuum,
+    "q_layout_clone" -> qLayoutClone,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,
@@ -2817,6 +2843,44 @@ object Relational {
           "entries — GC deleted live bytes or skipped dead ones")
       ()
     }
+
+  /** The cloned-then-mutated layout pair q_layout_clone plans from:
+    * source = full lineitem at v0 under $d/src; clone = zero-copy manifest
+    * under $d/clone, then a copy-on-write DELETE of H1 1997 ON THE CLONE.
+    * Certificate: source file set + version untouched; clone data dir
+    * holds exactly the rewrite outputs. Returns the CLONE directory. */
+  def stagedManifestCloneLayout(s: SparkSession, dir: String): String = {
+    val d = Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-clone", dir, "v1") { d =>
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.sources.Layout.writeManifested(
+        Tables.lineitem(s, dir), s"$d/src", "l_shipdate", numFiles = 12)
+      def dataFiles(p: String) = fs.listStatus(new Path(s"$p/data"))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+      val preSrc = dataFiles(s"$d/src")
+      val preVer = graft.sources.Layout.manifestVersion(s, s"$d/src")
+      val referenced = graft.sources.Layout.shallowClone(s, s"$d/src", s"$d/clone")
+      val cloneBytesAtClone = dataFiles(s"$d/clone")
+      val (rewritten, _) = graft.sources.Layout.deleteManifested(
+        s, s"$d/clone", "l_shipdate",
+        lit("1997-01-01").cast("timestamp"), lit("1997-07-01").cast("timestamp"),
+        numFiles = 2)
+      val postSrc = dataFiles(s"$d/src")
+      val postVer = graft.sources.Layout.manifestVersion(s, s"$d/src")
+      val cloneData = dataFiles(s"$d/clone")
+      if (referenced != preSrc.size || cloneBytesAtClone.nonEmpty ||
+          postSrc != preSrc || postVer != preVer ||
+          cloneData.size != rewritten)
+        sys.error(s"shallow-clone certificate failed: referenced $referenced " +
+          s"of ${preSrc.size} files, ${cloneBytesAtClone.size} bytes-copied " +
+          s"files at clone time, source ${if (postSrc == preSrc) "intact" else "MUTATED"} " +
+          s"(ver $preVer -> $postVer), clone data ${cloneData.size} vs " +
+          s"$rewritten rewrites — zero-copy or isolation broken")
+      ()
+    }
+    s"$d/clone"
+  }
 
   /** The day-partitioned events layout q_agg_incremental refreshes over,
     * staged once per events snapshot (same warmup rationale as

@@ -284,6 +284,37 @@ object Layout {
         Seq("file_path"), "left_anti")
   }
 
+  /** SHALLOW CLONE — Delta's CLONE / Iceberg snapshot-ref export as a
+    * zero-copy snapshot (r16): the destination gets its OWN manifest whose
+    * 'add' rows reference the SOURCE's live data files at clone time; no
+    * data bytes move (planning cost O(live files), the whole point — a
+    * 100 TB table clones in seconds). Subsequent DML on the clone is
+    * copy-on-write INTO THE CLONE's data dir — survivors land under the
+    * clone, tombstones reference the source files, and the source layout
+    * is never touched. The documented sharp edge carries over from the
+    * real systems: retention expiry on a clone would delete SOURCE bytes
+    * its tombstones reference, so clones must never run [[expireRemoved]]
+    * over inherited rows (Delta's VACUUM-on-shallow-clone warning).
+    * Returns the live files referenced. */
+  def shallowClone(spark: SparkSession, srcPath: String, dstPath: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dstPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$dstPath/data"))
+    val schema = spark.read.parquet(s"$srcPath/manifest").schema
+    val live = liveManifestRows(spark, srcPath, Long.MaxValue).collect()
+    val rows = live.toIndexedSeq.map { r =>
+      org.apache.spark.sql.Row.fromSeq(schema.map { f =>
+        f.name match {
+          case "commit_ver" => 0L
+          case "op" => "add"
+          case n => r.getAs[Any](n)
+        }
+      })
+    }
+    commitManifest(spark, dstPath, rows, schema)
+    rows.length
+  }
+
   /** COPY-ON-WRITE range DELETE on a manifested layout — Delta/Iceberg
     * DELETE WHERE re-expressed: only files whose [min_v, max_v] envelope
     * intersects `[lo, hi)` are touched; their surviving rows rewrite into

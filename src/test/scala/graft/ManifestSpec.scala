@@ -433,4 +433,35 @@ class ManifestSpec extends AnyFunSuite {
       s"${live.diff(onDisk)} missing")
     assert(!onDisk.contains("orphan-crashed-append.parquet"))
   }
+
+  test("q_layout_clone: clone read == predicate-reapplied twin; source serves the flanks untouched") {
+    val got = SparkEntry.queries("q_layout_clone")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val clo = lit("1996-10-01").cast("timestamp")
+    val chi = lit("1997-10-01").cast("timestamp")
+    val dlo = lit("1997-01-01").cast("timestamp")
+    val dhi = lit("1997-07-01").cast("timestamp")
+    val exp = Tables.lineitem(spark, Sf0001)
+      .filter(col("l_shipdate") >= clo && col("l_shipdate") < chi &&
+        !(col("l_shipdate") >= dlo && col("l_shipdate") < dhi))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Det.dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    assert(got == exp, "clone planned read diverges from the oracle twin")
+    // From outside the staging certificate: the graded read over the CLONE
+    // must open files from BOTH roots — inherited source files (untouched
+    // flanks) and the clone's own rewrites (boundaries) — and the SOURCE
+    // layout must still serve its pre-clone contents in full.
+    val cloneDir = queries.Relational.stagedManifestCloneLayout(spark, Sf0001)
+    val srcDir = cloneDir.stripSuffix("/clone") + "/src"
+    val opened = Layout.manifestPrunedRead(spark, cloneDir, clo, chi).inputFiles
+    assert(opened.exists(_.contains("/src/data/")), "no inherited source file opened")
+    assert(opened.exists(_.contains("/clone/data/")), "no clone rewrite opened")
+    val full = Layout.manifestPrunedRead(spark, srcDir,
+      lit("1900-01-01").cast("timestamp"), lit("2100-01-01").cast("timestamp"))
+    assert(full.count() == Tables.lineitem(spark, Sf0001).count(),
+      "the source lost rows after DML on its clone")
+  }
 }

@@ -237,10 +237,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // four consumers) + dl/totals/df aggs (3, summary-sized) + score agg
     // (1) + rank/sort (1) — measured 7 (was 14 before the unconditional
     // persist; the gated-broadcast dl/df join-backs cost 0)
-    "q_text_bm25" -> 8,
+    "q_text_bm25" -> 9,  // +1: the salted two-phase rank (soak fix)
     // the BM25 leg's 7 + dense rank window (1) + tiny fusion full-outer
     // join (2) + final rank/sort (1) — measured 11
-    "q_sim_hybrid_rrf" -> 12,
+    "q_sim_hybrid_rrf" -> 13,  // +1: the BM25 leg's salted rank
     // ONE corpus agg to types×2×10 rows (1) + grid/totals joins + PSI fold
     // on entity-domain-sized frames (3) — measured 4
     "q_quality_drift" -> 5,
@@ -259,6 +259,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_sql_pivot" -> 3,
     // one shuffle by user collects the journey; regex narrow; sort (1)
     "q_events_pattern" -> 2,
+    // clone-manifest-planned read: pruned scan + agg (1) + sort (1)
+    "q_layout_clone" -> 2,
+    // ONE corpus agg to <=10 bins (1) + bounded single-partition cum
+    // window (1) + desc sort (1)
+    "q_ml_eval_roc" -> 3,
     // assignment transform is narrow; within-cluster self-join shuffles
     // by cluster (2 sides) + dedup distinct + per-cluster agg — measured 4
     "q_dedup_semantic" -> 5

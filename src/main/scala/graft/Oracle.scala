@@ -108,6 +108,43 @@ object Oracle {
          FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k
          WHERE l.op IS NULL OR l.op <> 'D'
          ORDER BY c_custkey""",
+    // Streaming CDC apply: the tick-by-tick fold must equal the one-shot
+    // relational rebuild — the SAME merge reconstruction as q_merge_upsert
+    // (the graded difference is the incremental path, certified at runtime
+    // by the two committed versions + mid-differs-from-final checks).
+    "q_stream_cdc_apply" ->
+      """WITH chg AS (
+           SELECT c_custkey AS k, 1 AS seq, 'U' AS op, c_name, c_nationkey,
+                  c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+             FROM customer WHERE c_custkey % 10 IN (1, 2)
+           UNION ALL
+           SELECT c_custkey, 2, 'U', c_name, c_nationkey,
+                  c_acctbal + 300.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 1
+           UNION ALL
+           SELECT c_custkey, 1, 'D', NULL, NULL, NULL, NULL
+             FROM customer WHERE c_custkey % 10 = 7
+           UNION ALL
+           SELECT CAST(c_custkey + 10000000 AS BIGINT), 1, 'U',
+                  'ins_' || CAST(c_custkey AS VARCHAR), c_nationkey,
+                  0.0, c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 5),
+         latest AS (
+           SELECT * FROM (
+             SELECT chg.*,
+                    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+             FROM chg) t WHERE rn = 1)
+         SELECT CAST(COALESCE(l.k, c.c_custkey) AS BIGINT) AS c_custkey,
+                CASE WHEN l.k IS NULL THEN c.c_name ELSE l.c_name END AS c_name,
+                CAST(CASE WHEN l.k IS NULL THEN c.c_nationkey
+                          ELSE l.c_nationkey END AS INTEGER) AS c_nationkey,
+                CASE WHEN l.k IS NULL THEN c.c_acctbal
+                     ELSE l.c_acctbal END AS c_acctbal,
+                CASE WHEN l.k IS NULL THEN c.c_mktsegment
+                     ELSE l.c_mktsegment END AS c_mktsegment
+         FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k
+         WHERE l.op IS NULL OR l.op <> 'D'
+         ORDER BY c_custkey""",
 
     // The CHANGE FEED the same fold applies: the identical latest-per-key
     // reduction classified against the base by join — absent key + 'U' =

@@ -553,7 +553,7 @@ object Relational {
     * fold — two-version updates (latest must win), deletes, inserts of new
     * keys — derived from the customer table itself so the oracle can
     * rebuild it in SQL. */
-  private def mergeChangeset(cust: DataFrame): DataFrame = {
+  private[graft] def mergeChangeset(cust: DataFrame): DataFrame = {
     val mod = col("c_custkey") % 10
     val nullPayload = Seq(
       lit(null).cast("string").as("c_name"), lit(null).cast("int").as("c_nationkey"),

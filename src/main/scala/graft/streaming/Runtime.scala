@@ -886,6 +886,56 @@ object Runtime {
     }
   }
 
+  /** STREAMING CDC APPLY (r16) — the consuming half of the change-data
+    * story (q_merge_cdf EMITS the feed; this APPLIES one, micro-batch by
+    * micro-batch): each tick of a replayed changeset stream folds into the
+    * serving snapshot as one latest-wins MERGE (operators/Merge.applyCdc —
+    * the same algebra the batch q_merge_upsert grades) and commits as a
+    * NEW VERSION directory under [[latestServingVersion]]'s contract.
+    * Ticks must arrive in per-key seq order (a CDC log's delivery
+    * guarantee); within a tick applyCdc's latest-per-key reduction handles
+    * any interleaving. Per-tick cost is O(serving keys + tick's changes),
+    * never a corpus; at scale the serving table is key-partitioned and
+    * the fold co-locates on the key. */
+  def runCdcServing(changes: DataFrame, base: DataFrame, servingRoot: String,
+                    checkpoint: String, key: String): Unit =
+    withStreamShufflePartitions(changes.sparkSession) {
+    val q = changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, tick: Long) =>
+        val spark = batch.sparkSession
+        val prev = latestServingVersion(servingRoot) match {
+          case None => base
+          case Some(v) => spark.read.parquet(s"$servingRoot/$v")
+        }
+        graft.operators.Merge.applyCdc(prev, batch, key, "seq", "op")
+          .coalesce(1).write
+          .mode(SaveMode.Overwrite).parquet(f"$servingRoot/v$tick%05d")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val finished = q.awaitTermination(120000L)
+    if (!finished) {
+      q.stop()
+      throw new IllegalStateException(
+        s"CDC serving stream into $servingRoot did not finish within 120s")
+    }
+  }
+
+  /** The deterministic merge changeset staged as a two-tick seq-ordered
+    * replay (seq 1 then seq 2 — the per-key delivery order a CDC log
+    * guarantees) for [[runCdcServing]]. Content-keyed on customer.parquet. */
+  def stageCdcReplay(spark: SparkSession, dir: String,
+                     changes: DataFrame): java.nio.file.Path =
+    stageReplay(spark, dir, "cdc-replay", "v1",
+      Seq("changes_0.parquet", "changes_1.parquet"),
+      srcName = "customer.parquet") { d =>
+      stageOne(changes.filter(col("seq") === 1), d, "changes_0.parquet")
+      stageOne(changes.filter(col("seq") === 2), d, "changes_1.parquet")
+    }
+
   /** Highest committed `v<tick>` directory under a [[runUpdateServing]]
     * root, or None before the first tick. "Committed" = carries the
     * `_SUCCESS` marker the parquet committer writes last — a foreachBatch

@@ -581,4 +581,35 @@ class StreamingEquivSpec extends AnyFunSuite {
     assert(segs.contains("UNKNOWN"), s"no UNKNOWN bucket in $segs")
     assert(!segs.contains("flush"))
   }
+
+  test("streaming CDC apply: mid snapshot == applyCdc of the tick-1 slice; final == one-shot fold") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.Tables.customer(spark, Sf0001)
+    val changes = graft.queries.Relational.mergeChangeset(cust)
+    // Run the graded key (it stages, streams, certifies) ...
+    val fin = SparkEntry.queries("q_stream_cdc_apply")(spark, Sf0001)
+      .collect().map(_.toSeq).toSet
+    // ... then pin both snapshots against the batch fold semantics.
+    val oneShot = graft.operators.Merge.applyCdc(cust, changes,
+        "c_custkey", "seq", "op")
+      .collect().map(_.toSeq).toSet
+    assert(fin == oneShot,
+      s"final != one-shot: missing=${(oneShot -- fin).take(3)} extra=${(fin -- oneShot).take(3)}")
+    val serving = graft.Tables.stageDir(spark, "cdc-serving", Sf0001)
+    val vers = {
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(serving))
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d{5,}")).toSeq.sorted
+      finally l.close()
+    }
+    assert(vers.size == 2)
+    val mid = spark.read.parquet(s"$serving/${vers.head}")
+      .collect().map(_.toSeq).toSet
+    val tick1 = graft.operators.Merge.applyCdc(cust,
+        changes.filter(col("seq") === 1), "c_custkey", "seq", "op")
+      .collect().map(_.toSeq).toSet
+    assert(mid == tick1,
+      s"mid != tick-1 fold: missing=${(tick1 -- mid).take(3)} extra=${(mid -- tick1).take(3)}")
+  }
 }

@@ -456,11 +456,17 @@ class ManifestSpec extends AnyFunSuite {
     // layout must still serve its pre-clone contents in full.
     val cloneDir = queries.Relational.stagedManifestCloneLayout(spark, Sf0001)
     val srcDir = cloneDir.stripSuffix("/clone") + "/src"
-    val opened = Layout.manifestPrunedRead(spark, cloneDir, clo, chi).inputFiles
+    // A FULL-span read over the clone must mix both roots: inherited
+    // source files (everything the delete never touched) and the clone's
+    // own rewrites. (The graded range can legitimately open rewrites only
+    // at tiny SFs — every file there may straddle the delete hole.)
+    val span = (lit("1900-01-01").cast("timestamp"),
+      lit("2100-01-01").cast("timestamp"))
+    val opened = Layout.manifestPrunedRead(spark, cloneDir, span._1, span._2)
+      .inputFiles
     assert(opened.exists(_.contains("/src/data/")), "no inherited source file opened")
     assert(opened.exists(_.contains("/clone/data/")), "no clone rewrite opened")
-    val full = Layout.manifestPrunedRead(spark, srcDir,
-      lit("1900-01-01").cast("timestamp"), lit("2100-01-01").cast("timestamp"))
+    val full = Layout.manifestPrunedRead(spark, srcDir, span._1, span._2)
     assert(full.count() == Tables.lineitem(spark, Sf0001).count(),
       "the source lost rows after DML on its clone")
   }

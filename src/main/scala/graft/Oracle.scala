@@ -832,6 +832,14 @@ object Oracle {
 
     // Twin of the constraint audit: the same eight checks as plain
     // aggregates/joins. All-integer outputs.
+    // Bitmap-distinct twin: plain COUNT(DISTINCT) — the hash match proves
+    // the bitmap-word aggregation EXACT, not approximate.
+    "q_agg_bitmap" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_distinct_users,
+                count(DISTINCT user_id // 64) AS n_buckets
+         FROM events GROUP BY 1 ORDER BY event_type""",
+
     // PSI drift twin: identical bin grid (types x 0..9 via
     // generate_series), add-one smoothing, the same IEEE term dag on exact
     // integer counts, 6dp-rounded terms summed on the decimal path.
@@ -1484,6 +1492,39 @@ object Oracle {
             SELECT lambda, round(s_y / n - b1 * (s_q / n) - b2 * (s_d / n), 6) AS b0,
                    round(b1, 6) AS b1, round(b2, 6) AS b2
             FROM b ORDER BY lambda""",
+
+      // K-fold twin: the same leave-one-fold-out sufficient-stats algebra
+      // (train = total - fold, all exact scale-2 decimals on doubles),
+      // coefficients rounded to 6 dp BEFORE the scoring pass.
+      "q_ml_kfold" ->
+        s"""WITH li AS (SELECT l_orderkey % 5 AS fold, l_quantity AS x,
+                               l_extendedprice AS y
+                        FROM lineitem),
+                f AS (SELECT fold, count(*) AS n_f,
+                             ${dsum("x")} AS sx_f, ${dsum("y")} AS sy_f,
+                             ${dsum("x * x")} AS sxx_f, ${dsum("x * y")} AS sxy_f
+                      FROM li GROUP BY 1),
+                t AS (SELECT CAST(sum(n_f) AS BIGINT) AS n_all,
+                             ${dsum("sx_f")} AS sx, ${dsum("sy_f")} AS sy,
+                             ${dsum("sxx_f")} AS sxx, ${dsum("sxy_f")} AS sxy
+                      FROM f),
+                c AS (SELECT fold, n_all - n_f AS n_train, n_f AS n_val,
+                             CAST(n_all - n_f AS DOUBLE) AS nt,
+                             sx - sx_f AS sxt, sy - sy_f AS syt,
+                             sxx - sxx_f AS sxxt, sxy - sxy_f AS sxyt
+                      FROM f, t),
+                k AS (SELECT fold, n_train, n_val,
+                             round((nt * sxyt - sxt * syt)
+                                   / (nt * sxxt - sxt * sxt), 6) AS slope,
+                             round((syt - (nt * sxyt - sxt * syt)
+                                          / (nt * sxxt - sxt * sxt) * sxt) / nt, 6) AS intercept
+                      FROM c),
+                sc AS (SELECT li.fold, k.n_train, k.n_val, k.slope, k.intercept,
+                              y - (k.intercept + k.slope * x) AS r
+                       FROM li JOIN k ON li.fold = k.fold)
+            SELECT fold, n_train, n_val, slope, intercept,
+                   round(${dsum("r * r")} / CAST(n_val AS DOUBLE), 4) AS val_mse
+            FROM sc GROUP BY 1, 2, 3, 4, 5 ORDER BY fold""",
 
       // ROC twin: the calibration binning, cumulative TP/FP via exact
       // integer window sums descending over the <=10 bin rows, TPR/FPR as

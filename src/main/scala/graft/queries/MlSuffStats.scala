@@ -870,6 +870,53 @@ object MlSuffStats {
       .withColumn("pos_rate", round(col("n_pos").cast("double") / col("n").cast("double"), 6))
       .orderBy("bin")
 
+  /** K-FOLD CROSS-VALIDATION from sufficient statistics (r16) — the model-
+    * selection loop as ONE aggregation identity instead of k re-trainings:
+    * folds are deterministic (l_orderkey mod 5), per-fold sums come from a
+    * single grouped pass, and each fold's TRAINING statistics are
+    * `total − fold` — the leave-one-fold-out algebra (every value is an
+    * exact scale-2 decimal riding a double, so the subtraction is exact).
+    * Each fold's 1-D OLS (y = a + b·quantity on the other 4 folds) solves
+    * in closed form from those differences; a second corpus pass scores
+    * every row with ITS OWN fold's (held-out) model and aggregates the
+    * per-fold validation MSE. Coefficients are rounded to 6 dp BEFORE
+    * scoring so both engines score with identical bits.
+    *
+    * Scale shape: exactly TWO corpus passes at any size — one 5-group
+    * sufficient-stats aggregate, one broadcast-join scoring pass — versus
+    * the naive k re-trainings' k corpus scans. The REF-P1 pattern extended
+    * to model selection. */
+  val qMlKfold: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(
+      (col("l_orderkey") % 5L).as("fold"),
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val folds = li.groupBy(col("fold")).agg(
+      count(lit(1)).as("n_f"),
+      dsum(col("x")).as("sx_f"), dsum(col("y")).as("sy_f"),
+      dsum(col("x") * col("x")).as("sxx_f"),
+      dsum(col("x") * col("y")).as("sxy_f"))
+    val tot = folds.agg(sum(col("n_f")).as("n_all"),
+      dsum(col("sx_f")).as("sx"), dsum(col("sy_f")).as("sy"),
+      dsum(col("sxx_f")).as("sxx"), dsum(col("sxy_f")).as("sxy"))
+    val nT = (col("n_all") - col("n_f")).cast("double")
+    val sxT = col("sx") - col("sx_f"); val syT = col("sy") - col("sy_f")
+    val sxxT = col("sxx") - col("sxx_f"); val sxyT = col("sxy") - col("sxy_f")
+    val slope = (nT * sxyT - sxT * syT) / (nT * sxxT - sxT * sxT)
+    val coefs = folds.crossJoin(broadcast(tot)).select(col("fold"),
+      (col("n_all") - col("n_f")).as("n_train"), col("n_f").as("n_val"),
+      round(slope, 6).as("slope"),
+      round((syT - slope * sxT) / nT, 6).as("intercept"))
+    li.join(broadcast(coefs), "fold")
+      .select(col("fold"), col("n_train"), col("n_val"),
+        col("slope"), col("intercept"),
+        (col("y") - (col("intercept") + col("slope") * col("x"))).as("r"))
+      .groupBy(col("fold"), col("n_train"), col("n_val"),
+        col("slope"), col("intercept"))
+      .agg(round(dsum(col("r") * col("r")) / col("n_val").cast("double"), 4)
+        .as("val_mse"))
+      .orderBy("fold")
+  }
+
   /** ROC CURVE TABLE (r16) — the threshold sweep completing the eval
     * family (confusion = one operating point, AUC = the whole ranking,
     * calibration = probability quality; this: the TPR/FPR trade-off at
@@ -924,6 +971,7 @@ object MlSuffStats {
     "q_ml_eval_auc" -> qMlEvalAuc,
     "q_ml_eval_calibration" -> qMlEvalCalibration,
     "q_ml_eval_roc" -> qMlEvalRoc,
+    "q_ml_kfold" -> qMlKfold,
     "q_ml_eval_regression" -> qMlEvalRegression,
     "q_ml_pipeline" -> qMlPipeline,
     "q_agg_corr" -> qAggCorr)

@@ -1813,6 +1813,35 @@ object Relational {
     * else co-partitions — never a second pass for the denominator);
     * NOT-NULL/range/domain checks are narrow conditional counts folded
     * into one aggregate per table. The union moves 8 rows. */
+  /** EXACT DISTINCT VIA BITMAP-WORD PARTIALS (r16) — the bitmap-index
+    * distinct pattern (roaring-bitmap aggregation specialized to a
+    * bounded integer domain): per (event_type, user_id div 64) partial =
+    * one 64-bit word with the user's bit OR'd in (map-side combinable —
+    * bit_or is associative/commutative), per type the distinct count =
+    * Σ bit_count(word). Versus count(DISTINCT): the exchange carries
+    * O(groups × domain/64) WORDS instead of one row per distinct value —
+    * at 100 TB with a bounded user domain that is the difference between
+    * shuffling words and shuffling the user universe per group; the words
+    * also MERGE (bit_or again), so per-day bitmap partials compose into
+    * any period exactly — the property approximate sketches (HLL) trade
+    * away, available exactly whenever the domain is bounded integers.
+    * Pure integer bit-ops end-to-end; the oracle computes the same counts
+    * with plain COUNT(DISTINCT), so the hash match proves the bitmap
+    * EXACT, not approximate. */
+  val qAggBitmap: Q = (s, dir) => {
+    val words = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("user_id div 64").as("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").as("w"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(expr("bit_or(w)").as("word"), count(lit(1)).as("n"))
+    words.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(bit_count(col("word")).cast("long")).as("n_distinct_users"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("event_type")
+  }
+
   /** POPULATION STABILITY INDEX drift detection (r16) — the distribution-
     * drift monitor every ML-ops / training-data pipeline runs between a
     * reference window and the current one (PSI is the standard credit-
@@ -2723,6 +2752,7 @@ object Relational {
     "q_sql_pivot" -> qSqlPivot,
     "q_quality_constraints" -> qQualityConstraints,
     "q_quality_drift" -> qQualityDrift,
+    "q_agg_bitmap" -> qAggBitmap,
     "q_graph_reachability" -> qGraphReachability,
     "q_graph_sssp" -> qGraphSssp,
     "q_events_anomaly" -> qEventsAnomaly,

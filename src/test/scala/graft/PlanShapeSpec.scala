@@ -264,6 +264,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // ONE corpus agg to <=10 bins (1) + bounded single-partition cum
     // window (1) + desc sort (1)
     "q_ml_eval_roc" -> 3,
+    // 5-fold sufficient-stats agg (1) + 5-row totals (1) + the scoring
+    // pass's own agg (1) + sort (1) — measured 5 with a local-read
+    // exchange riding along; exactly TWO corpus-touching exchanges
+    "q_ml_kfold" -> 5,
+    // (type, bucket) word partial agg (1) + per-type merge (1) + sort (1)
+    "q_agg_bitmap" -> 3,
     // assignment transform is narrow; within-cluster self-join shuffles
     // by cluster (2 sides) + dedup distinct + per-cluster agg — measured 4
     "q_dedup_semantic" -> 5

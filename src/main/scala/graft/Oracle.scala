@@ -1105,6 +1105,22 @@ object Oracle {
          FROM sssp p JOIN nation n ON p.nat = CAST(n.n_nationkey AS BIGINT)
          GROUP BY 1, 2 ORDER BY 1""",
 
+    // Markov twin: the same lag pairing over the (ts, event_id) total
+    // order; probabilities are rounded ratios of exact integer counts.
+    "q_events_markov" ->
+      """WITH p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS prev_type,
+                           event_type
+                    FROM events),
+              c AS (SELECT prev_type, event_type, count(*) AS n
+                    FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+              t AS (SELECT prev_type, event_type, n,
+                           sum(n) OVER (PARTITION BY prev_type) AS n_prev
+                    FROM c)
+         SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+                round(CAST(n AS DOUBLE) / CAST(n_prev AS DOUBLE), 6) AS p
+         FROM t ORDER BY prev_type, event_type""",
+
     // Sequence-pattern twin: the same total-order journey string via
     // ordered string_agg; non-overlapping match counts agree between
     // Java regex and RE2 for this class-only pattern.
@@ -2607,6 +2623,21 @@ object Oracle {
       s"""SELECT date_trunc('hour', ts) AS w_start, event_type,
                  count(*) AS n, ${dsum("value", 6)} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+
+    // Time-decay twin: the same per-user anchor (window max), exact
+    // integer micros differences, fixed IEEE pow, contributions rounded
+    // to 6 dp and summed on the decimal path.
+    "q_window_decay" ->
+      s"""WITH e AS (SELECT user_id, ts, value,
+                            max(ts) OVER (PARTITION BY user_id) AS mx
+                     FROM events),
+              c AS (SELECT user_id, ts, mx,
+                           round(pow(0.5, CAST(epoch_us(mx) - epoch_us(ts) AS DOUBLE)
+                                          / (6.0 * 3600.0 * 1000000.0)) * value, 6) AS contrib
+                    FROM e)
+         SELECT user_id, count(*) AS n_events, max(ts) AS last_ts,
+                ${dsum("contrib", 6)} AS decay_score
+         FROM c GROUP BY 1 ORDER BY user_id""",
 
     // Stream-static join twin: the batch LEFT join + hour/segment
     // aggregate (the replay is exactly-once, so stream == batch).

@@ -2402,6 +2402,34 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** MARKOV TRANSITION MATRIX (r16) — the first-order behavioral model
+    * under every journey/attribution analysis (and the statistical
+    * counterpart of [[qEventsPattern]]'s regex matching): consecutive
+    * event-type pairs per user (the same (ts, event_id) total order), then
+    * the transition counts and row-normalized probabilities P(next | prev).
+    * Output is the types×types matrix — bounded by the type domain at any
+    * corpus size.
+    *
+    * Scale shape: ONE shuffle by user for the lag pairing; the count
+    * aggregate is map-side combined to ≤ types² rows; the normalizing
+    * window runs over that bounded matrix, never the corpus. Probabilities
+    * are rounded ratios of exact integers. */
+  val qEventsMarkov: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("n_prev", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        round(col("n").cast("double") / col("n_prev").cast("double"), 6).as("p"))
+      .orderBy("prev_type", "event_type")
+  }
+
   /** SEQUENCE-PATTERN DETECTION (r16) — the MATCH_RECOGNIZE class (regex
     * over an ordered event sequence, the operator Flink/Oracle sell for
     * journey analysis; the regex generalization of q_funnel_steps' fixed
@@ -2757,6 +2785,7 @@ object Relational {
     "q_graph_sssp" -> qGraphSssp,
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_pattern" -> qEventsPattern,
+    "q_events_markov" -> qEventsMarkov,
     "q_agg_incremental" -> qAggIncremental,
     "q_agg_median" -> qAggMedian,
     "q_sort_multi" -> qSortMulti,

@@ -204,7 +204,44 @@ object Windows {
       .orderBy("event_type", "day")
   }
 
+  /** TIME-DECAYED AGGREGATE (r16) — the feature-store "decayed engagement
+    * score" every recommendation/ranking pipeline materializes (recency-
+    * weighted activity with half-life semantics): per user, the sum of
+    * event values weighted by 0.5^(Δt / 6h), Δt measured from the USER'S
+    * OWN most recent event — so the score is a pure function of the
+    * user's history, shift-invariant, and incrementally maintainable
+    * (advance the anchor by d: multiply the whole score by 0.5^(d/6h) and
+    * add the new events — the property that makes decayed features
+    * cheap to refresh at serving time).
+    *
+    * One shuffle by user: the anchor (max ts) is a window max over the
+    * same partition the aggregate groups on, so EnsureRequirements adds
+    * no second exchange. Determinism: Δt is an exact integer micros
+    * difference; the division and pow are fixed IEEE ops on identical
+    * inputs; each contribution rounds to 6 dp and sums on the exact
+    * decimal path. */
+  val qWindowDecay: Q = (s, dir) => {
+    val wU = Window.partitionBy(col("user_id"))
+    val dtUs = unix_micros(max(col("ts")).over(wU)) - unix_micros(col("ts"))
+    val contrib = round(
+      pow(lit(0.5), dtUs.cast("double") / (6.0 * 3600.0 * 1000000.0)) *
+        col("value"), 6)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("contrib", contrib)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"),
+        dsumOver0(col("contrib")))
+      .orderBy("user_id")
+  }
+
+  // dsum for the decay aggregate (Windows imports only dsumOver; the
+  // grouped variant lives in Det).
+  private def dsumOver0(c: org.apache.spark.sql.Column) =
+    graft.functions.Det.dsum(c, 6).as("decay_score")
+
   val queries: Map[String, Q] = Map(
+    "q_window_decay" -> qWindowDecay,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_window_lag" -> qWindowLag,

@@ -264,6 +264,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // ONE corpus agg to <=10 bins (1) + bounded single-partition cum
     // window (1) + desc sort (1)
     "q_ml_eval_roc" -> 3,
+    // one user shuffle (anchor window + grouped agg share it) + sort (1)
+    "q_window_decay" -> 2,
+    // user lag window (1) + pair count agg (1) + bounded-matrix
+    // normalizing window (1) + sort (1)
+    "q_events_markov" -> 4,
     // 5-fold sufficient-stats agg (1) + 5-row totals (1) + the scoring
     // pass's own agg (1) + sort (1) — measured 5 with a local-read
     // exchange riding along; exactly TWO corpus-touching exchanges

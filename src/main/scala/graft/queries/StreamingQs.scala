@@ -128,8 +128,13 @@ object StreamingQs {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(serving)
       val l = java.nio.file.Files.list(root)
+      // COMMITTED versions only (_SUCCESS marker) — a foreachBatch retry's
+      // partial directory must neither count toward the certificate nor be
+      // read as a snapshot (the latestServingVersion rule, ADVICE r15).
       try l.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("v\\d{5,}")).toSeq.sorted
+        .filter(n => n.matches("v\\d{5,}") &&
+          java.nio.file.Files.exists(root.resolve(n).resolve("_SUCCESS")))
+        .toSeq.sorted
       finally l.close()
     }
     if (vers.size != 2)

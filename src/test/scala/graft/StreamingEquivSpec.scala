@@ -598,9 +598,12 @@ class StreamingEquivSpec extends AnyFunSuite {
     val serving = graft.Tables.stageDir(spark, "cdc-serving", Sf0001)
     val vers = {
       import scala.jdk.CollectionConverters._
-      val l = java.nio.file.Files.list(java.nio.file.Paths.get(serving))
+      val root = java.nio.file.Paths.get(serving)
+      val l = java.nio.file.Files.list(root)
       try l.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("v\\d{5,}")).toSeq.sorted
+        .filter(n => n.matches("v\\d{5,}") &&
+          java.nio.file.Files.exists(root.resolve(n).resolve("_SUCCESS")))
+        .toSeq.sorted
       finally l.close()
     }
     assert(vers.size == 2)

@@ -1105,6 +1105,27 @@ object Oracle {
          FROM sssp p JOIN nation n ON p.nat = CAST(n.n_nationkey AS BIGINT)
          GROUP BY 1, 2 ORDER BY 1""",
 
+    // Densify twin: the same planted-gap aggregate joined onto a
+    // generate_series calendar spine from the global bounds.
+    "q_events_densify" ->
+      s"""WITH src AS (SELECT event_type, date_trunc('day', ts) AS day, value
+                       FROM events WHERE day(ts) % 3 <> 0),
+              daily AS (SELECT event_type, day, count(*) AS n,
+                               ${dsum("value", 6)} AS sum_value
+                        FROM src GROUP BY 1, 2),
+              b AS (SELECT date_trunc('day', min(ts)) AS lo,
+                           date_trunc('day', max(ts)) AS hi FROM events),
+              spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                        FROM b),
+              types AS (SELECT DISTINCT event_type FROM events)
+         SELECT t.event_type, s.day,
+                coalesce(d.n, 0) AS n,
+                coalesce(d.sum_value, 0.0) AS sum_value,
+                CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+         FROM types t CROSS JOIN spine s
+         LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+         ORDER BY t.event_type, s.day""",
+
     // Markov twin: the same lag pairing over the (ts, event_id) total
     // order; probabilities are rounded ratios of exact integer counts.
     "q_events_markov" ->

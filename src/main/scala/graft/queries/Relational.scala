@@ -2402,6 +2402,40 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** CALENDAR DENSIFICATION / GAP FILL (r16) — the time-series
+    * regularization every reporting/forecasting pipeline needs (a sparse
+    * aggregate joined onto a COMPLETE calendar spine, missing cells
+    * zero-filled and flagged — the dbt date-spine / Pandas asfreq move):
+    * per-(type, day) event counts with days ≡ 0 (mod 3) EXCLUDED from the
+    * aggregate (the planted-edge convention — the corpus is dense, so the
+    * gaps are synthesized deterministically and the fill path provably
+    * executes at every SF), then the full types × days grid generated
+    * from the GLOBAL time bounds with `sequence` + explode.
+    *
+    * Scale shape: ONE map-side-combined corpus aggregate to (types ×
+    * days) rows; the spine is generated, not scanned (O(days) rows from a
+    * 1-row bounds aggregate) and the fill join runs on entity-domain-sized
+    * frames. Zero-fill and flag are exact integers. */
+  val qEventsDensify: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val daily = ev.filter(dayofmonth(col("ts")) % 3 =!= 0)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+    val spine = ev
+      .agg(date_trunc("day", min(col("ts"))).as("lo"),
+        date_trunc("day", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(spine))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        when(col("n").isNull, lit(1L)).otherwise(lit(0L)).as("is_gap"))
+      .orderBy("event_type", "day")
+  }
+
   /** MARKOV TRANSITION MATRIX (r16) — the first-order behavioral model
     * under every journey/attribution analysis (and the statistical
     * counterpart of [[qEventsPattern]]'s regex matching): consecutive
@@ -2786,6 +2820,7 @@ object Relational {
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_pattern" -> qEventsPattern,
     "q_events_markov" -> qEventsMarkov,
+    "q_events_densify" -> qEventsDensify,
     "q_agg_incremental" -> qAggIncremental,
     "q_agg_median" -> qAggMedian,
     "q_sort_multi" -> qSortMulti,

@@ -264,6 +264,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // ONE corpus agg to <=10 bins (1) + bounded single-partition cum
     // window (1) + desc sort (1)
     "q_ml_eval_roc" -> 3,
+    // daily agg (1) + type-distinct agg (1) + fill join on the grid (1)
+    // + sort (1); the spine rides a broadcast off the 1-row bounds agg
+    "q_events_densify" -> 4,
     // one user shuffle (anchor window + grouped agg share it) + sort (1)
     "q_window_decay" -> 2,
     // user lag window (1) + pair count agg (1) + bounded-matrix

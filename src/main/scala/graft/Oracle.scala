@@ -459,6 +459,40 @@ object Oracle {
             AND l_shipdate < TIMESTAMP '1998-01-01'
           GROUP BY 1 ORDER BY l_linestatus""",
 
+    // ANALYZE twin: the same canonical BIGINT encodings; DuckDB computes
+    // each column block over the shared scan.
+    "q_layout_analyze" ->
+      """SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+                count(l_orderkey) AS n_nonnull, count(DISTINCT l_orderkey) AS ndv,
+                CAST(min(l_orderkey) AS BIGINT) AS min_v, CAST(max(l_orderkey) AS BIGINT) AS max_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_partkey' AS column_name, count(*) AS n_rows,
+                count(l_partkey) AS n_nonnull, count(DISTINCT l_partkey) AS ndv,
+                CAST(min(l_partkey) AS BIGINT) AS min_v, CAST(max(l_partkey) AS BIGINT) AS max_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_suppkey' AS column_name, count(*) AS n_rows,
+                count(l_suppkey) AS n_nonnull, count(DISTINCT l_suppkey) AS ndv,
+                CAST(min(l_suppkey) AS BIGINT) AS min_v, CAST(max(l_suppkey) AS BIGINT) AS max_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+                count(CAST(l_quantity AS BIGINT)) AS n_nonnull, count(DISTINCT CAST(l_quantity AS BIGINT)) AS ndv,
+                CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_v, CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_price_cents' AS column_name, count(*) AS n_rows,
+                count(CAST(round(l_extendedprice * 100) AS BIGINT)) AS n_nonnull, count(DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT)) AS ndv,
+                CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS min_v, CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS max_v
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_shipdate_us' AS column_name, count(*) AS n_rows,
+                count(epoch_us(l_shipdate)) AS n_nonnull, count(DISTINCT epoch_us(l_shipdate)) AS ndv,
+                CAST(min(epoch_us(l_shipdate)) AS BIGINT) AS min_v, CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS max_v
+         FROM lineitem
+         ORDER BY column_name""",
+
     // Shallow clone: inherited source files serve the flanks, the clone's
     // own rewrites serve the boundaries; the hash match proves zero-copy
     // inheritance and copy-on-write isolation at once.

@@ -1095,6 +1095,69 @@ object LlmOps {
         col("score"), col("n_terms"))
       .orderBy("qid", "rank")
 
+  /** MMR DIVERSIFIED RERANK (r16) — Maximal Marginal Relevance (public:
+    * Carbonell & Goldstein SIGIR 1998), the diversification stage between
+    * retrieval and serving in every RAG/search stack: from each query's
+    * cosine top-20 shortlist, greedily select 5 maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) with λ = 0.7 — relevance
+    * traded against redundancy to the already-selected set.
+    *
+    * Scale shape: the CORPUS work is the shortlist retrieval (the
+    * q_sim_cosine_topk plan per query — broadcast query set, one scan);
+    * the greedy selection is inherently sequential but runs over
+    * queries × 20 candidates — a PARAMETER-sized problem solved
+    * driver-side (the P2 driver-solve convention: bounded epilogues on
+    * collected shortlists, never corpus work). Rel and pairwise sims are
+    * rounded to 6 dp before the greedy loop; ties break on vec_id — fully
+    * deterministic. No oracle (greedy sequential selection has no
+    * one-statement SQL twin); NoOracleSpec re-runs the greedy loop
+    * independently over the same collected shortlist. */
+  val qSimRerankMmr: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id").between(0, 4))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wD = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("id"))
+    val shortlist = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("id"),
+        round(Vec.cosine("embedding", "qe"), 6).as("rel"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("rn", row_number().over(wD)).filter(col("rn") <= 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[Double](3).toArray))
+    val out = shortlist.groupBy(_._1).toSeq.flatMap { case (qid, cands0) =>
+      val cands = cands0.sortBy(c => (-c._3, c._2))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var (d, na, nb) = (0.0, 0.0, 0.0)
+        for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+        val c = d / (math.sqrt(na) * math.sqrt(nb))
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      var selected = Vector.empty[(Long, Double, Double)] // (id, rel, mmr)
+      var pool = cands.toVector
+      val lam = 0.7
+      while (selected.size < 5 && pool.nonEmpty) {
+        val scored = pool.map { c =>
+          val red = if (selected.isEmpty) 0.0
+            else selected.map(sel =>
+              cos(c._4, cands.find(_._2 == sel._1).get._4)).max
+          (c, lam * c._3 - (1.0 - lam) * red)
+        }
+        val (best, mmr) = scored.minBy { case (c, m) => (-m, c._2) }
+        selected :+= ((best._2, best._3, mmr))
+        pool = pool.filterNot(_._2 == best._2)
+      }
+      selected.zipWithIndex.map { case ((id, rel, mmr), i) =>
+        (qid, (i + 1).toLong, id, rel,
+          BigDecimal(mmr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    out.sortBy(r => (r._1, r._2))
+      .toDF("qid", "rank", "id", "rel", "mmr_score")
+  }
+
   /** HYBRID RETRIEVAL via RECIPROCAL RANK FUSION (r16) — the
     * dense+sparse fusion step every production RAG/retrieval stack runs
     * (public: Cormack, Clarke & Buettcher SIGIR 2009, k = 60): the dense
@@ -2146,6 +2209,7 @@ object LlmOps {
     "q_text_tfidf" -> qTextTfidf,
     "q_text_bm25" -> qTextBm25,
     "q_sim_hybrid_rrf" -> qSimHybridRrf,
+    "q_sim_rerank_mmr" -> qSimRerankMmr,
     "q_text_perplexity" -> qTextPerplexity,
     "q_text_collocations" -> qTextCollocations,
     "q_text_boilerplate" -> qTextBoilerplate,

@@ -531,6 +531,47 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** TABLE STATISTICS COLLECTION (r16) — ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS, the stats pass every cost-based optimizer
+    * feeds on (row counts, per-column null counts, exact NDV, min/max):
+    * six lineitem columns profiled in ONE corpus pass — a single
+    * aggregate carrying all six count-distincts (Spark executes the
+    * multi-distinct via ONE scan + an Expand, factor 6 — the honest
+    * ANALYZE cost), then the per-column rows unpivot from the single
+    * aggregated row (1-row frame, no rescans). Min/max are emitted in
+    * canonical BIGINT encodings (keys/quantity as-is, price as cents,
+    * shipdate as epoch micros) so no engine-specific double/timestamp
+    * rendering touches the hash. At 100 TB the exact-NDV Expand is the
+    * documented price of exactness; the approximate path is
+    * q_agg_approx_distinct's HLL — the trade every ANALYZE implementation
+    * offers. */
+  val qLayoutAnalyze: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val specs = Seq(
+      ("l_orderkey", col("l_orderkey")),
+      ("l_partkey", col("l_partkey")),
+      ("l_suppkey", col("l_suppkey")),
+      ("l_quantity", col("l_quantity").cast("long")),
+      ("l_price_cents", round(col("l_extendedprice") * 100).cast("long")),
+      ("l_shipdate_us", unix_micros(col("l_shipdate").cast("timestamp"))))
+    val aggs = count(lit(1)).as("n_rows") +: specs.flatMap { case (n, c) =>
+      Seq(count(c).as(s"nn_$n"), countDistinct(c).as(s"ndv_$n"),
+        min(c).cast("long").as(s"min_$n"), max(c).cast("long").as(s"max_$n"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    // Unpivot with ONE stack over the single aggregated row — a per-column
+    // union of selects re-plans (and re-runs) the aggregate once per
+    // branch (measured 12 shuffles); stack keeps it at the one aggregate.
+    val stackExpr = specs.map { case (n, _) =>
+      s"'$n', nn_$n, ndv_$n, min_$n, max_$n"
+    }.mkString(s"stack(${specs.size}, ", ", ", ")")
+    one.select(col("n_rows"),
+        expr(s"$stackExpr AS (column_name, n_nonnull, ndv, min_v, max_v)"))
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        col("ndv"), col("min_v"), col("max_v"))
+      .orderBy("column_name")
+  }
+
   /** CDC MERGE / UPSERT graded end-to-end (operators/Merge.applyCdc): a
     * deterministic changeset — two-version updates (latest must win),
     * deletes, and inserts of new keys, all derived from the customer table
@@ -2759,6 +2800,7 @@ object Relational {
     "q_layout_optimize" -> qLayoutOptimize,
     "q_layout_vacuum" -> qLayoutVacuum,
     "q_layout_clone" -> qLayoutClone,
+    "q_layout_analyze" -> qLayoutAnalyze,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,

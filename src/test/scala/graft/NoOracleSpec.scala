@@ -375,6 +375,52 @@ class NoOracleSpec extends AnyFunSuite {
     assert(got == exp, "distributed encode diverges from the reference fold")
   }
 
+  test("q_sim_rerank_mmr: every pick is the greedy argmax over the independent shortlist; rank-1 is the relevance top-1") {
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      round6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val got = SparkEntry.queries("q_sim_rerank_mmr")(spark, Sf0001).collect()
+      .groupBy(_.getLong(0))
+    assert(got.keySet == (0L to 4L).toSet)
+    for ((qid, rows) <- got) {
+      // Independent shortlist: cosine top-20 by (rel desc, id).
+      val shortlist = emb.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(v, emb(qid))) }
+        .sortBy { case (id, r) => (-r, id) }.take(20)
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 5L), s"qid $qid ranks")
+      val ids = sorted.map(_.getLong(2)).toSeq
+      assert(ids.distinct == ids && ids.forall(shortlist.map(_._1).contains),
+        s"qid $qid picks outside the shortlist or duplicated")
+      // rank-1 must be the pure-relevance top-1 (empty selected set).
+      assert(ids.head == shortlist.head._1, s"qid $qid rank-1 not max-rel")
+      // Every later pick maximizes lam*rel - (1-lam)*maxSim(selected).
+      val lam = 0.7
+      var selected = Vector.empty[Long]
+      for (r <- sorted) {
+        val pool = shortlist.filterNot(c => selected.contains(c._1))
+        val scored = pool.map { case (id, rel) =>
+          val red = if (selected.isEmpty) 0.0
+            else selected.map(s => cos(emb(id), emb(s))).max
+          (id, lam * rel - (1.0 - lam) * red)
+        }
+        val (bestId, bestScore) = scored.minBy { case (id, m) => (-m, id) }
+        assert(r.getLong(2) == bestId,
+          s"qid $qid rank ${r.getLong(1)}: picked ${r.getLong(2)}, argmax $bestId")
+        assert(r.getDouble(4) == round6(bestScore),
+          s"qid $qid rank ${r.getLong(1)}: mmr ${r.getDouble(4)} != ${round6(bestScore)}")
+        selected :+= bestId
+      }
+    }
+  }
+
   test("q_dedup_semantic: per-cluster drop counts == brute force over the model's own assignments; planted same-cluster pairs dropped") {
     val got = SparkEntry.queries("q_dedup_semantic")(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

@@ -264,6 +264,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // ONE corpus agg to <=10 bins (1) + bounded single-partition cum
     // window (1) + desc sort (1)
     "q_ml_eval_roc" -> 3,
+    // ONE multi-distinct aggregate (Expand factor 6, 2 exchanges) —
+    // the stack unpivot adds nothing; a per-column union had re-run the
+    // aggregate per branch (12 shuffles, caught here)
+    "q_layout_analyze" -> 2,
     // daily agg (1) + type-distinct agg (1) + fill join on the grid (1)
     // + sort (1); the spine rides a broadcast off the 1-row bounds agg
     "q_events_densify" -> 4,

@@ -773,6 +773,23 @@ object Oracle {
            AND l_extendedprice BETWEEN p_retailprice - 25.0 AND p_retailprice + 25.0
          ORDER BY p_partkey, l_orderkey, l_linenumber, l_partkey, l_suppkey""",
 
+    // Point-in-interval range join: DuckDB plans the raw inequality pair
+    // (IEJoin); the Spark side runs the day-bucketed equi-join decomposition
+    // — same pairs by construction.
+    "q_join_range" ->
+      s"""WITH w AS (SELECT o_orderpriority AS w_priority,
+                            date_diff('day', DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE)) AS s_day
+                     FROM orders WHERE o_totalprice > 470000),
+               p AS (SELECT l_extendedprice,
+                            date_diff('day', DATE '1970-01-01',
+                                      CAST(l_shipdate AS DATE)) AS p_day
+                     FROM lineitem)
+          SELECT w_priority, count(*) AS n_pairs,
+                 ${dsum("l_extendedprice")} AS sum_price
+          FROM p JOIN w ON p.p_day >= w.s_day AND p.p_day < w.s_day + 2
+          GROUP BY 1 ORDER BY 1""",
+
     "q_agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
                  ${dsum("l_quantity")} AS sum_qty,
@@ -1176,6 +1193,36 @@ object Oracle {
                 round(CAST(n AS DOUBLE) / CAST(n_prev AS DOUBLE), 6) AS p
          FROM t ORDER BY prev_type, event_type""",
 
+    // Last-touch attribution twin: two IGNORE-NULLS carries (ts + type) —
+    // non-null together by construction, so they mirror the Spark side's
+    // single struct carry; frame ends at 1 PRECEDING in both.
+    "q_events_attribution" ->
+      s"""WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN ts END IGNORE NULLS) OVER w AS lt_ts,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN event_type END IGNORE NULLS) OVER w AS lt_type
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+          SELECT CASE WHEN lt_ts IS NULL OR lt_ts < ts - INTERVAL 24 HOUR
+                      THEN 'direct' ELSE lt_type END AS channel,
+                 count(*) AS n_conversions, ${dsum("value", 6)} AS sum_value
+          FROM t WHERE event_type = 'purchase'
+          GROUP BY 1 ORDER BY 1""",
+
+    // Argmax twin: the window greatest-row-per-group form — the reference
+    // the one-aggregate struct-max replaces at scale.
+    "q_agg_argmax" ->
+      """SELECT c_mktsegment, n_customers, top_acctbal, top_custkey
+         FROM (SELECT c_mktsegment, c_acctbal AS top_acctbal,
+                      c_custkey AS top_custkey,
+                      count(*) OVER (PARTITION BY c_mktsegment) AS n_customers,
+                      row_number() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+               FROM customer)
+         WHERE rn = 1 ORDER BY c_mktsegment""",
+
     // Sequence-pattern twin: the same total-order journey string via
     // ordered string_agg; non-overlapping match counts agree between
     // Java regex and RE2 for this class-only pattern.
@@ -1219,6 +1266,27 @@ object Oracle {
                 round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
                 round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // Weighted median: smallest price whose cumulative quantity-weight
+    // reaches half the total — the crossing test (2·cum ≥ total) runs in
+    // exact DECIMAL(38,10) on both engines, so no halving and no float
+    // cumsum can diverge.
+    "q_agg_weighted_median" ->
+      s"""WITH pw AS (SELECT l_returnflag, l_extendedprice AS price,
+                             sum(CAST(l_quantity AS DECIMAL(38,10))) AS w
+                      FROM lineitem GROUP BY 1, 2),
+               c AS (SELECT l_returnflag, price,
+                            sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                            sum(w) OVER (PARTITION BY l_returnflag) AS tw
+                     FROM pw),
+               med AS (SELECT l_returnflag, min(price) AS wmedian_price
+                       FROM c WHERE cw * 2 >= tw GROUP BY 1),
+               st AS (SELECT l_returnflag, count(*) AS n_items,
+                             ${dsum("l_quantity", 6)} AS total_qty
+                      FROM lineitem GROUP BY 1)
+          SELECT st.l_returnflag, st.n_items, st.total_qty, med.wmedian_price
+          FROM st JOIN med USING (l_returnflag) ORDER BY l_returnflag""",
 
     "q_sort_multi" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
@@ -2693,6 +2761,16 @@ object Oracle {
          SELECT user_id, count(*) AS n_events, max(ts) AS last_ts,
                 ${dsum("contrib", 6)} AS decay_score
          FROM c GROUP BY 1 ORDER BY user_id""",
+
+    // Rolling DISCRETE median (lower-median, zero interpolation): DuckDB's
+    // quantile_disc(0.5) picks sorted element ⌈n/2⌉ — the same element the
+    // Spark side takes from its sorted 10-row frame.
+    "q_window_median" ->
+      """SELECT user_id, ts, event_id, value,
+                quantile_disc(value, 0.5) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS roll_median
+         FROM events ORDER BY user_id, ts, event_id""",
 
     // Stream-static join twin: the batch LEFT join + hour/segment
     // aggregate (the replay is exactly-once, so stream == batch).

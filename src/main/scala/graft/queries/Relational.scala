@@ -1437,6 +1437,43 @@ object Relational {
       .orderBy(("p_partkey" +: liKey).map(col): _*)
   }
 
+  /** POINT-IN-INTERVAL RANGE JOIN (r16) — the time-window join every
+    * promo/campaign/SLA analysis runs (which facts fall inside which
+    * validity window — Databricks sells this as the RANGE_JOIN hint;
+    * DuckDB plans it as IEJoin): lineitems shipped inside any 2-day
+    * promotion window opened by a high-value order, aggregated per window
+    * priority. Complements [[qJoinTheta]] with the dual decomposition:
+    * theta bands explode the PROBE side into ±1 bins; here the INTERVAL
+    * side explodes over the ≤2 day-buckets it covers (bucket width = max
+    * interval length, so cover is provably ≤2) while each point maps to
+    * exactly ONE bucket — so no pair can match in two buckets and no
+    * post-join dedup is needed. The O(|points|·|intervals|) nested loop
+    * (Spark's default BroadcastNestedLoop for this predicate) becomes an
+    * even hash-join on the day-bucket: O(|points| + 2·|intervals|) rows
+    * shuffled, uniform across the date domain, residual BETWEEN refines
+    * exactly. Day arithmetic is integer (datediff from the epoch), so
+    * bucket assignment is deterministic in both engines. */
+  val qJoinRange: Q = (s, dir) => {
+    val widthDays = 2
+    val day0 = to_date(lit("1970-01-01"))
+    val win = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 470000.0)
+      .select(col("o_orderpriority").as("w_priority"),
+        datediff(col("o_orderdate"), day0).as("s_day"))
+      .withColumn("e_day", col("s_day") + widthDays) // exclusive
+      .withColumn("bkt", explode(sequence(
+        floor(col("s_day") / widthDays).cast("long"),
+        floor((col("e_day") - 1) / widthDays).cast("long"))))
+    val pts = Tables.lineitem(s, dir)
+      .select(col("l_extendedprice"), datediff(col("l_shipdate"), day0).as("p_day"))
+      .withColumn("bkt", floor(col("p_day") / widthDays).cast("long"))
+    pts.join(win, Seq("bkt"))
+      .filter(col("p_day") >= col("s_day") && col("p_day") < col("e_day"))
+      .groupBy(col("w_priority"))
+      .agg(count(lit(1)).as("n_pairs"), dsum(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("w_priority")
+  }
+
   /** Event-time as-of join: for each event, the user's most recent order
     * with o_orderdate <= ts. No native as-of in Spark — executed as the
     * MERGE-SCAN form (the plan a dedicated as-of strategy would produce):
@@ -2505,6 +2542,59 @@ object Relational {
       .orderBy("prev_type", "event_type")
   }
 
+  /** LAST-TOUCH ATTRIBUTION (r16) — the marketing-analytics workhorse
+    * (which channel gets credit for a conversion): each purchase credits
+    * the user's most recent PRECEDING touch event (click/view) within a
+    * 24 h lookback, else the 'direct' channel; conversions and value
+    * aggregated per credited channel. The carry is ONE last(_,
+    * ignoreNulls) over the (ts, event_id) total order — frame ends at
+    * 1 PRECEDING so a purchase can never credit itself — the same
+    * merge-scan shape as [[qJoinAsof]]: no events×touches range join, no
+    * per-user collect.
+    *
+    * Scale shape: one shuffle by user (hash-even), O(1) carried state per
+    * row, then a map-side-combined aggregate to ≤3 channel rows. The
+    * struct carries (ts, type) together so the timestamp and the type can
+    * never come from different touches. */
+  val qEventsAttribution: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("ts"), col("event_type")))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("lt").isNull ||
+          col("lt.ts") < col("ts") - expr("interval 24 hours"), lit("direct"))
+          .otherwise(col("lt.event_type")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy("channel")
+  }
+
+  /** ARGMAX AGGREGATE (r16) — greatest-row-per-group (n=1), the single
+    * most-asked analytics question shape ("top customer per segment"):
+    * executed as ONE map-side-combined aggregate of a lexicographic
+    * struct max — each partition keeps one candidate per group and the
+    * merge is a struct compare — instead of the window row_number()=1
+    * form, which SORTS every group's full population. Tie-break is inside
+    * the struct (max custkey on equal balance), so the answer is total.
+    * At 100 TB: O(groups) state per task vs the window's per-group sort —
+    * this is the reduction Spark's own max_by lacks a deterministic
+    * tie-break for. */
+  val qAggArgmax: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        max(struct(col("c_acctbal"), col("c_custkey"))).as("top"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        col("top.c_acctbal").as("top_acctbal"),
+        col("top.c_custkey").as("top_custkey"))
+      .orderBy("c_mktsegment")
+
   /** SEQUENCE-PATTERN DETECTION (r16) — the MATCH_RECOGNIZE class (regex
     * over an ordered event sequence, the operator Flink/Oracle sell for
     * journey analysis; the regex generalization of q_funnel_steps' fixed
@@ -2734,6 +2824,74 @@ object Relational {
 
   val qAggMedian: Q = medianRouted()
 
+  /** WEIGHTED MEDIAN (r16) — the robust central-price statistic every
+    * pricing/index pipeline wants (each price weighted by the quantity
+    * transacted — the CPI/median-trade-price shape): per returnflag, the
+    * smallest price p with cumWeight(≤ p) ≥ totalWeight/2. All weight
+    * arithmetic rides the exact decimal path (quantities cast to
+    * DECIMAL(38,10); the crossing test is 2·cum ≥ total in decimal), so
+    * the answer is partition-count-independent and engine-portable — no
+    * halving, no float cumsum.
+    *
+    * Both forms start from per-(flag, price) weight partials (map-side
+    * combined, one shuffle). Declared form: a running decimal sum over
+    * each flag's price-ordered partials — with 3 flags that window sorts
+    * ~n/3 rows in one task, the skew the router exists for. Scale form:
+    * [[graft.operators.ScaleOps.groupedPrefixSum]]'s exact bucketed
+    * two-pass prefix (each task sorts ~n/(groups·256) rows), per-flag
+    * totals as a group-count-gated broadcast join, identical crossing
+    * test. Decimal addition is associative, so both forms produce the
+    * same cum values bit-for-bit and the router never changes results. */
+  private[graft] def wmedianPartials(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(graft.functions.Det.dsumPartial(col("l_quantity")).as("w"),
+        count(lit(1)).as("c"))
+
+  private def wmedianFinish(crossed: DataFrame, pw: DataFrame): DataFrame = {
+    val stats = pw.groupBy(col("l_returnflag").as("sf"))
+      .agg(sum(col("c")).as("n_items"),
+        graft.functions.Det.dsumMerge(col("w"), 6).as("total_qty"))
+    crossed.groupBy(col("l_returnflag"))
+      .agg(min(col("price")).as("wmedian_price"))
+      .join(broadcast(stats), col("l_returnflag") === col("sf"))
+      .select(col("l_returnflag"), col("n_items"), col("total_qty"),
+        col("wmedian_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private[graft] val wmedianAggForm: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val pw = wmedianPartials(s, dir)
+    val wRun = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    val crossed = pw
+      .withColumn("__run", sum(col("w")).over(wRun))
+      .withColumn("__tw", sum(col("w")).over(wTot))
+      .filter(col("__run") * 2 >= col("__tw"))
+    wmedianFinish(crossed, pw)
+  }
+
+  private[graft] val wmedianScaleForm: Q = (s, dir) => {
+    val pw = graft.operators.ScaleOps.trackedPersist(wmedianPartials(s, dir))
+    val hintTiny = graft.operators.ScaleOps.perGroupBroadcastHint(
+      pw, col("l_returnflag"))
+    val tot = pw.groupBy(col("l_returnflag").as("tf")).agg(sum(col("w")).as("__tw"))
+    val crossed = graft.operators.ScaleOps
+      .groupedPrefixSum(pw, col("l_returnflag"), col("price"), col("w"))
+      .join(hintTiny(tot), col("l_returnflag") === col("tf"))
+      .filter(col("__run") * 2 >= col("__tw"))
+    wmedianFinish(crossed, pw)
+  }
+
+  def wmedianRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q =
+    (s, dir) =>
+      graft.operators.ScaleOps.routeBySize(Tables.lineitem(s, dir), maxOneTaskBytes)(
+        wmedianAggForm(s, dir))(wmedianScaleForm(s, dir))
+
+  val qAggWeightedMedian: Q = wmedianRouted()
+
   // -------------------------------------------- sort / top-k / set ops
 
   /** Multi-key sort with explicit NULLS placement (Spark default is
@@ -2829,6 +2987,7 @@ object Relational {
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_theta" -> qJoinTheta,
+    "q_join_range" -> qJoinRange,
     "q_join_asof" -> qJoinAsof,
     "q_join_skewed" -> qJoinSkewed,
     "q_join_bloom" -> qJoinBloom,
@@ -2862,9 +3021,12 @@ object Relational {
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_pattern" -> qEventsPattern,
     "q_events_markov" -> qEventsMarkov,
+    "q_events_attribution" -> qEventsAttribution,
+    "q_agg_argmax" -> qAggArgmax,
     "q_events_densify" -> qEventsDensify,
     "q_agg_incremental" -> qAggIncremental,
     "q_agg_median" -> qAggMedian,
+    "q_agg_weighted_median" -> qAggWeightedMedian,
     "q_sort_multi" -> qSortMulti,
     "q_topk" -> qTopk,
     "q_set_union" -> qSetUnion,

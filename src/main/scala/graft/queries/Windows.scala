@@ -240,8 +240,39 @@ object Windows {
   private def dsumOver0(c: org.apache.spark.sql.Column) =
     graft.functions.Det.dsum(c, 6).as("decay_score")
 
+  /** ROLLING MEDIAN (r16) — the robust smoother monitoring/trading
+    * pipelines run where a rolling MEAN would chase outliers (median
+    * filter over the last 10 readings per entity): per user, ordered by
+    * the (ts, event_id) total order, the DISCRETE median of `value` over
+    * ROWS 9 PRECEDING..CURRENT. Discrete (lower-median, element
+    * ⌈n/2⌉ of the sorted frame = DuckDB `quantile_disc(0.5)`) — never
+    * interpolated: picking an existing double involves zero float
+    * arithmetic, so engines agree bit-for-bit where an (a+b)/2
+    * interpolation could differ in rounding from DuckDB's
+    * lower + (upper−lower)/2.
+    *
+    * Scale shape: ONE shuffle by user (hash-even at any corpus size); the
+    * frame is a 10-row constant, so per-row state is O(1) — the
+    * collect+sort inside the frame touches ≤10 doubles regardless of
+    * history length, the property that keeps a median filter viable at
+    * 100 TB where an unbounded-frame percentile would buffer whole
+    * partitions. */
+  val qWindowMedian: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("__frame", collect_list(col("value")).over(w))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        element_at(array_sort(col("__frame")),
+          ((size(col("__frame")) + 1) / 2).cast("int")).as("roll_median"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_decay" -> qWindowDecay,
+    "q_window_median" -> qWindowMedian,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_window_lag" -> qWindowLag,

@@ -284,7 +284,22 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_agg_bitmap" -> 3,
     // assignment transform is narrow; within-cluster self-join shuffles
     // by cluster (2 sides) + dedup distinct + per-cluster agg — measured 4
-    "q_dedup_semantic" -> 5
+    "q_dedup_semantic" -> 5,
+    // day-bucket equi-join (2 sides) + priority agg (1) + sort (1); the
+    // BroadcastNestedLoop this replaces would show 0 exchanges and O(n·m)
+    // work — the budget pins the equi-join decomposition
+    "q_join_range" -> 4,
+    // per-(flag, price) partial agg (1) + the 3-flag running window (1)
+    // + crossing agg (1) + stats agg (1) + broadcast stats join — sort
+    // rides the final tiny frame
+    "q_agg_weighted_median" -> 5,
+    // ONE shuffle by user (bounded 10-row frame) + output sort (1)
+    "q_window_median" -> 2,
+    // ONE shuffle by user (carry window) + channel agg (1) + sort (1)
+    "q_events_attribution" -> 3,
+    // ONE map-side-combined struct-max aggregate (1) + sort (1) — the
+    // budget pins that no window sort rides in
+    "q_agg_argmax" -> 2
     // (q_stream_* r15 keys follow the streaming precedent above: the
     // graded plan is a sink readback; their shuffle story is the batch
     // form's, already budgeted via the q_stream_tumbling entry.)

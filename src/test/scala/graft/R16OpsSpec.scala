@@ -214,4 +214,153 @@ class R16OpsSpec extends AnyFunSuite {
     }
     assert(total == ev.length, "ref+cur totals must cover the corpus")
   }
+
+  test("q_agg_weighted_median: router forms agree and match a brute crossing scan") {
+    val agg = queries.Relational.wmedianAggForm(spark, Sf0001).collect()
+    val scale = queries.Relational.wmedianScaleForm(spark, Sf0001).collect()
+    assert(agg.map(_.toString).toSeq == scale.map(_.toString).toSeq,
+      "window form and bucketed prefix form must be bit-identical")
+    // Brute: exact decimal cumulative weight by ascending price per flag.
+    val rows = Tables.lineitem(spark, Sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val brute = rows.groupBy(_._1).map { case (f, rs) =>
+      val byPrice = rs.groupBy(_._2).view
+        .mapValues(_.map(x => BigDecimal(x._3)
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum)
+        .toSeq.sortBy(_._1)
+      val total = byPrice.map(_._2).sum
+      var cum = BigDecimal(0)
+      val med = byPrice.collectFirst {
+        case (p, w) if { cum += w; cum * 2 >= total } => p
+      }.get
+      f -> (rs.length.toLong, dsum6(rs.map(_._3)), med)
+    }
+    assert(agg.length == brute.size)
+    for (r <- agg) {
+      val (n, tq, med) = brute(r.getString(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == tq && r.getDouble(3) == med,
+        s"${r.getString(0)}: got (${r.getLong(1)}, ${r.getDouble(2)}, " +
+          s"${r.getDouble(3)}) vs brute ($n, $tq, $med)")
+    }
+  }
+
+  test("q_join_range bucketed equi-join equals the naive interval filter") {
+    val day0 = java.time.LocalDate.of(1970, 1, 1)
+    def days(ts: java.time.LocalDateTime): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(day0, ts.toLocalDate)
+    val wins = Tables.orders(spark, Sf0001)
+      .filter(col("o_totalprice") > 470000.0)
+      .select(col("o_orderpriority"), col("o_orderdate"))
+      .collect()
+      .map(r => (r.getString(0), days(r.getAs[java.time.LocalDateTime](1))))
+    val pts = Tables.lineitem(spark, Sf0001)
+      .select(col("l_shipdate"), col("l_extendedprice"))
+      .collect()
+      .map(r => (days(r.getAs[java.time.LocalDateTime](0)), r.getDouble(1)))
+    // Naive all-pairs reference (fine at sf0.001) — the nested loop the
+    // bucketed decomposition replaces. dsum at the output's scale 2.
+    def dsum2(xs: Seq[Double]): Double = xs
+      .map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(100)).toLongExact / 100.0
+    val brute = (for {
+      (prio, s) <- wins
+      (d, price) <- pts
+      if d >= s && d < s + 2
+    } yield (prio, price)).groupBy(_._1).view
+      .mapValues(ps => (ps.length.toLong, dsum2(ps.map(_._2).toSeq)))
+      .toMap
+    val got = SparkEntry.queries("q_join_range")(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet == brute.keySet, "priority coverage")
+    for (r <- got) {
+      val (n, sum) = brute(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)}: ${r.getLong(1)} pairs vs brute $n")
+      assert(r.getDouble(2) == sum, s"${r.getString(0)}: sum ${r.getDouble(2)} vs $sum")
+    }
+  }
+
+  test("q_events_attribution equals a brute per-user carry scan") {
+    def micros(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    }
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), micros(r.get(1)), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val credited = ev.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      var lt: Option[(Long, String)] = None
+      sorted.flatMap { r =>
+        val out = if (r._4 == "purchase") {
+          val ch = lt match {
+            case Some((t, ty)) if t >= r._2 - 24L * 3600 * 1000000L => ty
+            case _ => "direct"
+          }
+          Seq(ch -> r._5)
+        } else Nil
+        if (r._4 == "click" || r._4 == "view") lt = Some((r._2, r._4))
+        out
+      }
+    }
+    val brute = credited.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, dsumLike(xs.map(_._2), 6))).toMap
+    val got = SparkEntry.queries("q_events_attribution")(spark, Sf0001).collect()
+    assert(got.map(_.getString(0)).toSet == brute.keySet)
+    for (r <- got) {
+      val (n, sv) = brute(r.getString(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == sv,
+        s"${r.getString(0)}: (${r.getLong(1)}, ${r.getDouble(2)}) vs brute ($n, $sv)")
+    }
+  }
+
+  test("q_agg_argmax struct-max aggregate equals the window greatest-row form") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").desc)
+    val ref = Tables.customer(spark, Sf0001)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_customers",
+        count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("n_customers"),
+        col("c_acctbal").as("top_acctbal"), col("c_custkey").as("top_custkey"))
+      .orderBy("c_mktsegment")
+      .collect().map(_.toString).toSeq
+    val got = SparkEntry.queries("q_agg_argmax")(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    assert(got == ref, s"argmax drift: $got vs $ref")
+  }
+
+  test("q_window_median rolling frame equals a brute per-user 10-row median") {
+    // ts surfaces as java.sql.Timestamp (TimestampType) or LocalDateTime
+    // (NTZ) depending on the decode path; normalize either to epoch micros.
+    def micros(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    }
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), micros(r.get(1)), r.getLong(2), r.getDouble(3)))
+    val brute = ev.groupBy(_._1).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 9), i + 1).map(_._4).sorted
+        (sorted(i)._1, sorted(i)._3) -> frame((frame.length + 1) / 2 - 1)
+      }
+    }
+    val got = SparkEntry.queries("q_window_median")(spark, Sf0001).collect()
+    assert(got.length == ev.length)
+    for (r <- got)
+      assert(r.getDouble(4) == brute((r.getLong(0), r.getLong(2))),
+        s"user ${r.getLong(0)} event ${r.getLong(2)}: " +
+          s"${r.getDouble(4)} vs brute ${brute((r.getLong(0), r.getLong(2)))}")
+  }
 }

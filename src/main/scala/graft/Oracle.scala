@@ -2747,6 +2747,36 @@ object Oracle {
                  count(*) AS n, ${dsum("value", 6)} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
 
+    // Streaming anomaly twin: hourly integer moments from the raw corpus
+    // (exact 2-dp cents via the decimal cast), cumulative prior stats per
+    // type, and the SAME cross-multiplied integer z-test — DuckDB's
+    // sum(BIGINT) is already HUGEINT, and the explicit HUGEINT casts keep
+    // every product exact where BIGINT would overflow.
+    "q_stream_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS w_start, event_type,
+                           count(*) AS n,
+                           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s1,
+                           sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                               * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s2
+                    FROM events GROUP BY 1, 2),
+              c AS (SELECT w_start, event_type, n, s1, s2,
+                           sum(n) OVER wp AS np, sum(s1) OVER wp AS s1p,
+                           sum(s2) OVER wp AS s2p
+                    FROM h
+                    WINDOW wp AS (PARTITION BY event_type ORDER BY w_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT event_type, w_start, n, CAST(s1 AS BIGINT) AS s1_cents,
+                CAST(CASE WHEN np IS NULL OR np < 500 THEN 0
+                          WHEN (CAST(s1 AS HUGEINT) * CAST(np AS HUGEINT)
+                                - CAST(s1p AS HUGEINT) * CAST(n AS HUGEINT))
+                               * (CAST(s1 AS HUGEINT) * CAST(np AS HUGEINT)
+                                  - CAST(s1p AS HUGEINT) * CAST(n AS HUGEINT))
+                               > 9 * CAST(n AS HUGEINT)
+                                 * (CAST(np AS HUGEINT) * CAST(s2p AS HUGEINT)
+                                    - CAST(s1p AS HUGEINT) * CAST(s1p AS HUGEINT))
+                          THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         FROM c ORDER BY event_type, w_start""",
+
     // Time-decay twin: the same per-user anchor (window max), exact
     // integer micros differences, fixed IEEE pow, contributions rounded
     // to 6 dp and summed on the decimal path.

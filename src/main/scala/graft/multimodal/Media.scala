@@ -525,6 +525,33 @@ object Media {
       }
   }
 
+  /** RE-UPLOAD fixture for media dedup (r16) — the duplicate-payload shape
+    * a crawl/upload corpus actually has (the same image posted under many
+    * distinct ids): asset CONTENT is seeded by `id % mod` (dims, container
+    * and bytes all derive from the seed) while `asset_id` stays the
+    * document id, so ~n/mod assets share byte-identical payloads under
+    * different keys. The duplicates are planted by construction — the
+    * decode+hash pipeline must REDISCOVER them from the payload bytes
+    * alone (asset_id never feeds the hash). */
+  def syntheticDupAssets(spark: SparkSession, dir: String,
+                         mod: Int = 211): Dataset[MediaAsset] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val seed = id % mod
+        val mediaType = Seq("image", "audio", "video", "image")((seed % 4).toInt)
+        val w = ((seed % 16) * 2 + 8).toInt
+        val h = ((seed % 12) * 2 + 6).toInt
+        val payload = (seed % 4).toInt match {
+          case 0 => encodeBmp(seed, w, h)
+          case 1 => encodeWav(seed, w * h)
+          case 2 => encodeY4m(seed, w, h, (seed % 7 + 1).toInt)
+          case _ => encodePng(seed, w, h)
+        }
+        MediaAsset(id, mediaType, w, h, payload)
+      }
+  }
+
   /** Distributed decode / feature-extract: repartition to spread payload
     * bytes evenly, then mapPartitions in fixed-size batches — the shape a
     * native decoder needs (amortized init per batch, bounded memory:

@@ -1722,6 +1722,33 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** MEDIA CONTENT DEDUP (r16) — image/audio/video near-dup discovery, the
+    * multimodal member of the dedup family (exact text ✓, MinHash ✓,
+    * SimHash ✓, embedding ✓ — this one operates on DECODED PAYLOAD
+    * bytes): the re-upload corpus (Media.syntheticDupAssets — the same
+    * content posted under many distinct asset ids) is decoded with the
+    * real container parsers, each asset reduced to its content hash
+    * (MediaFeatures.phash — computed from sampled pixel/sample ranges,
+    * never from the id), and assets grouped by (type, hash) into
+    * duplicate clusters with a min-id canonical — the q_dedup_exact
+    * contract applied to binary media.
+    *
+    * Scale shape: decode is embarrassingly parallel per row (batched
+    * mapPartitions, bounded memory); the cluster groupBy shuffles
+    * (type, 64-bit hash) pairs — never payload bytes — and is hash-even.
+    * No oracle (the container decode has no DuckDB twin); MediaSpec pins
+    * the clusters against the planted seed structure. */
+  val qDedupMedia: Q = (s, dir) => {
+    val feats = graft.multimodal.Media.extractFeatures(
+      graft.multimodal.Media.syntheticDupAssets(s, dir)).toDF()
+    feats
+      .groupBy(col("media_type"), col("phash"))
+      .agg(count(lit(1)).as("n_assets"), min(col("asset_id")).as("canonical_id"),
+        max(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_assets") >= 2)
+      .orderBy("media_type", "phash")
+  }
+
   // ------------------------------------------- split / repetition / redact
 
   /** CONTENT-ADDRESSED train/val/test split stats — the reproducible-split
@@ -2219,5 +2246,6 @@ object LlmOps {
     "q_sim_ivf_ann" -> qSimIvfAnn,
     "q_sim_ivf_append" -> qSimIvfAppend,
     "q_sim_ivf_pq" -> qSimIvfPq,
-    "q_multimodal_join" -> qMultimodalJoin)
+    "q_multimodal_join" -> qMultimodalJoin,
+    "q_dedup_media" -> qDedupMedia)
 }

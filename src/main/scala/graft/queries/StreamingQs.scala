@@ -319,6 +319,44 @@ object StreamingQs {
       .orderBy("user_id", "s_start")
   }
 
+  /** STREAMING ANOMALY MONITOR (r16) — the production alerting shape: the
+    * stream maintains per-(hour, type) MOMENT partials (count, Σcents,
+    * Σcents² — exact integers, finalized once by the watermark:
+    * Runtime.hourlyMoments), and each finalized hour is z-tested against
+    * the cumulative statistics of all PRIOR hours of its type. The test
+    * ((mean_h − μ_prior)² > 9·σ²_prior/n_h, i.e. |z| > 3 on the standard
+    * error, armed once n_prior ≥ 500) is CROSS-MULTIPLIED into pure
+    * integer arithmetic — (s1·np − s1p·n)² > 9·n·(np·s2p − s1p²) — in
+    * DECIMAL(38,0) (DuckDB: HUGEINT), so engine float variance cannot
+    * flip a flag. The prefix window runs over the BOUNDED (type × hours)
+    * moment table, never the corpus; at 100 TB the raw stream only ever
+    * feeds the map-side-combined hourly aggregate. */
+  val qStreamAnomaly: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    import org.apache.spark.sql.expressions.Window
+    val sink = SR.runToCompletionAppend(s,
+        SR.hourlyMoments(SR.eventsStreamWithFlush(s, dir)),
+        s"graft_anomaly_${Integer.toHexString(dir.hashCode)}")
+      .filter(col("event_type") =!= "flush")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("w_start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val np = sum(col("n")).over(wPrev).cast(dec)
+    val s1p = sum(col("s1")).over(wPrev).cast(dec)
+    val s2p = sum(col("s2")).over(wPrev).cast(dec)
+    val nh = col("n").cast(dec)
+    val s1h = col("s1").cast(dec)
+    val lhsRoot = s1h * np - s1p * nh
+    val flag = when(np.isNull || np < 500, lit(0L))
+      .otherwise(when(lhsRoot * lhsRoot >
+        lit(9) * nh * (np * s2p - s1p * s1p), lit(1L)).otherwise(lit(0L)))
+    sink
+      .withColumn("is_anomaly", flag)
+      .select(col("event_type"), col("w_start"), col("n"),
+        col("s1").as("s1_cents"), col("is_anomaly"))
+      .orderBy("event_type", "w_start")
+  }
+
   /** EXACTLY-ONCE streaming ingest over an at-least-once source, run as a
     * REAL stream inside the correctness gate: the events file is replayed
     * TWICE (two micro-batches, Runtime.eventsStreamWithRedelivery); the
@@ -571,6 +609,7 @@ object StreamingQs {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_stream_anomaly" -> qStreamAnomaly,
     "q_stream_complete" -> qStreamComplete,
     "q_stream_update_topk" -> qStreamUpdateTopk,
     "q_stream_view_maintain" -> qStreamViewMaintain,

@@ -55,6 +55,26 @@ object Runtime {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Hourly MOMENT PARTIALS (r16) — the streaming half of q_stream_anomaly:
+    * per (hour window, type), count + Σcents + Σcents² as exact integers
+    * (values are money-shaped; the DECIMAL(18,2) cast is the engine-portable
+    * exact 2-dp extraction, ×100 → integer cents). Watermarked append —
+    * each hour's sufficient statistics finalize exactly once, and because
+    * (n, s1, s2) are MERGEABLE the detector downstream never needs raw
+    * events: this is the sketch-table shape every monitoring stack
+    * materializes (the moments twin of the quantile/HLL/frequent-items
+    * sketch keys). */
+  def hourlyMoments(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      * 100).cast("long")
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"), sum(cents * cents).as("s2"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("s1"), col("s2"))
+  }
+
   /** STREAM-STATIC JOIN enrichment (r16) — the third join mode Structured
     * Streaming supports (stream-stream interval joins are the
     * clickPurchase* family; this is the dimension-enrichment shape every

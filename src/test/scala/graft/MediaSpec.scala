@@ -243,4 +243,32 @@ class MediaSpec extends AnyFunSuite {
     assert(got.getAs[Double]("thumb_mean") ==
       BigDecimal(sum.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("q_dedup_media rediscovers exactly the planted re-upload clusters") {
+    // Planted structure: content is a pure function of doc_id % 211, so
+    // the expected clusters are the seed groups with >= 2 members.
+    val ids = Tables.documents(spark, Sf0001).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val bySeed = ids.groupBy(_ % 211).filter(_._2.length >= 2)
+    val expected = bySeed.map { case (seed, members) =>
+      (Seq("image", "audio", "video", "image")((seed % 4).toInt),
+        members.length.toLong, members.min)
+    }.toSeq.sorted
+    val got = SparkEntry.queries("q_dedup_media")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got.nonEmpty, "the re-upload corpus must contain duplicates")
+    assert(got == expected,
+      s"cluster drift: ${got.take(5)}... vs planted ${expected.take(5)}...")
+    // The hash must come from the payload, not the id: two members of one
+    // cluster decode to the same phash under a direct decode.
+    val seed = bySeed.keys.head
+    val pair = bySeed(seed).sorted.take(2)
+    val feats = Media.extractFeatures(
+        Media.syntheticDupAssets(spark, Sf0001))
+      .filter(col("asset_id").isin(pair: _*))
+      .collect()
+    assert(feats.length == 2 && feats(0).phash == feats(1).phash)
+  }
 }

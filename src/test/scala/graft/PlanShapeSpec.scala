@@ -299,7 +299,12 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_events_attribution" -> 3,
     // ONE map-side-combined struct-max aggregate (1) + sort (1) — the
     // budget pins that no window sort rides in
-    "q_agg_argmax" -> 2
+    "q_agg_argmax" -> 2,
+    // decode repartition (1) + cluster agg (1) + sort (1) — payload bytes
+    // cross only the decode repartition, never the cluster shuffle
+    "q_dedup_media" -> 3
+    // (q_stream_anomaly follows the streaming precedent: graded plan is a
+    // sink readback + a bounded moments-table window.)
     // (q_stream_* r15 keys follow the streaming precedent above: the
     // graded plan is a sink readback; their shuffle story is the batch
     // form's, already budgeted via the q_stream_tumbling entry.)

@@ -336,6 +336,56 @@ class R16OpsSpec extends AnyFunSuite {
     assert(got == ref, s"argmax drift: $got vs $ref")
   }
 
+  test("q_stream_anomaly: streamed moments + integer z-flags equal a brute batch recompute") {
+    def micros(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    }
+    // sf0.01: enough volume that the n_prior >= 500 arming threshold is
+    // actually crossed (200 events/type at sf0.001 never arms).
+    val ev = Tables.events(spark, Sf001)
+      .select(col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (micros(r.get(0)), r.getString(1), r.getDouble(2)))
+    val hourUs = 3600L * 1000000L
+    val hourly = ev.groupBy(e => (e._2, Math.floorDiv(e._1, hourUs) * hourUs))
+      .map { case ((ty, h), rs) =>
+        val cents = rs.map(r => BigDecimal(r._3)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(100)).toLongExact)
+        (ty, h, rs.length.toLong, cents.sum, cents.map(c => c * c).sum)
+      }.toSeq
+    var armed = 0
+    val brute = hourly.groupBy(_._1).flatMap { case (_, hs) =>
+      val sorted = hs.sortBy(_._2)
+      var np = BigInt(0); var s1p = BigInt(0); var s2p = BigInt(0)
+      sorted.map { case (ty, h, n, s1, s2) =>
+        val flag =
+          if (np < 500) 0L
+          else {
+            armed += 1
+            val lhsRoot = BigInt(s1) * np - s1p * BigInt(n)
+            if (lhsRoot * lhsRoot > BigInt(9) * BigInt(n) * (np * s2p - s1p * s1p)) 1L
+            else 0L
+          }
+        np += n; s1p += s1; s2p += s2
+        (ty, h) -> (n, s1, flag)
+      }
+    }
+    assert(armed > 0, "the arming threshold must be crossed at sf0.01")
+    val got = SparkEntry.queries("q_stream_anomaly")(spark, Sf001).collect()
+    assert(got.length == brute.size)
+    for (r <- got) {
+      val k = (r.getString(0), micros(r.get(1)))
+      val (n, s1, flag) = brute(k)
+      assert(r.getLong(2) == n && r.getLong(3) == s1 && r.getLong(4) == flag,
+        s"$k: (${r.getLong(2)}, ${r.getLong(3)}, ${r.getLong(4)}) " +
+          s"vs brute ($n, $s1, $flag)")
+    }
+  }
+
   test("q_window_median rolling frame equals a brute per-user 10-row median") {
     // ts surfaces as java.sql.Timestamp (TimestampType) or LocalDateTime
     // (NTZ) depending on the decode path; normalize either to epoch micros.

@@ -1267,6 +1267,21 @@ object Oracle {
                 round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    // Winsorized mean twin: exact interpolated band edges (quantile_cont ≡
+    // Spark percentile — the q_agg_median-proven pairing), pure-selection
+    // clamp, decimal-path mean.
+    "q_stats_winsorize" ->
+      s"""WITH q AS (SELECT o_orderstatus,
+                            quantile_cont(o_totalprice, 0.05) AS p05,
+                            quantile_cont(o_totalprice, 0.95) AS p95
+                     FROM orders GROUP BY 1)
+          SELECT o.o_orderstatus, count(*) AS n,
+                 round(max(q.p05), 2) AS p05, round(max(q.p95), 2) AS p95,
+                 round(${dsum("greatest(q.p05, least(q.p95, o.o_totalprice))", 6)}
+                       / count(*), 6) AS winsor_mean
+          FROM orders o JOIN q USING (o_orderstatus)
+          GROUP BY 1 ORDER BY 1""",
+
     // Weighted median: smallest price whose cumulative quantity-weight
     // reaches half the total — the crossing test (2·cum ≥ total) runs in
     // exact DECIMAL(38,10) on both engines, so no halving and no float

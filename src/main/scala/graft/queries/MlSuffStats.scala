@@ -792,6 +792,54 @@ object MlSuffStats {
       .orderBy("truth", "pred")
   }
 
+  /** ISOTONIC CALIBRATION / PAV (r16) — the monotone score→probability
+    * recalibration production scorers run after training (Platt's rival;
+    * the TRANSFORM counterpart of q_ml_eval_calibration's diagnostic
+    * bins): per score-bin positive counts (one map-side-combined
+    * aggregate over the same bins the calibration key grades), then
+    * pool-adjacent-violators over the BOUNDED bin table on the driver —
+    * the BPE-merge-table shape: corpus work is one aggregation pass; the
+    * sequential pooling runs over ≤`bins` rows of driver state. Pooling
+    * compares rates by INTEGER cross-multiplication (pos_a·n_b >
+    * pos_b·n_a), so the fit is exact and engine-independent; the
+    * calibrated rate divides exact integers once at emit.
+    * MlCrossCheckSpec pins the fit against MLlib's IsotonicRegression on
+    * the same weighted bins. */
+  val qMlIsotonic: Q = (s, dir) => {
+    import s.implicits._
+    val bins = Tables.embeddings(s, dir)
+      .select((col("embedding")(0).cast("double")
+        + col("embedding")(1).cast("double")).as("score"),
+        when(col("label") % 2 === 1, 1L).otherwise(0L).as("pos"))
+      .groupBy(floor((col("score") + lit(1.0)) * 5.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .orderBy("bin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    case class Block(lo: Long, hi: Long, n: Long, pos: Long)
+    var stack = List.empty[Block]
+    for ((bin, n, pos) <- bins) {
+      var b = Block(bin, bin, n, pos)
+      // Pool while the previous block's rate strictly violates
+      // monotonicity (prev > cur), compared exactly in integers.
+      while (stack.nonEmpty && stack.head.pos * b.n > b.pos * stack.head.n) {
+        val t = stack.head; stack = stack.tail
+        b = Block(t.lo, b.hi, t.n + b.n, t.pos + b.pos)
+      }
+      stack = b :: stack
+    }
+    val blockOf = stack.reverse.flatMap(b => (b.lo to b.hi).map(_ -> b)).toMap
+    val rows = bins.map { case (bin, n, pos) =>
+      val b = blockOf(bin)
+      (bin, n, pos,
+        BigDecimal(b.pos).*(BigDecimal(1000000))./(BigDecimal(b.n))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong / 1e6)
+    }
+    s.createDataFrame(rows.toSeq)
+      .toDF("bin", "n", "n_pos", "iso_rate")
+      .orderBy("bin")
+  }
+
   /** PAIRWISE PEARSON CORRELATION MATRIX of the lineitem numerics
     * (quantity, discount, extendedprice) — the exploratory-stats operator
     * every modeling pass runs first, and a GDA/regression prerequisite.
@@ -974,5 +1022,6 @@ object MlSuffStats {
     "q_ml_kfold" -> qMlKfold,
     "q_ml_eval_regression" -> qMlEvalRegression,
     "q_ml_pipeline" -> qMlPipeline,
+    "q_ml_isotonic" -> qMlIsotonic,
     "q_agg_corr" -> qAggCorr)
 }

@@ -2892,6 +2892,57 @@ object Relational {
 
   val qAggWeightedMedian: Q = wmedianRouted()
 
+  /** WINSORIZED MEAN (r16) — the outlier-robust mean every metrics/
+    * experimentation platform reports (clamp each value into its group's
+    * exact [p5, p95] band, then average — the statistic A/B systems use
+    * so one whale can't move the topline): per orderstatus, the exact
+    * interpolated p5/p95 (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    * the q_agg_median-proven pairing), each price clamped with
+    * greatest/least (pure selection — no arithmetic can diverge), and the
+    * clamped mean on the exact decimal path.
+    *
+    * Size-routed like q_agg_median: the declared single-buffer percentile
+    * below the one-task gate, ScaleOps.groupedQuantilesExact's bucketed
+    * two-pass (bit-identical interpolation) above it. The clamp pass
+    * joins the O(groups) quantile table back broadcast — at 100 TB the
+    * corpus flows through one narrow clamp map + one map-side-combined
+    * aggregate, and the quantile machinery touches the distinct-value
+    * histogram, never whole-group sorts. */
+  private def winsorFinish(src: DataFrame, q: DataFrame): DataFrame = {
+    import graft.functions.Det
+    val clamped = greatest(col("p05"), least(col("p95"), col("o_totalprice")))
+    src.join(broadcast(q), Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("p05"), col("p95"), clamped.as("v"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("p05")), 2).as("p05"), round(max(col("p95")), 2).as("p95"),
+        round(Det.dsum(col("v"), 6) / count(lit(1)), 6).as("winsor_mean"))
+      .orderBy("o_orderstatus")
+  }
+
+  private[graft] val winsorAggForm: Q = (s, dir) => {
+    val src = Tables.orders(s, dir).select(col("o_orderstatus"), col("o_totalprice"))
+    val q = src.groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+    winsorFinish(src, q)
+  }
+
+  private[graft] val winsorScaleForm: Q = (s, dir) => {
+    val src = Tables.orders(s, dir).select(col("o_orderstatus"), col("o_totalprice"))
+    val q = graft.operators.ScaleOps.groupedQuantilesExact(
+        src, col("o_orderstatus"), col("o_totalprice"), ps = Seq(0.05, 0.95))
+      .select(col("g").as("o_orderstatus"), col("q_0").as("p05"), col("q_1").as("p95"))
+    winsorFinish(src, q)
+  }
+
+  def winsorRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q =
+    (s, dir) =>
+      graft.operators.ScaleOps.routeBySize(Tables.orders(s, dir), maxOneTaskBytes)(
+        winsorAggForm(s, dir))(winsorScaleForm(s, dir))
+
+  val qStatsWinsorize: Q = winsorRouted()
+
   // -------------------------------------------- sort / top-k / set ops
 
   /** Multi-key sort with explicit NULLS placement (Spark default is
@@ -3027,6 +3078,7 @@ object Relational {
     "q_agg_incremental" -> qAggIncremental,
     "q_agg_median" -> qAggMedian,
     "q_agg_weighted_median" -> qAggWeightedMedian,
+    "q_stats_winsorize" -> qStatsWinsorize,
     "q_sort_multi" -> qSortMulti,
     "q_topk" -> qTopk,
     "q_set_union" -> qSetUnion,

@@ -282,4 +282,44 @@ class MlCrossCheckSpec extends AnyFunSuite {
         s"user $u: ($w1, $w2) vs brute ($e1, $e2)")
     }
   }
+
+  test("q_ml_isotonic PAV fit matches MLlib IsotonicRegression on the same bins") {
+    val got = SparkEntry.queries("q_ml_isotonic")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // Monotone non-decreasing...
+    for (w <- got.sliding(2) if w.length == 2)
+      assert(w(0)._4 <= w(1)._4, s"fit not monotone at bins ${w(0)._1}/${w(1)._1}")
+    // ...and mass-preserving: within each CONTIGUOUS run of one fitted
+    // rate the rate IS the run's exact pooled positive rate. (A PAV block
+    // is such a run; two distinct blocks can only share a rounded rate if
+    // pooling order made them adjacent-equal, which contiguity captures.)
+    val runs = got.foldLeft(List.empty[List[(Long, Long, Long, Double)]]) {
+      case (acc, r) if acc.nonEmpty && acc.head.head._4 == r._4 =>
+        (r :: acc.head) :: acc.tail
+      case (acc, r) => List(r) :: acc
+    }
+    for (blk <- runs) {
+      val (n, pos) = (blk.map(_._2).sum, blk.map(_._3).sum)
+      val exact = BigDecimal(pos) * 1000000 / BigDecimal(n)
+      assert(blk.head._4 ==
+        exact.setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong / 1e6,
+        s"rate ${blk.head._4} not the pooled mass of its run ($pos/$n)")
+    }
+    // MLlib twin: weighted isotonic regression on (bin, pos_rate, n).
+    import spark.implicits._
+    val pts = got.toSeq.map { case (bin, n, pos, _) =>
+      (pos.toDouble / n, bin.toDouble, n.toDouble) }
+      .toDF("label", "features", "weight")
+    val mllib = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("features").setWeightCol("weight").setIsotonic(true)
+      .fit(pts)
+    val preds = mllib.transform(pts).select(col("features"), col("prediction"))
+      .collect().map(r => r.getDouble(0).toLong -> r.getDouble(1)).toMap
+    for ((bin, _, _, rate) <- got) {
+      val p = preds(bin)
+      assert(math.abs(rate - p) < 1e-6,
+        s"bin $bin: iso_rate $rate vs MLlib $p")
+    }
+  }
 }

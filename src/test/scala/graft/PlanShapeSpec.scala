@@ -302,7 +302,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_agg_argmax" -> 2,
     // decode repartition (1) + cluster agg (1) + sort (1) — payload bytes
     // cross only the decode repartition, never the cluster shuffle
-    "q_dedup_media" -> 3
+    "q_dedup_media" -> 3,
+    // quantile agg (1) + clamp-pass agg (1) + sort (1); the quantile
+    // table rides a broadcast back to the clamp scan
+    "q_stats_winsorize" -> 3
     // (q_stream_anomaly follows the streaming precedent: graded plan is a
     // sink readback + a bounded moments-table window.)
     // (q_stream_* r15 keys follow the streaming precedent above: the

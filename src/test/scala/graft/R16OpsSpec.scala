@@ -280,6 +280,18 @@ class R16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stats_winsorize: router forms agree and the clamp preserves the band") {
+    val agg = queries.Relational.winsorAggForm(spark, Sf0001).collect()
+    val scale = queries.Relational.winsorScaleForm(spark, Sf0001).collect()
+    assert(agg.map(_.toString).toSeq == scale.map(_.toString).toSeq,
+      "single-buffer and bucketed quantile forms must be bit-identical")
+    // The winsorized mean must sit inside [p05, p95] for every group.
+    for (r <- agg)
+      assert(r.getDouble(2) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(3),
+        s"${r.getString(0)}: mean ${r.getDouble(4)} outside " +
+          s"[${r.getDouble(2)}, ${r.getDouble(3)}]")
+  }
+
   test("q_events_attribution equals a brute per-user carry scan") {
     def micros(v: Any): Long = v match {
       case t: java.sql.Timestamp =>

@@ -1193,6 +1193,70 @@ object Oracle {
                 round(CAST(n AS DOUBLE) / CAST(n_prev AS DOUBLE), 6) AS p
          FROM t ORDER BY prev_type, event_type""",
 
+    // Nearest as-of twin: DuckDB ASOF JOIN is backward-only, so the
+    // oracle mirrors the merge-scan construction — paired IGNORE-NULLS
+    // carries in both directions over the same (t, is_probe, event_id)
+    // total order, nearer side picked in integer micros (ties backward).
+    "q_join_asof_nearest" ->
+      """WITH b AS (SELECT user_id, epoch_us(ts) AS t,
+                           CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS is_probe,
+                           event_id
+                    FROM events WHERE event_type IN ('click', 'purchase')),
+              c AS (SELECT *,
+                      last_value(CASE WHEN is_probe = 0 THEN t END IGNORE NULLS)
+                        OVER wb AS bt,
+                      last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+                        OVER wb AS bid,
+                      first_value(CASE WHEN is_probe = 0 THEN t END IGNORE NULLS)
+                        OVER wf AS ft,
+                      first_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+                        OVER wf AS fid
+                    FROM b
+                    WINDOW wb AS (PARTITION BY user_id ORDER BY t, is_probe, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           wf AS (PARTITION BY user_id ORDER BY t, is_probe, event_id
+                                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         SELECT event_id, user_id,
+                CASE WHEN bt IS NULL THEN fid WHEN ft IS NULL THEN bid
+                     WHEN t - bt <= ft - t THEN bid ELSE fid END AS click_id,
+                CASE WHEN bt IS NULL THEN t - ft WHEN ft IS NULL THEN t - bt
+                     WHEN t - bt <= ft - t THEN t - bt ELSE t - ft END AS signed_diff_us
+         FROM c
+         WHERE is_probe = 1 AND (bt IS NOT NULL OR ft IS NOT NULL)
+         ORDER BY event_id""",
+
+    // RFM twin: identical per-user metrics, the population's exact
+    // interpolated quintile edges (quantile_cont ≡ Spark percentile), and
+    // strict-comparison threshold scoring.
+    "q_events_rfm" ->
+      s"""WITH g AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+               u AS (SELECT user_id,
+                            (g.mx - max(epoch_us(ts))) // 3600000000 AS rec_hours,
+                            count(*) AS freq, ${dsum("value", 2)} AS monetary
+                     FROM events, g GROUP BY user_id, g.mx),
+               q AS (SELECT quantile_cont(rec_hours, [0.2, 0.4, 0.6, 0.8]) AS re,
+                            quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fe,
+                            quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS me
+                     FROM u)
+          SELECT user_id, rec_hours, freq, monetary,
+                 CAST(1 + CAST(rec_hours < re[1] AS INT) + CAST(rec_hours < re[2] AS INT)
+                        + CAST(rec_hours < re[3] AS INT) + CAST(rec_hours < re[4] AS INT)
+                      AS BIGINT) AS r_score,
+                 CAST(1 + CAST(freq > fe[1] AS INT) + CAST(freq > fe[2] AS INT)
+                        + CAST(freq > fe[3] AS INT) + CAST(freq > fe[4] AS INT)
+                      AS BIGINT) AS f_score,
+                 CAST(1 + CAST(monetary > me[1] AS INT) + CAST(monetary > me[2] AS INT)
+                        + CAST(monetary > me[3] AS INT) + CAST(monetary > me[4] AS INT)
+                      AS BIGINT) AS m_score,
+                 CAST((1 + CAST(rec_hours < re[1] AS INT) + CAST(rec_hours < re[2] AS INT)
+                         + CAST(rec_hours < re[3] AS INT) + CAST(rec_hours < re[4] AS INT)) * 100
+                      + (1 + CAST(freq > fe[1] AS INT) + CAST(freq > fe[2] AS INT)
+                           + CAST(freq > fe[3] AS INT) + CAST(freq > fe[4] AS INT)) * 10
+                      + (1 + CAST(monetary > me[1] AS INT) + CAST(monetary > me[2] AS INT)
+                           + CAST(monetary > me[3] AS INT) + CAST(monetary > me[4] AS INT))
+                      AS BIGINT) AS rfm_code
+          FROM u, q ORDER BY user_id""",
+
     // Last-touch attribution twin: two IGNORE-NULLS carries (ts + type) —
     // non-null together by construction, so they mirror the Spark side's
     // single struct carry; frame ends at 1 PRECEDING in both.
@@ -1281,6 +1345,42 @@ object Oracle {
                        / count(*), 6) AS winsor_mean
           FROM orders o JOIN q USING (o_orderstatus)
           GROUP BY 1 ORDER BY 1""",
+
+    // Higher moments twin: exact integer power sums (quantity is
+    // integral; DuckDB's sum(BIGINT) widens to HUGEINT), then the SAME
+    // left-associated IEEE double epilogue as the Spark side.
+    "q_agg_moments" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+                           sum(CAST(l_quantity AS BIGINT)) AS s1,
+                           sum(CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT)) AS s2,
+                           sum(CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT)) AS s3,
+                           sum(CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT)
+                               * CAST(l_quantity AS BIGINT)) AS s4
+                    FROM lineitem GROUP BY 1),
+              e AS (SELECT l_returnflag, n,
+                           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                           CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                           CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                           CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+                    FROM s),
+              m AS (SELECT l_returnflag, n, mean,
+                           r2 - mean * mean AS m2v,
+                           r3 - 3.0 * mean * r2
+                              + 2.0 * mean * mean * mean AS m3v,
+                           r4 - 4.0 * mean * r3
+                              + 6.0 * mean * mean * r2
+                              - 3.0 * mean * mean * mean * mean AS m4v
+                    FROM e)
+         SELECT l_returnflag, n, round(mean, 6) AS mean_qty,
+                round(m2v, 6) AS m2,
+                round(m3v / (m2v * sqrt(m2v)), 6) AS skewness,
+                round(m4v / (m2v * m2v) - 3.0, 6) AS kurtosis
+         FROM m ORDER BY l_returnflag""",
 
     // Weighted median: smallest price whose cumulative quantity-weight
     // reaches half the total — the crossing test (2·cum ≥ total) runs in

@@ -2943,6 +2943,161 @@ object Relational {
 
   val qStatsWinsorize: Q = winsorRouted()
 
+  /** HIGHER MOMENTS (r16) — per-group skewness + excess kurtosis, the
+    * distribution-shape statistics every data-profiling / drift pass
+    * reports beside mean/stddev (q_agg_stats): computed from EXACT
+    * integer power sums (quantities are integral, so Σq..Σq⁴ are exact
+    * DECIMAL(38,0) at any corpus size — row-level products stay in small
+    * integers, only the sums widen) followed by one fixed IEEE-double
+    * epilogue written as the identical literal arithmetic in both engines
+    * (the q_agg_corr convention). NOT Spark's `skewness()`/`kurtosis()`
+    * (their streaming float update orders differ engine-to-engine).
+    * ONE map-side-combined pass, O(groups) rows out. */
+  val qAggMoments: Q = (s, dir) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = col("l_quantity").cast("long")
+    val stats = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), q.as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q").cast(dec)).as("s1"),
+        sum((col("q") * col("q")).cast(dec)).as("s2"),
+        sum((col("q") * col("q") * col("q")).cast(dec)).as("s3"),
+        sum((col("q") * col("q") * col("q") * col("q")).cast(dec)).as("s4"))
+    val n = col("n").cast("double")
+    val mean = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - mean * mean
+    val m3 = col("s3").cast("double") / n -
+      lit(3.0) * mean * (col("s2").cast("double") / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4").cast("double") / n -
+      lit(4.0) * mean * (col("s3").cast("double") / n) +
+      lit(6.0) * mean * mean * (col("s2").cast("double") / n) -
+      lit(3.0) * mean * mean * mean * mean
+    stats.select(col("l_returnflag"), col("n"),
+        round(mean, 6).as("mean_qty"),
+        round(m2, 6).as("m2"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+      .orderBy("l_returnflag")
+  }
+
+  /** NEAREST AS-OF JOIN (r16) — the bidirectional twin of [[qJoinAsof]]
+    * (backward-only): each purchase matches its user's CLOSEST click in
+    * time, looking BOTH directions (the trade-to-nearest-quote /
+    * reading-to-nearest-calibration shape; ties at equal distance break
+    * backward). Same MERGE-SCAN plan: union the two sides tagged, ONE
+    * sort per user timeline, carry the latest click backward
+    * (last ignoreNulls over PRECEDING) and the earliest click forward
+    * (first ignoreNulls over FOLLOWING), pick the nearer in exact integer
+    * micros — the sign of the emitted diff encodes the direction. No
+    * purchases×clicks range join, no per-user collect; purchases with no
+    * click on either side drop (inner semantics). */
+  val qJoinAsofNearest: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").as("u"), unix_micros(col("ts")).as("t"),
+        // clicks sort before a same-instant purchase → land in the
+        // backward carry, so a zero-distance match resolves backward.
+        when(col("event_type") === "click", 0).otherwise(1).as("is_probe"),
+        col("event_id"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("is_probe"), col("event_id"))
+    val c = when(col("is_probe") === 0,
+      struct(col("t").as("ct"), col("event_id").as("click_id")))
+    val back = last(c, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val fwd = first(c, ignoreNulls = true)
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    base
+      .withColumn("bo", back).withColumn("fo", fwd)
+      .filter(col("is_probe") === 1)
+      .withColumn("pick",
+        when(col("bo").isNull, col("fo"))
+          .when(col("fo").isNull, col("bo"))
+          .when(col("t") - col("bo.ct") <= col("fo.ct") - col("t"), col("bo"))
+          .otherwise(col("fo")))
+      .filter(col("pick").isNotNull)
+      .select(col("event_id"), col("u").as("user_id"),
+        col("pick.click_id").as("click_id"),
+        (col("t") - col("pick.ct")).as("signed_diff_us"))
+      .orderBy("event_id")
+  }
+
+  /** RFM SEGMENTATION (r16) — the classic marketing customer scoring
+    * (recency / frequency / monetary, each binned into quintiles): per
+    * user, hours since last event, event count and exact-decimal spend;
+    * each metric scored 1–5 against the population's EXACT interpolated
+    * quintile edges (score = 1 + edges cleared; recency inverted — fewer
+    * days clears more edges). Threshold scoring, NOT ntile: a global
+    * ntile sorts the whole user frame in one task, while the 12 scalar
+    * edges broadcast as literals and the scoring pass is row-local — the
+    * shape that survives 10⁹ users.
+    *
+    * Size-routed edges (the q_agg_median pairing): single-buffer
+    * `percentile` below the one-task gate, groupedQuantilesExact's
+    * bucketed two-pass (bit-identical interpolation) above it — both
+    * forms score with the same 12 doubles, so routing never changes
+    * results. Strict comparisons at the edges tie identically in both
+    * engines. */
+  private def rfmUsers(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Det
+    val ev = Tables.events(s, dir)
+    val gmax = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    ev.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"), Det.dsum(col("value"), 2).as("monetary"))
+      .select(col("user_id"),
+        expr(s"(${gmax}L - last_us) div 3600000000").as("rec_hours"),
+        col("freq"), col("monetary"))
+  }
+
+  private def rfmFinish(users: DataFrame, re: Seq[Double], fe: Seq[Double],
+                        me: Seq[Double]): DataFrame = {
+    def score(m: org.apache.spark.sql.Column, edges: Seq[Double],
+              lowerIsBetter: Boolean) =
+      edges.map(e => when(
+          if (lowerIsBetter) m < lit(e) else m > lit(e), lit(1L))
+        .otherwise(lit(0L))).reduce(_ + _) + lit(1L)
+    users.select(col("user_id"), col("rec_hours"), col("freq"), col("monetary"),
+        score(col("rec_hours"), re, lowerIsBetter = true).as("r_score"),
+        score(col("freq"), fe, lowerIsBetter = false).as("f_score"),
+        score(col("monetary"), me, lowerIsBetter = false).as("m_score"))
+      .withColumn("rfm_code",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("user_id")
+  }
+
+  private val rfmPs = Seq(0.2, 0.4, 0.6, 0.8)
+
+  private[graft] val rfmAggForm: Q = (s, dir) => {
+    val users = graft.operators.ScaleOps.trackedPersist(rfmUsers(s, dir))
+    val psArr = s"array(${rfmPs.mkString(", ")})"
+    val r = users.agg(
+      expr(s"percentile(rec_hours, $psArr)").as("re"),
+      expr(s"percentile(freq, $psArr)").as("fe"),
+      expr(s"percentile(monetary, $psArr)").as("me")).head()
+    rfmFinish(users, r.getSeq[Double](0), r.getSeq[Double](1), r.getSeq[Double](2))
+  }
+
+  private[graft] val rfmScaleForm: Q = (s, dir) => {
+    val users = graft.operators.ScaleOps.trackedPersist(rfmUsers(s, dir))
+    def edges(v: String): Seq[Double] = {
+      val r = graft.operators.ScaleOps
+        .groupedQuantilesExact(users, lit(1), col(v), ps = rfmPs).head()
+      rfmPs.indices.map(i => r.getAs[Number](s"q_$i").doubleValue())
+    }
+    rfmFinish(users, edges("rec_hours"), edges("freq"), edges("monetary"))
+  }
+
+  def rfmRouted(maxOneTaskBytes: Long = graft.Conf.OneTaskSortMaxBytes): Q =
+    (s, dir) =>
+      graft.operators.ScaleOps.routeBySize(Tables.events(s, dir), maxOneTaskBytes)(
+        rfmAggForm(s, dir))(rfmScaleForm(s, dir))
+
+  val qEventsRfm: Q = rfmRouted()
+
   // -------------------------------------------- sort / top-k / set ops
 
   /** Multi-key sort with explicit NULLS placement (Spark default is
@@ -3040,6 +3195,7 @@ object Relational {
     "q_join_theta" -> qJoinTheta,
     "q_join_range" -> qJoinRange,
     "q_join_asof" -> qJoinAsof,
+    "q_join_asof_nearest" -> qJoinAsofNearest,
     "q_join_skewed" -> qJoinSkewed,
     "q_join_bloom" -> qJoinBloom,
     "q_agg_pricing" -> qAggPricing,
@@ -3079,6 +3235,8 @@ object Relational {
     "q_agg_median" -> qAggMedian,
     "q_agg_weighted_median" -> qAggWeightedMedian,
     "q_stats_winsorize" -> qStatsWinsorize,
+    "q_agg_moments" -> qAggMoments,
+    "q_events_rfm" -> qEventsRfm,
     "q_sort_multi" -> qSortMulti,
     "q_topk" -> qTopk,
     "q_set_union" -> qSetUnion,

@@ -305,7 +305,14 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_dedup_media" -> 3,
     // quantile agg (1) + clamp-pass agg (1) + sort (1); the quantile
     // table rides a broadcast back to the clamp scan
-    "q_stats_winsorize" -> 3
+    "q_stats_winsorize" -> 3,
+    // ONE map-side-combined power-sum aggregate (1) + sort (1)
+    "q_agg_moments" -> 2,
+    // ONE shuffle by user (both carries share the sort) + output sort (1)
+    "q_join_asof_nearest" -> 2,
+    // user agg (1) + threshold-score pass + sort (1); the 12 quintile
+    // edges ride as literals, not a join
+    "q_events_rfm" -> 3
     // (q_stream_anomaly follows the streaming precedent: graded plan is a
     // sink readback + a bounded moments-table window.)
     // (q_stream_* r15 keys follow the streaming precedent above: the

@@ -292,6 +292,70 @@ class R16OpsSpec extends AnyFunSuite {
           s"[${r.getDouble(2)}, ${r.getDouble(3)}]")
   }
 
+  test("q_events_rfm: router forms agree, scores bounded, code composes") {
+    val agg = queries.Relational.rfmAggForm(spark, Sf0001).collect()
+    val scale = queries.Relational.rfmScaleForm(spark, Sf0001).collect()
+    assert(agg.map(_.toString).toSeq == scale.map(_.toString).toSeq,
+      "percentile edges and bucketed-exact edges must score identically")
+    assert(agg.nonEmpty)
+    for (r <- agg) {
+      val (rs, fs, ms, code) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(code == rs * 100 + fs * 10 + ms)
+    }
+    // Threshold scoring must spread users across score levels.
+    assert(agg.map(_.getLong(4)).distinct.length >= 3, "r_score degenerate")
+  }
+
+  test("q_join_asof_nearest equals a brute nearest-click scan") {
+    def micros(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    }
+    val ev = Tables.events(spark, Sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), micros(r.get(1)), r.getLong(2), r.getString(3)))
+    val brute = ev.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val clicks = rs.filter(_._4 == "click").map(c => (c._2, c._3))
+      rs.filter(_._4 == "purchase").flatMap { p =>
+        if (clicks.isEmpty) None
+        else {
+          // nearest by |diff|; ties backward (diff >= 0 wins at equal
+          // distance), then the carry convention picks the latest
+          // backward click / earliest forward click.
+          val back = clicks.filter(_._1 <= p._2)
+            .sortBy(c => (c._1, c._2)).lastOption
+          val fwd = clicks.filter(_._1 > p._2)
+            .sortBy(c => (c._1, c._2)).headOption
+          val pick = (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (p._2 - b._1 <= f._1 - p._2) b else f
+            case (Some(b), None) => b
+            case (None, Some(f)) => f
+            case _ => sys.error("unreachable")
+          }
+          Some(p._3 -> (pick._2, p._2 - pick._1))
+        }
+      }
+    }.toMap
+    val got = SparkEntry.queries("q_join_asof_nearest")(spark, Sf0001).collect()
+    assert(got.length == brute.size)
+    var fwdSeen = 0
+    for (r <- got) {
+      val (cid, diff) = brute(r.getLong(0))
+      assert(r.getLong(2) == cid && r.getLong(3) == diff,
+        s"purchase ${r.getLong(0)}: (${r.getLong(2)}, ${r.getLong(3)}) " +
+          s"vs brute ($cid, $diff)")
+      if (r.getLong(3) < 0) fwdSeen += 1
+    }
+    assert(fwdSeen > 0, "the forward direction must actually fire")
+  }
+
   test("q_events_attribution equals a brute per-user carry scan") {
     def micros(v: Any): Long = v match {
       case t: java.sql.Timestamp =>

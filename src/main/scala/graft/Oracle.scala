@@ -1346,6 +1346,40 @@ object Oracle {
           FROM orders o JOIN q USING (o_orderstatus)
           GROUP BY 1 ORDER BY 1""",
 
+    // XML round trip is lossless (shortest round-trippable double repr),
+    // so the oracle aggregates the parquet source directly.
+    "q_source_xml" ->
+      s"""SELECT c_mktsegment, count(*) AS n, ${dsum("c_acctbal")} AS sum_bal
+          FROM customer GROUP BY 1 ORDER BY 1""",
+
+    "q_set_except_all" ->
+      """SELECT l_partkey, count(*) AS n
+         FROM (SELECT l_partkey FROM lineitem
+               EXCEPT ALL
+               SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_set_intersect_all" ->
+      """SELECT l_partkey, count(*) AS n
+         FROM (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+               INTERSECT ALL
+               SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+         GROUP BY 1 ORDER BY 1""",
+
+    // Funnel latency twin: first view, first purchase at-or-after it.
+    "q_funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+              p AS (SELECT e.user_id, min(v.v_us) AS first_view_us,
+                           min(epoch_us(e.ts)) AS p_us
+                    FROM events e JOIN v USING (user_id)
+                    WHERE e.event_type = 'purchase'
+                      AND epoch_us(e.ts) >= v.v_us
+                    GROUP BY 1)
+         SELECT user_id, first_view_us,
+                p_us - first_view_us AS latency_us
+         FROM p ORDER BY user_id""",
+
     // Higher moments twin: exact integer power sums (quantity is
     // integral; DuckDB's sum(BIGINT) widens to HUGEINT), then the SAME
     // left-associated IEEE double epilogue as the Spark side.

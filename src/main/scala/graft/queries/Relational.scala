@@ -172,6 +172,30 @@ object Relational {
       .orderBy("source")
   }
 
+  /** XML SOURCE round trip (r16) — Spark 4's NATIVE XML datasource (the
+    * spark-xml package folded into core), completing the source-format
+    * family (parquet/csv/jsonl/orc/+malformed): customers written as an
+    * XML document per row-tag, read back with an EXPLICIT schema (no
+    * inference pass — at 100 TB schema inference is a second full scan),
+    * aggregated per segment. Doubles survive the text round trip exactly:
+    * the writer emits the shortest round-trippable decimal repr and the
+    * reader reparses it to the identical bits. Oracle = the same
+    * aggregate over the parquet source (the round trip is lossless). */
+  val qSourceXml: Q = (s, dir) => {
+    val tmp = Tables.stageDir(s, "xml", dir)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite")
+      .option("rowTag", "customer").option("rootTag", "customers")
+      .format("xml").save(tmp)
+    s.read.format("xml").option("rowTag", "customer")
+      .schema("c_custkey LONG, c_mktsegment STRING, c_acctbal DOUBLE")
+      .load(tmp)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Partitioned-layout round trip — sources/Layout.scala graded through
     * the correctness gate: documents written as a hive-partitioned parquet
     * layout by `lang` (bounded files per partition), read back with a
@@ -3144,6 +3168,54 @@ object Relational {
           .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
 
+  /** EXCEPT ALL — BAG-semantics difference (multiplicities subtract, the
+    * SQL standard's other half next to q_set_except's DISTINCT form):
+    * every lineitem partkey minus the returned ('R') occurrences — a
+    * partkey shipped 5 times with 2 returns keeps multiplicity 3.
+    * Spark plans exceptAll as the generate/replicate-count form (count
+    * both sides per key, emit max(L−R, 0) copies) — hash aggregation, no
+    * per-row anti join; output re-aggregated to (key, multiplicity) so
+    * the graded frame is compact. */
+  val qSetExceptAll: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.select(col("l_partkey"))
+      .exceptAll(li.filter(col("l_returnflag") === "R").select(col("l_partkey")))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .orderBy("l_partkey")
+  }
+
+  /** INTERSECT ALL — BAG-semantics intersection (min multiplicity per
+    * side), the companion key: partkeys both shipped as 'R' and as 'A',
+    * kept min(#R, #A) times. */
+  val qSetIntersectAll: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      .intersectAll(li.filter(col("l_returnflag") === "A").select(col("l_partkey")))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .orderBy("l_partkey")
+  }
+
+  /** FUNNEL CONVERSION LATENCY (r16) — the time-to-convert distribution
+    * behind every funnel dashboard (q_funnel_steps counts WHO converts;
+    * this measures HOW FAST): per user, exact micros from the FIRST view
+    * to the FIRST purchase at-or-after it. Two map-side-combined per-user
+    * aggregates + one co-partitioned join — all three shuffles share the
+    * user key, so EnsureRequirements collapses them onto one exchange
+    * per side and no range join or per-user collect appears. */
+  val qFunnelLatency: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("v_us"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      .join(firstView, Seq("user_id"))
+      .filter(col("p_us") >= col("v_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("v_us")).as("first_view_us"),
+        (min(col("p_us")) - min(col("v_us"))).as("latency_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_scan_parquet" -> qScanParquet,
     "q_scan_events_ns" -> qScanEventsNs,
@@ -3151,6 +3223,7 @@ object Relational {
     "q_source_jsonl" -> qSourceJsonl,
     "q_source_malformed" -> qSourceMalformed,
     "q_source_orc" -> qSourceOrc,
+    "q_source_xml" -> qSourceXml,
     "q_layout_prune" -> qLayoutPrune,
     "q_layout_compact" -> qLayoutCompact,
     "q_layout_evolve" -> qLayoutEvolve,
@@ -3178,6 +3251,7 @@ object Relational {
     "q_scd2_asof" -> qScd2Asof,
     "q_pivot_events" -> qPivotEvents,
     "q_funnel_steps" -> qFunnelSteps,
+    "q_funnel_latency" -> qFunnelLatency,
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_sessionize_gap" -> qSessionizeGap,
     "q_unpivot_measures" -> qUnpivotMeasures,
@@ -3241,7 +3315,9 @@ object Relational {
     "q_topk" -> qTopk,
     "q_set_union" -> qSetUnion,
     "q_set_intersect" -> qSetIntersect,
-    "q_set_except" -> qSetExcept)
+    "q_set_except" -> qSetExcept,
+    "q_set_except_all" -> qSetExceptAll,
+    "q_set_intersect_all" -> qSetIntersectAll)
 
   /** The clustered-files + stats-manifest layout q_layout_manifest plans
     * from, staged once per lineitem snapshot. Factored out so the bench

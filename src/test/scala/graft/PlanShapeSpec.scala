@@ -312,7 +312,16 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_join_asof_nearest" -> 2,
     // user agg (1) + threshold-score pass + sort (1); the 12 quintile
     // edges ride as literals, not a join
-    "q_events_rfm" -> 3
+    "q_events_rfm" -> 3,
+    // XML readback: agg (1) + sort (1) — the staging write is fixture
+    "q_source_xml" -> 2,
+    // replicate-count except-all: per-side key aggs + generate + final
+    // agg + sort
+    "q_set_except_all" -> 5,
+    "q_set_intersect_all" -> 5,
+    // view agg + purchase agg + co-partitioned join + final agg + sort —
+    // all on the user key
+    "q_funnel_latency" -> 4
     // (q_stream_anomaly follows the streaming precedent: graded plan is a
     // sink readback + a bounded moments-table window.)
     // (q_stream_* r15 keys follow the streaming precedent above: the

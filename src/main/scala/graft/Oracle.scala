@@ -1346,6 +1346,19 @@ object Oracle {
           FROM orders o JOIN q USING (o_orderstatus)
           GROUP BY 1 ORDER BY 1""",
 
+    // Per-group top-k twin: the same window rank the WindowGroupLimit
+    // plan optimizes — identical (revenue desc, partkey) total order.
+    "q_agg_topk_group" ->
+      s"""SELECT p_brand, p_partkey, revenue, rn
+          FROM (SELECT p_brand, p_partkey, revenue,
+                       row_number() OVER (PARTITION BY p_brand
+                         ORDER BY revenue DESC, p_partkey) AS rn
+                FROM (SELECT p_brand, p_partkey,
+                             ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+                      FROM lineitem JOIN part ON l_partkey = p_partkey
+                      GROUP BY 1, 2))
+          WHERE rn <= 3 ORDER BY p_brand, rn""",
+
     // XML round trip is lossless (shortest round-trippable double repr),
     // so the oracle aggregates the parquet source directly.
     "q_source_xml" ->

@@ -134,8 +134,9 @@ object ScaleSoak {
     val docKeys = Set("quota", "tfidf", "boilerplate", "pack",
       "perplexity", "collocations")
     val evKeys = Set("sessionize", "funnel", "retention", "anomaly", "outliers",
-      "windistinct")
-    val ordKeys = Set("median", "range", "bloom")
+      "windistinct", "rfm")
+    val ordKeys = Set("median", "range", "bloom", "winsor")
+    val liKeys = Set("wmedian")
     val custKeys = Set("ntile", "bloom")
     def needs(ks: Set[String]) = wanted.isEmpty || (wanted & ks).nonEmpty
     if (needs(docKeys))
@@ -212,6 +213,17 @@ object ScaleSoak {
         .withColumn("value",
           round(col("value") + (col("__c") % 64).cast("double") * 0.01, 2)))
 
+    // Weighted median soaks over lineitem ×100 = 60M rows with QUANTITY
+    // kept integral (the exact-decimal weight path is part of the claim);
+    // prices get the cent perturbation so the distinct-price domain stays
+    // corpus-sized — the regime where the scale form's bucketed prefix
+    // must replace the 3-partition window sort.
+    if (needs(liKeys))
+      stage(spark, src, out, "lineitem", copies = 100)(df => df
+        .withColumn("l_orderkey", col("l_orderkey") + col("__c") * lit(100000000L))
+        .withColumn("l_extendedprice",
+          round(col("l_extendedprice") + (col("__c") % 64).cast("double") * 0.01, 2)))
+
     val gate = Conf.OneTaskSortMaxBytes
     import graft.queries.{LlmOps, Relational, Windows}
     // (key, gate table THUNK, window form, scale form, organic gate for the
@@ -246,7 +258,16 @@ object ScaleSoak {
       // print is n/a — Long.MaxValue keeps it reading WINDOW (= plain).
       ("bloom", () => Tables.orders(spark, out),
         Relational.bloomPlainForm, Relational.bloomFilteredForm,
-        Long.MaxValue))
+        Long.MaxValue),
+      // r16 routed keys: weighted median (3-group corpus-sized price
+      // domain — the exact regime groupedPrefixSum exists for), the
+      // winsorized mean's quantile edges, and the RFM quintile edges.
+      ("wmedian", () => Tables.lineitem(spark, out),
+        Relational.wmedianAggForm, Relational.wmedianScaleForm, gate),
+      ("winsor", () => Tables.orders(spark, out),
+        Relational.winsorAggForm, Relational.winsorScaleForm, gate),
+      ("rfm", () => Tables.events(spark, out),
+        Relational.rfmAggForm, Relational.rfmScaleForm, gate))
 
     // SOLO keys — single-form (non-routed) queries whose above-gate
     // question is "does the gated-broadcast plan stay bounded and finish",

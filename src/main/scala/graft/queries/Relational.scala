@@ -2465,6 +2465,77 @@ object Relational {
         col("c_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("w"))
 
+  /** K-CORE DECOMPOSITION (r16) — the graph-density peel every community/
+    * spam analysis runs (a node's coreness = the largest k such that it
+    * survives in a subgraph where everyone has ≥ k neighbors): computed
+    * over the SAME bounded trade-edge entity graph as the rest of the
+    * graph family (one corpus-sized edge aggregation — [[tradeEdges]] —
+    * then a DRIVER-SIDE peel over ≤625 edges, the P2 driver-solve
+    * pattern; an unbounded graph would run the peel as iterated
+    * degree-filter rounds with per-round checkpoints, the Components
+    * loop's shape). Undirected simple graph (edges symmetrized, self
+    * loops dropped); the peel removes ALL nodes below k each round, so
+    * the result is order-independent and deterministic by construction.
+    * No oracle (iterative peeling has no tractable SQL form); R16OpsSpec
+    * asserts the DEFINITIONAL invariants independently of the algorithm:
+    * every coreness-c node keeps ≥ c neighbors of coreness ≥ c, and no
+    * node could hold a higher core. */
+  val qGraphKcore: Q = (s, dir) => {
+    import s.implicits._
+    val undirected = tradeEdges(s, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .union(tradeEdges(s, dir).filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var adj = undirected.groupBy(_._1).map { case (n, es) =>
+      n -> es.map(_._2).toSet }
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 1L
+    while (adj.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val doomed = adj.collect { case (n, ns) if ns.size < k => n }.toSet
+        changed = doomed.nonEmpty
+        if (changed) {
+          doomed.foreach(n => core(n) = k - 1)
+          adj = adj.view.filterKeys(n => !doomed(n))
+            .mapValues(_ -- doomed).toMap
+        }
+      }
+      k += 1
+    }
+    s.createDataFrame(core.toSeq.sortBy(_._1))
+      .toDF("nationkey", "coreness")
+      .orderBy("nationkey")
+  }
+
+  /** PER-GROUP TOP-K (r16) — greatest-N-per-group (top-3 parts per brand
+    * by revenue), the ranking-report staple and [[qAggArgmax]]'s N>1
+    * sibling. The plan is the point: Spark rewrites
+    * `row_number() ≤ k` into WINDOW GROUP LIMIT — each map task keeps a
+    * per-group k-heap BEFORE the shuffle, so the exchange carries
+    * O(groups·k) candidate rows instead of every (brand, part) aggregate
+    * — the distributed form of the reference's P3 heap merge applied
+    * per group (R16OpsSpec pins WindowGroupLimit into the physical
+    * plan). Revenue is the exact decimal sum, tie-broken by partkey, so
+    * rank order is total. */
+  val qAggTopkGroup: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+        .as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("p_brand", "rn")
+  }
+
   val qGraphReachability: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val edges625 = tradeEdges(s, dir)
@@ -3298,6 +3369,8 @@ object Relational {
     "q_quality_drift" -> qQualityDrift,
     "q_agg_bitmap" -> qAggBitmap,
     "q_graph_reachability" -> qGraphReachability,
+    "q_graph_kcore" -> qGraphKcore,
+    "q_agg_topk_group" -> qAggTopkGroup,
     "q_graph_sssp" -> qGraphSssp,
     "q_events_anomaly" -> qEventsAnomaly,
     "q_events_pattern" -> qEventsPattern,

@@ -280,6 +280,79 @@ class R16OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_graph_kcore satisfies the definitional coreness invariants") {
+    val core = SparkEntry.queries("q_graph_kcore")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.nonEmpty && core.values.max >= 2, "graph too sparse to test")
+    // Rebuild the same undirected simple graph from the family's shared
+    // edge definition (the reachability key exposes the pruned variant,
+    // so re-derive unpruned edges directly).
+    val e0 = Tables.lineitem(spark, Sf0001).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, Sf0001).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, Sf0001).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, Sf0001).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("s_nationkey").cast("long").as("a"),
+        col("c_nationkey").cast("long").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(e => e._1 != e._2)
+    val adj = (e0 ++ e0.map(_.swap)).distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(core.keySet == adj.keySet, "every non-isolated node gets a coreness")
+    // Invariant 1: the subgraph of nodes with coreness >= c has min degree
+    // >= c (each such node keeps >= c neighbors inside the subgraph).
+    for (c <- 1L to core.values.max) {
+      val sub = core.filter(_._2 >= c).keySet
+      for (n <- sub)
+        assert((adj(n) & sub).size >= c,
+          s"node $n (core ${core(n)}) keeps only ${(adj(n) & sub).size} " +
+            s"neighbors in the >=$c core")
+    }
+    // Invariant 2 (maximality): bumping any node's coreness to c+1 breaks
+    // the definition — in the subgraph of nodes with coreness >= c(n),
+    // iteratively peeling at c(n)+1 removes n.
+    for ((n, c) <- core) {
+      var sub = core.filter(_._2 >= c).keySet
+      var changed = true
+      while (changed && sub(n)) {
+        val doomed = sub.filter(m => (adj(m) & sub).size < c + 1)
+        changed = doomed.nonEmpty
+        sub = sub -- doomed
+      }
+      assert(!sub(n), s"node $n (core $c) survives a (c+1)-peel — coreness too low")
+    }
+  }
+
+  test("q_agg_topk_group: WindowGroupLimit in the plan and a brute top-3 match") {
+    val df = SparkEntry.queries("q_agg_topk_group")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k pushdown missing — plan:\n${plan.take(800)}")
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // Brute from the per-(brand, part) revenue frame.
+    val rev = Tables.lineitem(spark, Sf0001)
+      .join(Tables.part(spark, Sf0001).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        r.getDouble(2) * 1.0 -> (r.getDouble(2), r.getDouble(3))))
+      .map { case (k, (_, (p, d))) => k -> (p, d) }
+    val brute = rev.groupBy(_._1).toSeq
+      .map { case ((brand, part), rs) =>
+        (brand, part, dsumLike(rs.map { case (_, (p, d)) => p * (1.0 - d) }, 2))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, parts) =>
+        parts.sortBy(p => (-p._3, p._2)).take(3).zipWithIndex
+          .map { case ((b, pk, r), i) => (b, pk, r, i + 1) }
+      }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq == brute, s"top-3 drift: ${got.take(4).toSeq} vs ${brute.take(4)}")
+  }
+
   test("q_stats_winsorize: router forms agree and the clamp preserves the band") {
     val agg = queries.Relational.winsorAggForm(spark, Sf0001).collect()
     val scale = queries.Relational.winsorScaleForm(spark, Sf0001).collect()

@@ -2603,6 +2603,31 @@ object Oracle {
                  CAST(CASE WHEN -sum_lp / n_tokens <= 5.0 THEN 1 ELSE 0 END AS BIGINT) AS kept
           FROM d ORDER BY doc_id""",
 
+    // Bigram LM twin: same add-one conditional model, same bigram
+    // generation as the collocations oracle (1-indexed range yields no
+    // bigrams for 1-token docs — matching the Spark size guard, so those
+    // docs drop from both sides), same decimal-path per-doc ln-sum.
+    "q_text_ngram_lm" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+               bg AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b
+                      FROM d, unnest(range(1, len(w))) AS t(i)),
+               cb AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+               cu AS (SELECT unnest(w) AS t FROM d),
+               cuc AS (SELECT t, count(*) AS c FROM cu GROUP BY 1),
+               v AS (SELECT count(*) AS vocab FROM cuc),
+               model AS (SELECT cb.a, cb.b,
+                                ln(CAST(cab + 1 AS DOUBLE)
+                                   / CAST(ca.c + vocab AS DOUBLE)) AS lp
+                         FROM cb JOIN cuc ca ON cb.a = ca.t, v),
+               sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+                             ${dsum("lp", 6)} AS sum_lp
+                      FROM bg JOIN model USING (a, b) GROUP BY 1)
+          SELECT doc_id, n_bigrams, sum_lp,
+                 round(-sum_lp / n_bigrams, 6) AS avg_nll,
+                 CAST(CASE WHEN -sum_lp / n_bigrams <= 3.41 THEN 1 ELSE 0 END
+                      AS BIGINT) AS kept
+          FROM sc ORDER BY doc_id""",
+
     // Twin of the PMI collocation miner: DuckDB's 1-indexed lateral unnest
     // over range(1, len) generates the same adjacent pairs the 0-indexed
     // Spark lambda does (and yields none for 1-token docs, matching the

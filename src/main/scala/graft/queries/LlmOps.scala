@@ -1270,6 +1270,49 @@ object LlmOps {
     * broadcast; totals ride a 1-row broadcast; the top-50 is
     * TakeOrderedAndProject. The PMI arithmetic is the same left-associated
     * IEEE double sequence in both engines (integer counts cast once). */
+  /** BIGRAM LM SCORING (r16) — the n-gram upgrade of [[qTextPerplexity]]'s
+    * unigram CCNet filter (the standard quality-model ladder: unigram →
+    * bigram → full LM): an add-one-smoothed CONDITIONAL model
+    * p(b|a) = (c(ab)+1)/(c(a)+V) trained on the corpus, each document
+    * scored by its average bigram NLL, kept flag under a fixed cutoff.
+    * Same two-corpus-pass shape as the unigram key: bigram generation is
+    * the collocations key's narrow codegen'd lambda (size-guarded — a
+    * 1-token doc yields no bigrams and drops, exactly as the oracle's
+    * 1-indexed range does); the model table is vocab²-sized and ships
+    * through the size-gated broadcast; per-token ln p rides the exact
+    * decimal path so the per-doc sum is partition-order independent. */
+  val qTextNgramLm: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val toks = graft.operators.ScaleOps.parallelizeSmall(docs)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    def bgDoc = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val cb = graft.operators.ScaleOps.trackedPersist(
+      bgDoc.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab")))
+    val cu = graft.operators.ScaleOps.trackedPersist(
+      toks.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c")))
+    val vocab = cu.agg(count(lit(1)).as("vocab"))
+    val model = cb
+      .join(graft.operators.ScaleOps.broadcastIfSourceSmall(
+        cu.select(col("t").as("a"), col("c").as("ca")), docs), "a")
+      .crossJoin(broadcast(vocab))
+      .select(col("a"), col("b"),
+        log((col("cab") + 1).cast("double")
+          / (col("ca") + col("vocab")).cast("double")).as("lp"))
+    bgDoc.join(graft.operators.ScaleOps.broadcastIfSourceSmall(model, docs),
+        Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.functions.Det.dsum(col("lp"), 6).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lp"),
+        round(-col("sum_lp") / col("n_bigrams"), 6).as("avg_nll"),
+        when(-col("sum_lp") / col("n_bigrams") <= 3.41, 1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val qTextCollocations: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     val toks = graft.operators.ScaleOps.parallelizeSmall(docs)
@@ -2238,6 +2281,7 @@ object LlmOps {
     "q_sim_hybrid_rrf" -> qSimHybridRrf,
     "q_sim_rerank_mmr" -> qSimRerankMmr,
     "q_text_perplexity" -> qTextPerplexity,
+    "q_text_ngram_lm" -> qTextNgramLm,
     "q_text_collocations" -> qTextCollocations,
     "q_text_boilerplate" -> qTextBoilerplate,
     "q_text_quality" -> qTextQuality,

@@ -321,7 +321,14 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_set_intersect_all" -> 5,
     // view agg + purchase agg + co-partitioned join + final agg + sort —
     // all on the user key
-    "q_funnel_latency" -> 4
+    "q_funnel_latency" -> 4,
+    // bigram count agg (1) + unigram count agg (1) + model join legs +
+    // per-doc agg (1) + sort (1); model/unigram tables ride the gated
+    // broadcast at test SFs
+    "q_text_ngram_lm" -> 6,
+    // per-(brand,part) agg (1) + the WindowGroupLimit-capped rank window
+    // (1) + sort (1)
+    "q_agg_topk_group" -> 3
     // (q_stream_anomaly follows the streaming precedent: graded plan is a
     // sink readback + a bounded moments-table window.)
     // (q_stream_* r15 keys follow the streaming precedent above: the

@@ -1429,6 +1429,28 @@ object Oracle {
                 round(m4v / (m2v * m2v) - 3.0, 6) AS kurtosis
          FROM m ORDER BY l_returnflag""",
 
+    // Interval-overlap twin: raw inequality pair (DuckDB IEJoin) over the
+    // same unordered k1 < k2 pairs.
+    "q_join_interval_overlap" ->
+      """WITH w AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+                           date_diff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE)) AS sd
+                    FROM orders WHERE o_totalprice > 480000)
+         SELECT a.prio AS prio1, b.prio AS prio2, count(*) AS n_overlaps
+         FROM w a JOIN w b
+           ON a.k < b.k AND a.sd < b.sd + 2 AND b.sd < a.sd + 2
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // percent_rank/cume_dist twin: the unique (value, event_id) ordering
+    // makes both exact integer ratios.
+    "q_window_cume" ->
+      """SELECT user_id, event_id, value,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+         ORDER BY user_id, event_id""",
+
     // Weighted median: smallest price whose cumulative quantity-weight
     // reaches half the total — the crossing test (2·cum ≥ total) runs in
     // exact DECIMAL(38,10) on both engines, so no halving and no float

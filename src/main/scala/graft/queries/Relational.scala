@@ -1498,6 +1498,39 @@ object Relational {
       .orderBy("w_priority")
   }
 
+  /** INTERVAL-OVERLAP JOIN (r16) — the interval×interval member of the
+    * range-join family ([[qJoinRange]] is point-in-interval): which
+    * high-value promotion windows OVERLAP each other, counted per
+    * priority pair (campaign-collision analysis). Same bucket
+    * decomposition, plus the overlap-join dedup trick: both sides explode
+    * over their ≤2 covered day-buckets, candidates pair inside a bucket,
+    * the exact `s1 < e2 AND s2 < e1` predicate refines, and each true
+    * pair is counted ONCE at the bucket containing max(s1, s2) — a point
+    * both intervals provably cover, so no post-join distinct. Unordered
+    * pairs via k1 < k2. O(n²) nested loop → even hash join on the day
+    * bucket. */
+  val qJoinIntervalOverlap: Q = (s, dir) => {
+    val wDays = 2
+    val day0 = to_date(lit("1970-01-01"))
+    val win = Tables.orders(s, dir).filter(col("o_totalprice") > 480000.0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        datediff(col("o_orderdate"), day0).as("sd"))
+      .withColumn("ed", col("sd") + wDays)
+    def side(p: String) = win
+      .select(col("k").as(s"k$p"), col("prio").as(s"prio$p"),
+        col("sd").as(s"sd$p"), col("ed").as(s"ed$p"))
+      .withColumn("bkt", explode(sequence(
+        floor(col(s"sd$p") / wDays).cast("long"),
+        floor((col(s"ed$p") - 1) / wDays).cast("long"))))
+    side("1").join(side("2"), Seq("bkt"))
+      .filter(col("k1") < col("k2") &&
+        col("sd1") < col("ed2") && col("sd2") < col("ed1") &&
+        col("bkt") === floor(greatest(col("sd1"), col("sd2")) / wDays).cast("long"))
+      .groupBy(col("prio1"), col("prio2"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("prio1", "prio2")
+  }
+
   /** Event-time as-of join: for each event, the user's most recent order
     * with o_orderdate <= ts. No native as-of in Spark — executed as the
     * MERGE-SCAN form (the plan a dedicated as-of strategy would produce):
@@ -3339,6 +3372,7 @@ object Relational {
     "q_join_anti" -> qJoinAnti,
     "q_join_theta" -> qJoinTheta,
     "q_join_range" -> qJoinRange,
+    "q_join_interval_overlap" -> qJoinIntervalOverlap,
     "q_join_asof" -> qJoinAsof,
     "q_join_asof_nearest" -> qJoinAsofNearest,
     "q_join_skewed" -> qJoinSkewed,

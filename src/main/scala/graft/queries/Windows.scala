@@ -270,9 +270,31 @@ object Windows {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** PERCENT_RANK + CUME_DIST (r16) — the relative-standing pair
+    * completing the ranking-function family (rank/dense_rank ✓, ntile ✓,
+    * row_number ✓): each event's value percentile within ITS USER'S
+    * history. The (value, event_id) ordering tuple is unique, so rank
+    * ties are impossible and both statistics are exact integer ratios —
+    * (rank−1)/(n−1) and rank/n — identical across engines after one
+    * rounded double division each.
+    *
+    * Scale shape: partitioned by user (hash-even at any corpus size) —
+    * per-entity relative standing, NOT the low-cardinality whole-table
+    * percentile (that shape is q_window_ntile's and rides its router). */
+  val qWindowCume: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_window_decay" -> qWindowDecay,
     "q_window_median" -> qWindowMedian,
+    "q_window_cume" -> qWindowCume,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_window_lag" -> qWindowLag,

@@ -328,7 +328,12 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_text_ngram_lm" -> 6,
     // per-(brand,part) agg (1) + the WindowGroupLimit-capped rank window
     // (1) + sort (1)
-    "q_agg_topk_group" -> 3
+    "q_agg_topk_group" -> 3,
+    // bucket equi-self-join (2 sides) + pair agg (1) + sort (1); the
+    // nested loop this replaces would show 0 exchanges
+    "q_join_interval_overlap" -> 4,
+    // ONE shuffle by user + output sort (1)
+    "q_window_cume" -> 2
     // (q_stream_anomaly follows the streaming precedent: graded plan is a
     // sink readback + a bounded moments-table window.)
     // (q_stream_* r15 keys follow the streaming precedent above: the

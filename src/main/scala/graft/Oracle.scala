@@ -1425,8 +1425,10 @@ object Oracle {
                     FROM e)
          SELECT l_returnflag, n, round(mean, 6) AS mean_qty,
                 round(m2v, 6) AS m2,
-                round(m3v / (m2v * sqrt(m2v)), 6) AS skewness,
-                round(m4v / (m2v * m2v) - 3.0, 6) AS kurtosis
+                round(CASE WHEN m2v > 0
+                           THEN m3v / (m2v * sqrt(m2v)) END, 6) AS skewness,
+                round(CASE WHEN m2v > 0
+                           THEN m4v / (m2v * m2v) - 3.0 END, 6) AS kurtosis
          FROM m ORDER BY l_returnflag""",
 
     // Interval-overlap twin: raw inequality pair (DuckDB IEJoin) over the

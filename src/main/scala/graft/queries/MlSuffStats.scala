@@ -821,8 +821,13 @@ object MlSuffStats {
     for ((bin, n, pos) <- bins) {
       var b = Block(bin, bin, n, pos)
       // Pool while the previous block's rate strictly violates
-      // monotonicity (prev > cur), compared exactly in integers.
-      while (stack.nonEmpty && stack.head.pos * b.n > b.pos * stack.head.n) {
+      // monotonicity (prev > cur), compared exactly in integers. BigInt,
+      // not Long products: per-bin counts are corpus-sized, so past ~3e9
+      // rows per block pair a Long cross-product would silently overflow
+      // and could flip a pooling decision (ADVICE r16).
+      while (stack.nonEmpty &&
+             BigInt(stack.head.pos) * BigInt(b.n) >
+             BigInt(b.pos) * BigInt(stack.head.n)) {
         val t = stack.head; stack = stack.tail
         b = Block(t.lo, b.hi, t.n + b.n, t.pos + b.pos)
       }

@@ -3102,11 +3102,15 @@ object Relational {
       lit(4.0) * mean * (col("s3").cast("double") / n) +
       lit(6.0) * mean * mean * (col("s2").cast("double") / n) -
       lit(3.0) * mean * mean * mean * mean
+    // Degenerate (constant) groups have m2 = 0: Spark's double division
+    // would emit NaN/Infinity where DuckDB's division-by-zero yields NULL —
+    // both engines must agree on NULL (ADVICE r16). Unreachable on lineitem
+    // (quantity always varies per returnflag) but latent for other corpora.
     stats.select(col("l_returnflag"), col("n"),
         round(mean, 6).as("mean_qty"),
         round(m2, 6).as("m2"),
-        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
-        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+        round(when(m2 > 0, m3 / (m2 * sqrt(m2))), 6).as("skewness"),
+        round(when(m2 > 0, m4 / (m2 * m2) - lit(3.0)), 6).as("kurtosis"))
       .orderBy("l_returnflag")
   }
 

@@ -506,6 +506,24 @@ object Oracle {
                      AND l_shipdate < TIMESTAMP '1997-07-01')
           GROUP BY 1 ORDER BY l_returnflag""",
 
+    // Two raced delete pairs (disjoint: both commit; conflicting: loser
+    // throws, re-plans, commits) must resolve to the SERIAL execution —
+    // the oracle re-applies all four delete predicates; any resurrected
+    // row from a stale staged rewrite breaks the hash.
+    "q_layout_concurrent" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem
+          WHERE NOT (l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1996-04-01')
+            AND NOT (l_shipdate >= TIMESTAMP '1998-07-01'
+                     AND l_shipdate < TIMESTAMP '1998-10-01')
+            AND NOT (l_shipdate >= TIMESTAMP '1996-06-01'
+                     AND l_shipdate < TIMESTAMP '1996-12-01')
+            AND NOT (l_shipdate >= TIMESTAMP '1996-09-01'
+                     AND l_shipdate < TIMESTAMP '1997-03-01')
+          GROUP BY 1 ORDER BY l_returnflag""",
+
     // GC passes (orphan vacuum + retention expiry) physically deleted the
     // planted orphan and the delete-tombstoned originals at staging time;
     // the graded read spans the delete hole, so the hash match proves GC
@@ -3152,6 +3170,25 @@ object Oracle {
     // Same relational answer as q_stream_session (the state machine must
     // reproduce session_window semantics exactly, decimal sum included).
     "q_stream_stateful" ->
+      s"""WITH g AS (SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_s
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+               s AS (SELECT *, sum(new_s) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                     FROM g)
+          SELECT user_id, min(ts) AS s_start,
+                 max(ts) + INTERVAL '30 minutes' AS s_end,
+                 count(*) AS n_events, ${dsum("value", 6)} AS sum_value
+          FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
+
+    // The transformWithState (v2 API) port grades against the IDENTICAL
+    // gaps-and-islands answer — the state-machine surface changed, the
+    // semantics must not.
+    "q_stream_stateful_v2" ->
       s"""WITH g AS (SELECT user_id, event_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL
                               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'

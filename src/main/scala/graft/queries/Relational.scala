@@ -555,6 +555,29 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** OPTIMISTIC-CONCURRENCY COMMIT VALIDATION graded end-to-end (r17) —
+    * Delta/Iceberg conflict detection at the version rename: the staged
+    * fixture races two pairs of copy-on-write deletes (disjoint pair:
+    * both commit, the loser validating-and-retrying; conflicting pair:
+    * the loser THROWS CommitConflictException, cleans its staged adds,
+    * re-plans, and commits) — see [[stagedManifestConcurrentLayout]] for
+    * the full certificate. The graded read plans the whole span from the
+    * final manifest; the hash match against the oracle with every delete
+    * predicate re-applied proves the race resolved to the serial
+    * execution — no lost update, no rows resurrected from a stale staged
+    * rewrite. */
+  val qLayoutConcurrent: Q = (s, dir) => {
+    val staged = stagedManifestConcurrentLayout(s, dir)
+    // Full-span read (this testdata's shipdates run 1995..2001): every
+    // live file participates, so the hash covers the whole serial state.
+    val lo = lit("1990-01-01").cast("timestamp")
+    val hi = lit("2010-01-01").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, staged, lo, hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** TABLE STATISTICS COLLECTION (r16) — ANALYZE TABLE ... COMPUTE
     * STATISTICS FOR COLUMNS, the stats pass every cost-based optimizer
     * feeds on (row counts, per-column null counts, exact NDV, min/max):
@@ -3346,6 +3369,7 @@ object Relational {
     "q_layout_vacuum" -> qLayoutVacuum,
     "q_layout_clone" -> qLayoutClone,
     "q_layout_analyze" -> qLayoutAnalyze,
+    "q_layout_concurrent" -> qLayoutConcurrent,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,
@@ -3576,6 +3600,79 @@ object Relational {
     }
     s"$d/clone"
   }
+
+  /** The two-writer-raced layout q_layout_concurrent plans from (r17) —
+    * optimistic-concurrency conflict validation graded deterministically.
+    * Build at v0, then two staged-commit races over the SAME snapshot:
+    *
+    *  - DISJOINT race: deletes A ([1996-01,1996-04)) and B
+    *    ([1998-07,1998-10)) both stage against v0; their tombstone sets
+    *    share no file (certified). A commits at v1; B's claim of v1 loses,
+    *    validates A's commit part against its read set, finds no overlap,
+    *    and retries blind to WIN v2 — both land, no conflict, exactly the
+    *    concurrent-append/disjoint-maintenance law.
+    *  - CONFLICTING race: deletes C ([1996-06,1996-12)) and D
+    *    ([1996-09,1997-03)) both stage against v2; their candidate sets
+    *    SHARE the files covering Sep–Nov 1996 (certified). C commits at
+    *    v3; D's validated commit MUST throw CommitConflictException — its
+    *    staged rewrite resurrects rows C deleted from the shared files —
+    *    and D's staged adds are certified cleaned up (vacuum finds 0
+    *    orphans). D then re-plans against v3 via
+    *    deleteManifestedSerializable and commits at v4.
+    *
+    * Certificate: disjoint pair certified file-disjoint and BOTH
+    * committed; conflicting pair certified file-overlapping, the loser's
+    * first commit THREW, zero orphans after its cleanup, final version
+    * == 4. The graded read then plans the full span from the final
+    * manifest; its hash match against the oracle (all delete predicates
+    * re-applied serially) proves the race resolved to the serial
+    * execution — no lost update, no resurrected rows. At 100 TB this is
+    * the first thing a multi-team lakehouse hits: two maintenance jobs on
+    * one table, correctness decided at the version rename. */
+  def stagedManifestConcurrentLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-concurrent", dir, "v1") { d =>
+      import graft.sources.Layout
+      def ts(x: String) = lit(x).cast("timestamp")
+      Layout.writeManifested(Tables.lineitem(s, dir), d, "l_shipdate",
+        numFiles = 12)
+      // Disjoint race: both planned at v0.
+      val pA = Layout.stageDelete(s, d, "l_shipdate",
+        ts("1996-01-01"), ts("1996-04-01"), numFiles = 2).get
+      val pB = Layout.stageDelete(s, d, "l_shipdate",
+        ts("1998-07-01"), ts("1998-10-01"), numFiles = 2).get
+      if ((pA.removedFiles & pB.removedFiles).nonEmpty)
+        sys.error("concurrent certificate failed: disjoint-race deletes " +
+          "share a file — widen the range gap vs the clustering width")
+      Layout.commitStaged(s, d, pA)
+      Layout.commitStaged(s, d, pB) // must validate-and-retry, not throw
+      // Conflicting race: both planned at v2.
+      val pC = Layout.stageDelete(s, d, "l_shipdate",
+        ts("1996-06-01"), ts("1996-12-01"), numFiles = 2).get
+      val pD = Layout.stageDelete(s, d, "l_shipdate",
+        ts("1996-09-01"), ts("1997-03-01"), numFiles = 2).get
+      if ((pC.removedFiles & pD.removedFiles).isEmpty)
+        sys.error("concurrent certificate failed: conflicting-race deletes " +
+          "share no file — ranges must overlap the same clustered files")
+      Layout.commitStaged(s, d, pC)
+      val conflicted =
+        try { Layout.commitStaged(s, d, pD); false }
+        catch { case _: Layout.CommitConflictException => true }
+      if (!conflicted)
+        sys.error("concurrent certificate failed: the conflicting commit " +
+          "did not throw — a lost update was committed silently")
+      val orphans = Layout.vacuumManifested(s, d)
+      if (orphans != 0)
+        sys.error(s"concurrent certificate failed: $orphans orphan(s) " +
+          "after the conflicted loser's cleanup — staged adds leaked")
+      Layout.deleteManifestedSerializable(s, d, "l_shipdate",
+        ts("1996-09-01"), ts("1997-03-01"), numFiles = 2)
+      val finalVer = Layout.manifestVersion(s, d)
+      if (finalVer != 4L)
+        sys.error(s"concurrent certificate failed: final version $finalVer " +
+          "!= 4 (v0 build, v1/v2 disjoint pair, v3 winner, v4 re-planned loser)")
+      ()
+    }
 
   /** The day-partitioned events layout q_agg_incremental refreshes over,
     * staged once per events snapshot (same warmup rationale as

@@ -319,6 +319,25 @@ object StreamingQs {
       .orderBy("user_id", "s_start")
   }
 
+  /** ARBITRARY STATEFUL sessionization on the v2 API (r17) —
+    * `transformWithState`/`StatefulProcessor` with named state variables
+    * (open session + registered timer) and explicit event-time timers,
+    * run as a real incremental stream over the same replayed source as
+    * q_stream_stateful and graded against the SAME gaps-and-islands
+    * oracle: one hash match proves the v2 state machine (including the
+    * timer-expiry emission path and the timer-supersession delete)
+    * reproduces the relational answer end-to-end. Runs on the RocksDB
+    * state store (the v2 operator requires it; it is also the session's
+    * declared 100 TB posture). StreamingEquivSpec additionally pins
+    * v1 ≡ v2 row equality. */
+  val qStreamStatefulV2: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    SR.runToCompletionAppend(s,
+        SR.statefulSessionsV2(SR.eventsStreamWithFlush(s, dir)),
+        s"graft_stateful_v2_${Integer.toHexString(dir.hashCode)}")
+      .orderBy("user_id", "s_start")
+  }
+
   /** STREAMING ANOMALY MONITOR (r16) — the production alerting shape: the
     * stream maintains per-(hour, type) MOMENT partials (count, Σcents,
     * Σcents² — exact integers, finalized once by the watermark:
@@ -626,6 +645,7 @@ object StreamingQs {
     "q_stream_join_full" -> qStreamJoinFull,
     "q_stream_join_right" -> qStreamJoinRight,
     "q_stream_stateful" -> qStreamStateful,
+    "q_stream_stateful_v2" -> qStreamStatefulV2,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_dedup_content" -> qStreamDedupContent,
     "q_stream_sink" -> qStreamSink)

@@ -10,6 +10,36 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Thrown when a maintenance commit's READ SET was invalidated by a
+    * commit that landed between its planning snapshot and its claim — the
+    * Delta/Iceberg ConcurrentDeleteDeleteException shape: two writers
+    * tombstoning the same file means the loser's rewrite was computed
+    * from data the winner already restated, and blind retry would commit
+    * a lost update. The loser must re-plan against the new snapshot and
+    * redo the operation ([[deleteManifestedSerializable]] is that loop). */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** A staged-but-uncommitted copy-on-write commit: survivors already
+    * renamed into `data/` (invisible until the manifest part lands),
+    * tombstones computed against snapshot `plannedVer`. Produced by
+    * [[stageDelete]]; committed — with read-set validation — by
+    * [[commitStaged]]. The split exists so ManifestSpec and the
+    * q_layout_concurrent fixture can stage two commits against the SAME
+    * snapshot and race them deterministically. */
+  case class PendingCommit(plannedVer: Long,
+                           nStaged: Int,
+                           addRows: IndexedSeq[org.apache.spark.sql.Row],
+                           removeRows: IndexedSeq[org.apache.spark.sql.Row],
+                           schema: org.apache.spark.sql.types.StructType) {
+    // Positional via the manifest schema: remove rows are built as bare
+    // GenericRows (no attached schema), so name-based getAs would throw.
+    private def pathIdx: Int = schema.fieldIndex("file_path")
+    def removedFiles: Set[String] =
+      removeRows.map(_.getString(pathIdx)).toSet
+    def addedFiles: Seq[String] = addRows.map(_.getString(pathIdx))
+  }
+
   /** Write `df` as a hive-style partitioned parquet layout
     * (`path/col=value/...`). At 100 TB this is the difference between
     * scanning everything and scanning one directory.
@@ -239,11 +269,17 @@ object Layout {
     * exactly what the real log protocols build on. Retry is sound for
     * DISJOINT commits (appends, ingest ticks — the file sets cannot
     * conflict); racing maintenance passes over the SAME files
-    * (delete×delete, compact×compact) need conflict validation before
-    * retrying, as in the real systems. Returns the version that won. */
+    * (delete×delete, compact×compact) pass their tombstone set as
+    * `validateRemoved`, and each INTERVENING winner's commit part is
+    * replayed before re-claiming: a winner that removed any file in our
+    * read set means our staged rewrite was computed from restated data —
+    * [[CommitConflictException]], never a silent lost update (r17,
+    * Delta-style conflict validation at the version rename). Returns the
+    * version that won. */
   private def commitManifest(spark: SparkSession, path: String,
                              rows: Seq[org.apache.spark.sql.Row],
-                             schema: org.apache.spark.sql.types.StructType): Long = {
+                             schema: org.apache.spark.sql.types.StructType,
+                             validateRemoved: Set[String] = Set.empty): Long = {
     import org.apache.hadoop.fs.Path
     val manifestDir = new Path(s"$path/manifest")
     val fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -266,10 +302,110 @@ object Layout {
           s"commitManifest: no staged part under $tmp")).getPath
       val target = new Path(manifestDir, f"commit-v$v%012d.parquet")
       if (!fs.exists(target) && fs.rename(part, target)) committed = v
-      else v += 1 // lost the race — next version, re-stamp, retry
+      else {
+        fs.delete(tmp, true)
+        // Lost the race at v: the winner's part is on disk. Before
+        // re-claiming v+1, validate OUR read set against exactly that
+        // one intervening commit (each is checked once; the read is one
+        // O(files-per-commit) part, never the log). Appends pass an
+        // empty set and retry freely — their commits are disjoint by
+        // construction (fresh task-UUID file names).
+        if (validateRemoved.nonEmpty) {
+          val winnerRemoves = spark.read.parquet(target.toString)
+            .filter(col("op") === "remove")
+            .select(col("file_path")).collect().map(_.getString(0))
+          val clash = winnerRemoves.filter(validateRemoved.contains)
+          if (clash.nonEmpty)
+            throw new CommitConflictException(
+              s"commit planned at v${rows.head.getLong(verIdx) - 1} lost to " +
+              s"v$v, which removed ${clash.length} file(s) in this commit's " +
+              s"read set (e.g. ${clash.head}) — re-plan against the new " +
+              "snapshot and retry the operation")
+        }
+        v += 1 // disjoint — next version, re-stamp, retry
+      }
       fs.delete(tmp, true)
     }
     committed
+  }
+
+  /** Stage a copy-on-write range delete WITHOUT committing: plan the
+    * candidate files from the CURRENT snapshot, rewrite survivors into
+    * `data/` (invisible — no manifest row yet), and return the pending
+    * adds + tombstones. None when no file's envelope intersects the range.
+    * Commit (with read-set validation) via [[commitStaged]]. */
+  private[graft] def stageDelete(spark: SparkSession, path: String,
+                                 statsCol: String, lo: Column, hi: Column,
+                                 numFiles: Int): Option[PendingCommit] = {
+    val plannedVer = manifestVersion(spark, path)
+    val ver = plannedVer + 1L
+    val candidates = liveManifestRows(spark, path, plannedVer)
+      .filter(col("max_v") >= lo && col("min_v") < hi)
+      .collect()
+    if (candidates.isEmpty) return None
+    val paths = candidates.map(_.getAs[String]("file_path")).toIndexedSeq
+    val survivors = spark.read.parquet(paths: _*)
+      .filter(!(col(statsCol) >= lo && col(statsCol) < hi))
+    val (n, addRows, schema) =
+      if (survivors.isEmpty) (0, IndexedSeq.empty[org.apache.spark.sql.Row],
+        spark.read.parquet(s"$path/manifest").schema)
+      else stageDataFiles(survivors, path, statsCol, numFiles, ver)
+    val removeRows = candidates.toIndexedSeq.map { r =>
+      org.apache.spark.sql.Row(r.getAs[String]("file_path"),
+        r.getAs[Any]("min_v"), r.getAs[Any]("max_v"),
+        r.getAs[Long]("n_rows"), ver, "remove")
+    }
+    Some(PendingCommit(plannedVer, n, addRows, removeRows, schema))
+  }
+
+  /** Commit a [[PendingCommit]] with read-set validation. On
+    * [[CommitConflictException]] the staged add files are DELETED from
+    * `data/` before rethrowing (they were computed from a restated
+    * snapshot — keeping them would leave orphans for vacuum to find),
+    * so a conflicted loser leaves the layout exactly as it found it.
+    * Returns (files added, files removed). */
+  private[graft] def commitStaged(spark: SparkSession, path: String,
+                                  p: PendingCommit): (Int, Int) = {
+    try {
+      commitManifest(spark, path, p.addRows ++ p.removeRows, p.schema,
+        validateRemoved = p.removedFiles)
+      (p.nStaged, p.removeRows.length)
+    } catch {
+      case e: CommitConflictException =>
+        import org.apache.hadoop.fs.Path
+        val fs = new Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        for (f <- p.addedFiles) fs.delete(new Path(f), false)
+        throw e
+    }
+  }
+
+  /** SERIALIZABLE range delete — the optimistic-concurrency retry loop
+    * around [[stageDelete]]/[[commitStaged]]: plan against the current
+    * snapshot, attempt the validated commit, and on a read-set conflict
+    * RE-PLAN from scratch against the winner's snapshot (the staged
+    * rewrite is stale by definition — Delta/Iceberg lose-and-replan).
+    * Terminates: each retry is caused by another writer's completed
+    * commit, so system-wide progress is guaranteed; `maxAttempts` bounds
+    * pathological contention. The result is always equivalent to SOME
+    * serial order of the racing commits — the law the
+    * q_layout_concurrent certificate pins. */
+  def deleteManifestedSerializable(spark: SparkSession, path: String,
+                                   statsCol: String, lo: Column, hi: Column,
+                                   numFiles: Int, maxAttempts: Int = 5): (Int, Int) = {
+    var attempt = 1
+    while (true) {
+      try {
+        return stageDelete(spark, path, statsCol, lo, hi, numFiles)
+          .map(p => commitStaged(spark, path, p))
+          .getOrElse((0, 0))
+      } catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The LIVE manifest rows as of `asOfVer`: 'add' rows at or below the
@@ -327,29 +463,10 @@ object Layout {
     * set (the removed files stay on disk until [[expireRemoved]]).
     * Returns (files rewritten, files removed). */
   def deleteManifested(spark: SparkSession, path: String, statsCol: String,
-                       lo: Column, hi: Column, numFiles: Int): (Int, Int) = {
-    val ver = manifestVersion(spark, path) + 1L
-    val candidates = liveManifestRows(spark, path, ver - 1)
-      .filter(col("max_v") >= lo && col("min_v") < hi)
-      .collect()
-    if (candidates.isEmpty) return (0, 0)
-    val paths = candidates.map(_.getAs[String]("file_path")).toIndexedSeq
-    val survivors = spark.read.parquet(paths: _*)
-      .filter(!(col(statsCol) >= lo && col(statsCol) < hi))
-    // A fully-deleted candidate set stages nothing — the commit is then
-    // remove-only (still one manifest part).
-    val (n, addRows, schema) =
-      if (survivors.isEmpty) (0, IndexedSeq.empty[org.apache.spark.sql.Row],
-        spark.read.parquet(s"$path/manifest").schema)
-      else stageDataFiles(survivors, path, statsCol, numFiles, ver)
-    val removeRows = candidates.toIndexedSeq.map { r =>
-      org.apache.spark.sql.Row(r.getAs[String]("file_path"),
-        r.getAs[Any]("min_v"), r.getAs[Any]("max_v"),
-        r.getAs[Long]("n_rows"), ver, "remove")
-    }
-    commitManifest(spark, path, addRows ++ removeRows, schema)
-    (n, candidates.length)
-  }
+                       lo: Column, hi: Column, numFiles: Int): (Int, Int) =
+    stageDelete(spark, path, statsCol, lo, hi, numFiles)
+      .map(p => commitStaged(spark, path, p))
+      .getOrElse((0, 0))
 
   /** COPY-ON-WRITE range UPDATE — the UPDATE ... WHERE twin of
     * [[deleteManifested]], same commit shape: only envelope-intersecting
@@ -380,7 +497,8 @@ object Layout {
         r.getAs[Any]("min_v"), r.getAs[Any]("max_v"),
         r.getAs[Long]("n_rows"), ver, "remove")
     }
-    commitManifest(spark, path, addRows ++ removeRows, schema)
+    commitStaged(spark, path,
+      PendingCommit(ver - 1, n, addRows, removeRows, schema))
     (n, candidates.length)
   }
 
@@ -405,7 +523,8 @@ object Layout {
         r.getAs[Any]("min_v"), r.getAs[Any]("max_v"),
         r.getAs[Long]("n_rows"), ver, "remove")
     }
-    commitManifest(spark, path, addRows ++ removeRows, schema)
+    commitStaged(spark, path,
+      PendingCommit(ver - 1, n, addRows, removeRows, schema))
     (n, live.length)
   }
 

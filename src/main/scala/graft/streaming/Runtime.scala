@@ -619,6 +619,107 @@ object Runtime {
         col("n_events"), col("sum_value"))
   }
 
+  /** [[statefulSessions]] re-expressed on Spark 4's ARBITRARY-STATE v2 API
+    * (`transformWithState` / `StatefulProcessor`) — the successor surface
+    * the platform is consolidating on (r17): named state variables instead
+    * of one opaque blob (the open session in a ValueState, the registered
+    * timer in a second ValueState), explicit timer registration/deletion
+    * instead of the single implicit timeout slot, and TTL/state-schema
+    * evolution support. Semantics are pinned identical to the v1 fold —
+    * q_stream_stateful_v2 grades against the SAME gaps-and-islands oracle,
+    * and StreamingEquivSpec asserts v1 ≡ v2 row-for-row. Requires the
+    * RocksDB state store provider (the session's declared posture; the
+    * v2 operator does not run on the heap provider at all). */
+  class SessionizeProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessEvent, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues,
+      TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var session: ValueState[SessionState] = _
+    @transient private var timerMs: ValueState[Long] = _
+
+    override def init(outputMode: ss.OutputMode, timeMode: ss.TimeMode): Unit = {
+      session = getHandle.getValueState("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+      timerMs = getHandle.getValueState("timerMs",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def mkOut(u: Long, st: SessionState): SessionOut = {
+      // Det.dsum parity, bit-for-bit with the v1 fold: round(sum, 6).
+      val rounded = st.sum.setScale(6, java.math.RoundingMode.HALF_UP)
+      val v = rounded.movePointRight(6).longValueExact() / 1e6
+      SessionOut(u, st.start_us, st.last_us + gapUs, st.n, v)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+                                 timers: TimerValues): Iterator[SessionOut] = {
+      // Sentinel (flush) rows only advance the watermark — no state, no
+      // timer (same placement rationale as the v1 fold: a pre-watermark
+      // filter would be pushed below the EventTimeWatermark node).
+      if (user < 0) return Iterator.empty
+      def micros(t: java.sql.Timestamp): Long =
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val sorted = rows.map(e => (micros(e.ts), e.value)).toArray.sortBy(_._1)
+      if (sorted.isEmpty) return Iterator.empty
+      val closed = Seq.newBuilder[SessionOut]
+      var cur = if (session.exists()) session.get() else null
+      for ((tsUs, value) <- sorted) {
+        val dv = java.math.BigDecimal.valueOf(value)
+          .setScale(10, java.math.RoundingMode.HALF_UP)
+        if (cur == null) cur = SessionState(tsUs, tsUs, 1L, dv)
+        else if (tsUs - cur.last_us >= gapUs) {
+          closed += mkOut(user, cur)
+          cur = SessionState(tsUs, tsUs, 1L, dv)
+        } else cur = cur.copy(last_us = tsUs, n = cur.n + 1, sum = cur.sum.add(dv))
+      }
+      session.update(cur)
+      // v2 timers ACCUMULATE (no implicit replace like v1's
+      // setTimeoutTimestamp) — delete the superseded registration, or a
+      // stale timer would fire mid-session and emit the open tail early.
+      val t = (cur.last_us + gapUs) / 1000L
+      if (timerMs.exists() && timerMs.get() != t)
+        getHandle.deleteTimer(timerMs.get())
+      getHandle.registerTimer(t)
+      timerMs.update(t)
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // Belt-and-braces staleness guard: only the CURRENT registration may
+      // finalize the open session (deleteTimer above makes stale firings
+      // unreachable, but the guard keeps the law local and obvious).
+      if (!session.exists() ||
+          (timerMs.exists() && timerMs.get() != expired.getExpiryTimeInMs))
+        return Iterator.empty
+      val out = mkOut(user, session.get())
+      session.clear(); timerMs.clear()
+      Iterator(out)
+    }
+  }
+
+  /** The q_stream_stateful_v2 pipeline: identical input shaping and output
+    * projection to [[statefulSessions]], with the fold swapped onto the
+    * transformWithState processor above. */
+  def statefulSessionsV2(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .select(col("user_id"), timestamp_micros(col("s_start_us")).as("s_start"),
+        timestamp_micros(col("s_end_us")).as("s_end"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** STATE-PARTITION SIZING for the replay streams. A stateful streaming
     * query fixes its state-partition count from `spark.sql.shuffle.
     * partitions` at first start (recorded in the checkpoint; AQE is
@@ -636,9 +737,34 @@ object Runtime {
     * streams run serially, so the temporary override leaks nowhere. */
   private def withStreamShufflePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val prov = "spark.sql.streaming.stateStore.providerClass"
+    val chlog = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = spark.conf.get(key)
+    val prevProv = spark.conf.getOption(prov)
+    val prevChlog = spark.conf.getOption(chlog)
     spark.conf.set(key, spark.conf.get("graft.stream.shufflePartitions", "8"))
-    try body finally spark.conf.set(key, prev)
+    // RocksDB state store is the declared 100 TB posture (r17): the default
+    // HDFS-backed provider keeps ALL state on the executor heap, so
+    // stream-stream join and dedup state outgrows memory long before the
+    // data does; RocksDB spills to local disk and bounds the heap at the
+    // block-cache size. Changelog checkpointing uploads per-batch deltas
+    // instead of full snapshots — the commit cost stays O(batch), not
+    // O(state). Results must be backend-invisible: every q_stream_* oracle
+    // hash and the q_stream_restart checkpoint-recovery law are re-graded
+    // under this provider (StreamingEquivSpec pins the swap explicitly).
+    // `graft.stream.stateStoreProvider=hdfs` is the escape hatch back.
+    if (!spark.conf.get("graft.stream.stateStoreProvider", "rocksdb")
+          .equalsIgnoreCase("hdfs")) {
+      spark.conf.set(prov,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(chlog, "true")
+    }
+    def restore(k: String, v: Option[String]): Unit =
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    try body finally {
+      spark.conf.set(key, prev)
+      restore(prov, prevProv); restore(chlog, prevChlog)
+    }
   }
 
   /** Run an APPEND-mode stream (stateless transforms, watermark dedup) to

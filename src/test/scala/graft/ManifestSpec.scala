@@ -470,4 +470,70 @@ class ManifestSpec extends AnyFunSuite {
     assert(full.count() == Tables.lineitem(spark, Sf0001).count(),
       "the source lost rows after DML on its clone")
   }
+
+  test("conflict validation: racing overlapping deletes — loser throws, cleans up, re-plans to the serial result") {
+    import org.apache.hadoop.fs.Path
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-conflict-spec"
+    Tables.deleteRecursively(d)
+    val li = Tables.lineitem(spark, Sf0001)
+    def ts(x: String) = lit(x).cast("timestamp")
+    Layout.writeManifested(li, d, "l_shipdate", 8)
+    // Both writers plan against v0; their candidate file sets overlap.
+    val pA = Layout.stageDelete(spark, d, "l_shipdate",
+      ts("1996-06-01"), ts("1996-12-01"), 2).get
+    val pB = Layout.stageDelete(spark, d, "l_shipdate",
+      ts("1996-09-01"), ts("1997-03-01"), 2).get
+    assert((pA.removedFiles & pB.removedFiles).nonEmpty,
+      "fixture degenerate: racing deletes must share candidate files")
+    Layout.commitStaged(spark, d, pA)
+    // The loser MUST detect that the winner tombstoned files in its read
+    // set — a blind retry here is the lost-update bug this API closes.
+    val ex = intercept[Layout.CommitConflictException] {
+      Layout.commitStaged(spark, d, pB)
+    }
+    assert(ex.getMessage.contains("read set"))
+    // The loser's staged adds were self-cleaned — nothing for GC to find.
+    assert(Layout.vacuumManifested(spark, d) == 0,
+      "conflicted loser leaked staged add files")
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (f <- pB.addedFiles)
+      assert(!fs.exists(new Path(f)), s"staged add survived conflict: $f")
+    // Re-planned retry lands at the next version; result == serial A;B.
+    Layout.deleteManifestedSerializable(spark, d, "l_shipdate",
+      ts("1996-09-01"), ts("1997-03-01"), 2)
+    assert(Layout.manifestVersion(spark, d) == 2L)
+    val got = Layout.manifestPrunedRead(spark, d,
+        ts("1900-01-01"), ts("2100-01-01"))
+      .agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    val want = li.filter(
+        !(col("l_shipdate") >= ts("1996-06-01") && col("l_shipdate") < ts("1996-12-01")) &&
+        !(col("l_shipdate") >= ts("1996-09-01") && col("l_shipdate") < ts("1997-03-01")))
+      .agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    assert(got == want, "raced deletes diverged from the serial execution")
+  }
+
+  test("conflict validation: disjoint racing deletes both commit — loser validates and retries blind") {
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-disjoint-spec"
+    Tables.deleteRecursively(d)
+    val li = Tables.lineitem(spark, Sf0001)
+    def ts(x: String) = lit(x).cast("timestamp")
+    Layout.writeManifested(li, d, "l_shipdate", 8)
+    val pA = Layout.stageDelete(spark, d, "l_shipdate",
+      ts("1995-06-01"), ts("1995-09-01"), 2).get
+    val pB = Layout.stageDelete(spark, d, "l_shipdate",
+      ts("1999-06-01"), ts("1999-09-01"), 2).get
+    assert((pA.removedFiles & pB.removedFiles).isEmpty,
+      "fixture degenerate: disjoint race must not share files")
+    Layout.commitStaged(spark, d, pA)
+    Layout.commitStaged(spark, d, pB) // must NOT throw — file sets disjoint
+    assert(Layout.manifestVersion(spark, d) == 2L)
+    val got = Layout.manifestPrunedRead(spark, d,
+        ts("1900-01-01"), ts("2100-01-01"))
+      .agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    val want = li.filter(
+        !(col("l_shipdate") >= ts("1995-06-01") && col("l_shipdate") < ts("1995-09-01")) &&
+        !(col("l_shipdate") >= ts("1999-06-01") && col("l_shipdate") < ts("1999-09-01")))
+      .agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    assert(got == want, "disjoint raced deletes lost rows")
+  }
 }

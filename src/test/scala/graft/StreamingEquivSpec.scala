@@ -416,6 +416,47 @@ class StreamingEquivSpec extends AnyFunSuite {
       s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
   }
 
+  test("transformWithState sessions (v2 API) == flatMapGroupsWithState sessions, decimal sums included") {
+    // The v2 processor (named state variables + explicit timers, RocksDB
+    // required) must be row-identical to the v1 fold — including the
+    // Det.dsum-parity decimal sum, which the session_window cross-check
+    // above does not cover. Split replay: the timer-delete/re-register
+    // path only matters across micro-batches.
+    val v1 = SRuntime.runToCompletionAppend(spark,
+      SRuntime.statefulSessions(SRuntime.eventsStreamSplitByTime(spark, Sf0001)),
+      "t_stateful_v1_cmp").collect().map(_.toSeq).toSet
+    val v2 = SRuntime.runToCompletionAppend(spark,
+      SRuntime.statefulSessionsV2(SRuntime.eventsStreamSplitByTime(spark, Sf0001)),
+      "t_stateful_v2_cmp").collect().map(_.toSeq).toSet
+    assert(v2.nonEmpty)
+    assert(v1 == v2,
+      s"missing=${(v1 -- v2).take(3)} extra=${(v2 -- v1).take(3)}")
+  }
+
+  test("RocksDB is the active state backend: checkpoint state dir carries RocksDB artifacts; recovery crosses it") {
+    // The provider swap must be OBSERVABLE, not assumed: after the
+    // stop/restart run (whose recovery therefore crossed a RocksDB
+    // snapshot/changelog reload), the checkpoint's state directory must
+    // hold RocksDB's on-disk format — .changelog deltas (changelog
+    // checkpointing is on) and/or .zip snapshots — not the HDFS-backed
+    // provider's bare .delta files.
+    SRuntime.runTumblingWithRestart(spark, Sf0001)
+    val ckpt = java.nio.file.Paths.get(
+      Tables.stageDir(spark, "stream-restart-ckpt", Sf0001), "state")
+    assert(java.nio.file.Files.exists(ckpt), s"no state dir under $ckpt")
+    val files = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(ckpt)
+      try w.iterator().asScala.map(_.getFileName.toString).toVector
+      finally w.close()
+    }
+    assert(files.exists(n => n.endsWith(".changelog") || n.endsWith(".zip")),
+      s"no RocksDB artifacts under $ckpt — backend swap did not take " +
+      s"(sample: ${files.take(8)})")
+    assert(!files.exists(_.endsWith(".delta")),
+      "HDFS-backed provider .delta files present — two backends mixed in one checkpoint")
+  }
+
   test("stateful sessions across a time-split replay (cross-batch state merge)") {
     import org.apache.spark.sql.functions._
     // Real data arrives in TWO micro-batches split at the median timestamp:

@@ -506,6 +506,20 @@ object Oracle {
                      AND l_shipdate < TIMESTAMP '1997-07-01')
           GROUP BY 1 ORDER BY l_returnflag""",
 
+    // CBO twin: stats change the Spark plan (broadcast flip, join
+    // reorder), never the rows — the oracle is the plain 3-table join
+    // aggregate with the same decimal-exact revenue idiom.
+    "q_layout_cbo" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(38,10))), 2)
+                     * 100 AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal < 2000
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
     // Two raced delete pairs (disjoint: both commit; conflicting: loser
     // throws, re-plans, commits) must resolve to the SERIAL execution —
     // the oracle re-applies all four delete predicates; any resurrected

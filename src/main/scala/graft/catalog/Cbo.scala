@@ -1,0 +1,119 @@
+package graft.catalog
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+
+/** Cost-based-optimizer wiring for the q_layout_cbo surface (r17): the
+  * stats q_layout_analyze computes by hand reach the optimizer the
+  * production way — catalog tables + `ANALYZE TABLE ... COMPUTE STATISTICS
+  * FOR COLUMNS` + `spark.sql.cbo.enabled` — and a graded join provably
+  * changes its physical plan when they do (PlanShapeSpec asserts the flip
+  * both ways; the oracle proves stats change the PLAN, never the rows).
+  *
+  * CBO runs on a DEDICATED CHILD SESSION (`sparkSession.newSession()` —
+  * same SparkContext, same shared in-memory catalog, its own SQLConf):
+  * flipping `spark.sql.cbo.enabled` on the gate/bench session would
+  * silently re-plan all 200+ other keys mid-run, and Spark reads the conf
+  * at optimization time (action time), so a set-build-restore pattern
+  * would not even reach the graded query's own execution. Session and
+  * per-dir table registration are memoized; ANALYZE runs once per
+  * (JVM, scale dir).
+  *
+  * 100 TB posture: ANALYZE is one corpus pass per column set (the exact-NDV
+  * Expand — the same honest cost q_layout_analyze documents), amortized
+  * across every query planned against the table afterwards; the join
+  * reorder + broadcast decisions it buys are exactly the plans a 1000-
+  * executor cluster cannot afford to get wrong. */
+object Cbo {
+
+  private val children = TrieMap.empty[SparkSession, SparkSession]
+  private val registered = TrieMap.empty[(SparkSession, String), Unit]
+
+  private def dirTag(dir: String): String =
+    Integer.toHexString(dir.hashCode)
+
+  def tableName(base: String, dir: String): String =
+    s"g_cbo_${base}_${dirTag(dir)}"
+
+  /** Per-column ANALYZE targets: the join keys, the filter columns, and
+    * every projected column (CBO sizes plan nodes from avgLen of the
+    * OUTPUT attributes — an unanalyzed projected column falls back to
+    * defaults and skews the size estimates the broadcast flip rides on). */
+  private val analyzeCols = Map(
+    "customer" -> Seq("c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_extendedprice"))
+
+  /** The CBO child session: cost-based optimization + stats-driven join
+    * reorder on, broadcast threshold pinned at 1/8 of the
+    * customer file's raw bytes — BELOW the no-stats estimate (the default
+    * estimator scales file bytes by the projected-width ratio, ~0.24F for
+    * the one-column build side) and ABOVE the CBO estimate (NDV equality ×
+    * min/max range interpolation ≈ 5% of rows), with ~2x margin both ways
+    * at every SF since both estimates scale linearly with the table. */
+  def session(parent: SparkSession, dir: String): SparkSession = {
+    val child = children.getOrElseUpdate(parent, parent.newSession())
+    child.conf.set("spark.sql.shuffle.partitions",
+      parent.conf.get("spark.sql.shuffle.partitions"))
+    child.conf.set("spark.sql.session.timeZone", "UTC")
+    child.conf.set("spark.sql.cbo.enabled", "true")
+    child.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (customerBytes(parent, dir) / 8).toString)
+    ensureTables(child, dir)
+    child
+  }
+
+  /** The no-CBO twin for PlanShapeSpec's "without stats" side: identical
+    * tables, identical threshold, cost-based estimation OFF — the filtered
+    * dimension then carries its full file-size estimate and must NOT
+    * broadcast. */
+  def sessionNoCbo(parent: SparkSession, dir: String): SparkSession = {
+    val child = session(parent, dir)
+    val plain = children.getOrElseUpdate(child, parent.newSession())
+    plain.conf.set("spark.sql.shuffle.partitions",
+      parent.conf.get("spark.sql.shuffle.partitions"))
+    plain.conf.set("spark.sql.session.timeZone", "UTC")
+    plain.conf.set("spark.sql.cbo.enabled", "false")
+    plain.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (customerBytes(parent, dir) / 8).toString)
+    plain // shares the analyzed catalog tables; only the conf differs
+  }
+
+  private def customerBytes(spark: SparkSession, dir: String): Long =
+    java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$dir/customer.parquet"))
+
+  private def ensureTables(s: SparkSession, dir: String): Unit =
+    registered.getOrElseUpdate((s, dir), {
+      for ((t, cols) <- analyzeCols) {
+        val name = tableName(t, dir)
+        if (!s.catalog.tableExists(name)) {
+          s.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$dir/$t.parquet'")
+          s.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS " +
+            s"FOR COLUMNS ${cols.mkString(", ")}")
+        }
+      }
+    })
+
+  /** The graded 3-table join, parameterized on the per-dir table names.
+    * The customer filter is chosen to be CBO-ESTIMABLE (equality on a
+    * 5-value column → 1/NDV; range on an analyzed double → min/max
+    * interpolation; combined ≈ 5% — far below the threshold) while the
+    * raw file size sits above it: stats present ⇔ broadcast. Revenue uses
+    * the q_sql_tpch decimal-exact idiom. */
+  def joinSql(dir: String): String = {
+    val (c, o, l) = (tableName("customer", dir), tableName("orders", dir),
+      tableName("lineitem", dir))
+    s"""SELECT o_orderpriority, count(*) AS n,
+              CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(38,10))), 2)
+                   * 100 AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+       FROM `$l` l
+       JOIN `$o` o ON l.l_orderkey = o.o_orderkey
+       JOIN `$c` c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal < 2000
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+  }
+}

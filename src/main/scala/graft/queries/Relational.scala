@@ -555,6 +555,24 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** COST-BASED OPTIMIZATION graded end-to-end (r17) — the stats loop
+    * q_layout_analyze computes closed the production way: catalog tables
+    * + real `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` +
+    * `spark.sql.cbo.enabled` + stats-driven join reorder, on a dedicated
+    * child session (same context + shared catalog, own SQLConf — flipping
+    * CBO on the gate session would re-plan every other key). The graded
+    * 3-table join's broadcast decision is stats-DRIVEN by construction:
+    * the threshold sits below the customer file's raw bytes, so only the
+    * CBO estimate of the filtered dimension (NDV equality × min/max range
+    * interpolation ≈ 5%) clears it — PlanShapeSpec asserts the flip both
+    * ways (stats → BroadcastHashJoin, no stats → sort-merge only). The
+    * oracle is the plain join aggregate: stats change the plan, never the
+    * rows. See catalog/Cbo.scala for the full posture. */
+  val qLayoutCbo: Q = (s, dir) => {
+    val c = graft.catalog.Cbo.session(s, dir)
+    c.sql(graft.catalog.Cbo.joinSql(dir))
+  }
+
   /** OPTIMISTIC-CONCURRENCY COMMIT VALIDATION graded end-to-end (r17) —
     * Delta/Iceberg conflict detection at the version rename: the staged
     * fixture races two pairs of copy-on-write deletes (disjoint pair:
@@ -3370,6 +3388,7 @@ object Relational {
     "q_layout_clone" -> qLayoutClone,
     "q_layout_analyze" -> qLayoutAnalyze,
     "q_layout_concurrent" -> qLayoutConcurrent,
+    "q_layout_cbo" -> qLayoutCbo,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,

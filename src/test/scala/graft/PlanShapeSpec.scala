@@ -383,4 +383,35 @@ class PlanShapeSpec extends AnyFunSuite {
       info(s"$label: $n shuffles (budget $budget)")
       assert(n <= budget, s"$label shuffles $n times, budget $budget")
     }
+
+  test("q_layout_cbo: ANALYZE stats flip the broadcast decision; no stats -> sort-merge only") {
+    import graft.catalog.Cbo
+    // Same catalog tables (analyzed), same broadcast threshold (pinned
+    // below the customer file's raw bytes): the ONLY difference between
+    // the sessions is spark.sql.cbo.enabled. The INITIAL physical plan
+    // (pre-AQE — runtime re-optimization is orthogonal) must broadcast
+    // the stats-estimated filtered dimension under CBO and must not
+    // without it — proof the ANALYZE column stats reach the optimizer's
+    // size estimates, not just the catalog.
+    val withCbo = Cbo.session(spark, Sf0001).sql(Cbo.joinSql(Sf0001))
+      .queryExecution.executedPlan.toString
+    val without = Cbo.sessionNoCbo(spark, Sf0001).sql(Cbo.joinSql(Sf0001))
+      .queryExecution.executedPlan.toString
+    assert(withCbo.contains("BroadcastHashJoin"),
+      s"CBO plan did not broadcast the filtered dimension:\n$withCbo")
+    assert(!without.contains("BroadcastHashJoin"),
+      s"no-stats plan broadcast anyway — the flip is not stats-driven:\n$without")
+    assert(without.contains("SortMergeJoin"))
+    // And the stats themselves landed in the catalog metadata ANALYZE
+    // writes (plan-level .stats evaluates lazily under whatever session is
+    // active on the calling thread, so the catalog is the stable probe).
+    val meta = Cbo.session(spark, Sf0001).sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        Cbo.tableName("customer", Sf0001)))
+    val rc = meta.stats.flatMap(_.rowCount)
+    assert(rc.contains(BigInt(Tables.customer(spark, Sf0001).count())),
+      s"catalog rowCount stats missing or wrong: $rc")
+    assert(meta.stats.exists(_.colStats.contains("c_mktsegment")),
+      "ANALYZE FOR COLUMNS left no column stats in the catalog")
+  }
 }

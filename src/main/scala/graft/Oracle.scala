@@ -506,6 +506,17 @@ object Oracle {
                      AND l_shipdate < TIMESTAMP '1997-07-01')
           GROUP BY 1 ORDER BY l_returnflag""",
 
+    // Column-mapping rename twin: the oracle reads the renamed projection
+    // straight from the source — the Spark side must serve the same rows
+    // under the NEW name from byte-unchanged physical files.
+    "q_layout_rename" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1 ORDER BY l_returnflag""",
+
     // CBO twin: stats change the Spark plan (broadcast flip, join
     // reorder), never the rows — the oracle is the plain 3-table join
     // aggregate with the same decimal-exact revenue idiom.

@@ -573,6 +573,28 @@ object Relational {
     c.sql(graft.catalog.Cbo.joinSql(dir))
   }
 
+  /** COLUMN-MAPPING SCHEMA EVOLUTION graded end-to-end (r17) — RENAME
+    * COLUMN as a metadata-only commit (Layout.renameColumn / mappedRead,
+    * the Delta/Iceberg column-mapping shape): l_extendedprice became
+    * l_price at v1 with ZERO data bytes rewritten (fixture-certified
+    * byte-identity), and the graded read resolves the NEW logical name
+    * over the unchanged physical files by replaying the manifest's rename
+    * rows. The oracle reads the renamed projection straight from the
+    * source parquet — the hash match proves the mapping is pure
+    * projection metadata. ManifestSpec additionally pins the versioned
+    * half: a time-travel read BELOW the rename version still serves the
+    * OLD name. */
+  val qLayoutRename: Q = (s, dir) => {
+    val staged = stagedManifestRenameLayout(s, dir)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    graft.sources.Layout.mappedRead(s, staged, lo, hi)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_price")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** OPTIMISTIC-CONCURRENCY COMMIT VALIDATION graded end-to-end (r17) —
     * Delta/Iceberg conflict detection at the version rename: the staged
     * fixture races two pairs of copy-on-write deletes (disjoint pair:
@@ -3389,6 +3411,7 @@ object Relational {
     "q_layout_analyze" -> qLayoutAnalyze,
     "q_layout_concurrent" -> qLayoutConcurrent,
     "q_layout_cbo" -> qLayoutCbo,
+    "q_layout_rename" -> qLayoutRename,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,
@@ -3690,6 +3713,33 @@ object Relational {
       if (finalVer != 4L)
         sys.error(s"concurrent certificate failed: final version $finalVer " +
           "!= 4 (v0 build, v1/v2 disjoint pair, v3 winner, v4 re-planned loser)")
+      ()
+    }
+
+  /** The renamed layout q_layout_rename plans from (r17): full lineitem
+    * at v0, then l_extendedprice → l_price as a METADATA-ONLY rename
+    * commit at v1 (Layout.renameColumn — column mapping, zero data bytes
+    * rewritten). Certificate: the data file set is (name, length,
+    * mtime)-IDENTICAL across the rename — a rename that touched any byte
+    * fails loudly — and the manifest gained exactly one 'rename' row. */
+  def stagedManifestRenameLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-rename", dir, "v1") { d =>
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.sources.Layout.writeManifested(
+        Tables.lineitem(s, dir), d, "l_shipdate", numFiles = 12)
+      def fileSigs = fs.listStatus(new Path(s"$d/data"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+      val pre = fileSigs
+      graft.sources.Layout.renameColumn(s, d, "l_extendedprice", "l_price")
+      val renameRows = s.read.parquet(s"$d/manifest")
+        .filter(col("op") === "rename").count()
+      if (fileSigs != pre || renameRows != 1L)
+        sys.error(s"rename certificate failed: data files " +
+          s"${if (fileSigs == pre) "identical" else "CHANGED"}, " +
+          s"$renameRows rename row(s) — the rename was not metadata-only")
       ()
     }
 

@@ -614,6 +614,49 @@ object Layout {
     else spark.read.parquet(hits.toIndexedSeq: _*)
   }
 
+  /** COLUMN RENAME as a METADATA-ONLY commit (r17) — the Delta/Iceberg
+    * column-mapping story: data files keep their write-time PHYSICAL
+    * column names forever (zero bytes rewritten — at 100 TB a rename that
+    * rewrote data would be a multi-hour job for a no-op), and the manifest
+    * gains one `op='rename'` row (`file_path` carries "old=>new") at a new
+    * snapshot version. Readers resolve logical names by replaying rename
+    * rows in commit order over the physical schema ([[mappedRead]]), so a
+    * time-travel read BELOW the rename version serves the OLD name — the
+    * mapping is versioned metadata like everything else in the log.
+    * Constraint carried over from the real systems: appends after a
+    * rename must write the PHYSICAL schema (apply the reverse mapping
+    * before [[appendManifested]]); the manifest stats column is keyed by
+    * physical name throughout. Returns the commit version. */
+  def renameColumn(spark: SparkSession, path: String,
+                   oldName: String, newName: String): Long = {
+    val schema = spark.read.parquet(s"$path/manifest").schema
+    val ver = manifestVersion(spark, path) + 1L
+    val row = org.apache.spark.sql.Row(
+      s"$oldName=>$newName", null, null, 0L, ver, "rename")
+    commitManifest(spark, path, IndexedSeq(row), schema)
+  }
+
+  /** [[manifestPrunedRead]] with the column mapping applied: replay
+    * `op='rename'` rows at or below `asOfVer` in commit order and alias
+    * each physical column to its current logical name (chained renames
+    * compose). Pure projection metadata — the scan itself is untouched,
+    * so pruning/pushdown behave exactly as on the physical names. */
+  def mappedRead(spark: SparkSession, path: String,
+                 lo: Column, hi: Column,
+                 asOfVer: Long = Long.MaxValue): DataFrame = {
+    val renames = spark.read.parquet(s"$path/manifest")
+      .filter(col("op") === "rename" && col("commit_ver") <= asOfVer)
+      .orderBy(col("commit_ver"))
+      .select(col("file_path")).collect()
+      .map { r =>
+        val Array(o, n) = r.getString(0).split("=>", 2)
+        (o, n)
+      }
+    renames.foldLeft(manifestPrunedRead(spark, path, lo, hi, asOfVer)) {
+      case (df, (o, n)) => df.withColumnRenamed(o, n)
+    }
+  }
+
   /** Write `df` as a BUCKETED external parquet table: rows hash-partitioned
     * by `bucketCol` into `numBuckets` files, sorted by the key within each,
     * with the bucket spec recorded in the session catalog. Joining two

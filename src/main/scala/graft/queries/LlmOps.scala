@@ -1581,6 +1581,78 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** UNIGRAM-LM TOKENIZER TRAINING (r17) — the SentencePiece-family twin
+    * of q_text_bpe_train (text/Unigram.scala): seed from frequent
+    * substrings, Viterbi-EM over corpus likelihood with the SentencePiece
+    * pruning schedule, emit the final piece table (piece, exact expected
+    * count, log-prob). Vocab-routed like all tokenizer keys — the corpus
+    * pays one word-count shuffle; every EM round is a vocabulary-sized
+    * column-expression Viterbi (nested aggregate folds, no UDF). Declared
+    * no-oracle (iterative float EM has no tractable SQL form);
+    * NoOracleSpec pins the trainer against an independent driver-side
+    * reference EM on a planted corpus, Viterbi against brute-force
+    * segmentation, and monotone loss over the prune-free final rounds. */
+  val qTextUnigramTrain: Q = (s, dir) => {
+    import s.implicits._
+    val (pieces, _) = graft.text.Unigram.train(corpusWordFreqs(s, dir))
+    pieces.map(p => (p.piece, p.n, math.rint(p.logp * 1e6) / 1e6))
+      .toDF("piece", "n_expected", "logp")
+      .orderBy(col("n_expected").desc, col("piece"))
+  }
+
+  /** UNIGRAM-LM ENCODE (r17) — Viterbi tokenization under the trained
+    * piece table ([[stagedUnigramPieces]] — the tokenizer is a build
+    * artifact, staged once per corpus snapshot, like the BPE merges):
+    * each DISTINCT word Viterbi-segments once over the piece lattice
+    * (vocab-routed), the corpus pass is one explode + gated-broadcast
+    * join + per-doc sum. Declared no-oracle like the trainer;
+    * NoOracleSpec pins per-doc counts against a driver-side reference
+    * Viterbi encode and full segmentation coverage (concat(segs) == w). */
+  val qTextUnigramEncode: Q = (s, dir) => {
+    val pieces = stagedUnigramPieces(s, dir)
+    val docWords = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wordTokens = graft.text.Unigram.encodeWords(
+        docWords.select(col("w")).distinct(), pieces)
+      .select(col("w"), col("n_tok"))
+    docWords
+      .join(graft.operators.ScaleOps.broadcastIfSourceSmall(
+        wordTokens, Tables.documents(s, dir)), Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_unigram_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The corpus word-frequency table every tokenizer trainer starts from
+    * (the one corpus-sized shuffle of the family; identical normalization
+    * to the BPE keys: lower + single-space split + nonempty). */
+  private def corpusWordFreqs(s: SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** The trained unigram piece table staged once per corpus snapshot
+    * ([[qTextUnigramTrain]] still grades the LIVE trainer). */
+  def stagedUnigramPieces(s: SparkSession, dir: String): Seq[graft.text.Unigram.Piece] = {
+    val staged = Tables.stagedFixture(s, s"$dir/documents.parquet",
+      "unigram-pieces", dir, "v1") { d =>
+      import s.implicits._
+      val (pieces, _) = graft.text.Unigram.train(corpusWordFreqs(s, dir))
+      pieces.map(p => (p.piece, p.n, p.logp))
+        .toDF("piece", "n_expected", "logp")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$d/pieces")
+    }
+    s.read.parquet(s"$staged/pieces")
+      .collect()
+      .map(r => graft.text.Unigram.Piece(
+        r.getString(0), r.getLong(1), r.getDouble(2))).toIndexedSeq
+  }
+
   /** The learned BPE rule table staged once per corpus snapshot — the
     * tokenizer artifact every encode consumer shares ([[qTextBpeTrain]]
     * still grades the LIVE training loop). */
@@ -2268,6 +2340,8 @@ object LlmOps {
     "q_text_bpe_pairs" -> qTextBpePairs,
     "q_text_bpe_train" -> qTextBpeTrain,
     "q_text_bpe_encode" -> qTextBpeEncode,
+    "q_text_unigram_train" -> qTextUnigramTrain,
+    "q_text_unigram_encode" -> qTextUnigramEncode,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_media_features" -> qMediaFeatures,
     "q_media_resize" -> qMediaResize,

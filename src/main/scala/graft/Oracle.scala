@@ -506,6 +506,19 @@ object Oracle {
                      AND l_shipdate < TIMESTAMP '1997-07-01')
           GROUP BY 1 ORDER BY l_returnflag""",
 
+    // Deletion-vector twin: same spanning read as q_layout_delete, but the
+    // Spark side applies the delete at READ time from the positional
+    // vectors — the hash match proves MOR ≡ the predicate semantics.
+    "q_layout_dv" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+            AND l_shipdate < TIMESTAMP '1998-07-01'
+            AND NOT (l_shipdate >= TIMESTAMP '1997-01-01'
+                     AND l_shipdate < TIMESTAMP '1997-07-01')
+          GROUP BY 1 ORDER BY l_returnflag""",
+
     // Column-mapping rename twin: the oracle reads the renamed projection
     // straight from the source — the Spark side must serve the same rows
     // under the NEW name from byte-unchanged physical files.

@@ -573,6 +573,29 @@ object Relational {
     c.sql(graft.catalog.Cbo.joinSql(dir))
   }
 
+  /** DELETION VECTORS graded end-to-end (r17) — merge-on-read positional
+    * delete (Layout.deleteManifestedDV / dvRead, the Delta DV / Iceberg
+    * positional-delete shape): H1 1997 deleted by recording row POSITIONS
+    * in a version-addressed DV artifact with ZERO data files rewritten
+    * (fixture-certified byte identity + exact position count). The graded
+    * read plans a range spanning the delete hole and anti-joins the
+    * vectors out at read time; the hash match against the
+    * predicate-reapplied oracle proves the MOR path is exact. At 100 TB
+    * this turns a GDPR delete from terabytes of copy-on-write flank
+    * rewrites into kilobytes of positions; ManifestSpec pins zero file
+    * churn, pre-delete time travel, and compaction folding the vectors
+    * away. */
+  val qLayoutDv: Q = (s, dir) => {
+    val staged = stagedManifestDvLayout(s, dir)
+    val lo = lit("1996-07-01").cast("timestamp")
+    val hi = lit("1998-07-01").cast("timestamp")
+    graft.sources.Layout.dvRead(s, staged, lo, hi)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** COLUMN-MAPPING SCHEMA EVOLUTION graded end-to-end (r17) — RENAME
     * COLUMN as a metadata-only commit (Layout.renameColumn / mappedRead,
     * the Delta/Iceberg column-mapping shape): l_extendedprice became
@@ -3412,6 +3435,7 @@ object Relational {
     "q_layout_concurrent" -> qLayoutConcurrent,
     "q_layout_cbo" -> qLayoutCbo,
     "q_layout_rename" -> qLayoutRename,
+    "q_layout_dv" -> qLayoutDv,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,
@@ -3740,6 +3764,38 @@ object Relational {
         sys.error(s"rename certificate failed: data files " +
           s"${if (fileSigs == pre) "identical" else "CHANGED"}, " +
           s"$renameRows rename row(s) — the rename was not metadata-only")
+      ()
+    }
+
+  /** The deletion-vector layout q_layout_dv plans from (r17): full
+    * lineitem at v0, then a MERGE-ON-READ positional delete of H1 1997
+    * (Layout.deleteManifestedDV) at v1 — positions recorded in a DV
+    * artifact, ZERO data files rewritten. Certificate: the data file set
+    * is (name, length, mtime)-IDENTICAL across the delete, the DV
+    * artifact exists, and its position count equals the predicate's
+    * matching rows exactly. */
+  def stagedManifestDvLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-dv", dir, "v1") { d =>
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(d).getFileSystem(s.sparkContext.hadoopConfiguration)
+      val li = Tables.lineitem(s, dir)
+      graft.sources.Layout.writeManifested(li, d, "l_shipdate", numFiles = 12)
+      def fileSigs = fs.listStatus(new Path(s"$d/data"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+      val pre = fileSigs
+      val lo = lit("1997-01-01").cast("timestamp")
+      val hi = lit("1997-07-01").cast("timestamp")
+      val (files, positions) =
+        graft.sources.Layout.deleteManifestedDV(s, d, "l_shipdate", lo, hi)
+      val expected = li
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi).count()
+      if (fileSigs != pre || files < 1 || positions != expected)
+        sys.error(s"DV certificate failed: data files " +
+          s"${if (fileSigs == pre) "identical" else "CHANGED"}, $files DV'd " +
+          s"file(s), $positions positions vs $expected matching rows — " +
+          "the delete rewrote data or missed/over-deleted positions")
       ()
     }
 

@@ -614,6 +614,140 @@ object Layout {
     else spark.read.parquet(hits.toIndexedSeq: _*)
   }
 
+  /** MERGE-ON-READ positional delete — DELETION VECTORS (r17, Delta DV /
+    * Iceberg positional delete files): instead of copy-on-write rewriting
+    * every envelope-intersecting file ([[deleteManifested]]), the matching
+    * ROW POSITIONS are recorded in a version-addressed artifact
+    * (`dv/dv-v<ver>.parquet`: (file_name, row_index) — positions from the
+    * scan's own `_metadata.row_index`, exact parquet row indexes however
+    * the files split across tasks) and ZERO data files are rewritten. The
+    * manifest gains one part of `op='dv'` rows (per touched file, n_rows =
+    * positions deleted there) at a new snapshot version — commit ordering
+    * is the usual crash-safe shape: artifact first (invisible), manifest
+    * row last. Readers apply the vectors at read time ([[dvRead]]); a
+    * later [[compactManifestedDV]] folds them away. At 100 TB this is the
+    * difference between a GDPR delete that rewrites terabytes of flanking
+    * rows and one that writes kilobytes of positions. Returns
+    * (files touched, positions deleted). */
+  def deleteManifestedDV(spark: SparkSession, path: String, statsCol: String,
+                         lo: Column, hi: Column): (Int, Long) = {
+    import org.apache.hadoop.fs.Path
+    val ver = manifestVersion(spark, path) + 1L
+    val candidates = liveManifestRows(spark, path, ver - 1)
+      .filter(col("max_v") >= lo && col("min_v") < hi)
+      .collect()
+    if (candidates.isEmpty) return (0, 0L)
+    val paths = candidates.map(_.getAs[String]("file_path")).toIndexedSeq
+    val dv = spark.read.parquet(paths: _*)
+      .select(col("_metadata.file_name").as("file_name"),
+        col("_metadata.row_index").as("row_index"),
+        col(statsCol).as("__v"))
+      .filter(col("__v") >= lo && col("__v") < hi)
+      .select(col("file_name"), col("row_index"))
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDir = new Path(s"$path/dv")
+    fs.mkdirs(dvDir)
+    val tmp = new Path(s"$path/dv-tmp-${java.util.UUID.randomUUID()}")
+    dv.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no DV part under $tmp")).getPath
+    require(fs.rename(part, new Path(dvDir, f"dv-v$ver%012d.parquet")),
+      "deleteManifestedDV: DV artifact rename failed")
+    fs.delete(tmp, true)
+    // Per-file deleted-position counts for the manifest's op='dv' rows —
+    // O(touched files) driver rows, the usual planning scale.
+    val perFile = spark.read.parquet(s"$path/dv/" + f"dv-v$ver%012d.parquet")
+      .groupBy(col("file_name")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val schema = spark.read.parquet(s"$path/manifest").schema
+    val dvRows = candidates.toIndexedSeq.flatMap { r =>
+      val name = r.getAs[String]("file_path")
+        .substring(r.getAs[String]("file_path").lastIndexOf('/') + 1)
+      perFile.get(name).map(n =>
+        org.apache.spark.sql.Row(r.getAs[String]("file_path"),
+          r.getAs[Any]("min_v"), r.getAs[Any]("max_v"), n, ver, "dv"))
+    }
+    if (dvRows.isEmpty) return (0, 0L)
+    commitManifest(spark, path, dvRows, schema)
+    (dvRows.length, perFile.values.sum)
+  }
+
+  /** MERGE-ON-READ read: [[manifestPrunedRead]] plus the deletion vectors
+    * at or below `asOfVer` anti-joined out on (file, row position). The
+    * DV side is size-gated for broadcast (positions are maintenance-pass
+    * sized, not corpus sized — but the gate keeps a pathological
+    * delete-everything honest with a shuffled anti join). Vectors
+    * referencing files no longer live cost nothing: those files are not
+    * scanned, so their positions never match. */
+  def dvRead(spark: SparkSession, path: String,
+             lo: Column, hi: Column,
+             asOfVer: Long = Long.MaxValue): DataFrame =
+    applyDvs(spark, path,
+      manifestPrunedRead(spark, path, lo, hi, asOfVer), asOfVer)
+
+  /** DV-AWARE compaction: rewrite the live set WITH the deletion vectors
+    * applied, tombstone the originals — the maintenance pass that folds
+    * MOR debt back into clean files (Delta OPTIMIZE rewrites DV'd files;
+    * Iceberg rewrite-data-files with delete compaction). After it, the
+    * plain [[manifestPrunedRead]] serves the post-delete truth directly
+    * and the old vectors are dead weight referencing removed files. */
+  def compactManifestedDV(spark: SparkSession, path: String, statsCol: String,
+                          numFiles: Int): (Int, Int) = {
+    val ver = manifestVersion(spark, path) + 1L
+    val live = liveManifestRows(spark, path, ver - 1).collect()
+    if (live.isEmpty) return (0, 0)
+    val survivors = dvReadFullSpan(spark, path, ver - 1)
+    val (n, addRows, schema) = stageDataFiles(survivors, path, statsCol,
+      numFiles, ver)
+    val removeRows = live.toIndexedSeq.map { r =>
+      org.apache.spark.sql.Row(r.getAs[String]("file_path"),
+        r.getAs[Any]("min_v"), r.getAs[Any]("max_v"),
+        r.getAs[Long]("n_rows"), ver, "remove")
+    }
+    commitStaged(spark, path,
+      PendingCommit(ver - 1, n, addRows, removeRows, schema))
+    (n, live.length)
+  }
+
+  /** [[dvRead]] over the WHOLE live file set (no envelope pruning) — what
+    * compaction and full-table consumers use. */
+  def dvReadFullSpan(spark: SparkSession, path: String,
+                     asOfVer: Long = Long.MaxValue): DataFrame = {
+    val hits = liveManifestRows(spark, path, asOfVer)
+      .select(col("file_path")).collect().map(_.getString(0))
+    val base =
+      if (hits.isEmpty) spark.read.parquet(s"$path/data").limit(0)
+      else spark.read.parquet(hits.toIndexedSeq: _*)
+    applyDvs(spark, path, base, asOfVer)
+  }
+
+  private def applyDvs(spark: SparkSession, path: String, base: DataFrame,
+                       asOfVer: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dvDir = new Path(s"$path/dv")
+    val fs = dvDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dvDir)) return base
+    val dvParts = fs.listStatus(dvDir).map(_.getPath)
+      .filter { p =>
+        p.getName match {
+          case s if s.startsWith("dv-v") && s.endsWith(".parquet") =>
+            s.stripPrefix("dv-v").stripSuffix(".parquet").toLong <= asOfVer
+          case _ => false
+        }
+      }.toIndexedSeq
+    if (dvParts.isEmpty) return base
+    val dv = spark.read.parquet(dvParts.map(_.toString): _*)
+      .select(col("file_name").as("__dv_file"), col("row_index").as("__dv_pos"))
+    base
+      .withColumn("__file", col("_metadata.file_name"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(graft.operators.ScaleOps.maybeBroadcast(dv),
+        col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
+        "left_anti")
+      .drop("__file", "__pos")
+  }
+
   /** COLUMN RENAME as a METADATA-ONLY commit (r17) — the Delta/Iceberg
     * column-mapping story: data files keep their write-time PHYSICAL
     * column names forever (zero bytes rewritten — at 100 TB a rename that

@@ -499,6 +499,45 @@ class ManifestSpec extends AnyFunSuite {
     assert(files == 12, s"unexpected data-file churn: $files files")
   }
 
+  test("deletion vectors: zero data-file churn, MOR read exact, pre-delete time travel, compaction folds DVs away") {
+    import org.apache.hadoop.fs.Path
+    val d = sys.props("java.io.tmpdir") + "/graft-manifest-dv-spec"
+    Tables.deleteRecursively(d)
+    val li = Tables.lineitem(spark, Sf0001)
+    def ts(x: String) = lit(x).cast("timestamp")
+    val (lo, hi) = (ts("1996-01-01"), ts("1996-07-01"))
+    val span = (ts("1900-01-01"), ts("2100-01-01"))
+    Layout.writeManifested(li, d, "l_shipdate", 8)
+    val fs = new Path(d).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles = fs.listStatus(new Path(s"$d/data"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen)).toSet
+    val pre = dataFiles
+    val (touched, positions) =
+      Layout.deleteManifestedDV(spark, d, "l_shipdate", lo, hi)
+    // (1) Merge-on-read means ZERO rewrites: same files, same bytes.
+    assert(dataFiles == pre, "DV delete rewrote data files")
+    assert(touched >= 1 && positions ==
+      li.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi).count())
+    // (2) The MOR read equals the predicate twin.
+    val agg = (x: org.apache.spark.sql.DataFrame) =>
+      x.agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    val want = agg(li.filter(
+      !(col("l_shipdate") >= lo && col("l_shipdate") < hi)))
+    assert(agg(Layout.dvRead(spark, d, span._1, span._2)) == want,
+      "DV read diverges from the predicate semantics")
+    // (3) Time travel below the DV version serves the UNDELETED table.
+    assert(agg(Layout.dvRead(spark, d, span._1, span._2, asOfVer = 0L)) ==
+      agg(li), "pre-delete snapshot lost rows under time travel")
+    // (4) Compaction folds the vectors into clean files: afterwards the
+    // PLAIN manifest read (no DV machinery) serves the post-delete truth.
+    val (written, removed) =
+      Layout.compactManifestedDV(spark, d, "l_shipdate", 4)
+    assert(written == 4 && removed == 8)
+    assert(agg(Layout.manifestPrunedRead(spark, d, span._1, span._2)) == want,
+      "compaction did not fold the deletion vectors")
+  }
+
   test("conflict validation: racing overlapping deletes — loser throws, cleans up, re-plans to the serial result") {
     import org.apache.hadoop.fs.Path
     val d = sys.props("java.io.tmpdir") + "/graft-manifest-conflict-spec"

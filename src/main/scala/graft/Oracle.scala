@@ -506,6 +506,20 @@ object Oracle {
                      AND l_shipdate < TIMESTAMP '1997-07-01')
           GROUP BY 1 ORDER BY l_returnflag""",
 
+    // Hilbert clustering is placement-only: the oracle is the lossless
+    // round-trip aggregate (count + decimal revenue + exact key sums and
+    // bounds) — any row lost, duplicated, or mutated by the clustered
+    // rewrite breaks the hash; the curve itself is spec-pinned.
+    "q_layout_hilbert" ->
+      s"""SELECT count(*) AS n, ${dsum("l_extendedprice")} AS revenue,
+                 sum(CAST(l_partkey AS BIGINT)) AS sum_pk,
+                 sum(CAST(l_suppkey AS BIGINT)) AS sum_sk,
+                 min(CAST(l_partkey AS BIGINT)) AS min_pk,
+                 max(CAST(l_partkey AS BIGINT)) AS max_pk,
+                 min(CAST(l_suppkey AS BIGINT)) AS min_sk,
+                 max(CAST(l_suppkey AS BIGINT)) AS max_sk
+          FROM lineitem""",
+
     // Deletion-vector twin: same spanning read as q_layout_delete, but the
     // Spark side applies the delete at READ time from the positional
     // vectors — the hash match proves MOR ≡ the predicate semantics.

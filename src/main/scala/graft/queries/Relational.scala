@@ -311,6 +311,39 @@ object Relational {
       .orderBy("zbucket")
   }
 
+  /** HILBERT-CURVE CLUSTERING (r17) — the multi-column range-clustering
+    * upgrade over q_layout_zorder (Layout.hilbert16): consecutive Hilbert
+    * indexes are always grid-adjacent (no Z-seam jumps), so the same
+    * range-clustered write yields strictly bounded per-file (pk, sk)
+    * envelopes — the tighter data-skipping boxes a 100 TB two-column
+    * filter workload prunes on. Clustering is PLACEMENT-ONLY, so the
+    * graded read is the lossless round trip (count + decimal revenue +
+    * exact key sums through the clustered layout); the curve itself is
+    * pinned by LayoutSkewSpec: bijection + unit-step adjacency against an
+    * independent driver-side reference, and envelope tightening vs a
+    * hash-fragmented baseline on the same grid as the z-order pin. */
+  val qLayoutHilbert: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_partkey").cast("long").as("pk"),
+      col("l_suppkey").cast("long").as("sk"),
+      col("l_extendedprice").as("price"))
+    val bounds = li.agg(
+      min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+      min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+    val scaled = li.crossJoin(broadcast(bounds))
+      .withColumn("px", expr("((pk - pk_min) * 65535) div greatest(pk_max - pk_min, 1)"))
+      .withColumn("sx", expr("((sk - sk_min) * 65535) div greatest(sk_max - sk_min, 1)"))
+      .select(col("pk"), col("sk"), col("price"),
+        graft.sources.Layout.hilbert16(col("px"), col("sx")).as("h"))
+    val stage = Tables.stageDir(s, "hilbert", dir)
+    graft.sources.Layout.zorderWrite(scaled, stage, col("h"), numFiles = 8)
+    s.read.parquet(stage)
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("revenue"),
+        sum(col("pk")).as("sum_pk"), sum(col("sk")).as("sum_sk"),
+        min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+        min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+  }
+
   /** BUCKETED CO-LOCATED JOIN — sources/Layout.writeBucketed graded through
     * the correctness gate: orders and customer are written as external
     * parquet tables bucketed (and bucket-sorted) by their join key with the
@@ -3422,6 +3455,7 @@ object Relational {
     "q_layout_compact" -> qLayoutCompact,
     "q_layout_evolve" -> qLayoutEvolve,
     "q_layout_zorder" -> qLayoutZorder,
+    "q_layout_hilbert" -> qLayoutHilbert,
     "q_layout_bucketed" -> qLayoutBucketed,
     "q_layout_manifest" -> qLayoutManifest,
     "q_layout_manifest_append" -> qLayoutManifestAppend,

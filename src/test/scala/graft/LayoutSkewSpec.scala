@@ -291,6 +291,73 @@ class LayoutSkewSpec extends AnyFunSuite {
     assert(got == exp, s"content changed: missing=${(exp -- got).take(3)}")
   }
 
+  test("hilbert16: bijection + unit-step adjacency vs driver reference; envelopes tighten in BOTH dimensions") {
+    // Independent driver-side reference: the classic iterative xy2d
+    // (per-level quadrant digit + rotate/reflect, n−1 flip) on the full
+    // 65536 grid — the Spark fold must agree bit-for-bit.
+    def refHilbert(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 32768L
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = 65535L - x; y = 65535L - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    // 64×64 grid scaled to the 16-bit corners — exercises every rotation
+    // path across 6 levels and the full-range flip arithmetic.
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("gx"), (col("id") / 64).cast("long").as("gy"))
+      .withColumn("px", expr("(gx * 65535) div 63"))
+      .withColumn("sx", expr("(gy * 65535) div 63"))
+    val got = grid.select(col("px"), col("sx"),
+        Layout.hilbert16(col("px"), col("sx")).as("h"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.size == 4096)
+    for (((x, y), h) <- got)
+      assert(h == refHilbert(x, y), s"hilbert16($x,$y)=$h != ref ${refHilbert(x, y)}")
+    // Defining Hilbert property on a contiguous grid: sort a FULL small
+    // grid (32×32 in raw coordinates) by index — bijective onto 0..1023
+    // and every consecutive pair is grid-adjacent (|dx|+|dy| == 1). The
+    // Z-order curve fails the adjacency half (seam jumps) — this is
+    // exactly the locality upgrade the operator claims.
+    val small = spark.range(0, 1024).select(
+        (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+      .select(col("x"), col("y"),
+        Layout.hilbert16(col("x") * 2048, col("y") * 2048).as("h"))
+      .orderBy("h").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(small.length == 1024 && small.distinct.length == 1024)
+    for (Seq((x1, y1), (x2, y2)) <- small.toSeq.sliding(2))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent hilbert step ($x1,$y1)->($x2,$y2)")
+    // Envelope tightening vs a hash-fragmented baseline (the q_layout
+    // zorder pin, same grid/files): both dimensions tighten.
+    val withH = grid.select(col("gx").as("pk"), col("gy").as("sk"),
+      Layout.hilbert16(col("px"), col("sx")).as("h"))
+    val hPath = Tables.stageDir(spark, "spec-hilbert", Sf0001)
+    val basePath = Tables.stageDir(spark, "spec-hilbert-base", Sf0001)
+    Layout.zorderWrite(withH, hPath, col("h"), numFiles = 8)
+    withH.repartition(8).write.mode("overwrite").parquet(basePath)
+    def avgRanges(path: String): (Double, Double) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("pk")) - min(col("pk"))).as("pkr"),
+          (max(col("sk")) - min(col("sk"))).as("skr"))
+        .select(avg(col("pkr")), avg(col("skr"))).head()
+      (perFile.getDouble(0), perFile.getDouble(1))
+    }
+    val (hPk, hSk) = avgRanges(hPath)
+    val (bPk, bSk) = avgRanges(basePath)
+    assert(hPk <= 0.6 * bPk, s"pk envelope not tightened: h=$hPk base=$bPk")
+    assert(hSk <= 0.6 * bSk, s"sk envelope not tightened: h=$hSk base=$bSk")
+  }
+
   test("bucketed layout: co-located join runs with zero join-side exchanges; plain twin shuffles both") {
     // AQE-final shuffle count (reused and broadcast exchanges don't count).
     def shuffles(df: org.apache.spark.sql.DataFrame): Int = PlanCheck.shufflesOf(df)

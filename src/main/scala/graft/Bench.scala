@@ -65,6 +65,10 @@ object Bench {
       queries.Relational.stagedManifestOptimizeLayout(spark, sfDir)
       queries.Relational.stagedManifestVacuumLayout(spark, sfDir)
       queries.Relational.stagedManifestCloneLayout(spark, sfDir)
+      queries.Relational.stagedManifestConcurrentLayout(spark, sfDir)
+      queries.Relational.stagedManifestRenameLayout(spark, sfDir)
+      queries.Relational.stagedManifestDvLayout(spark, sfDir)
+      queries.LlmOps.stagedUnigramPieces(spark, sfDir)
       queries.Relational.stagedEventsByDay(spark, sfDir)
       queries.Relational.stagedEventsDayRollup(spark, sfDir)
       queries.Relational.stagedSegRollup(spark, sfDir)

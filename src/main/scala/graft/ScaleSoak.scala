@@ -309,7 +309,7 @@ object ScaleSoak {
     // write a soak_results.json that reads as a completed A/B (ADVICE r12).
     val unknown =
       wanted -- pairs.map(_._1).toSet -- solos.map(_._1).toSet -
-        "skew" - "manifest" - "chain"
+        "skew" - "manifest" - "chain" - "dv" - "unigram"
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"ScaleSoak: no A/B pair for wanted key(s): ${unknown.mkString(",")} " +
@@ -465,6 +465,83 @@ object ScaleSoak {
       if (rm.toDouble / 256 > 0.2)
         throw new IllegalStateException(
           s"manifest soak: delete touched $rm of 256 files — not O(touched)")
+    }
+
+    // DELETION-VECTOR soak (key "dv", r17): same 60M-row layout and the
+    // SAME one-month delete, merge-on-read vs copy-on-write head-to-head.
+    // The claim: the DV path writes POSITIONS (kilobytes) and rewrites
+    // ZERO data files, so it must beat the CoW rewrite wall-clock AND
+    // leave the data dir byte-identical; the MOR read must then serve the
+    // same post-delete truth the CoW path serves.
+    if (wanted.isEmpty || wanted("dv")) {
+      stage(spark, src, out, "lineitem", copies = 100)(df => df
+        .withColumn("l_orderkey", col("l_orderkey") + col("__c") * lit(100000000L)))
+      val li = spark.read.parquet(s"$out/lineitem.parquet")
+      val span = (lit("1900-01-01").cast("timestamp"),
+        lit("2100-01-01").cast("timestamp"))
+      val dlo = lit("1997-01-01").cast("timestamp")
+      val dhi = lit("1997-02-01").cast("timestamp")
+      def build(lay: String): Unit = {
+        Tables.deleteRecursively(lay)
+        graft.sources.Layout.writeManifested(li, lay, "l_shipdate", 256)
+      }
+      val cow = s"$out/dv-soak-cow"; val mor = s"$out/dv-soak-mor"
+      println("[soak] dv: building two 256-file layouts ...")
+      build(cow); build(mor)
+      val t0 = System.nanoTime()
+      val (rw, rm) = graft.sources.Layout.deleteManifested(
+        spark, cow, "l_shipdate", dlo, dhi, 4)
+      val cowSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (dvFiles, dvPos) = graft.sources.Layout.deleteManifestedDV(
+        spark, mor, "l_shipdate", dlo, dhi)
+      val dvSec = (System.nanoTime() - t1) / 1e9
+      val a = graft.sources.Layout
+        .manifestPrunedRead(spark, cow, span._1, span._2)
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(l_orderkey, l_shipdate))")).head()
+      val b = graft.sources.Layout.dvRead(spark, mor, span._1, span._2)
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(l_orderkey, l_shipdate))")).head()
+      println(f"[soak] dv: CoW delete $cowSec%.1f s (rewrote $rw of $rm " +
+        f"touched); DV delete $dvSec%.1f s ($dvPos positions in $dvFiles " +
+        f"files, zero rewrites) = ${dvSec / cowSec}%.3f of CoW; " +
+        f"MOR read ${if (a == b) "==" else "!="} CoW read")
+      Files.writeString(Paths.get(out, "soak_dv.json"),
+        f"""{"key":"dv","cow_sec":$cowSec%.2f,"cow_rewrote":$rw,"dv_sec":$dvSec%.2f,"dv_positions":$dvPos,"dv_files":$dvFiles,"dv_over_cow":${dvSec / cowSec}%.4f,"reads_equal":${a == b}}""" + "\n")
+      if (a != b) throw new IllegalStateException(
+        s"dv soak: MOR read diverged from the CoW read — $a vs $b")
+    }
+
+    // UNIGRAM-TRAINER soak (key "unigram", r17): 12.5M docs whose
+    // vocabulary stays SMALL (the suffix perturbation adds ~2.5k tokens) —
+    // the vocab-routing claim head-on: the corpus pays exactly one
+    // word-count shuffle; the EM rounds and the final piece table are
+    // vocabulary-sized, so total time must be dominated by that one pass,
+    // not multiplied by the 4 EM rounds.
+    if (wanted.isEmpty || wanted("unigram")) {
+      stage(spark, src, out, "documents", copies = 2500)(df => df
+        .withColumn("doc_id", col("doc_id") + col("__c") * lit(100000000L))
+        .withColumn("text", concat(col("text"), lit(" c"), col("__c").cast("string")))
+        .withColumn("n_chars", length(col("text"))))
+      val t0 = System.nanoTime()
+      val words = spark.read.parquet(s"$out/documents.parquet")
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .persist()
+      val vocabSize = words.count()
+      val countSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (pieces, losses) = graft.text.Unigram.train(words)
+      val emSec = (System.nanoTime() - t1) / 1e9
+      words.unpersist()
+      println(f"[soak] unigram: word-count pass $countSec%.1f s " +
+        f"($vocabSize distinct words from 12.5M docs); 4 EM rounds " +
+        f"$emSec%.1f s total (${pieces.length} final pieces, " +
+        f"final losses ${losses.drop(2).map(l => f"$l%.1f").mkString(" -> ")})")
+      Files.writeString(Paths.get(out, "soak_unigram.json"),
+        f"""{"key":"unigram","vocab":$vocabSize,"count_sec":$countSec%.2f,"em_sec":$emSec%.2f,"pieces":${pieces.length},"loss_final":${losses.last}%.2f}""" + "\n")
+      if (losses(3) > losses(2) + 1e-6) throw new IllegalStateException(
+        s"unigram soak: prune-free EM round increased the loss: $losses")
     }
 
     val results = pairs

@@ -73,6 +73,7 @@ object Bench {
       queries.Relational.stagedManifestRenameLayout(spark, sfDir)
       queries.Relational.stagedManifestDvLayout(spark, sfDir)
       queries.LlmOps.stagedUnigramPieces(spark, sfDir)
+      queries.LlmOps.stagedWordpieceVocab(spark, sfDir)
       queries.Relational.stagedEventsByDay(spark, sfDir)
       queries.Relational.stagedEventsDayRollup(spark, sfDir)
       queries.Relational.stagedSegRollup(spark, sfDir)

@@ -1626,6 +1626,71 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** WORDPIECE TOKENIZER TRAINING (r17) — the third tokenizer family
+    * (text/WordPiece.scala, the BERT lineage), completing the trio beside
+    * BPE (frequency merges) and unigram-LM (EM pruning): BPE-shaped
+    * iterative merging with the LIKELIHOOD-GAIN criterion — argmax
+    * count(ab) / (count(a)·count(b)) — over `##`-continuation-marked
+    * symbols. Output: the 10-rule merge table with exact-count double
+    * scores. Vocab-routed like the whole family; per step one vocab-sized
+    * pair+unigram aggregation and a ONE-row driver argmax fetch. Declared
+    * no-oracle (the data-dependent rule recursion has no tractable SQL
+    * form); TextOpsSpec-style reference: NoOracleSpec pins the full rule
+    * sequence AND scores against an independent driver-side WordPiece. */
+  val qTextWordpieceTrain: Q = (s, dir) => {
+    import s.implicits._
+    graft.text.WordPiece.train(corpusWordFreqs(s, dir))
+      .toDF("step", "left", "right", "merged", "score")
+      .orderBy("step")
+  }
+
+  /** WORDPIECE ENCODE (r17) — greedy longest-match-first tokenization
+    * under the trained symbol vocabulary ([[stagedWordpieceVocab]]):
+    * per-doc word / wordpiece-token / unk counts. VOCAB-routed greedy
+    * walk (one column-expression fold per distinct word — no UDF);
+    * corpus pass = explode + gated-broadcast join + per-doc sum. The
+    * alphabet backstop makes [UNK] unreachable on in-corpus words (the
+    * n_unk column grades that claim: the oracle-free spec pins it 0 and
+    * per-doc counts against a driver-side reference walk). */
+  val qTextWordpieceEncode: Q = (s, dir) => {
+    val (pieces, maxLen) = stagedWordpieceVocab(s, dir)
+    val docWords = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wordTokens = graft.text.WordPiece.encodeWords(
+      docWords.select(col("w")).distinct(), pieces, maxLen)
+    docWords
+      .join(graft.operators.ScaleOps.broadcastIfSourceSmall(
+        wordTokens, Tables.documents(s, dir)), Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("n_tok") >= 0, col("n_tok")).otherwise(0L))
+          .as("n_wordpiece_tokens"),
+        sum(when(col("n_tok") < 0, 1L).otherwise(0L)).as("n_unk"))
+      .orderBy("doc_id")
+  }
+
+  /** The trained WordPiece symbol vocabulary staged once per corpus
+    * snapshot ([[qTextWordpieceTrain]] still grades the LIVE trainer).
+    * Returns (symbol set, max raw piece length — the greedy walk's scan
+    * bound). */
+  def stagedWordpieceVocab(s: SparkSession, dir: String): (Set[String], Int) = {
+    val staged = Tables.stagedFixture(s, s"$dir/documents.parquet",
+      "wordpiece-vocab", dir, "v1") { d =>
+      import s.implicits._
+      val words = corpusWordFreqs(s, dir)
+      val merges = graft.text.WordPiece.train(words)
+      graft.text.WordPiece.finalSymbols(words, merges).toSeq.toDF("s")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$d/symbols")
+      graft.operators.ScaleOps.releaseTracked()
+    }
+    val syms = s.read.parquet(s"$staged/symbols")
+      .collect().map(_.getString(0)).toSet
+    (syms, syms.map(_.stripPrefix("##").length).max)
+  }
+
   /** The corpus word-frequency table every tokenizer trainer starts from
     * (the one corpus-sized shuffle of the family; identical normalization
     * to the BPE keys: lower + single-space split + nonempty). */
@@ -2342,6 +2407,8 @@ object LlmOps {
     "q_text_bpe_encode" -> qTextBpeEncode,
     "q_text_unigram_train" -> qTextUnigramTrain,
     "q_text_unigram_encode" -> qTextUnigramEncode,
+    "q_text_wordpiece_train" -> qTextWordpieceTrain,
+    "q_text_wordpiece_encode" -> qTextWordpieceEncode,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_media_features" -> qMediaFeatures,
     "q_media_resize" -> qMediaResize,

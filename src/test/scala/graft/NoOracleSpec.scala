@@ -507,6 +507,83 @@ class NoOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_text_wordpiece_train: rule sequence AND likelihood scores match an independent driver-side WordPiece") {
+    val got = SparkEntry.queries("q_text_wordpiece_train")(spark, Sf0001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    assert(got.length == 10 && got.map(_._1) == (1 to 10))
+    // Reference WordPiece: `##`-continuation symbols, likelihood-gain
+    // argmax cnt(ab)/(cnt(a)·cnt(b)) as the SAME IEEE double division on
+    // exact counts (bit-identical to the distributed argmax), ties
+    // (score desc, left asc, right asc), leftmost-first rewrite.
+    var vocab: Map[Vector[String], Long] = unigramWordFreqs.map { case (w, n) =>
+      (w.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c.toString else "##" + c }.toVector, n)
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+    val expected = Seq.newBuilder[(Int, String, String, String, Double)]
+    for (step <- 1 to 10) {
+      val uni = scala.collection.mutable.Map[String, Long]()
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, n) <- vocab) {
+        for (s <- syms) uni(s) = uni.getOrElse(s, 0L) + n
+        for (i <- 0 until syms.length - 1)
+          pairs((syms(i), syms(i + 1))) =
+            pairs.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      }
+      val scored = pairs.toSeq.map { case ((a, b), c) =>
+        (a, b, c.toDouble / (uni(a).toDouble * uni(b).toDouble)) }
+      val (a, b, sc) = scored.minBy { case (x, y, s) => (-s, x, y) }
+      val merged = a + b.stripPrefix("##")
+      expected += ((step, a, b, merged, sc))
+      vocab = vocab.toSeq.map { case (syms, n) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        for (s <- syms) {
+          if (out.nonEmpty && out.last == a && s == b)
+            out(out.length - 1) = merged
+          else out += s
+        }
+        (out.toVector, n)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }
+    assert(got == expected.result(),
+      s"distributed WordPiece diverges from reference (first diff: " +
+      s"${got.zip(expected.result()).find(x => x._1 != x._2)})")
+  }
+
+  test("q_text_wordpiece_encode: per-doc counts match a reference greedy longest-match walk; zero UNK") {
+    val (pieces, maxLen) =
+      graft.queries.LlmOps.stagedWordpieceVocab(spark, Sf0001)
+    def encode(w: String): Long = {
+      var (pos, cnt) = (0, 0L)
+      while (pos < w.length) {
+        var l = math.min(maxLen, w.length - pos)
+        var hit = 0
+        while (hit == 0 && l >= 1) {
+          val raw = w.substring(pos, pos + l)
+          val piece = if (pos > 0) "##" + raw else raw
+          if (pieces.contains(piece)) hit = l else l -= 1
+        }
+        if (hit == 0) return -1L
+        pos += hit; cnt += 1
+      }
+      cnt
+    }
+    val got = SparkEntry.queries("q_text_wordpiece_encode")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val exp = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .collect().map { r =>
+        val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+        val toks = ws.map(encode)
+        (r.getLong(0), ws.length.toLong,
+          toks.filter(_ >= 0).sum, toks.count(_ < 0).toLong)
+      }.toSeq.sortBy(_._1)
+    assert(got == exp, "distributed greedy walk diverges from the reference")
+    assert(got.forall(_._4 == 0L),
+      "UNK words despite the alphabet backstop")
+  }
+
   test("q_sim_rerank_mmr: every pick is the greedy argmax over the independent shortlist; rank-1 is the relevance top-1") {
     def round6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sig_matches"),
       graft.functions.MinHashSig.matchesInfo,
       graft.functions.MinHashSig.matchesBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("hilbert_idx"),
+      graft.functions.HilbertIndex.info,
+      graft.functions.HilbertIndex.builder))
   }
 }

@@ -31,6 +31,7 @@ object Tables {
     graft.functions.VecDot.register(spark)
     graft.functions.MinHashSig.register(spark)
     graft.functions.SimHash64.register(spark)
+    graft.functions.HilbertIndex.register(spark)
     graft.functions.CharNgrams.register(spark)
   }
 

@@ -89,31 +89,25 @@ object Layout {
   /** 32-bit HILBERT index of two 16-bit non-negative ints (r17) — the
     * space-filling-curve upgrade over [[morton16]]: consecutive Hilbert
     * indexes are always GRID-ADJACENT (no Z-seam jumps), so equal-size
-    * index runs have provably bounded 2-D envelopes — published results
-    * show tighter per-file min/max boxes than Morton at the same file
-    * count, i.e. better multi-column data skipping at 100 TB. The classic
-    * iterative xy2d: per bit level (most-significant first), the quadrant
-    * digit joins the index and the coordinate frame rotates/reflects —
-    * here as one `aggregate` fold over the 16 levels in pure integer
-    * column arithmetic (pow(2,i) is exact through 2^15; products stay
-    * far below Long range). LayoutSkewSpec pins bijection + unit-step
-    * adjacency against an independent driver-side reference and the
-    * envelope tightening on real data. */
+    * index runs have provably bounded 2-D envelopes — tighter per-file
+    * min/max boxes than Morton at the same file count (published
+    * results), i.e. better multi-column data skipping at 100 TB.
+    *
+    * Implementation tier: a NATIVE codegen'd Expression
+    * (functions/HilbertIndex.scala — the classic 16-iteration xy2d loop
+    * as straight-line generated Java). The recurrence is sequential
+    * across bit levels, so the declarative alternatives are either an
+    * exponentially-duplicated unrolled tree or an interpreted
+    * higher-order fold (measured 36 s over sf0.1 lineitem vs ~1.5 s for
+    * this form — the custom-Expression tier exists for exactly this
+    * shape). LayoutSkewSpec pins the result bit-for-bit against an
+    * independent driver-side reference plus bijection + unit-step
+    * adjacency. */
   def hilbert16(a: Column, b: Column): Column = {
-    val n = lit(65536L)
-    aggregate(sequence(lit(15), lit(0), lit(-1)),
-      struct(a.cast("long").as("x"), b.cast("long").as("y"), lit(0L).as("d")),
-      (st, i) => {
-        val s = pow(lit(2.0), i).cast("long")
-        val rx = when(st("x").bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-        val ry = when(st("y").bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-        val d2 = st("d") + s * s * (lit(3L) * rx).bitwiseXOR(ry)
-        val fx = when(rx === 1L, n - 1 - st("x")).otherwise(st("x"))
-        val fy = when(rx === 1L, n - 1 - st("y")).otherwise(st("y"))
-        // ry == 0: reflect (if rx) then SWAP axes; else frame unchanged.
-        when(ry === 0L, struct(fy.as("x"), fx.as("y"), d2.as("d")))
-          .otherwise(struct(st("x").as("x"), st("y").as("y"), d2.as("d")))
-      })("d")
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.HilbertIndex(
+      ColumnBridge.expression(a.cast("long")),
+      ColumnBridge.expression(b.cast("long"))))
   }
 
   /** Write `df` Z-ORDER CLUSTERED by `z` (a [[morton16]]-style code):

@@ -86,10 +86,16 @@ object Unigram {
     * losses). `prunes` caps the MULTI-char vocabulary after each early
     * round; `finalRounds` more EM rounds then run prune-free (their
     * losses are non-increasing — the law NoOracleSpec pins). */
-  def train(words: DataFrame, seedSize: Int = 300,
+  def train(wordsIn: DataFrame, seedSize: Int = 300,
             prunes: Seq[Int] = Seq(200, 120), finalRounds: Int = 2,
             maxLen: Int = 4): (Seq[Piece], Seq[Double]) = {
-    val spark = words.sparkSession
+    // Persist the word-frequency table: the trainer fires 2 vocab-sized
+    // jobs per EM round plus the seed pass, and an unpersisted input
+    // re-runs the CORPUS word-count shuffle under every one of them
+    // (measured 9 × ~4 s at sf0.1 — 36 s of the key's 39 s; persisted,
+    // the whole train is ~3 s). The family's law — the corpus is touched
+    // once — needs the persist to actually hold.
+    val words = graft.operators.ScaleOps.trackedPersist(wordsIn)
     val cand = candidateCounts(words, maxLen).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val singles = cand.filter(_._1.length == 1)

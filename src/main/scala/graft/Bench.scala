@@ -72,6 +72,8 @@ object Bench {
       queries.Relational.stagedManifestConcurrentLayout(spark, sfDir)
       queries.Relational.stagedManifestRenameLayout(spark, sfDir)
       queries.Relational.stagedManifestDvLayout(spark, sfDir)
+      queries.Relational.stagedManifestConstraintLayout(spark, sfDir)
+      queries.Relational.staged2DManifestLayout(spark, sfDir)
       queries.LlmOps.stagedUnigramPieces(spark, sfDir)
       queries.LlmOps.stagedWordpieceVocab(spark, sfDir)
       queries.Relational.stagedEventsByDay(spark, sfDir)

@@ -520,6 +520,34 @@ object Oracle {
                  max(CAST(l_suppkey AS BIGINT)) AS max_sk
           FROM lineitem""",
 
+    // CHECK-constraint twin: the violating batch (the %5==3 slice with
+    // negated quantities) was rejected atomically, so the final table is
+    // everything except that slice — an accepted bad row would flip
+    // sum_qty's sign contribution and break the hash loudly.
+    "q_layout_constraint" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue,
+                 ${dsum("l_quantity")} AS sum_qty
+          FROM lineitem
+          WHERE l_orderkey % 5 <> 3
+          GROUP BY 1 ORDER BY l_returnflag""",
+
+    // 2-D data-skipping twin: the Spark side plans the box from the
+    // two-column manifest and re-applies the predicate; the oracle is the
+    // plain box aggregate with the same integer-division bounds.
+    "q_layout_skipping" ->
+      s"""WITH b AS (SELECT max(l_partkey) // 4 AS a_lo,
+                            max(l_partkey) // 2 AS a_hi,
+                            max(l_suppkey) // 4 AS b_lo,
+                            max(l_suppkey) // 2 AS b_hi
+                     FROM lineitem)
+          SELECT l_returnflag, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem, b
+          WHERE l_partkey >= a_lo AND l_partkey <= a_hi
+            AND l_suppkey >= b_lo AND l_suppkey <= b_hi
+          GROUP BY 1 ORDER BY l_returnflag""",
+
     // Deletion-vector twin: same spanning read as q_layout_delete, but the
     // Spark side applies the delete at READ time from the positional
     // vectors — the hash match proves MOR ≡ the predicate semantics.

@@ -629,6 +629,57 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** TABLE CHECK CONSTRAINTS graded end-to-end (r17) — Delta's ALTER
+    * TABLE ADD CONSTRAINT CHECK semantics on the manifested layout
+    * (Layout.appendManifestedChecked): a violating append is rejected
+    * ATOMICALLY before any byte stages (fixture-certified: exception
+    * thrown, snapshot version unmoved, zero orphans), a clean append
+    * commits normally. The graded read plans the full span; the hash
+    * match against the oracle (the rejected batch's predicate excluded)
+    * proves the quality gate held at the storage boundary — no negated
+    * quantity ever entered the table. Validation cost is one map-side-
+    * combined aggregate over the BATCH, never the table. */
+  val qLayoutConstraint: Q = (s, dir) => {
+    val staged = stagedManifestConstraintLayout(s, dir)
+    val lo = lit("1900-01-01").cast("timestamp")
+    val hi = lit("2100-01-01").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, staged, lo, hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TWO-DIMENSIONAL DATA SKIPPING graded end-to-end (r17) — the read-side
+    * payoff of Hilbert clustering (Layout.writeManifested2D /
+    * manifestPrunedRead2D): the layout is hilbert-clustered on
+    * (l_partkey, l_suppkey) and its manifest records BOTH columns'
+    * per-file envelopes, so a 2-D box predicate prunes files in both
+    * dimensions at planning time — the query shape a single-column sort
+    * can never skip for. The graded read plans a box covering ~1/16 of
+    * each key domain, re-applies the predicate, and aggregates; the
+    * oracle is the plain box aggregate. LayoutSkewSpec pins the pruning
+    * itself: strict file subset, soundness (skipped files hold zero
+    * in-box rows), and fewer files opened than the z-order twin across a
+    * box sweep. */
+  val qLayoutSkipping: Q = (s, dir) => {
+    val staged = staged2DManifestLayout(s, dir)
+    val bounds = Tables.lineitem(s, dir)
+      .agg(max(col("l_partkey")).as("pk_max"),
+        max(col("l_suppkey")).as("sk_max")).head()
+    val (pkHi, skHi) = (bounds.getLong(0), bounds.getLong(1))
+    // A deterministic interior box: [1/4, 1/2) of each key domain.
+    val (aLo, aHi) = (pkHi / 4, pkHi / 2)
+    val (bLo, bHi) = (skHi / 4, skHi / 2)
+    graft.sources.Layout.manifestPrunedRead2D(s, staged,
+        lit(aLo), lit(aHi), lit(bLo), lit(bHi))
+      .filter(col("l_partkey") >= aLo && col("l_partkey") <= aHi &&
+              col("l_suppkey") >= bLo && col("l_suppkey") <= bHi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** COLUMN-MAPPING SCHEMA EVOLUTION graded end-to-end (r17) — RENAME
     * COLUMN as a metadata-only commit (Layout.renameColumn / mappedRead,
     * the Delta/Iceberg column-mapping shape): l_extendedprice became
@@ -3470,6 +3521,8 @@ object Relational {
     "q_layout_cbo" -> qLayoutCbo,
     "q_layout_rename" -> qLayoutRename,
     "q_layout_dv" -> qLayoutDv,
+    "q_layout_constraint" -> qLayoutConstraint,
+    "q_layout_skipping" -> qLayoutSkipping,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,
@@ -3831,6 +3884,51 @@ object Relational {
           s"file(s), $positions positions vs $expected matching rows — " +
           "the delete rewrote data or missed/over-deleted positions")
       ()
+    }
+
+  /** The constraint-guarded layout q_layout_constraint plans from (r17):
+    * base = lineitem slices %5 ∉ {3,4} at v0; a VIOLATING append (the
+    * %5==3 slice with quantity negated) must be REJECTED atomically —
+    * certificate: ConstraintViolationException thrown, snapshot version
+    * unmoved, zero orphan bytes staged — then the clean %5==4 slice
+    * commits normally. Final table = everything except the rejected
+    * batch, provable by the oracle's predicate. */
+  def stagedManifestConstraintLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-constraint", dir, "v1") { d =>
+      import graft.sources.Layout
+      val li = Tables.lineitem(s, dir)
+      val check = col("l_quantity") > 0
+      Layout.writeManifested(
+        li.filter(!(col("l_orderkey") % 5).isin(3, 4)), d, "l_shipdate", 12)
+      val preVer = Layout.manifestVersion(s, d)
+      val rejected =
+        try {
+          Layout.appendManifestedChecked(
+            li.filter(col("l_orderkey") % 5 === 3)
+              .withColumn("l_quantity", -col("l_quantity")),
+            d, "l_shipdate", 4, check, "l_quantity > 0")
+          false
+        } catch { case _: Layout.ConstraintViolationException => true }
+      val orphans = Layout.vacuumManifested(s, d)
+      if (!rejected || Layout.manifestVersion(s, d) != preVer || orphans != 0)
+        sys.error(s"constraint certificate failed: rejected=$rejected, " +
+          s"version ${Layout.manifestVersion(s, d)} vs $preVer, " +
+          s"$orphans orphan(s) — the violating batch was not rejected " +
+          "atomically")
+      Layout.appendManifestedChecked(
+        li.filter(col("l_orderkey") % 5 === 4),
+        d, "l_shipdate", 4, check, "l_quantity > 0")
+      ()
+    }
+
+  /** The 2-D-manifested hilbert-clustered layout q_layout_skipping plans
+    * from (r17), staged once per lineitem snapshot. */
+  def staged2DManifestLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-2d", dir, "v1") { d =>
+      graft.sources.Layout.writeManifested2D(
+        Tables.lineitem(s, dir), d, "l_partkey", "l_suppkey", numFiles = 16)
     }
 
   /** The day-partitioned events layout q_agg_incremental refreshes over,

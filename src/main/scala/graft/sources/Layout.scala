@@ -772,6 +772,86 @@ object Layout {
       .drop("__file", "__pos")
   }
 
+  /** Thrown when an append violates a table CHECK constraint — the whole
+    * batch is rejected atomically (Delta CHECK-constraint semantics):
+    * nothing is staged, nothing commits, the snapshot version does not
+    * move. */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
+  /** [[appendManifested]] guarded by a table CHECK CONSTRAINT (r17 —
+    * Delta `ALTER TABLE ADD CONSTRAINT CHECK` / the expectations every
+    * managed ingest runs): the batch is validated BEFORE any byte is
+    * staged — one aggregate counting violations (at 100 TB this is a
+    * map-side-combined count over the batch, not the table) — and a
+    * violating batch throws [[ConstraintViolationException]] with a
+    * sample of offending rows, leaving the layout bit-untouched. The
+    * constraint belongs to the TABLE (quality gates live at the storage
+    * boundary, not in each producer's code); q_layout_constraint's
+    * fixture certifies rejected-batch atomicity from outside. */
+  def appendManifestedChecked(df: DataFrame, path: String, statsCol: String,
+                              numFiles: Int, check: Column,
+                              checkDesc: String): Int = {
+    val bad = df.filter(!check || check.isNull)
+    val n = bad.limit(4).collect()
+    if (n.nonEmpty)
+      throw new ConstraintViolationException(
+        s"append rejected: CHECK ($checkDesc) violated by at least " +
+        s"${n.length} row(s), e.g. ${n.head} — batch not committed")
+    appendManifested(df, path, statsCol, numFiles)
+  }
+
+  /** Write `df` HILBERT-CLUSTERED on two columns with a TWO-DIMENSIONAL
+    * stats manifest (r17): per data file, the [min, max] envelope of BOTH
+    * `colA` and `colB` — the read-side payoff of [[hilbert16]]: because
+    * equal-size Hilbert runs have bounded 2-D boxes, a 2-D box predicate
+    * prunes files in BOTH dimensions at planning time
+    * ([[manifestPrunedRead2D]]), where a single-column sort only ever
+    * tightens one. The manifest is the same O(files) driver-side planning
+    * table as [[writeManifested]]'s. */
+  def writeManifested2D(df: DataFrame, path: String,
+                        colA: String, colB: String, numFiles: Int): Unit = {
+    val spark = df.sparkSession
+    val bounds = df.agg(
+      min(col(colA)).as("a_min"), max(col(colA)).as("a_max"),
+      min(col(colB)).as("b_min"), max(col(colB)).as("b_max"))
+    val scaled = df.crossJoin(broadcast(bounds))
+      .withColumn("__ha", (col(colA) - col("a_min")).cast("long") * 65535L /
+        greatest(col("a_max") - col("a_min"), lit(1)).cast("long"))
+      .withColumn("__hb", (col(colB) - col("b_min")).cast("long") * 65535L /
+        greatest(col("b_max") - col("b_min"), lit(1)).cast("long"))
+      .withColumn("__h", hilbert16(col("__ha"), col("__hb")))
+      .drop("__ha", "__hb", "a_min", "a_max", "b_min", "b_max")
+    scaled
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/data")
+    spark.read.parquet(s"$path/data")
+      .select(col(colA), col(colB))
+      .groupBy(input_file_name().as("file_path"))
+      .agg(min(col(colA)).as("min_a"), max(col(colA)).as("max_a"),
+        min(col(colB)).as("min_b"), max(col(colB)).as("max_b"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest2d")
+  }
+
+  /** Plan a 2-D box scan from [[writeManifested2D]]'s manifest: keep only
+    * files whose (a, b) envelope intersects BOTH ranges; callers re-apply
+    * the predicate (boundary files hold out-of-box rows). Returns the
+    * pruned frame; the planning decision is one O(files) driver read. */
+  def manifestPrunedRead2D(spark: SparkSession, path: String,
+                           loA: Column, hiA: Column,
+                           loB: Column, hiB: Column): DataFrame = {
+    val hits = spark.read.parquet(s"$path/manifest2d")
+      .filter(col("max_a") >= loA && col("min_a") <= hiA &&
+              col("max_b") >= loB && col("min_b") <= hiB)
+      .select(col("file_path")).collect().map(_.getString(0))
+    if (hits.isEmpty) spark.read.parquet(s"$path/data").limit(0)
+    else spark.read.parquet(hits.toIndexedSeq: _*)
+  }
+
   /** COLUMN RENAME as a METADATA-ONLY commit (r17) — the Delta/Iceberg
     * column-mapping story: data files keep their write-time PHYSICAL
     * column names forever (zero bytes rewritten — at 100 TB a rename that

@@ -358,6 +358,56 @@ class LayoutSkewSpec extends AnyFunSuite {
     assert(hSk <= 0.6 * bSk, s"sk envelope not tightened: h=$hSk base=$bSk")
   }
 
+  test("2-D skipping: box scan opens a strict sound subset; hilbert opens no more files than z-order over a box sweep") {
+    val d = queries.Relational.staged2DManifestLayout(spark, Sf0001)
+    val li = Tables.lineitem(spark, Sf0001)
+    val bounds = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+    val (pkMax, skMax) = (bounds.getLong(0), bounds.getLong(1))
+    val total = spark.read.parquet(s"$d/data").inputFiles.length
+    // Strict subset + soundness on the graded box.
+    val (aLo, aHi) = (pkMax / 4, pkMax / 2)
+    val (bLo, bHi) = (skMax / 4, skMax / 2)
+    val pruned = Layout.manifestPrunedRead2D(spark, d,
+      lit(aLo), lit(aHi), lit(bLo), lit(bHi))
+    assert(pruned.inputFiles.length > 0 && pruned.inputFiles.length < total,
+      s"no 2-D skipping: ${pruned.inputFiles.length} of $total files")
+    val skipped = spark.read.parquet(s"$d/data").inputFiles
+      .filterNot(pruned.inputFiles.toSet)
+    val leaked = spark.read.parquet(skipped.toIndexedSeq: _*)
+      .filter(col("l_partkey") >= aLo && col("l_partkey") <= aHi &&
+              col("l_suppkey") >= bLo && col("l_suppkey") <= bHi).count()
+    assert(leaked == 0L, s"$leaked in-box rows in skipped files")
+    // Hilbert vs z-order: same data, same file count, morton clustering
+    // with the same 2-D manifest; across a sweep of quarter-domain boxes
+    // the hilbert layout must open no more files in total (its bounded
+    // run envelopes are the whole reason it exists).
+    val zd = Tables.stageDir(spark, "spec-2d-zorder", Sf0001)
+    Tables.deleteRecursively(zd)
+    val scaled = li
+      .withColumn("__ha", expr(s"(l_partkey * 65535) div greatest($pkMax, 1)"))
+      .withColumn("__hb", expr(s"(l_suppkey * 65535) div greatest($skMax, 1)"))
+    Layout.zorderWrite(
+      scaled.drop("__z"), s"$zd/data",
+      Layout.morton16(col("__ha"), col("__hb")), 16)
+    spark.read.parquet(s"$zd/data")
+      .groupBy(input_file_name().as("file_path"))
+      .agg(min(col("l_partkey")).as("min_a"), max(col("l_partkey")).as("max_a"),
+        min(col("l_suppkey")).as("min_b"), max(col("l_suppkey")).as("max_b"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$zd/manifest2d")
+    def opened(root: String, box: (Long, Long, Long, Long)): Int =
+      Layout.manifestPrunedRead2D(spark, root,
+        lit(box._1), lit(box._2), lit(box._3), lit(box._4))
+        .inputFiles.length
+    val boxes = for (i <- 0 to 2; j <- 0 to 2) yield (
+      pkMax * i / 4, pkMax * (i + 1) / 4, skMax * j / 4, skMax * (j + 1) / 4)
+    val h = boxes.map(opened(d, _)).sum
+    val z = boxes.map(opened(zd, _)).sum
+    info(s"box sweep: hilbert opened $h files, z-order $z, total $total per layout")
+    assert(h <= z, s"hilbert opened MORE files than z-order: $h vs $z")
+    assert(h < boxes.size * total, "no pruning at all across the sweep")
+  }
+
   test("bucketed layout: co-located join runs with zero join-side exchanges; plain twin shuffles both") {
     // AQE-final shuffle count (reused and broadcast exchanges don't count).
     def shuffles(df: org.apache.spark.sql.DataFrame): Int = PlanCheck.shufflesOf(df)

@@ -579,6 +579,56 @@ class ManifestSpec extends AnyFunSuite {
     assert(got == want, "raced deletes diverged from the serial execution")
   }
 
+  test("property: three racing writers, random ranges/order — every outcome equals the serial union of deletes") {
+    val li = Tables.lineitem(spark, Sf0001)
+    def ts(m: Int) = lit(f"${1995 + m / 12}%04d-${m % 12 + 1}%02d-01")
+      .cast("timestamp")
+    val agg = (x: org.apache.spark.sql.DataFrame) =>
+      x.agg(count(lit(1)), graft.functions.Det.dsum(col("l_extendedprice"))).head()
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val d = sys.props("java.io.tmpdir") + s"/graft-manifest-occ3-$seed"
+      Tables.deleteRecursively(d)
+      Layout.writeManifested(li, d, "l_shipdate", 8)
+      // Three writers plan against the SAME v0 snapshot with random
+      // month ranges (overlaps and containments arise naturally), then
+      // commit in random order under the production rule: validated
+      // commit, and on a read-set conflict re-plan the whole delete.
+      val ranges = Seq.fill(3) {
+        val lo = rnd.nextInt(60)
+        (lo, lo + 1 + rnd.nextInt(8))
+      }
+      val staged = ranges.map { case (lo, hi) =>
+        ((lo, hi), Layout.stageDelete(spark, d, "l_shipdate",
+          ts(lo), ts(hi), 2))
+      }
+      var conflicts = 0
+      for (((lo, hi), p) <- rnd.shuffle(staged)) {
+        try p.foreach(Layout.commitStaged(spark, d, _))
+        catch {
+          case _: Layout.CommitConflictException =>
+            conflicts += 1
+            Layout.deleteManifestedSerializable(spark, d, "l_shipdate",
+              ts(lo), ts(hi), 2)
+        }
+      }
+      // Serial equivalence: whatever the interleaving, the final table is
+      // the source minus the UNION of all three ranges...
+      val pred = ranges.map { case (lo, hi) =>
+        col("l_shipdate") >= ts(lo) && col("l_shipdate") < ts(hi)
+      }.reduce(_ || _)
+      val got = agg(Layout.manifestPrunedRead(spark, d,
+        lit("1900-01-01").cast("timestamp"), lit("2100-01-01").cast("timestamp")))
+      assert(got == agg(li.filter(!pred)),
+        s"seed $seed (ranges $ranges, $conflicts conflict(s)): " +
+        "raced deletes diverged from the serial union")
+      // ...and conflicted losers left no half-staged bytes behind.
+      assert(Layout.vacuumManifested(spark, d) == 0,
+        s"seed $seed: conflicted loser leaked staged adds")
+      Tables.deleteRecursively(d)
+    }
+  }
+
   test("conflict validation: disjoint racing deletes both commit — loser validates and retries blind") {
     val d = sys.props("java.io.tmpdir") + "/graft-manifest-disjoint-spec"
     Tables.deleteRecursively(d)

@@ -74,6 +74,8 @@ object Bench {
       queries.Relational.stagedManifestDvLayout(spark, sfDir)
       queries.Relational.stagedManifestConstraintLayout(spark, sfDir)
       queries.Relational.staged2DManifestLayout(spark, sfDir)
+      queries.Relational.stagedBloomLayout(spark, sfDir)
+      queries.Relational.stagedWapLayout(spark, sfDir)
       queries.LlmOps.stagedUnigramPieces(spark, sfDir)
       queries.LlmOps.stagedWordpieceVocab(spark, sfDir)
       queries.Relational.stagedEventsByDay(spark, sfDir)

@@ -548,6 +548,32 @@ object Oracle {
             AND l_suppkey >= b_lo AND l_suppkey <= b_hi
           GROUP BY 1 ORDER BY l_returnflag""",
 
+    // Bloom-index twin: the probe keys are data-derived the same way on
+    // both sides (min, max, largest key <= domain midpoint; the absent
+    // max+1 probe matches nothing in either engine), so the plain IN
+    // aggregate proves the bloom pruning never dropped a probe row.
+    "q_layout_bloom_index" ->
+      s"""WITH b AS (SELECT min(l_orderkey) AS k_min, max(l_orderkey) AS k_max
+                     FROM lineitem),
+              m AS (SELECT max(l_orderkey) AS k_mid
+                    FROM lineitem, b
+                    WHERE l_orderkey <= (k_min + k_max) // 2)
+          SELECT l_orderkey, count(*) AS n,
+                 ${dsum("l_quantity")} AS sum_qty,
+                 ${dsum("l_extendedprice")} AS revenue
+          FROM lineitem, b, m
+          WHERE l_orderkey IN (k_min, k_mid, k_max)
+          GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    // Write-audit-publish twin: the published table must be EXACTLY base
+    // ∪ the good batch = full lineitem — a torn publish (missing batch
+    // rows) or a leaked bad batch (negated quantities) flips the hash.
+    "q_layout_wap" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+                 ${dsum("l_extendedprice")} AS revenue,
+                 ${dsum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+
     // Deletion-vector twin: same spanning read as q_layout_delete, but the
     // Spark side applies the delete at READ time from the positional
     // vectors — the hash match proves MOR ≡ the predicate semantics.
@@ -727,6 +753,23 @@ object Oracle {
                 CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
          FROM s GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
+
+    // Sequence-mining twin: the same 30-minute session boundary as
+    // q_sessionize_gap, pairs via one lag window, top-20 under the
+    // (count DESC, pair ASC) total order.
+    "q_events_sequence" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+              g AS (SELECT event_type,
+                           lag(us) OVER w AS prev_us,
+                           lag(event_type) OVER w AS prev_type,
+                           us
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+         SELECT prev_type, event_type AS next_type, count(*) AS n
+         FROM g
+         WHERE prev_us IS NOT NULL AND us - prev_us <= 1800000000
+         GROUP BY 1, 2
+         ORDER BY n DESC, prev_type, next_type LIMIT 20""",
 
     "q_pivot_events" ->
       """SELECT user_id,
@@ -1491,6 +1534,20 @@ object Oracle {
                 p_us - first_view_us AS latency_us
          FROM p ORDER BY user_id""",
 
+    // Mode twin: the tie rule (most frequent, SMALLEST quantity on ties)
+    // is spelled as count + rank in both engines — neither side's native
+    // mode() is used, because its tie choice is unspecified.
+    "q_agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty,
+                           count(*) AS n_mode
+                    FROM lineitem GROUP BY 1, 2),
+              r AS (SELECT *, row_number() OVER
+                      (PARTITION BY l_returnflag
+                       ORDER BY n_mode DESC, mode_qty) AS rn
+                    FROM c)
+         SELECT l_returnflag, mode_qty, n_mode
+         FROM r WHERE rn = 1 ORDER BY l_returnflag""",
+
     // Higher moments twin: exact integer power sums (quantity is
     // integral; DuckDB's sum(BIGINT) widens to HUGEINT), then the SAME
     // left-associated IEEE double epilogue as the Spark side.
@@ -2166,6 +2223,32 @@ object Oracle {
                    ${dsum("-(y * ln(p) + (1.0 - y) * ln(1.0 - p))", 6)} AS loss
             FROM p""",
 
+      // Hinge-subgradient twin: the margin is the SAME fixed-order double
+      // expression in both engines (so the < 1 violator branch can never
+      // disagree), and every sum runs the dsum decimal path. Weights come
+      // from the shared MlSuffStats.svmW0 literal.
+      "q_ml_svm_step" -> {
+        val w = graft.queries.MlSuffStats.svmW0
+        val z = (0 until 4).map(i => s"x$i * (${w(i)})").mkString(" + ")
+        s"""WITH t AS (
+              SELECT CASE WHEN label % 2 = 1 THEN CAST(1.0 AS DOUBLE)
+                          ELSE CAST(-1.0 AS DOUBLE) END AS y,
+                     CAST(embedding[1] AS DOUBLE) AS x0,
+                     CAST(embedding[2] AS DOUBLE) AS x1,
+                     CAST(embedding[3] AS DOUBLE) AS x2,
+                     CAST(embedding[4] AS DOUBLE) AS x3
+              FROM embeddings),
+                 m AS (SELECT y, x0, x1, x2, x3, y * ($z) AS margin FROM t)
+            SELECT count(*) AS n,
+                   CAST(sum(CASE WHEN margin < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+                   ${dsum("CASE WHEN margin < 1.0 THEN -y * x0 ELSE CAST(0.0 AS DOUBLE) END", 6)} AS g0,
+                   ${dsum("CASE WHEN margin < 1.0 THEN -y * x1 ELSE CAST(0.0 AS DOUBLE) END", 6)} AS g1,
+                   ${dsum("CASE WHEN margin < 1.0 THEN -y * x2 ELSE CAST(0.0 AS DOUBLE) END", 6)} AS g2,
+                   ${dsum("CASE WHEN margin < 1.0 THEN -y * x3 ELSE CAST(0.0 AS DOUBLE) END", 6)} AS g3,
+                   ${dsum("greatest(CAST(0.0 AS DOUBLE), 1.0 - margin)", 6)} AS hinge_loss
+            FROM m"""
+      },
+
       // Unrolled twin of the Spark-side driver loop, generated from the SAME
       // iteration count / lr / starting weights (MlSuffStats.logreg*).
       // Every gradient goes through the dsum decimal path (6 dp) and every
@@ -2774,6 +2857,42 @@ object Oracle {
     // Twin of TextOps.qualityScore: same double arithmetic in the same
     // (left-associative) order, regexp_replace needs the explicit 'g' flag
     // (DuckDB replaces first match only by default; Spark replaces all).
+    // Gopher-rules twin: every rule value recomputed through the same
+    // char-based split/replace/len arithmetic; the verdict compares the
+    // ROUNDED columns in both engines, so a threshold can never straddle
+    // a representation difference.
+    "q_text_gopher" ->
+      """WITH f AS (
+           SELECT doc_id, lang, text,
+                  string_split(text, ' ') AS toks,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+              g AS (
+           SELECT doc_id, lang,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+                  round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                         + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+                        / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+                  round(CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE)
+                        / CAST(len(lines) AS DOUBLE), 6) AS frac_bullet,
+                  round(CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+                        / CAST(len(lines) AS DOUBLE), 6) AS frac_ellipsis,
+                  round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE), 6) AS frac_alpha,
+                  CAST(len(list_filter(toks, t -> list_contains(
+                    ['the', 'a', 'an', 'and', 'or', 'of', 'in', 'to', 'is'], t))) AS BIGINT) AS n_stop
+           FROM f)
+         SELECT doc_id, lang, n_words, mean_word_len, symbol_ratio,
+                frac_bullet, frac_ellipsis, frac_alpha, n_stop,
+                CAST(n_words BETWEEN 50 AND 100000
+                     AND mean_word_len BETWEEN 3.0 AND 10.0
+                     AND symbol_ratio < 0.1
+                     AND frac_bullet < 0.9 AND frac_ellipsis < 0.3
+                     AND frac_alpha >= 0.8 AND n_stop >= 2 AS BIGINT) AS gopher_pass
+         FROM g ORDER BY doc_id""",
+
     "q_text_quality" ->
       """WITH f AS (
            SELECT doc_id, lang,

@@ -178,6 +178,42 @@ object MlSuffStats {
           (lit(1.0) - col("y")) * log(lit(1.0) - col("p"))), 6).as("loss"))
   }
 
+  /** Shared by the Spark side and the oracle generator (q_ml_svm_step).
+    * Magnitudes chosen so the margin actually straddles the hinge point
+    * on this corpus (~2/3 violators at every SF) — with small weights
+    * every row violates and the subgradient branch grades a constant. */
+  val svmW0: Seq[Double] = Seq(8.0, -12.0, 6.0, 9.0)
+
+  /** One FULL-BATCH linear-SVM subgradient step (r17) [pub: Shalev-Shwartz
+    * et al. 2011, Pegasos — the batch form] — the max-margin member of
+    * the reference's per-algorithm sufficient-statistics family (logistic
+    * ✓, linear ✓, ridge ✓, trees ✓ — hinge loss completes the classic
+    * linear-classifier trio): margin = y·(w₀·x) under fixed weights,
+    * violators (margin < 1) contribute −y·x to the subgradient, plus the
+    * violator count, support fraction denominator (n), and total hinge
+    * loss. ONE map-side-combined aggregation over the corpus — the exact
+    * shape the reference runs as a map/combine/reduce job per epoch; the
+    * weight update w ← (1−ηλ)w − η·g/n is O(d) driver arithmetic.
+    * Determinism: the margin is a fixed-order double expression (both
+    * engines evaluate the identical tree, so the < 1 branch never
+    * disagrees) and every sum runs dsum's exact-decimal path. */
+  val qMlSvmStep: Q = (s, dir) => {
+    val x = (0 until 4).map(i => col("embedding")(i).cast("double"))
+    val y = when(col("label") % 2 === 1, lit(1.0)).otherwise(lit(-1.0))
+    Tables.embeddings(s, dir)
+      .select(y.as("y") +: (0 until 4).map(i => x(i).as(s"x$i")): _*)
+      .withColumn("margin",
+        col("y") * (0 until 4).map(i => col(s"x$i") * lit(svmW0(i))).reduce(_ + _))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("margin") < 1.0, 1L).otherwise(0L)).as("n_viol"),
+        dsum(when(col("margin") < 1.0, -col("y") * col("x0")).otherwise(lit(0.0)), 6).as("g0"),
+        dsum(when(col("margin") < 1.0, -col("y") * col("x1")).otherwise(lit(0.0)), 6).as("g1"),
+        dsum(when(col("margin") < 1.0, -col("y") * col("x2")).otherwise(lit(0.0)), 6).as("g2"),
+        dsum(when(col("margin") < 1.0, -col("y") * col("x3")).otherwise(lit(0.0)), 6).as("g3"),
+        dsum(greatest(lit(0.0), lit(1.0) - col("margin")), 6).as("hinge_loss"))
+  }
+
   /** Shared by the Spark side and the oracle generator so the two unrolled
     * iteration chains can never drift apart. */
   val logregIters = 4
@@ -1012,6 +1048,7 @@ object MlSuffStats {
     "q_ml_kmeans_step" -> qMlKmeansStep,
     "q_ml_gda_stats" -> qMlGdaStats,
     "q_ml_logreg_step" -> qMlLogregStep,
+    "q_ml_svm_step" -> qMlSvmStep,
     "q_ml_logreg_converged" -> qMlLogregConverged,
     "q_ml_gmm_converged" -> qMlGmmConverged,
     "q_ml_kmeans_converged" -> qMlKmeansConverged,

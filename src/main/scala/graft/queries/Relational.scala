@@ -680,6 +680,71 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** PER-FILE BLOOM-FILTER INDEX graded end-to-end (r17) — the Delta
+    * `bloomFilterIndex` shape (Layout.buildBloomIndex / bloomPrunedRead):
+    * the layout is clustered by l_shipdate, so every file's l_orderkey
+    * min/max envelope spans nearly the whole key domain — range skipping
+    * is useless for point lookups on the high-cardinality key. The bloom
+    * sidecar (2048 words × 4 hashes per file, built in ONE map-side-
+    * combined aggregation) prunes at PLANNING time instead: a key's 4
+    * probe bits are checked against each file's words, and only files
+    * that might contain a probe are read. Probes are data-derived
+    * deterministically (min key, max key, the largest key ≤ the domain
+    * midpoint, plus max+1 — a guaranteed-absent key exercising the
+    * negative path). The graded read re-applies the IN predicate on the
+    * kept files (false positives are the index's contract, not the
+    * reader's risk); the hash match against the plain-IN oracle proves
+    * pruning never dropped a probe row. R17OpsSpec pins the pruning
+    * itself: strict file subset kept, and every skipped file holds ZERO
+    * probe rows. At 100 TB this is the needle-in-haystack lookup path:
+    * O(files) driver-side bit checks instead of a full-key-domain scan. */
+  val qLayoutBloomIndex: Q = (s, dir) => {
+    val staged = stagedBloomLayout(s, dir)
+    val b = Tables.lineitem(s, dir)
+      .agg(min(col("l_orderkey")).as("k_min"), max(col("l_orderkey")).as("k_max"))
+      .head()
+    val (kMin, kMax) = (b.getLong(0), b.getLong(1))
+    val kMid = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= (kMin + kMax) / 2)
+      .agg(max(col("l_orderkey"))).head().getLong(0)
+    val present = Seq(kMin, kMid, kMax).distinct
+    val probes = present :+ (kMax + 1) // absent key: the negative path
+    graft.sources.Layout.bloomPrunedRead(s, staged, probes)
+      .filter(col("l_orderkey").isin(probes: _*))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_orderkey")
+  }
+
+  /** WRITE-AUDIT-PUBLISH graded end-to-end (r17) — Iceberg's WAP pattern
+    * (Layout.wapStage / wapRefRead / wapBranchRead / wapPublish /
+    * wapAbort): a batch lands on a BRANCH (data files staged, the commit
+    * part parked under refs/ — durable and queryable, invisible to every
+    * main read), an AUDIT gates it, and only then does PUBLISH move the
+    * parked part through the same OCC version rename as any commit —
+    * atomic visibility, zero data bytes moved. The staged fixture runs
+    * the full drama: a BAD batch (negated quantities) stages, fails its
+    * audit on the O(batch) ref read, and ABORTS — certified: version
+    * unmoved, zero orphans after cleanup, main row count unchanged; then
+    * the GOOD batch stages, is certified invisible on main while fully
+    * visible on the branch, passes audit, and publishes at exactly
+    * version+1. The graded read plans the full span from the final
+    * manifest; its hash match against the whole-table oracle proves the
+    * published table is exactly base ∪ good batch — the bad batch never
+    * leaked, the good one never tore. At 100 TB this is how ingest ships
+    * without serving half-audited data. */
+  val qLayoutWap: Q = (s, dir) => {
+    val staged = stagedWapLayout(s, dir)
+    val lo = lit("1900-01-01").cast("timestamp")
+    val hi = lit("2100-01-01").cast("timestamp")
+    graft.sources.Layout.manifestPrunedRead(s, staged, lo, hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** COLUMN-MAPPING SCHEMA EVOLUTION graded end-to-end (r17) — RENAME
     * COLUMN as a metadata-only commit (Layout.renameColumn / mappedRead,
     * the Delta/Iceberg column-mapping shape): l_extendedprice became
@@ -1412,6 +1477,31 @@ object Relational {
         (max(col("us")) - min(col("us"))).as("duration_us"),
         countDistinct(col("event_type")).as("n_types"))
       .orderBy("user_id", "session_idx")
+  }
+
+  /** EVENT-SEQUENCE MINING (r17) — the top-20 within-session event-type
+    * BIGRAMS (the path-analysis staple: "what do users do next?"):
+    * sessions cut at the family's 30-minute gap (q_sessionize_gap's exact
+    * boundary arithmetic), consecutive same-session events paired via one
+    * lag window, pairs counted globally. The per-user window is the only
+    * sort (events per user are bounded); the pair aggregation is
+    * map-side-combined over a ≤ |event_types|² key space, and the top-20
+    * is TakeOrderedAndProject — no global sort anywhere. Deterministic
+    * total order: count DESC, then the pair lexicographically. */
+  val qEventsSequence: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val GapUs = 30L * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_us").isNotNull && col("us") - col("prev_us") <= GapUs)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("prev_type"), col("next_type"))
+      .limit(20)
   }
 
   /** UNPIVOT (wide → long): lineitem's three measure columns melted into
@@ -2714,6 +2804,67 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** Synchronous weighted label propagation over symmetrized trade edges
+    * — factored out so [[qGraphLabelProp]] and R17OpsSpec's independent
+    * reference run the SAME graph and rounds. Deterministic by
+    * construction: all nodes update simultaneously from the previous
+    * round's labels (no visit order), ties break to the SMALLEST label.
+    * Exposed for the spec. */
+  private[graft] def labelPropagate(
+      edges: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var label = nodes.map(n => n -> n).toMap
+    val adj = edges.groupBy(_._1)
+    for (_ <- 1 to rounds) {
+      val prev = label
+      label = nodes.map { n =>
+        val votes = adj.getOrElse(n, Nil)
+          .groupBy(e => prev(e._2))
+          .map { case (l, es) => (l, es.map(_._3).sum) }
+        // Highest weighted vote; ties → smallest label. An isolated node
+        // keeps its own label.
+        val best =
+          if (votes.isEmpty) prev(n)
+          else votes.toSeq.minBy { case (l, wsum) => (-wsum, l) }._1
+        n -> best
+      }.toMap
+    }
+    label
+  }
+
+  /** LABEL PROPAGATION community detection (r17) [pub: Raghavan et al.
+    * 2007] — the near-linear community pass every entity-resolution /
+    * spam pipeline runs beside components (components = min-label closure
+    * over ANY connectivity; LPA = labels flow along the HEAVIEST
+    * neighborhoods, so weakly-bridged clusters keep distinct labels):
+    * SYNCHRONOUS weighted variant with min-label tie-breaking — the two
+    * choices that make the classically order-sensitive algorithm
+    * deterministic. Same bounded trade-edge entity graph and driver-solve
+    * shape as the rest of the graph family (ONE corpus-sized edge
+    * aggregation, then ≤625-edge iteration on the driver; unbounded
+    * graphs run the identical update as per-round groupBy-argmax with
+    * checkpoints — the Components loop's shape). 4 rounds, fixed. Output:
+    * each node's final community plus the community's size and weight
+    * mass. No oracle (iterated argmax has no tractable SQL form);
+    * R17OpsSpec re-runs an independently-written reference over the same
+    * edges and pins label equality, plus the definitional invariants
+    * (labels ⊆ node ids, round-0 identity). */
+  val qGraphLabelProp: Q = (s, dir) => {
+    val sym = tradeEdges(s, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("w"))
+      .union(tradeEdges(s, dir).filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val label = labelPropagate(sym, rounds = 4)
+    val sizes = label.values.groupBy(identity).map { case (l, ls) => (l, ls.size.toLong) }
+    s.createDataFrame(label.toSeq.sortBy(_._1)
+        .map { case (n, l) => (n, l, sizes(l)) })
+      .toDF("nationkey", "community", "community_size")
+      .orderBy("nationkey")
+  }
+
   /** PER-GROUP TOP-K (r16) — greatest-N-per-group (top-3 parts per brand
     * by revenue), the ranking-report staple and [[qAggArgmax]]'s N>1
     * sibling. The plan is the point: Spark rewrites
@@ -3400,6 +3551,26 @@ object Relational {
 
   val qEventsRfm: Q = rfmRouted()
 
+  /** MODE — the deterministic ordered-set aggregate (most frequent
+    * l_quantity per return flag, SMALLEST value on ties — the tie rule is
+    * the whole contract; an engine's native `mode()` picks arbitrarily,
+    * so both sides spell it as count + rank): one map-side-combined
+    * (flag, qty) aggregation, then a 3-partition window picks the winner.
+    * The first aggregation does the data-volume work; the window frame is
+    * #distinct-quantities per flag (≤50 rows) at any corpus size. */
+  val qAggMode: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n_mode").desc, col("mode_qty"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("mode_qty"))
+      .agg(count(lit(1)).as("n_mode"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("mode_qty"), col("n_mode"))
+      .orderBy("l_returnflag")
+  }
+
   // -------------------------------------------- sort / top-k / set ops
 
   /** Multi-key sort with explicit NULLS placement (Spark default is
@@ -3523,6 +3694,8 @@ object Relational {
     "q_layout_dv" -> qLayoutDv,
     "q_layout_constraint" -> qLayoutConstraint,
     "q_layout_skipping" -> qLayoutSkipping,
+    "q_layout_bloom_index" -> qLayoutBloomIndex,
+    "q_layout_wap" -> qLayoutWap,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,
@@ -3539,6 +3712,7 @@ object Relational {
     "q_funnel_latency" -> qFunnelLatency,
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_sessionize_gap" -> qSessionizeGap,
+    "q_events_sequence" -> qEventsSequence,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_fuzzy_match" -> qFuzzyMatch,
@@ -3585,6 +3759,7 @@ object Relational {
     "q_agg_bitmap" -> qAggBitmap,
     "q_graph_reachability" -> qGraphReachability,
     "q_graph_kcore" -> qGraphKcore,
+    "q_graph_label_prop" -> qGraphLabelProp,
     "q_agg_topk_group" -> qAggTopkGroup,
     "q_graph_sssp" -> qGraphSssp,
     "q_events_anomaly" -> qEventsAnomaly,
@@ -3598,6 +3773,7 @@ object Relational {
     "q_agg_weighted_median" -> qAggWeightedMedian,
     "q_stats_winsorize" -> qStatsWinsorize,
     "q_agg_moments" -> qAggMoments,
+    "q_agg_mode" -> qAggMode,
     "q_events_rfm" -> qEventsRfm,
     "q_sort_multi" -> qSortMulti,
     "q_topk" -> qTopk,
@@ -3929,6 +4105,93 @@ object Relational {
       "lineitem-manifest-2d", dir, "v1") { d =>
       graft.sources.Layout.writeManifested2D(
         Tables.lineitem(s, dir), d, "l_partkey", "l_suppkey", numFiles = 16)
+    }
+
+  /** The bloom-indexed layout q_layout_bloom_index plans from (r17): full
+    * lineitem clustered by l_shipdate at v0 (so orderkey min/max envelopes
+    * are useless), then the per-file bloom sidecar over l_orderkey built
+    * in one pass. Certificate: the sidecar covers every live file and no
+    * file exceeds the 2048-word geometry. */
+  def stagedBloomLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-bloom", dir, "v1") { d =>
+      import graft.sources.Layout
+      Layout.writeManifested(Tables.lineitem(s, dir), d, "l_shipdate",
+        numFiles = 12)
+      Layout.buildBloomIndex(s, d, "l_orderkey")
+      val idx = s.read.parquet(s"$d/bloomidx")
+        .groupBy(col("file_path")).agg(count(lit(1)).as("n_words"),
+          max(col("word_idx")).as("max_widx"))
+      val liveFiles = s.read.parquet(s"$d/manifest")
+        .filter(col("op") === "add").count()
+      val covered = idx.count()
+      val maxWidx = idx.agg(max(col("max_widx"))).head().getLong(0)
+      if (covered != liveFiles || maxWidx >= Layout.BloomWords)
+        sys.error(s"bloom certificate failed: $covered of $liveFiles files " +
+          s"covered, max word_idx $maxWidx vs geometry ${Layout.BloomWords} — " +
+          "the sidecar is incomplete or out of bounds")
+      ()
+    }
+
+  /** The write-audit-published layout q_layout_wap plans from (r17): base
+    * = lineitem %3 ≠ 2 at v0; a BAD batch (the %3==2 slice, quantities
+    * negated) stages on branch wap-bad, fails audit, aborts — certified:
+    * version unmoved, zero orphans, main rows unchanged; the GOOD %3==2
+    * slice stages on wap-good — certified invisible on main, visible on
+    * the branch — passes audit, publishes at exactly version+1, and the
+    * refs dir is empty after. Final table = full lineitem. */
+  def stagedWapLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/lineitem.parquet",
+      "lineitem-manifest-wap", dir, "v1") { d =>
+      import graft.sources.Layout
+      val li = Tables.lineitem(s, dir)
+      val lo = lit("1900-01-01").cast("timestamp")
+      val hi = lit("2100-01-01").cast("timestamp")
+      def mainRows = Layout.manifestPrunedRead(s, d, lo, hi).count()
+      Layout.writeManifested(li.filter(col("l_orderkey") % 3 =!= 2), d,
+        "l_shipdate", numFiles = 12)
+      val preVer = Layout.manifestVersion(s, d)
+      val rows0 = mainRows
+      // BAD batch: stage → audit fails on the O(batch) ref read → abort.
+      Layout.wapStage(li.filter(col("l_orderkey") % 3 === 2)
+        .withColumn("l_quantity", -col("l_quantity")), d, "l_shipdate", 4,
+        "wap-bad")
+      val badMin = Layout.wapRefRead(s, d, "wap-bad")
+        .agg(min(col("l_quantity"))).head().getAs[Number](0).doubleValue()
+      if (badMin >= 0)
+        sys.error("wap certificate failed: the bad batch passed its audit")
+      val aborted = Layout.wapAbort(s, d, "wap-bad")
+      val orphans = Layout.vacuumManifested(s, d)
+      if (aborted < 1 || orphans != 0 ||
+          Layout.manifestVersion(s, d) != preVer || mainRows != rows0)
+        sys.error(s"wap certificate failed: abort removed $aborted file(s), " +
+          s"$orphans orphan(s) remained, version " +
+          s"${Layout.manifestVersion(s, d)} vs $preVer — the failed audit " +
+          "leaked state onto main")
+      // GOOD batch: stage → invisible on main, visible on branch → audit
+      // passes → publish atomically at version+1.
+      Layout.wapStage(li.filter(col("l_orderkey") % 3 === 2), d,
+        "l_shipdate", 4, "wap-good")
+      val branchRows = Layout.wapBranchRead(s, d, "wap-good").count()
+      val goodMin = Layout.wapRefRead(s, d, "wap-good")
+        .agg(min(col("l_quantity"))).head().getAs[Number](0).doubleValue()
+      val total = li.count()
+      if (mainRows != rows0 || branchRows != total || goodMin <= 0)
+        sys.error(s"wap certificate failed: main ${mainRows} vs $rows0 " +
+          s"(staged batch visible on main), branch $branchRows vs $total — " +
+          "branch isolation broken")
+      val pubVer = Layout.wapPublish(s, d, "wap-good")
+      val refsLeft = {
+        import org.apache.hadoop.fs.Path
+        val p = new Path(s"$d/refs")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.listStatus(p).length else 0
+      }
+      if (pubVer != preVer + 1 || mainRows != total || refsLeft != 0)
+        sys.error(s"wap certificate failed: published at v$pubVer " +
+          s"(expected ${preVer + 1}), main $mainRows vs $total, " +
+          s"$refsLeft ref(s) left — publish was not atomic or not complete")
+      ()
     }
 
   /** The day-partitioned events layout q_agg_incremental refreshes over,

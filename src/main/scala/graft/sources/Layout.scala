@@ -952,4 +952,181 @@ object Layout {
            |CLUSTERED BY ($keys) SORTED BY ($keys) INTO $numBuckets BUCKETS
            |LOCATION '$path'""".stripMargin)
     }
+
+  // ------------------------------------------ per-file BLOOM index (r17)
+
+  /** Bloom sidecar geometry: m = 131072 bits (2048 64-bit words) per file,
+    * k = 4 hash functions. At ~15k distinct keys per clustered file that
+    * is ~8.7 bits/key → ~2% false-positive rate; the sidecar stores only
+    * NONZERO words, so its size is min(set bits, 2048) rows per file —
+    * O(files), never O(rows). */
+  val BloomWords = 2048
+  val BloomHashes = 4
+
+  /** Bit position of hash `seed` for `key`: xxhash64 over (seed, key),
+    * folded into [0, m). The SAME expression computes index bits at build
+    * time (distributed, per row) and probe bits at query time (driver, one
+    * tiny literal frame) — there is no second hash implementation to
+    * drift. */
+  private def bloomBitpos(key: Column, seed: Int): Column =
+    pmod(xxhash64(lit(seed), key), lit(BloomWords.toLong * 64L))
+
+  /** Build a PER-FILE BLOOM FILTER INDEX over `keyCol` for every live file
+    * of a manifested layout — the Delta `bloomFilterIndex` shape: point
+    * lookups on a HIGH-CARDINALITY column that the clustering key's
+    * min/max envelopes cannot prune (a layout clustered by ship date has
+    * near-full orderkey ranges in every file; min/max skips nothing).
+    * One map-side-combined aggregation: each row contributes k (word,
+    * bit) pairs, `bit_or` folds them per (file, word) — shuffle volume is
+    * O(files × words), independent of row count. Files appended AFTER the
+    * build are simply absent from the sidecar and [[bloomPrunedRead]]
+    * reads them unconditionally — staleness degrades pruning, never
+    * correctness. Returns the sidecar row count. */
+  def buildBloomIndex(spark: SparkSession, path: String,
+                      keyCol: String): Long = {
+    val live = liveManifestRows(spark, path, Long.MaxValue)
+      .select(col("file_path")).collect().map(_.getString(0))
+    spark.read.parquet(live.toIndexedSeq: _*)
+      .select(input_file_name().as("file_path"), col(keyCol).as("k"))
+      .select(col("file_path"), explode(array(
+        (1 to BloomHashes).map(i => bloomBitpos(col("k"), i)): _*)).as("bitpos"))
+      .select(col("file_path"), expr("bitpos div 64").as("word_idx"),
+        expr("shiftleft(1L, cast(bitpos % 64 as int))").as("mask"))
+      .groupBy(col("file_path"), col("word_idx"))
+      .agg(expr("bit_or(mask)").as("word"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bloomidx")
+    spark.read.parquet(s"$path/bloomidx").count()
+  }
+
+  /** The k (word_idx, mask) probe pairs for each key, computed through the
+    * SAME column expressions as the build (one job over a literal frame —
+    * a parameter fetch, not a data collect). */
+  private def bloomProbeRows(spark: SparkSession, keys: Seq[Long])
+      : Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    keys.toDF("k")
+      .select(col("k"), explode(array(
+        (1 to BloomHashes).map(i => bloomBitpos(col("k"), i)): _*)).as("bitpos"))
+      .select(col("k"), expr("bitpos div 64").as("word_idx"),
+        expr("shiftleft(1L, cast(bitpos % 64 as int))").as("mask"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  /** Plan a point-lookup scan through the bloom sidecar: split the live
+    * file set into (kept, skipped). A file is SKIPPED only when it is
+    * covered by the index and EVERY probe key misses it (some probe bit
+    * unset across all k hashes) — uncovered files (post-build appends)
+    * are always kept, so pruning is sound by construction. Driver cost:
+    * one manifest read + one sidecar read filtered to the ≤ keys×k probed
+    * word indexes — O(files), the Delta/Iceberg planning shape. */
+  def bloomCandidateFiles(spark: SparkSession, path: String,
+                          keys: Seq[Long]): (Seq[String], Seq[String]) = {
+    val live = liveManifestRows(spark, path, Long.MaxValue)
+      .select(col("file_path")).collect().map(_.getString(0))
+    val probes = bloomProbeRows(spark, keys)
+    val widxs = probes.map(_._2).distinct
+    val idx = spark.read.parquet(s"$path/bloomidx")
+    val covered = idx.select(col("file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val words = idx.filter(col("word_idx").isin(widxs: _*))
+      .collect()
+      .map(r => (r.getAs[String]("file_path"), r.getAs[Long]("word_idx"))
+        -> r.getAs[Long]("word"))
+      .toMap
+    val byKey = probes.groupBy(_._1)
+    val (kept, skipped) = live.partition { f =>
+      !covered(f) || byKey.values.exists(_.forall { case (_, w, m) =>
+        (words.getOrElse((f, w), 0L) & m) == m })
+    }
+    (kept.toIndexedSeq, skipped.toIndexedSeq)
+  }
+
+  /** Read only the files the bloom index cannot rule out for `keys`.
+    * False positives mean a kept file may still hold no probe rows, so
+    * callers re-apply the key predicate (it lands in PushedFilters against
+    * only the kept files' row groups — the scan the index exists to
+    * shrink). */
+  def bloomPrunedRead(spark: SparkSession, path: String,
+                      keys: Seq[Long]): DataFrame = {
+    val (kept, _) = bloomCandidateFiles(spark, path, keys)
+    if (kept.isEmpty) spark.read.parquet(s"$path/data").limit(0)
+    else spark.read.parquet(kept: _*)
+  }
+
+  // --------------------------------------- WRITE-AUDIT-PUBLISH (r17)
+
+  /** WAP STAGE — the first leg of Iceberg's write-audit-publish pattern:
+    * the batch's data files are written and moved into `data/` exactly
+    * like an append (task-UUID names, invisible to every main-branch read
+    * — no manifest row exists yet), but the commit part that would make
+    * them visible is parked under `refs/<ref>` instead of the manifest.
+    * The branch is durable, auditable, and costs zero data movement to
+    * publish or abort. GC caveat (same as [[vacuumManifested]]'s): a
+    * vacuum pass sees staged branch files as orphans — production runs
+    * retention grace periods; the fixtures vacuum only quiesced states. */
+  def wapStage(df: DataFrame, path: String, statsCol: String,
+               numFiles: Int, ref: String): Int = {
+    val spark = df.sparkSession
+    val ver = manifestVersion(spark, path) + 1L
+    val (n, addRows, schema) = stageDataFiles(df, path, statsCol, numFiles, ver)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(addRows, 1), schema)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/refs/$ref")
+    n
+  }
+
+  /** The staged batch itself (the ref's add files) — the O(batch) audit
+    * surface: quality gates that only concern arriving rows read this,
+    * never the table. */
+  def wapRefRead(spark: SparkSession, path: String, ref: String): DataFrame = {
+    val files = spark.read.parquet(s"$path/refs/$ref")
+      .select(col("file_path")).collect().map(_.getString(0))
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
+
+  /** The BRANCH view: main's live files plus the ref's staged adds — what
+    * an audit that must see the batch IN CONTEXT (joins against existing
+    * data, cross-batch constraints) queries. Main-branch readers never see
+    * this; the staged files have no manifest row. */
+  def wapBranchRead(spark: SparkSession, path: String, ref: String): DataFrame = {
+    val live = liveManifestRows(spark, path, Long.MaxValue)
+      .select(col("file_path")).collect().map(_.getString(0))
+    val staged = spark.read.parquet(s"$path/refs/$ref")
+      .select(col("file_path")).collect().map(_.getString(0))
+    spark.read.parquet((live ++ staged).toIndexedSeq: _*)
+  }
+
+  /** WAP PUBLISH — the audited branch becomes the table ATOMICALLY: the
+    * parked commit rows go through the same OCC version rename as every
+    * other commit ([[commitManifest]] — re-stamped past any commits that
+    * landed since staging; an append's read set is empty, so blind retry
+    * is sound). One manifest part moves; zero data bytes. Returns the
+    * version that won. */
+  def wapPublish(spark: SparkSession, path: String, ref: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val refDf = spark.read.parquet(s"$path/refs/$ref")
+    val rows = refDf.collect().toIndexedSeq
+    val v = commitManifest(spark, path, rows, refDf.schema)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$path/refs/$ref"), true)
+    v
+  }
+
+  /** WAP ABORT — a failed audit unwinds completely: the staged data files
+    * are deleted along with the ref; main never saw a byte, the version
+    * never moved. Returns the number of data files removed. */
+  def wapAbort(spark: SparkSession, path: String, ref: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = spark.read.parquet(s"$path/refs/$ref")
+      .select(col("file_path")).collect().map(_.getString(0))
+    var n = 0
+    for (p <- files) {
+      val f = new Path(p)
+      if (fs.exists(f)) { fs.delete(f, false); n += 1 }
+    }
+    fs.delete(new Path(s"$path/refs/$ref"), true)
+    n
+  }
 }

@@ -13,8 +13,8 @@ class QueryContractSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("declared contract covers all 224 SURVEY §2 keys") {
-    assert(SparkEntry.queries.size == 224)
+  test("declared contract covers all 232 SURVEY §2 keys") {
+    assert(SparkEntry.queries.size == 232)
     // All keys are oracle-checked except the declared non-oracle set below
     // (count pinned by the set literal itself — a stale prose count here
     // was ADVICE r14's first finding, so no number is repeated).
@@ -27,7 +27,8 @@ class QueryContractSpec extends AnyFunSuite {
       "q_ml_pca_power", "q_text_bpe_train", "q_text_bpe_encode",
       "q_text_unigram_train", "q_text_unigram_encode",
       "q_text_wordpiece_train", "q_text_wordpiece_encode",
-      "q_ml_pipeline", "q_ml_isotonic", "q_graph_kcore"))
+      "q_ml_pipeline", "q_ml_isotonic", "q_graph_kcore",
+      "q_graph_label_prop", "q_sim_sq8"))
   }
 
   test("entry flagship returns rows on sf0.001") {

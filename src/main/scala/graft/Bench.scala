@@ -76,6 +76,7 @@ object Bench {
       queries.Relational.staged2DManifestLayout(spark, sfDir)
       queries.Relational.stagedBloomLayout(spark, sfDir)
       queries.Relational.stagedWapLayout(spark, sfDir)
+      queries.Relational.stagedSpecEvolveLayout(spark, sfDir)
       queries.LlmOps.stagedUnigramPieces(spark, sfDir)
       queries.LlmOps.stagedWordpieceVocab(spark, sfDir)
       queries.Relational.stagedEventsByDay(spark, sfDir)

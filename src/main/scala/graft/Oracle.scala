@@ -988,6 +988,100 @@ object Oracle {
     // Twin of the two-pass z-score quarantine: the 5-row model (mean/std
     // from exact decimal Σv/Σv², rounded once) joins back and the flag +
     // z are single IEEE ops on identical rounded inputs.
+    // Welch twin: exact integer power sums in cents (HUGEINT mirrors the
+    // Spark side's DECIMAL(38,0)), then the SAME left-associated double
+    // epilogue for means/variances/t/dof.
+    "q_stats_ttest" ->
+      """WITH b AS (
+           SELECT l_returnflag = 'A' AS isa,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+              s AS (
+           SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n_r,
+                  sum(CASE WHEN isa THEN CAST(c AS HUGEINT) ELSE 0 END) AS s1a,
+                  sum(CASE WHEN isa THEN CAST(0 AS HUGEINT) ELSE c END) AS s1r,
+                  sum(CASE WHEN isa THEN CAST(c * c AS HUGEINT) ELSE 0 END) AS s2a,
+                  sum(CASE WHEN isa THEN CAST(0 AS HUGEINT) ELSE c * c END) AS s2r
+           FROM b),
+              e AS (
+           SELECT n_a, n_r,
+                  CAST(n_a AS DOUBLE) AS na, CAST(n_r AS DOUBLE) AS nr,
+                  CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                  CAST(s1r AS DOUBLE) / CAST(n_r AS DOUBLE) AS mr,
+                  CAST(s2a AS DOUBLE) / CAST(n_a AS DOUBLE) AS r2a,
+                  CAST(s2r AS DOUBLE) / CAST(n_r AS DOUBLE) AS r2r
+           FROM s),
+              v AS (
+           SELECT n_a, n_r, ma, mr, na, nr,
+                  (r2a - ma * ma) * (na / (na - 1.0)) AS va,
+                  (r2r - mr * mr) * (nr / (nr - 1.0)) AS vr
+           FROM e),
+              w AS (
+           SELECT n_a, n_r, ma, mr, va, vr, na, nr,
+                  va / na AS sea, vr / nr AS ser
+           FROM v)
+         SELECT n_a, n_r, round(ma, 6) AS mean_a, round(mr, 6) AS mean_r,
+                round(va, 4) AS var_a, round(vr, 4) AS var_r,
+                round((ma - mr) / sqrt(sea + ser), 6) AS t_stat,
+                round((sea + ser) * (sea + ser)
+                      / (sea * sea / (na - 1.0) + ser * ser / (nr - 1.0)), 4) AS welch_dof
+         FROM w""",
+
+    // Chi-square twin: integer contingency cells, the same fixed-order
+    // expected/contribution doubles, and the total as an exact decimal
+    // window sum over the ROUNDED contributions (Det.dsumOver's twin) so
+    // cell order can never change the statistic.
+    "q_stats_chisq" ->
+      """WITH c AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+              rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+              ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+              n AS (SELECT count(*) AS n_tot FROM documents),
+              x AS (SELECT lang, source, o,
+                           CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                             / CAST(n_tot AS DOUBLE) AS e
+                    FROM c JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n),
+              y AS (SELECT lang, source, o, e,
+                           round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 6) AS contrib
+                    FROM x)
+         SELECT lang, source, o, round(e, 6) AS e, contrib,
+                CAST(round(sum(CAST(contrib AS DECIMAL(38,10))) OVER (), 6) * 1000000 AS BIGINT) / 1000000.0 AS chi2
+         FROM y ORDER BY lang, source""",
+
+    // Co-occurrence twin: the preference link (k·ntypes > total — exact
+    // integer cross-multiplication) and both similarity ratios recomputed
+    // through the same double expressions.
+    "q_graph_cooccur" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS k FROM events GROUP BY 1, 2),
+              u AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS tot,
+                           count(*) AS ntypes FROM c GROUP BY 1),
+              ut AS (SELECT c.user_id, c.event_type
+                     FROM c JOIN u USING (user_id) WHERE c.k * u.ntypes > u.tot),
+              cnt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+              p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                           count(*) AS n_both
+                    FROM ut a JOIN ut b
+                      ON a.user_id = b.user_id AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+         SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_both,
+                round(CAST(n_both AS DOUBLE)
+                      / sqrt(CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)), 6) AS cosine,
+                round(CAST(n_both AS DOUBLE)
+                      / CAST(ca.n + cb.n - n_both AS DOUBLE), 6) AS jaccard
+         FROM p JOIN cnt ca ON type_a = ca.event_type
+                JOIN cnt cb ON type_b = cb.event_type
+         ORDER BY type_a, type_b""",
+
+    // Spec-evolution twin: the plain filtered aggregate — epoch routing
+    // and per-spec pruning must be invisible to the result.
+    "q_layout_partition_evolve" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+                 ${dsum("o_totalprice")} AS revenue
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+            AND o_orderdate < TIMESTAMP '1998-03-01'
+          GROUP BY 1 ORDER BY o_orderpriority""",
+
     "q_stats_outliers" ->
       s"""WITH m AS (SELECT event_type, count(*) AS n_grp,
                             ${dsum("value", 6)} AS s1, ${dsum("value * value", 4)} AS s2
@@ -2249,6 +2343,44 @@ object Oracle {
             FROM m"""
       },
 
+      // AdaBoost-round twin: the 24-stump candidate grid regenerated from
+      // the SAME MlSuffStats.adaThresholds literals; errors are exact
+      // integer counts, so the argmin and α reproduce bit-for-bit.
+      "q_ml_adaboost_round" -> {
+        val thrs = graft.queries.MlSuffStats.adaThresholds
+          .map(t => s"($t)").mkString(", ")
+        s"""WITH cand AS (
+              SELECT f, CAST(thr AS DOUBLE) AS thr, pol
+              FROM (VALUES (0), (1), (2), (3)) feats(f)
+              CROSS JOIN (VALUES $thrs) thrs(thr)
+              CROSS JOIN (VALUES (1), (-1)) pols(pol)),
+                 t AS (
+              SELECT CASE WHEN label % 2 = 1 THEN 1 ELSE -1 END AS y,
+                     CAST(embedding[1] AS DOUBLE) AS x0,
+                     CAST(embedding[2] AS DOUBLE) AS x1,
+                     CAST(embedding[3] AS DOUBLE) AS x2,
+                     CAST(embedding[4] AS DOUBLE) AS x3
+              FROM embeddings),
+                 s AS (
+              SELECT f, thr, pol, count(*) AS n,
+                     CAST(sum(CASE WHEN (CASE WHEN (CASE f WHEN 0 THEN x0 WHEN 1 THEN x1
+                                                        WHEN 2 THEN x2 ELSE x3 END) >= thr
+                                         THEN pol ELSE -pol END) <> y
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+              FROM t CROSS JOIN cand GROUP BY 1, 2, 3),
+                 r AS (
+              SELECT f, thr, pol, n_err,
+                     round(CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE), 6) AS eps,
+                     round(CASE WHEN n_err > 0 AND n_err < n
+                                THEN 0.5 * ln(CAST(n - n_err AS DOUBLE) / CAST(n_err AS DOUBLE))
+                           END, 6) AS alpha,
+                     CAST(row_number() OVER (ORDER BY n_err, f, thr, pol) = 1 AS BIGINT) AS is_best
+              FROM s)
+            SELECT CAST(f AS BIGINT) AS f, thr, CAST(pol AS BIGINT) AS pol,
+                   n_err, eps, alpha, is_best
+            FROM r ORDER BY f, thr, pol"""
+      },
+
       // Unrolled twin of the Spark-side driver loop, generated from the SAME
       // iteration count / lr / starting weights (MlSuffStats.logreg*).
       // Every gradient goes through the dsum decimal path (6 dp) and every
@@ -2891,6 +3023,26 @@ object Oracle {
                      AND symbol_ratio < 0.1
                      AND frac_bullet < 0.9 AND frac_ellipsis < 0.3
                      AND frac_alpha >= 0.8 AND n_stop >= 2 AS BIGINT) AS gopher_pass
+         FROM g ORDER BY doc_id""",
+
+    // Flesch twin: the same vowel-group syllable heuristic and
+    // terminal-punctuation sentence count, one fixed-order double formula.
+    "q_text_flesch" ->
+      """WITH f AS (
+           SELECT doc_id, lang, string_split(text, ' ') AS toks, text
+           FROM documents),
+              g AS (
+           SELECT doc_id, lang,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+                  CAST(list_sum(list_transform(toks,
+                    t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))) AS BIGINT) AS n_syllables
+           FROM f)
+         SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+                round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS flesch_ease,
+                round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                      + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) - 15.59, 6) AS fk_grade
          FROM g ORDER BY doc_id""",
 
     "q_text_quality" ->

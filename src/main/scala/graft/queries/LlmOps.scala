@@ -1471,6 +1471,38 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** FLESCH READABILITY (r18 batch) [pub: Flesch 1948 / Kincaid et al.
+    * 1975] — the classic readability pair every text-difficulty filter
+    * reports: reading-ease = 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/word) and the FK grade level, with the standard
+    * programmatic syllable heuristic (vowel-group runs per word, floor 1)
+    * and sentences = terminal-punctuation runs (floor 1). Pure narrow
+    * codegen'd column arithmetic — regexp_extract_all + HOF fold, no
+    * shuffle; the formula is ONE fixed-order double expression identical
+    * in both engines, rounded at 6 dp. */
+  val qTextFlesch: Q = (s, dir) => {
+    val toks = split(col("text"), " ")
+    val nW = size(toks).cast("long")
+    val nSent = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val nSyl = aggregate(
+      transform(toks, t => greatest(lit(1L),
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))).cast("long"))),
+      lit(0L), (a, x) => a + x)
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), nW.as("n_words"),
+        nSent.as("n_sentences"), nSyl.as("n_syllables"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+          .as("flesch_ease"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+          .as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
   /** N-gram-profile language ID over the corpus: per-language top-200
     * trigram profiles trained on (lang, text), every document classified
     * to the best-covering profile (TextOps.langIdNGram). Fully relational
@@ -2541,6 +2573,7 @@ object LlmOps {
     "q_sim_ivf_pq" -> qSimIvfPq,
     "q_sim_sq8" -> qSimSq8,
     "q_text_gopher" -> qTextGopher,
+    "q_text_flesch" -> qTextFlesch,
     "q_multimodal_join" -> qMultimodalJoin,
     "q_dedup_media" -> qDedupMedia)
 }

@@ -214,6 +214,59 @@ object MlSuffStats {
         dsum(greatest(lit(0.0), lit(1.0) - col("margin")), 6).as("hinge_loss"))
   }
 
+  /** Shared by the Spark side and the oracle generator (q_ml_adaboost_round):
+    * the decision-stump candidate grid — every (feature, threshold,
+    * polarity) combination is evaluated; the grid is small by design (the
+    * per-round stump search is the O(candidates) part of AdaBoost, the
+    * corpus pass is the O(n) part). */
+  val adaThresholds: Seq[Double] = Seq(-0.1, 0.0, 0.1)
+
+  /** One ADABOOST ROUND over decision stumps (r18 batch) [pub: Freund &
+    * Schapire 1997] — the boosting member of the reference's classic-ML
+    * family: under the first round's uniform weights, every candidate
+    * stump h(x) = pol·sign(x_f − thr) is scored by its EXACT
+    * misclassification count (integer — no float weights in round one, so
+    * the argmin is exact), the best stump (min error; ties break by
+    * feature, threshold, polarity) is flagged, and every candidate
+    * carries its vote weight α = ½·ln((n−err)/err). Scale shape: the
+    * 24-candidate grid broadcasts, the corpus pays ONE map-side-combined
+    * pass scoring all candidates at once (the classic
+    * one-job-per-round MapReduce boosting layout), and the argmin window
+    * runs over 24 rows. */
+  val qMlAdaboostRound: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cands = for {
+      f <- 0 until 4; t <- adaThresholds; p <- Seq(1, -1)
+    } yield (f, t, p)
+    val cdf = cands.toDF("f", "thr", "pol")
+    val x = (0 until 4).map(i => col("embedding")(i).cast("double"))
+    val base = Tables.embeddings(s, dir).select(
+      when(col("label") % 2 === 1, 1).otherwise(-1).as("y") +:
+      (0 until 4).map(i => x(i).as(s"x$i")): _*)
+    val xf = when(col("f") === 0, col("x0")).when(col("f") === 1, col("x1"))
+      .when(col("f") === 2, col("x2")).otherwise(col("x3"))
+    val w = Window.orderBy(col("n_err"), col("f"), col("thr"), col("pol"))
+    base.crossJoin(broadcast(cdf))
+      .withColumn("pred",
+        when(xf >= col("thr"), col("pol")).otherwise(-col("pol")))
+      .groupBy(col("f"), col("thr"), col("pol"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") =!= col("y"), 1L).otherwise(0L)).as("n_err"))
+      .withColumn("eps",
+        round(col("n_err").cast("double") / col("n").cast("double"), 6))
+      .withColumn("alpha",
+        round(when(col("n_err") > 0 && col("n_err") < col("n"),
+          lit(0.5) * log((col("n") - col("n_err")).cast("double") /
+            col("n_err").cast("double"))), 6))
+      .withColumn("is_best",
+        (row_number().over(w) === 1).cast("long"))
+      .select(col("f").cast("long").as("f"), col("thr"),
+        col("pol").cast("long").as("pol"), col("n_err"), col("eps"),
+        col("alpha"), col("is_best"))
+      .orderBy("f", "thr", "pol")
+  }
+
   /** Shared by the Spark side and the oracle generator so the two unrolled
     * iteration chains can never drift apart. */
   val logregIters = 4
@@ -1049,6 +1102,7 @@ object MlSuffStats {
     "q_ml_gda_stats" -> qMlGdaStats,
     "q_ml_logreg_step" -> qMlLogregStep,
     "q_ml_svm_step" -> qMlSvmStep,
+    "q_ml_adaboost_round" -> qMlAdaboostRound,
     "q_ml_logreg_converged" -> qMlLogregConverged,
     "q_ml_gmm_converged" -> qMlGmmConverged,
     "q_ml_kmeans_converged" -> qMlKmeansConverged,

@@ -745,6 +745,30 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** PARTITION-SPEC EVOLUTION graded end-to-end (r18 batch) — Iceberg's
+    * evolve-the-partitioning story (Layout.writeSpecEpoch / specPlan /
+    * specPrunedRead): epoch 0 (orders before 1997) is hive-partitioned by
+    * YEAR, epoch 1 (the rest) by YEAR/MONTH — the grain changed without
+    * rewriting a byte of old data, and a date-range read prunes EACH
+    * epoch by its own grain (years intersecting the range on the coarse
+    * spec, exact months on the fine one). The staged fixture certifies
+    * strict pruning in both epochs plus soundness (skipped directories
+    * hold zero in-range rows); the graded read spans the spec boundary,
+    * re-applies the row predicate (boundary partitions hold out-of-range
+    * days), and hash-matches the plain filtered oracle. At 100 TB this is
+    * how a table migrates from daily to hourly partitioning mid-life
+    * without a rewrite. */
+  val qLayoutPartitionEvolve: Q = (s, dir) => {
+    val staged = stagedSpecEvolveLayout(s, dir)
+    val lo = lit("1996-06-01").cast("timestamp")
+    val hi = lit("1998-03-01").cast("timestamp")
+    graft.sources.Layout.specPrunedRead(s, staged, 199606, 199802)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** COLUMN-MAPPING SCHEMA EVOLUTION graded end-to-end (r17) — RENAME
     * COLUMN as a metadata-only commit (Layout.renameColumn / mappedRead,
     * the Delta/Iceberg column-mapping shape): l_extendedprice became
@@ -2865,6 +2889,52 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** BIPARTITE CO-OCCURRENCE PROJECTION (r18 batch) — the
+    * user×event-type bipartite graph projected onto event types (the
+    * "users who did A also did B" recsys/graph primitive): a user is
+    * linked to a type when they do it MORE THAN THEIR OWN AVERAGE
+    * (k·ntypes > total, an exact integer cross-multiplication — raw
+    * membership is degenerate on this corpus, every user touches every
+    * type; preference-thresholding is also the standard implicit-feedback
+    * binarization), then every type pair gets the user overlap plus
+    * cosine (overlap/√(nₐ·n_b)) and Jaccard. Scale shape: ONE map-side-
+    * combined (user, type) count, per-user totals re-aggregate that
+    * O(users·types) frame, the self-join keys on user_id — co-partitioned,
+    * per-user fanout bounded by C(|types|, 2) = 10, never quadratic; the
+    * per-type counts are an O(types) broadcast back. */
+  val qGraphCooccur: Q = (s, dir) => {
+    val perType = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("k"))
+    val perUser = perType.groupBy(col("user_id"))
+      .agg(sum(col("k")).as("tot"), count(lit(1)).as("ntypes"))
+    // The preference frame feeds the per-type counts AND both join sides
+    // (a diamond): persist the O(users·types) frame instead of re-running
+    // the corpus aggregation three times.
+    val ut = graft.operators.ScaleOps.trackedPersist(
+      perType.join(perUser, "user_id")
+        .filter(col("k") * col("ntypes") > col("tot"))
+        .select(col("user_id"), col("event_type")))
+    val cnt = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val withA = pairs.join(broadcast(
+      cnt.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+    withA.join(broadcast(
+        cnt.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("cosine"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** PER-GROUP TOP-K (r16) — greatest-N-per-group (top-3 parts per brand
     * by revenue), the ranking-report staple and [[qAggArgmax]]'s N>1
     * sibling. The plan is the point: Spark rewrites
@@ -3435,6 +3505,77 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** WELCH'S TWO-SAMPLE T-TEST (r18 batch) — the unequal-variance mean
+    * comparison every A/B readout runs (does returnflag A's price
+    * distribution differ from R's?): per-group n/Σ/Σ² as EXACT integer
+    * power sums in cents (row products in long, sums in DECIMAL(38,0) /
+    * HUGEINT — the q_agg_moments convention), then ONE fixed
+    * left-associated IEEE double epilogue (means, sample variances, the
+    * t statistic, and the Welch–Satterthwaite degrees of freedom)
+    * identical in both engines. ONE map-side-combined conditional
+    * aggregation over the corpus — no per-group pass, no second scan;
+    * output is a single row. */
+  val qStatsTtest: Q = (s, dir) => {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val base = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select((col("l_returnflag") === "A").as("isa"), cents.as("c"))
+    val agg = base.agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("n_r"),
+      sum(when(col("isa"), col("c")).otherwise(0L).cast(dec)).as("s1a"),
+      sum(when(!col("isa"), col("c")).otherwise(0L).cast(dec)).as("s1r"),
+      sum(when(col("isa"), col("c") * col("c")).otherwise(0L).cast(dec)).as("s2a"),
+      sum(when(!col("isa"), col("c") * col("c")).otherwise(0L).cast(dec)).as("s2r"))
+    val (na, nr) = (col("n_a").cast("double"), col("n_r").cast("double"))
+    val ma = col("s1a").cast("double") / na
+    val mr = col("s1r").cast("double") / nr
+    val va = (col("s2a").cast("double") / na - ma * ma) * (na / (na - 1.0))
+    val vr = (col("s2r").cast("double") / nr - mr * mr) * (nr / (nr - 1.0))
+    val sea = va / na
+    val ser = vr / nr
+    val t = (ma - mr) / sqrt(sea + ser)
+    val dof = (sea + ser) * (sea + ser) /
+      (sea * sea / (na - 1.0) + ser * ser / (nr - 1.0))
+    agg.select(col("n_a"), col("n_r"),
+      round(ma, 6).as("mean_a"), round(mr, 6).as("mean_r"),
+      round(va, 4).as("var_a"), round(vr, 4).as("var_r"),
+      round(t, 6).as("t_stat"), round(dof, 4).as("welch_dof"))
+  }
+
+  /** CHI-SQUARE INDEPENDENCE TEST (r18 batch) — the lang × source
+    * contingency analysis every corpus-mix audit runs: observed cell
+    * counts, expected = row·col/N under independence, per-cell
+    * contribution (o−e)²/e, and the total statistic. The cell table is
+    * ONE map-side-combined aggregation; marginals re-aggregate the
+    * O(cells) frame (never the corpus) and broadcast back; the total is
+    * an exact decimal window sum over the ROUNDED contributions
+    * (Det.dsumOver), so cell order can never change the statistic. */
+  val qStatsChisq: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    val cells = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val tot = d.agg(count(lit(1)).as("n_tot"))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n_tot").cast("double")
+    val contrib = (col("o").cast("double") - col("e")) *
+      (col("o").cast("double") - col("e")) / col("e")
+    cells
+      .join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", e)
+      .withColumn("contrib", round(contrib, 6))
+      .withColumn("chi2", graft.functions.Det.dsumOver(col("contrib"),
+        Window.partitionBy(), scale = 6))
+      .select(col("lang"), col("source"), col("o"), round(col("e"), 6).as("e"),
+        col("contrib"), col("chi2"))
+      .orderBy("lang", "source")
+  }
+
   /** NEAREST AS-OF JOIN (r16) — the bidirectional twin of [[qJoinAsof]]
     * (backward-only): each purchase matches its user's CLOSEST click in
     * time, looking BOTH directions (the trade-to-nearest-quote /
@@ -3696,6 +3837,7 @@ object Relational {
     "q_layout_skipping" -> qLayoutSkipping,
     "q_layout_bloom_index" -> qLayoutBloomIndex,
     "q_layout_wap" -> qLayoutWap,
+    "q_layout_partition_evolve" -> qLayoutPartitionEvolve,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,
@@ -3742,6 +3884,8 @@ object Relational {
     "q_agg_stats" -> qAggStats,
     "q_agg_histogram" -> qAggHistogram,
     "q_stats_outliers" -> qStatsOutliers,
+    "q_stats_ttest" -> qStatsTtest,
+    "q_stats_chisq" -> qStatsChisq,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_graph_triangles" -> qGraphTriangles,
     "q_sql_tpch" -> qSqlTpch,
@@ -3760,6 +3904,7 @@ object Relational {
     "q_graph_reachability" -> qGraphReachability,
     "q_graph_kcore" -> qGraphKcore,
     "q_graph_label_prop" -> qGraphLabelProp,
+    "q_graph_cooccur" -> qGraphCooccur,
     "q_agg_topk_group" -> qAggTopkGroup,
     "q_graph_sssp" -> qGraphSssp,
     "q_events_anomaly" -> qEventsAnomaly,
@@ -4191,6 +4336,46 @@ object Relational {
         sys.error(s"wap certificate failed: published at v$pubVer " +
           s"(expected ${preVer + 1}), main $mainRows vs $total, " +
           s"$refsLeft ref(s) left — publish was not atomic or not complete")
+      ()
+    }
+
+  /** The spec-evolved orders layout q_layout_partition_evolve plans from
+    * (r18 batch): epoch 0 = pre-1997 orders partitioned by year; epoch 1
+    * = the rest partitioned by year/month. Certificate: a mid-range plan
+    * prunes strictly in BOTH epochs and skipped directories hold zero
+    * in-range rows. */
+  def stagedSpecEvolveLayout(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/orders.parquet",
+      "orders-spec-evolve", dir, "v1") { d =>
+      import graft.sources.Layout
+      val o = Tables.orders(s, dir)
+      val cut = lit("1997-01-01").cast("timestamp")
+      Layout.writeSpecEpoch(
+        o.filter(col("o_orderdate") < cut)
+          .withColumn("year", year(col("o_orderdate"))),
+        d, specId = 0, partCols = Seq("year"))
+      Layout.writeSpecEpoch(
+        o.filter(col("o_orderdate") >= cut)
+          .withColumn("year", year(col("o_orderdate")))
+          .withColumn("month", month(col("o_orderdate"))),
+        d, specId = 1, partCols = Seq("year", "month"))
+      val (kept, total) = Layout.specPlan(s, d, 199606, 199802)
+      val keptFine = kept.count(_.contains("month="))
+      val keptCoarse = kept.size - keptFine
+      if (kept.isEmpty || kept.size >= total || keptCoarse < 1 || keptFine < 1)
+        sys.error(s"spec-evolve certificate failed: kept ${kept.size} of " +
+          s"$total leaf dirs ($keptCoarse coarse, $keptFine fine) — pruning " +
+          "inert or an epoch missing from the plan")
+      // Soundness: every skipped directory holds zero in-range rows.
+      val all = Layout.specPlan(s, d, 190001, 210012)._1
+      val skipped = all.filterNot(kept.toSet)
+      val lo = lit("1996-06-01").cast("timestamp")
+      val hi = lit("1998-03-01").cast("timestamp")
+      val leaked = s.read.parquet(skipped: _*)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi).count()
+      if (leaked != 0)
+        sys.error(s"spec-evolve certificate failed: $leaked in-range row(s) " +
+          "in skipped directories — spec-aware pruning is unsound")
       ()
     }
 

@@ -1054,6 +1054,66 @@ object Layout {
     else spark.read.parquet(kept: _*)
   }
 
+  // --------------------------------- PARTITION-SPEC EVOLUTION (r17)
+
+  /** Write one EPOCH of a spec-evolved layout — the Iceberg
+    * partition-spec-evolution shape: each epoch's rows land under
+    * `path/spec=<id>/<its own hive partitioning>`, and later epochs may
+    * partition by a DIFFERENT grain (year → year/month here) without
+    * rewriting a byte of earlier data. `df` must carry the partition
+    * columns (derived from the data column the predicate will hit). */
+  def writeSpecEpoch(df: DataFrame, path: String, specId: Int,
+                     partCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(s"$path/spec=$specId")
+
+  /** Plan a month-range read across ALL spec epochs, each pruned by ITS
+    * OWN grain: spec 0 (year=Y) keeps a directory when any of its months
+    * intersects [loYm, hiYm]; spec 1 (year=Y/month=M) prunes to the exact
+    * months. `loYm`/`hiYm` are inclusive yyyymm ints. Returns
+    * (kept leaf dirs, total leaf dirs) — a driver-side listing of
+    * O(partition dirs), the Iceberg manifest-replay cost shape. */
+  def specPlan(spark: SparkSession, path: String,
+               loYm: Int, hiYm: Int): (Seq[String], Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def kv(name: String): Long = name.substring(name.indexOf('=') + 1).toLong
+    val kept = Seq.newBuilder[String]
+    var total = 0
+    for (spec <- fs.listStatus(root) if spec.getPath.getName.startsWith("spec=")) {
+      val specId = kv(spec.getPath.getName)
+      for (yDir <- fs.listStatus(spec.getPath)
+           if yDir.getPath.getName.startsWith("year=")) {
+        val y = kv(yDir.getPath.getName)
+        if (specId == 0L) {
+          total += 1
+          if (y * 100 + 12 >= loYm && y * 100 + 1 <= hiYm)
+            kept += yDir.getPath.toString
+        } else {
+          for (mDir <- fs.listStatus(yDir.getPath)
+               if mDir.getPath.getName.startsWith("month=")) {
+            total += 1
+            val ym = y * 100 + kv(mDir.getPath.getName)
+            if (ym >= loYm && ym <= hiYm) kept += mDir.getPath.toString
+          }
+        }
+      }
+    }
+    (kept.result(), total)
+  }
+
+  /** Read only the leaf directories [[specPlan]] keeps. Partition-column
+    * values stay encoded in the directory names (both epochs' data files
+    * carry the same base schema), and callers re-apply the row-level
+    * predicate — boundary months still hold out-of-range days. */
+  def specPrunedRead(spark: SparkSession, path: String,
+                     loYm: Int, hiYm: Int): DataFrame = {
+    val (kept, _) = specPlan(spark, path, loYm, hiYm)
+    if (kept.isEmpty) spark.read.parquet(s"$path/spec=0").limit(0)
+    else spark.read.parquet(kept: _*)
+  }
+
   // --------------------------------------- WRITE-AUDIT-PUBLISH (r17)
 
   /** WAP STAGE — the first leg of Iceberg's write-audit-publish pattern:

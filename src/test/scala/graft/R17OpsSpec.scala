@@ -213,6 +213,156 @@ class R17OpsSpec extends AnyFunSuite {
     assert(sizes.map(_._2).sum == got.size)
   }
 
+  test("q_stats_ttest equals an exact driver-side Welch recomputation") {
+    val cents = Tables.lineitem(spark, Sf0001)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0) == "A", r.getLong(1)))
+    def stats(sel: Boolean) = {
+      val xs = cents.filter(_._1 == sel).map(_._2)
+      val n = xs.length.toDouble
+      val m = xs.map(BigDecimal(_)).sum.toDouble / n
+      val r2 = xs.map(x => BigDecimal(x) * BigDecimal(x)).sum.toDouble / n
+      (xs.length.toLong, n, m, (r2 - m * m) * (n / (n - 1.0)))
+    }
+    val (naL, na, ma, va) = stats(true)
+    val (nrL, nr, mr, vr) = stats(false)
+    val (sea, ser) = (va / na, vr / nr)
+    val got = SparkEntry.queries("q_stats_ttest")(spark, Sf0001).head()
+    assert(got.getLong(0) == naL && got.getLong(1) == nrL)
+    assert(got.getDouble(2) == round6(ma) && got.getDouble(3) == round6(mr))
+    assert(got.getDouble(6) == round6((ma - mr) / math.sqrt(sea + ser)))
+    val dof = (sea + ser) * (sea + ser) /
+      (sea * sea / (na - 1.0) + ser * ser / (nr - 1.0))
+    assert(got.getDouble(7) ==
+      BigDecimal(dof).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("q_stats_chisq equals an exact driver recomputation; one global statistic") {
+    val ds = Tables.documents(spark, Sf0001)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = ds.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val rt = ds.groupBy(_._1).map { case (l, vs) => l -> vs.size.toLong }
+    val ct = ds.groupBy(_._2).map { case (s0, vs) => s0 -> vs.size.toLong }
+    val n = ds.length.toDouble
+    val rows = SparkEntry.queries("q_stats_chisq")(spark, Sf0001).collect()
+    assert(rows.length == cells.size)
+    for (r <- rows) {
+      val key = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      val o = cells(key)
+      val e = rt(key._1).toDouble * ct(key._2).toDouble / n
+      assert(r.getAs[Long]("o") == o, s"$key: o")
+      assert(r.getAs[Double]("e") == round6(e), s"$key: e")
+      val c = (o.toDouble - e) * (o.toDouble - e) / e
+      assert(r.getAs[Double]("contrib") == round6(c), s"$key: contrib")
+    }
+    val chi2 = rows.map(_.getAs[Double]("chi2")).distinct
+    assert(chi2.length == 1, "chi2 must be one global statistic")
+    val summed = dsum6(rows.map(_.getAs[Double]("contrib")).toSeq)
+    assert(chi2.head == summed, s"chi2 ${chi2.head} != Σcontrib $summed")
+  }
+
+  test("q_graph_cooccur equals a driver recomputation and is non-degenerate") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perType = ev.groupBy(identity).map { case ((u, t), es) => (u, t, es.size.toLong) }
+    val perUser = perType.groupBy(_._1).map { case (u, ps) =>
+      u -> (ps.map(_._3).sum, ps.size.toLong) }
+    val ut = perType.collect { case (u, t, k)
+      if k * perUser(u)._2 > perUser(u)._1 => (u, t) }.toSet
+    val cnt = ut.groupBy(_._2).map { case (t, s) => t -> s.size.toLong }
+    val types = cnt.keys.toSeq.sorted
+    val want = (for {
+      a <- types; b <- types if a < b
+      both = ut.count { case (u, t) => t == a && ut((u, b)) }
+      if both > 0
+    } yield ((a, b), (cnt(a), cnt(b), both.toLong))).toMap
+    val got = SparkEntry.queries("q_graph_cooccur")(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    // Column positions shift through the join chain — read by name.
+    val byName = got.map { r =>
+      ((r.getAs[String]("type_a"), r.getAs[String]("type_b")),
+       (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both")))
+    }.toMap
+    assert(byName == want, s"cooccur drift:\n got $byName\nwant $want")
+    // Degeneracy guard: at least two distinct cosine values.
+    val cosines = got.map(_.getAs[Double]("cosine")).distinct
+    assert(cosines.length >= 2, s"cosine degenerate: ${cosines.toSeq}")
+  }
+
+  test("q_text_flesch equals a driver re-derivation of the readability pair") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("q_text_flesch")(spark, Sf0001).collect()
+    assert(got.length == docs.size)
+    for (r <- got) {
+      val text = docs(r.getAs[Long]("doc_id"))
+      val toks = text.split(" ", -1)
+      val nW = toks.length.toLong
+      val nSent = math.max(1L, "[.!?]+".r.findAllIn(text).size.toLong)
+      val nSyl = toks.map(t =>
+        math.max(1L, "[aeiouy]+".r.findAllIn(t).size.toLong)).sum
+      assert(r.getAs[Long]("n_words") == nW)
+      assert(r.getAs[Long]("n_sentences") == nSent)
+      assert(r.getAs[Long]("n_syllables") == nSyl)
+      val wps = nW.toDouble / nSent.toDouble
+      val spw = nSyl.toDouble / nW.toDouble
+      assert(r.getAs[Double]("flesch_ease") ==
+        round6(206.835 - 1.015 * wps - 84.6 * spw))
+      assert(r.getAs[Double]("fk_grade") ==
+        round6(0.39 * wps + 11.8 * spw - 15.59))
+    }
+  }
+
+  test("q_ml_adaboost_round: exact stump errors and a correctly-flagged argmin") {
+    val w0 = queries.MlSuffStats.adaThresholds
+    val data = Tables.embeddings(spark, Sf0001)
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (if (r.getAs[Number](0).longValue() % 2 == 1) 1 else -1,
+        r.getSeq[Double](1).take(4)))
+    def err(f: Int, thr: Double, pol: Int): Long =
+      data.count { case (y, x) =>
+        (if (x(f) >= thr) pol else -pol) != y }.toLong
+    val got = SparkEntry.queries("q_ml_adaboost_round")(spark, Sf0001).collect()
+    assert(got.length == 4 * w0.length * 2)
+    for (r <- got) {
+      val (f, thr, pol) = (r.getAs[Long]("f").toInt, r.getAs[Double]("thr"),
+        r.getAs[Long]("pol").toInt)
+      val e = err(f, thr, pol)
+      assert(r.getAs[Long]("n_err") == e, s"stump ($f,$thr,$pol): err")
+      if (e > 0 && e < data.length)
+        assert(r.getAs[Double]("alpha") ==
+          round6(0.5 * math.log((data.length - e).toDouble / e.toDouble)))
+    }
+    // Exactly one winner, and it is the lexicographic argmin.
+    val best = got.filter(_.getAs[Long]("is_best") == 1L)
+    assert(best.length == 1)
+    val minErr = got.map(_.getAs[Long]("n_err")).min
+    assert(best.head.getAs[Long]("n_err") == minErr)
+  }
+
+  test("q_layout_partition_evolve: both epochs serve the spanning read; pruning certified by the fixture") {
+    val staged = queries.Relational.stagedSpecEvolveLayout(spark, Sf0001)
+    val (kept, total) = sources.Layout.specPlan(spark, staged, 199606, 199802)
+    assert(kept.nonEmpty && kept.size < total)
+    // The spanning read crosses the spec boundary: rows from both epochs.
+    val lo = lit("1996-06-01").cast("timestamp")
+    val hi = lit("1998-03-01").cast("timestamp")
+    val read = sources.Layout.specPrunedRead(spark, staged, 199606, 199802)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val cut = lit("1997-01-01").cast("timestamp")
+    assert(read.filter(col("o_orderdate") < cut).count() > 0, "epoch 0 absent")
+    assert(read.filter(col("o_orderdate") >= cut).count() > 0, "epoch 1 absent")
+    val want = Tables.orders(spark, Sf0001)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi).count()
+    assert(read.count() == want)
+  }
+
   test("q_sim_sq8: recall >= 0.6 vs brute-force top-10; adist within the quantization bound") {
     val rows = SparkEntry.queries("q_sim_sq8")(spark, Sf0001).collect()
     assert(rows.length == 10)

@@ -1072,6 +1072,35 @@ object Oracle {
                 JOIN cnt cb ON type_b = cb.event_type
          ORDER BY type_a, type_b""",
 
+    // Incremental-stats twin: the from-scratch aggregate the manifest
+    // partials must merge to exactly. n_commits is structurally determined
+    // by the fixture (build v0 + append v1) — a literal, not a scan.
+    "q_layout_stats_merge" ->
+      """SELECT count(*) AS n_rows, CAST(2 AS BIGINT) AS n_commits,
+                epoch_us(min(l_shipdate)) AS min_us,
+                epoch_us(max(l_shipdate)) AS max_us
+         FROM lineitem""",
+
+    // Forecast-backtest twin: the trailing window and the MAE both run
+    // through the exact decimal window-sum recipe (Det.dsumOver's twin),
+    // so neither engine's window partial-sum order can leak in.
+    "q_events_forecast" ->
+      s"""WITH daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                                ${dsum("value")} AS v
+                         FROM events GROUP BY 1),
+              f AS (SELECT day, v,
+                           count(v) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prev,
+                           CAST(round(sum(CAST(v AS DECIMAL(38,10)))
+                                  OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) * 1000000 AS BIGINT) / 1000000.0 AS tsum
+                    FROM daily),
+              g AS (SELECT day, v, n_prev, round(tsum / 7.0, 6) AS forecast FROM f),
+              h AS (SELECT day, v, forecast, round(abs(v - forecast), 6) AS abs_err
+                    FROM g WHERE n_prev = 7)
+         SELECT day, v, forecast, abs_err,
+                round(CAST(round(sum(CAST(abs_err AS DECIMAL(38,10))) OVER (), 6) * 1000000 AS BIGINT) / 1000000.0
+                      / CAST(count(*) OVER () AS DOUBLE), 6) AS mae
+         FROM h ORDER BY day""",
+
     // Spec-evolution twin: the plain filtered aggregate — epoch routing
     // and per-spec pruning must be invisible to the result.
     "q_layout_partition_evolve" ->
@@ -2342,6 +2371,86 @@ object Oracle {
                    ${dsum("greatest(CAST(0.0 AS DOUBLE), 1.0 - margin)", 6)} AS hinge_loss
             FROM m"""
       },
+
+      // Target-encoding twin: the q_ml_kfold leave-fold-out subtraction in
+      // EXACT integer cents (per-row round(×100)→BIGINT — the portable
+      // path; o_totalprice carries sub-cent precision, so a scale-2
+      // decimal sum can straddle half-cent quantizer differences), then
+      // one fixed-order double epilogue with m = 20.
+      "q_ml_target_encode" ->
+        """WITH o AS (SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
+                             CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+                      FROM orders),
+               cf AS (SELECT cat, fold, count(*) AS n_cf,
+                             sum(CAST(yc AS HUGEINT)) AS s_cf
+                      FROM o GROUP BY 1, 2),
+               c AS (SELECT cat, CAST(sum(n_cf) AS BIGINT) AS n_c,
+                            sum(s_cf) AS s_c
+                     FROM cf GROUP BY 1),
+               g0 AS (SELECT fold, CAST(sum(n_cf) AS BIGINT) AS n_f,
+                             sum(s_cf) AS s_f
+                      FROM cf GROUP BY 1),
+               ga AS (SELECT CAST(sum(n_cf) AS BIGINT) AS n_all,
+                             sum(s_cf) AS s_all
+                      FROM cf),
+               g AS (SELECT fold, n_all - n_f AS n_oof, s_all - s_f AS s_oof
+                     FROM g0, ga)
+           SELECT cat, fold, n_c - n_cf AS n_train_cat,
+                  round(CASE WHEN n_c - n_cf > 0
+                             THEN CAST(s_c - s_cf AS DOUBLE) / CAST(n_c - n_cf AS DOUBLE) END, 6) AS oof_mean_cents,
+                  round((CAST(s_c - s_cf AS DOUBLE)
+                         + 20.0 * (CAST(s_oof AS DOUBLE) / CAST(n_oof AS DOUBLE)))
+                        / (CAST(n_c - n_cf AS DOUBLE) + 20.0), 6) AS encoding_cents
+           FROM cf JOIN c USING (cat) JOIN g USING (fold)
+           ORDER BY cat, fold""",
+
+      // WOE/IV twin: integer class counts, the same 0.5-smoothed share
+      // ratios, and the total IV as an exact decimal window sum over the
+      // ROUNDED contributions.
+      "q_ml_woe_iv" ->
+        """WITH d AS (SELECT source, lang = 'en' AS pos FROM documents),
+               c AS (SELECT source,
+                            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                            CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+                     FROM d GROUP BY 1),
+               t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS t_pos,
+                            CAST(sum(n_neg) AS BIGINT) AS t_neg FROM c),
+               w AS (SELECT source, n_pos, n_neg,
+                            (CAST(n_pos AS DOUBLE) + 0.5) / CAST(t_pos AS DOUBLE) AS sp,
+                            (CAST(n_neg AS DOUBLE) + 0.5) / CAST(t_neg AS DOUBLE) AS sn
+                     FROM c, t),
+               x AS (SELECT source, n_pos, n_neg, round(ln(sp / sn), 6) AS woe,
+                            round((sp - sn) * ln(sp / sn), 6) AS iv_contrib FROM w)
+           SELECT source, n_pos, n_neg, woe, iv_contrib,
+                  CAST(round(sum(CAST(iv_contrib AS DECIMAL(38,10))) OVER (), 6) * 1000000 AS BIGINT) / 1000000.0 AS iv_total
+           FROM x ORDER BY source""",
+
+      // Chi2-selection twin: the q_ml_feature_hash md5 bucket recipe,
+      // per-doc distinct presence, integer 2×2 cells, the same fixed-order
+      // double formula, top-20 under (chi2 DESC, bucket).
+      "q_ml_chi2_select" ->
+        """WITH tok AS (SELECT doc_id, lang = 'en' AS pos,
+                               unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+               pres AS (SELECT DISTINCT doc_id, pos,
+                               CAST(concat('0x', substring(md5(tok), 1, 4)) AS BIGINT) % 64 AS bucket
+                        FROM tok),
+               t AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                            CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+                     FROM documents),
+               bb AS (SELECT bucket,
+                             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS b
+                      FROM pres GROUP BY 1),
+               s AS (SELECT bucket, a, b,
+                            CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+                            CAST(n_pos - a AS DOUBLE) AS cd, CAST(n_neg - b AS DOUBLE) AS dd,
+                            CAST(n_pos + n_neg AS DOUBLE) AS n
+                     FROM bb, t)
+           SELECT bucket, a AS n_pos_present, b AS n_neg_present,
+                  round(n * (ad * dd - bd * cd) * (ad * dd - bd * cd)
+                        / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)), 6) AS chi2
+           FROM s ORDER BY chi2 DESC, bucket LIMIT 20""",
 
       // AdaBoost-round twin: the 24-stump candidate grid regenerated from
       // the SAME MlSuffStats.adaThresholds literals; errors are exact

@@ -267,6 +267,117 @@ object MlSuffStats {
       .orderBy("f", "thr", "pol")
   }
 
+  /** OUT-OF-FOLD TARGET ENCODING (r18 batch) — the leakage-safe
+    * categorical featurizer production pipelines run before any tree/GLM
+    * fit: each (category, fold) gets the smoothed target mean computed
+    * from the OTHER folds only (encode fold f from data f never saw —
+    * same content-addressed folds as q_ml_kfold, orderkey % 5), smoothing
+    * m = 20 toward the out-of-fold global mean. Scale shape: the
+    * q_ml_kfold sufficient-statistics subtraction — ONE map-side-combined
+    * (category, fold) aggregation; category and global totals re-aggregate
+    * that O(cats × folds) frame; leave-fold-out = total − fold partials,
+    * never a second corpus pass. Exact decimal sums (dsum) feed one
+    * fixed-order double epilogue. */
+  val qMlTargetEncode: Q = (s, dir) => {
+    // Work in EXACT integer cents end-to-end (o_totalprice carries
+    // sub-cent precision, so a scale-2 decimal sum can land on half-cent
+    // boundaries where the engines' double→decimal quantizers disagree —
+    // the per-row round(×100)→long is the proven portable path, and every
+    // aggregate after it is exact integer arithmetic).
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("cat"), (col("o_orderkey") % 5L).as("fold"),
+      round(col("o_totalprice") * 100).cast("long").as("yc"))
+    val cf = o.groupBy(col("cat"), col("fold"))
+      .agg(count(lit(1)).as("n_cf"), sum(col("yc").cast(dec)).as("s_cf"))
+    val cTot = cf.groupBy(col("cat"))
+      .agg(sum(col("n_cf")).as("n_c"), sum(col("s_cf")).as("s_c"))
+    val gTot = cf.groupBy(col("fold"))
+      .agg(sum(col("n_cf")).as("n_f"), sum(col("s_cf")).as("s_f"))
+      .crossJoin(broadcast(cf.agg(sum(col("n_cf")).as("n_all"),
+        sum(col("s_cf")).as("s_all"))))
+      .select(col("fold"), (col("n_all") - col("n_f")).as("n_oof"),
+        (col("s_all") - col("s_f")).as("s_oof"))
+    val m = lit(20.0)
+    val nTrain = (col("n_c") - col("n_cf")).cast("double")
+    val sTrain = (col("s_c") - col("s_cf")).cast("double") // exact: < 2^53
+    val gMean = col("s_oof").cast("double") / col("n_oof").cast("double")
+    cf.join(broadcast(cTot), "cat").join(broadcast(gTot), "fold")
+      .select(col("cat"), col("fold"),
+        (col("n_c") - col("n_cf")).as("n_train_cat"),
+        round(when(nTrain > 0, sTrain / nTrain), 6).as("oof_mean_cents"),
+        round((sTrain + m * gMean) / (nTrain + m), 6).as("encoding_cents"))
+      .orderBy("cat", "fold")
+  }
+
+  /** WEIGHT OF EVIDENCE + INFORMATION VALUE (r18 batch) — the classic
+    * credit-scoring / feature-screening statistic: per source (the
+    * category), smoothed event/non-event shares against the binary target
+    * lang = 'en', WOE = ln(share_pos/share_neg), IV contribution
+    * = (share_pos − share_neg)·WOE, and the total IV as an exact decimal
+    * window sum over ROUNDED contributions (the q_stats_chisq convention —
+    * category order can never change it). ONE map-side-combined
+    * conditional aggregation; everything after runs on O(categories)
+    * rows. */
+  val qMlWoeIv: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("source"), (col("lang") === "en").as("pos"))
+    val cat = d.groupBy(col("source")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+    val tot = cat.agg(sum(col("n_pos")).as("t_pos"), sum(col("n_neg")).as("t_neg"))
+    val sp = (col("n_pos").cast("double") + 0.5) / col("t_pos").cast("double")
+    val sn = (col("n_neg").cast("double") + 0.5) / col("t_neg").cast("double")
+    val woe = log(sp / sn)
+    cat.crossJoin(broadcast(tot))
+      .withColumn("woe", round(woe, 6))
+      .withColumn("iv_contrib", round((sp - sn) * woe, 6))
+      .withColumn("iv_total", graft.functions.Det.dsumOver(col("iv_contrib"),
+        Window.partitionBy(), scale = 6))
+      .select(col("source"), col("n_pos"), col("n_neg"), col("woe"),
+        col("iv_contrib"), col("iv_total"))
+      .orderBy("source")
+  }
+
+  /** CHI-SQUARE FEATURE SELECTION (r18 batch) — the univariate filter
+    * sklearn ships as chi2/SelectKBest, over hashing-trick features: each
+    * document's tokens hash into 64 buckets (the q_ml_feature_hash md5
+    * recipe — portable content addressing), presence is per-doc distinct,
+    * and every bucket's 2×2 contingency against the binary label
+    * lang = 'en' scores χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)); top 20
+    * buckets win (ties → smaller bucket). Scale shape: explode + ONE
+    * map-side-combined distinct + one conditional aggregation per bucket
+    * (O(64) rows after); label totals broadcast; the top-20 is
+    * TakeOrderedAndProject. Integer contingency → ONE fixed-order double
+    * formula, exact in both engines. */
+  val qMlChi2Select: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val h = md5(col("tok"))
+    val present = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), (col("lang") === "en").as("pos"),
+        (conv(substring(h, 1, 4), 16, 10).cast("long") % 64).as("bucket"))
+      .distinct()
+    val tot = docs.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("n_neg"))
+    val byBucket = present.groupBy(col("bucket")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("a"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("b"))
+    val cD = (col("n_pos") - col("a")).cast("double")
+    val dD = (col("n_neg") - col("b")).cast("double")
+    val (aD, bD) = (col("a").cast("double"), col("b").cast("double"))
+    val n = (col("n_pos") + col("n_neg")).cast("double")
+    val chi2 = n * (aD * dD - bD * cD) * (aD * dD - bD * cD) /
+      ((aD + bD) * (cD + dD) * (aD + cD) * (bD + dD))
+    byBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("a").as("n_pos_present"),
+        col("b").as("n_neg_present"), round(chi2, 6).as("chi2"))
+      .orderBy(col("chi2").desc, col("bucket"))
+      .limit(20)
+  }
+
   /** Shared by the Spark side and the oracle generator so the two unrolled
     * iteration chains can never drift apart. */
   val logregIters = 4
@@ -1116,6 +1227,9 @@ object MlSuffStats {
     "q_ml_eval_calibration" -> qMlEvalCalibration,
     "q_ml_eval_roc" -> qMlEvalRoc,
     "q_ml_kfold" -> qMlKfold,
+    "q_ml_target_encode" -> qMlTargetEncode,
+    "q_ml_woe_iv" -> qMlWoeIv,
+    "q_ml_chi2_select" -> qMlChi2Select,
     "q_ml_eval_regression" -> qMlEvalRegression,
     "q_ml_pipeline" -> qMlPipeline,
     "q_ml_isotonic" -> qMlIsotonic,

@@ -745,6 +745,65 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** INCREMENTAL TABLE STATISTICS (r18 batch) — the mergeable-ANALYZE
+    * story: every commit already records per-file partials in the
+    * manifest (n_rows, min_v, max_v — written once when the file was
+    * created), so table-level statistics come from MERGING the live
+    * manifest rows (Σn, min of mins, max of maxs) in O(files) — never
+    * re-scanning the table the way q_layout_analyze's from-scratch pass
+    * does. The graded read merges over the two-generation
+    * build-then-append layout (two manifest parts — stats accreted across
+    * commits); the hash match against the from-scratch oracle proves the
+    * partials compose exactly. At 100 TB this is the difference between
+    * ANALYZE costing a table scan per tick and costing a manifest read;
+    * exact-NDV is the one statistic this cannot merge (q_agg_approx_
+    * distinct's mergeable HLL is that path). */
+  val qLayoutStatsMerge: Q = (s, dir) => {
+    val staged = stagedManifestAppendLayout(s, dir)
+    val man = s.read.parquet(s"$staged/manifest")
+    val live = man.filter(col("op") === "add")
+      .join(man.filter(col("op") === "remove").select(col("file_path")),
+        Seq("file_path"), "left_anti")
+    live.agg(
+      sum(col("n_rows")).as("n_rows"),
+      // n_commits is structurally determined by the fixture (build commit
+      // v0 + append commit v1); the oracle pins it as a literal. The file
+      // count is partitioner-dependent and is pinned by R17OpsSpec against
+      // the on-disk listing instead.
+      countDistinct(col("commit_ver")).as("n_commits"),
+      unix_micros(min(col("min_v")).cast("timestamp")).as("min_us"),
+      unix_micros(max(col("max_v")).cast("timestamp")).as("max_us"))
+  }
+
+  /** SMA FORECAST BACKTEST (r18 batch) — the simplest honest member of
+    * the time-series family (beside anomaly/drift/decay): the daily value
+    * series, each day forecast by the trailing 7-day mean, absolute error
+    * per day, and the global MAE. Determinism: the trailing sum runs
+    * through Det.dsumOver's exact decimal window (window engines differ
+    * in partial-sum order — Spark accumulates in frame order, DuckDB uses
+    * segment trees), and the MAE is a decimal window sum over ROUNDED
+    * errors. Scale shape: the corpus pays ONE map-side-combined day
+    * aggregation; every window runs over the O(days) series. */
+  val qEventsForecast: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(dsum(col("value")).as("v"))
+    val wTrail = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    val wCnt = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    val forecast = graft.functions.Det.dsumOver(col("v"), wTrail, 6) / 7.0
+    daily
+      .withColumn("n_prev", count(col("v")).over(wCnt))
+      .withColumn("forecast", round(forecast, 6))
+      .withColumn("abs_err", round(abs(col("v") - col("forecast")), 6))
+      .filter(col("n_prev") === 7)
+      .withColumn("mae", round(graft.functions.Det.dsumOver(col("abs_err"),
+        Window.partitionBy(), scale = 6) /
+        count(lit(1)).over(Window.partitionBy()).cast("double"), 6))
+      .select(col("day"), col("v"), col("forecast"), col("abs_err"), col("mae"))
+      .orderBy("day")
+  }
+
   /** PARTITION-SPEC EVOLUTION graded end-to-end (r18 batch) — Iceberg's
     * evolve-the-partitioning story (Layout.writeSpecEpoch / specPlan /
     * specPrunedRead): epoch 0 (orders before 1997) is hive-partitioned by
@@ -3838,6 +3897,7 @@ object Relational {
     "q_layout_bloom_index" -> qLayoutBloomIndex,
     "q_layout_wap" -> qLayoutWap,
     "q_layout_partition_evolve" -> qLayoutPartitionEvolve,
+    "q_layout_stats_merge" -> qLayoutStatsMerge,
     "q_merge_upsert" -> qMergeUpsert,
     "q_merge_cdf" -> qMergeCdf,
     "q_agg_view_maintain" -> qAggViewMaintain,
@@ -3855,6 +3915,7 @@ object Relational {
     "q_retention_cohorts" -> qRetentionCohorts,
     "q_sessionize_gap" -> qSessionizeGap,
     "q_events_sequence" -> qEventsSequence,
+    "q_events_forecast" -> qEventsForecast,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_fuzzy_match" -> qFuzzyMatch,

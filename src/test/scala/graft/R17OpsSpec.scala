@@ -12,8 +12,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class R17OpsSpec extends AnyFunSuite {
   import SparkFixture._
 
+  /** Spark's Round semantics on doubles: BigDecimal.valueOf (the shortest
+    * decimal representation), NOT the exact binary expansion — the two
+    * differ exactly at scale-6 rounding boundaries. */
   private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Det.dsum(scale 6) reproduced exactly (R16OpsSpec's twin). */
   private def dsum6(xs: Seq[Double]): Double = {
@@ -361,6 +365,145 @@ class R17OpsSpec extends AnyFunSuite {
     val want = Tables.orders(spark, Sf0001)
       .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi).count()
     assert(read.count() == want)
+  }
+
+  test("q_ml_target_encode: out-of-fold encodings never see their own fold") {
+    val rows = Tables.orders(spark, Sf0001)
+      .select(col("o_orderpriority"), (col("o_orderkey") % 5L),
+        col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = SparkEntry.queries("q_ml_target_encode")(spark, Sf0001).collect()
+    assert(got.length == rows.map(r => (r._1, r._2)).distinct.length)
+    // Mirror the engine's exact-integer-cents composition: per-row
+    // round(×100)→long, all aggregates exact, leave-fold-out = total −
+    // partial, one double epilogue.
+    def cents(x: Double): Long =
+      BigDecimal(java.math.BigDecimal.valueOf(x * 100))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val part = rows.groupBy(r => (r._1, r._2)).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(v => BigInt(cents(v._3))).sum) }
+    val catTot = part.groupBy(_._1._1).map { case (c, ps) =>
+      c -> (ps.values.map(_._1).sum, ps.values.map(_._2).sum) }
+    val foldTot = part.groupBy(_._1._2).map { case (f, ps) =>
+      f -> (ps.values.map(_._1).sum, ps.values.map(_._2).sum) }
+    val allN = part.values.map(_._1).sum
+    val allS = part.values.map(_._2).sum
+    for (r <- got) {
+      val (cat, fold) = (r.getAs[String]("cat"), r.getAs[Long]("fold"))
+      val (nCf, sCf) = part((cat, fold))
+      val (nC, sC) = catTot(cat)
+      val nTrain = (nC - nCf).toDouble
+      val sTrain = (sC - sCf).toDouble
+      assert(r.getAs[Long]("n_train_cat") == nC - nCf)
+      assert(r.getAs[Double]("oof_mean_cents") == round6(sTrain / nTrain),
+        s"($cat, $fold): oof_mean_cents")
+      val (nF, sF) = foldTot(fold)
+      val gMean = (allS - sF).toDouble / (allN - nF).toDouble
+      assert(r.getAs[Double]("encoding_cents") ==
+        round6((sTrain + 20.0 * gMean) / (nTrain + 20.0)),
+        s"($cat, $fold): encoding_cents")
+    }
+  }
+
+  test("q_ml_woe_iv: WOE signs track class skew and IV is one global total") {
+    val rows = SparkEntry.queries("q_ml_woe_iv")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val (tp, tn) = (rows.map(_.getAs[Long]("n_pos")).sum,
+      rows.map(_.getAs[Long]("n_neg")).sum)
+    for (r <- rows) {
+      val (p, n0) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+      val sp = (p.toDouble + 0.5) / tp.toDouble
+      val sn = (n0.toDouble + 0.5) / tn.toDouble
+      assert(r.getAs[Double]("woe") == round6(math.log(sp / sn)))
+      assert(r.getAs[Double]("iv_contrib") == round6((sp - sn) * math.log(sp / sn)))
+    }
+    val iv = rows.map(_.getAs[Double]("iv_total")).distinct
+    assert(iv.length == 1)
+    assert(iv.head == dsum6(rows.map(_.getAs[Double]("iv_contrib")).toSeq))
+    // IV contributions are nonnegative by construction ((sp−sn) and the
+    // log share a sign).
+    assert(rows.forall(_.getAs[Double]("iv_contrib") >= 0.0))
+  }
+
+  test("q_ml_chi2_select: exact 2x2 cells and a descending top-20") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1) == "en", r.getString(2)))
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 4), 16) % 64
+    }
+    val present = docs.flatMap { case (id, pos, text) =>
+      text.split(" ", -1).map(t => (id, pos, bucket(t))).distinct }.distinct
+    val nPos = docs.count(_._2).toLong
+    val nNeg = docs.length - nPos
+    val got = SparkEntry.queries("q_ml_chi2_select")(spark, Sf0001).collect()
+    assert(got.length == 20)
+    val chis = got.map(_.getAs[Double]("chi2"))
+    assert(chis.zip(chis.tail).forall { case (a, b) => a >= b }, "not descending")
+    for (r <- got) {
+      val b = r.getAs[Long]("bucket")
+      val a = present.count(x => x._3 == b && x._2).toLong
+      val bn = present.count(x => x._3 == b && !x._2).toLong
+      assert(r.getAs[Long]("n_pos_present") == a, s"bucket $b: a")
+      assert(r.getAs[Long]("n_neg_present") == bn, s"bucket $b: b")
+      val (ad, bd, cd, dd) = (a.toDouble, bn.toDouble,
+        (nPos - a).toDouble, (nNeg - bn).toDouble)
+      val n = (nPos + nNeg).toDouble
+      val chi = n * (ad * dd - bd * cd) * (ad * dd - bd * cd) /
+        ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd))
+      assert(r.getAs[Double]("chi2") == round6(chi), s"bucket $b: chi2")
+    }
+  }
+
+  test("q_layout_stats_merge: merged manifest partials equal the table truth; files pinned on disk") {
+    val staged = queries.Relational.stagedManifestAppendLayout(spark, Sf0001)
+    val got = SparkEntry.queries("q_layout_stats_merge")(spark, Sf0001).head()
+    val li = Tables.lineitem(spark, Sf0001)
+    assert(got.getAs[Long]("n_rows") == li.count())
+    assert(got.getAs[Long]("n_commits") == 2L)
+    val want = li.agg(
+      unix_micros(min(col("l_shipdate")).cast("timestamp")),
+      unix_micros(max(col("l_shipdate")).cast("timestamp"))).head()
+    assert(got.getAs[Long]("min_us") == want.getLong(0))
+    assert(got.getAs[Long]("max_us") == want.getLong(1))
+    // The file-count statistic the oracle cannot see: manifest live rows
+    // == parquet files on disk.
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(staged).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new Path(s"$staged/data"))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val liveRows = spark.read.parquet(s"$staged/manifest")
+      .filter(col("op") === "add").count()
+    assert(liveRows == onDisk, s"manifest $liveRows files vs $onDisk on disk")
+  }
+
+  test("q_events_forecast: trailing-window forecast matches a driver fold; MAE is global") {
+    val got = SparkEntry.queries("q_events_forecast")(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    // Rebuild the daily series the same exact-decimal way.
+    val daily = Tables.events(spark, Sf0001)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(graft.functions.Det.dsum(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1)
+    val byDay = daily.toMap
+    val days = daily.map(_._1)
+    for (r <- got) {
+      val d = r.getAs[String]("day")
+      val i = days.indexOf(d)
+      assert(i >= 7, s"$d emitted without 7 trailing days")
+      val window = (i - 7 until i).map(j => byDay(days(j)))
+      val tsum = dsum6(window)
+      assert(r.getAs[Double]("forecast") == round6(tsum / 7.0), s"$d: forecast")
+      assert(r.getAs[Double]("abs_err") ==
+        round6(math.abs(byDay(d) - round6(tsum / 7.0))), s"$d: abs_err")
+    }
+    val mae = got.map(_.getAs[Double]("mae")).distinct
+    assert(mae.length == 1)
+    assert(mae.head == round6(
+      dsum6(got.map(_.getAs[Double]("abs_err")).toSeq) / got.length))
   }
 
   test("q_sim_sq8: recall >= 0.6 vs brute-force top-10; adist within the quantization bound") {

@@ -309,7 +309,7 @@ object ScaleSoak {
     // write a soak_results.json that reads as a completed A/B (ADVICE r12).
     val unknown =
       wanted -- pairs.map(_._1).toSet -- solos.map(_._1).toSet -
-        "skew" - "manifest" - "chain" - "dv" - "unigram"
+        "skew" - "manifest" - "chain" - "dv" - "unigram" - "bloomidx"
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"ScaleSoak: no A/B pair for wanted key(s): ${unknown.mkString(",")} " +
@@ -465,6 +465,71 @@ object ScaleSoak {
       if (rm.toDouble / 256 > 0.2)
         throw new IllegalStateException(
           s"manifest soak: delete touched $rm of 256 files — not O(touched)")
+    }
+
+    // BLOOM-INDEX soak (key "bloomidx", r17 batch 17): the point-lookup
+    // pruning claim at 256 files / 60M rows. Geometry is the soak's
+    // teeth: ~230k rows per date-clustered file are ~200k DISTINCT
+    // orderkeys (the clustering key scatters orders across files), so the
+    // filter needs ~10 bits/key = 32768 words — the first soak run at
+    // 8192 words saturated every word (2.1M sidecar rows, kept 228/256,
+    // pruning dead) and failed this block loudly; that is exactly why the
+    // geometry is a build parameter persisted in the sidecar instead of a
+    // constant. Certified: build is one pass, the sidecar stays
+    // O(files × words), pruning keeps ≤ 15% of files for 4 probes,
+    // skipped files hold ZERO probe rows, and the pruned aggregate equals
+    // the full-scan aggregate.
+    if (wanted.isEmpty || wanted("bloomidx")) {
+      stage(spark, src, out, "lineitem", copies = 100)(df => df
+        .withColumn("l_orderkey", col("l_orderkey") + col("__c") * lit(100000000L)))
+      val lay = s"$out/bloom-soak"
+      val li = spark.read.parquet(s"$out/lineitem.parquet")
+      Tables.deleteRecursively(lay)
+      println("[soak] bloomidx: building 256-file layout + 32768-word sidecar ...")
+      val t0 = System.nanoTime()
+      graft.sources.Layout.writeManifested(li, lay, "l_shipdate", numFiles = 256)
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val sidecarRows = graft.sources.Layout
+        .buildBloomIndex(spark, lay, "l_orderkey", words = 32768)
+      val idxSec = (System.nanoTime() - t1) / 1e9
+      val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+      val (kMin, kMax) = (b.getLong(0), b.getLong(1))
+      val kMid = li.filter(col("l_orderkey") <= (kMin + kMax) / 2)
+        .agg(max(col("l_orderkey"))).head().getLong(0)
+      val probes = Seq(kMin, kMid, kMax, kMax + 1)
+      val t2 = System.nanoTime()
+      val (kept, skipped) =
+        graft.sources.Layout.bloomCandidateFiles(spark, lay, probes)
+      val planSec = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val prunedAgg = graft.sources.Layout.bloomPrunedRead(spark, lay, probes)
+        .filter(col("l_orderkey").isin(probes: _*))
+        .agg(count(lit(1)), sum(col("l_orderkey"))).head()
+      val prunedSec = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val fullAgg = spark.read.parquet(s"$lay/data")
+        .filter(col("l_orderkey").isin(probes: _*))
+        .agg(count(lit(1)), sum(col("l_orderkey"))).head()
+      val fullSec = (System.nanoTime() - t4) / 1e9
+      val leaked =
+        if (skipped.isEmpty) 0L
+        else spark.read.parquet(skipped: _*)
+          .filter(col("l_orderkey").isin(probes: _*)).count()
+      println(f"[soak] bloomidx: build $buildSec%.1f s, sidecar $idxSec%.1f s " +
+        f"($sidecarRows rows); plan $planSec%.2f s kept ${kept.size}/256; " +
+        f"pruned read $prunedSec%.1f s vs full scan $fullSec%.1f s " +
+        f"(${prunedSec / fullSec}%.3f); leaked $leaked")
+      Files.writeString(Paths.get(out, "soak_bloomidx.json"),
+        f"""{"key":"bloomidx","build_sec":$buildSec%.2f,"index_sec":$idxSec%.2f,"sidecar_rows":$sidecarRows,"plan_sec":$planSec%.3f,"kept":${kept.size},"files":256,"pruned_sec":$prunedSec%.2f,"full_sec":$fullSec%.2f,"pruned_over_full":${prunedSec / fullSec}%.4f,"leaked":$leaked}""" + "\n")
+      if (leaked != 0) throw new IllegalStateException(
+        s"bloomidx soak: $leaked probe row(s) in skipped files — pruning unsound")
+      if (kept.size > 38) throw new IllegalStateException(
+        s"bloomidx soak: kept ${kept.size} of 256 files — FP rate collapsed")
+      if (prunedAgg.getLong(0) != fullAgg.getLong(0) ||
+          prunedAgg.getLong(1) != fullAgg.getLong(1))
+        throw new IllegalStateException(
+          s"bloomidx soak: pruned aggregate diverged from the full scan")
     }
 
     // DELETION-VECTOR soak (key "dv", r17): same 60M-row layout and the

@@ -4320,7 +4320,7 @@ object Relational {
     * file exceeds the 2048-word geometry. */
   def stagedBloomLayout(s: SparkSession, dir: String): String =
     Tables.stagedFixture(s, s"$dir/lineitem.parquet",
-      "lineitem-manifest-bloom", dir, "v1") { d =>
+      "lineitem-manifest-bloom", dir, "v3") { d => // v3: geometry + coverage markers
       import graft.sources.Layout
       Layout.writeManifested(Tables.lineitem(s, dir), d, "l_shipdate",
         numFiles = 12)

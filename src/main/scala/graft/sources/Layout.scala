@@ -955,21 +955,25 @@ object Layout {
 
   // ------------------------------------------ per-file BLOOM index (r17)
 
-  /** Bloom sidecar geometry: m = 131072 bits (2048 64-bit words) per file,
-    * k = 4 hash functions. At ~15k distinct keys per clustered file that
-    * is ~8.7 bits/key → ~2% false-positive rate; the sidecar stores only
-    * NONZERO words, so its size is min(set bits, 2048) rows per file —
-    * O(files), never O(rows). */
+  /** Default bloom sidecar geometry: m = 131072 bits (2048 64-bit words)
+    * per file, k = 4 hash functions. At ~15k distinct keys per clustered
+    * file that is ~8.7 bits/key → ~2% false-positive rate; the sidecar
+    * stores only NONZERO words, so its size is min(set bits, words) rows
+    * per file — O(files), never O(rows). The geometry is a BUILD
+    * parameter (persisted in the sidecar, read back at probe time): at
+    * 100 TB, files hold more distinct keys, and bits-per-key — not a
+    * constant word count — is what holds the false-positive rate; the
+    * ScaleSoak sizes 8192 words for 256-file/60M-row layouts. */
   val BloomWords = 2048
   val BloomHashes = 4
 
-  /** Bit position of hash `seed` for `key`: xxhash64 over (seed, key),
-    * folded into [0, m). The SAME expression computes index bits at build
-    * time (distributed, per row) and probe bits at query time (driver, one
-    * tiny literal frame) — there is no second hash implementation to
-    * drift. */
-  private def bloomBitpos(key: Column, seed: Int): Column =
-    pmod(xxhash64(lit(seed), key), lit(BloomWords.toLong * 64L))
+  /** Bit position of hash `seed` for `key` under an m = words×64 bit
+    * filter: xxhash64 over (seed, key), folded into [0, m). The SAME
+    * expression computes index bits at build time (distributed, per row)
+    * and probe bits at query time (driver, one tiny literal frame) —
+    * there is no second hash implementation to drift. */
+  private def bloomBitpos(key: Column, seed: Int, words: Int): Column =
+    pmod(xxhash64(lit(seed), key), lit(words.toLong * 64L))
 
   /** Build a PER-FILE BLOOM FILTER INDEX over `keyCol` for every live file
     * of a manifested layout — the Delta `bloomFilterIndex` shape: point
@@ -982,32 +986,44 @@ object Layout {
     * build are simply absent from the sidecar and [[bloomPrunedRead]]
     * reads them unconditionally — staleness degrades pruning, never
     * correctness. Returns the sidecar row count. */
-  def buildBloomIndex(spark: SparkSession, path: String,
-                      keyCol: String): Long = {
+  def buildBloomIndex(spark: SparkSession, path: String, keyCol: String,
+                      words: Int = BloomWords): Long = {
     val live = liveManifestRows(spark, path, Long.MaxValue)
       .select(col("file_path")).collect().map(_.getString(0))
-    spark.read.parquet(live.toIndexedSeq: _*)
+    val bits = spark.read.parquet(live.toIndexedSeq: _*)
       .select(input_file_name().as("file_path"), col(keyCol).as("k"))
       .select(col("file_path"), explode(array(
-        (1 to BloomHashes).map(i => bloomBitpos(col("k"), i)): _*)).as("bitpos"))
+        (1 to BloomHashes).map(i => bloomBitpos(col("k"), i, words)): _*)).as("bitpos"))
       .select(col("file_path"), expr("bitpos div 64").as("word_idx"),
         expr("shiftleft(1L, cast(bitpos % 64 as int))").as("mask"))
       .groupBy(col("file_path"), col("word_idx"))
       .agg(expr("bit_or(mask)").as("word"))
+    // Coverage markers (word_idx = -1, one per indexed file) ride the
+    // sidecar: planning then needs only PUSHED point reads (the marker
+    // rows + the ≤ keys×k probed word indexes) instead of a full-sidecar
+    // distinct — at soak geometry that is 256+16 rows out of 8.4M.
+    val markers = live.toIndexedSeq
+      .map(f => (f, -1L, 0L))
+    val markerDf = spark.createDataFrame(markers).toDF("file_path", "word_idx", "word")
+    bits.unionByName(markerDf)
+      .withColumn("m_words", lit(words.toLong)) // geometry rides the sidecar
       .coalesce(1)
+      .sortWithinPartitions(col("word_idx"))    // row-group stats serve the
+                                                // planning point filters
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bloomidx")
-    spark.read.parquet(s"$path/bloomidx").count()
+    spark.read.parquet(s"$path/bloomidx").count() - live.length
   }
 
-  /** The k (word_idx, mask) probe pairs for each key, computed through the
-    * SAME column expressions as the build (one job over a literal frame —
-    * a parameter fetch, not a data collect). */
-  private def bloomProbeRows(spark: SparkSession, keys: Seq[Long])
-      : Seq[(Long, Long, Long)] = {
+  /** The k (word_idx, mask) probe pairs for each key under the sidecar's
+    * persisted geometry, computed through the SAME column expressions as
+    * the build (one job over a literal frame — a parameter fetch, not a
+    * data collect). */
+  private def bloomProbeRows(spark: SparkSession, keys: Seq[Long],
+                             words: Int): Seq[(Long, Long, Long)] = {
     import spark.implicits._
     keys.toDF("k")
       .select(col("k"), explode(array(
-        (1 to BloomHashes).map(i => bloomBitpos(col("k"), i)): _*)).as("bitpos"))
+        (1 to BloomHashes).map(i => bloomBitpos(col("k"), i, words)): _*)).as("bitpos"))
       .select(col("k"), expr("bitpos div 64").as("word_idx"),
         expr("shiftleft(1L, cast(bitpos % 64 as int))").as("mask"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
@@ -1024,11 +1040,15 @@ object Layout {
                           keys: Seq[Long]): (Seq[String], Seq[String]) = {
     val live = liveManifestRows(spark, path, Long.MaxValue)
       .select(col("file_path")).collect().map(_.getString(0))
-    val probes = bloomProbeRows(spark, keys)
-    val widxs = probes.map(_._2).distinct
     val idx = spark.read.parquet(s"$path/bloomidx")
-    val covered = idx.select(col("file_path")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // Coverage + geometry from the marker rows alone — a pushed point
+    // filter over the sorted sidecar, O(files) rows read.
+    val markerRows = idx.filter(col("word_idx") === -1L)
+      .select(col("file_path"), col("m_words")).collect()
+    val covered = markerRows.map(_.getString(0)).toSet
+    val geometry = markerRows.head.getLong(1).toInt
+    val probes = bloomProbeRows(spark, keys, geometry)
+    val widxs = probes.map(_._2).distinct
     val words = idx.filter(col("word_idx").isin(widxs: _*))
       .collect()
       .map(r => (r.getAs[String]("file_path"), r.getAs[Long]("word_idx"))

@@ -288,8 +288,12 @@ object MlSuffStats {
     val o = Tables.orders(s, dir).select(
       col("o_orderpriority").as("cat"), (col("o_orderkey") % 5L).as("fold"),
       round(col("o_totalprice") * 100).cast("long").as("yc"))
-    val cf = o.groupBy(col("cat"), col("fold"))
-      .agg(count(lit(1)).as("n_cf"), sum(col("yc").cast(dec)).as("s_cf"))
+    // cf feeds the category totals, the fold totals, the global total AND
+    // the final join (a 4-way diamond): persist the O(cats×folds) frame so
+    // the corpus pays ONE aggregation pass, not four.
+    val cf = graft.operators.ScaleOps.trackedPersist(
+      o.groupBy(col("cat"), col("fold"))
+        .agg(count(lit(1)).as("n_cf"), sum(col("yc").cast(dec)).as("s_cf")))
     val cTot = cf.groupBy(col("cat"))
       .agg(sum(col("n_cf")).as("n_c"), sum(col("s_cf")).as("s_c"))
     val gTot = cf.groupBy(col("fold"))
@@ -323,9 +327,11 @@ object MlSuffStats {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
       .select(col("source"), (col("lang") === "en").as("pos"))
-    val cat = d.groupBy(col("source")).agg(
+    // cat feeds the totals AND the final projection: persist the
+    // O(categories) frame — one corpus pass, not two.
+    val cat = graft.operators.ScaleOps.trackedPersist(d.groupBy(col("source")).agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
-      sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg")))
     val tot = cat.agg(sum(col("n_pos")).as("t_pos"), sum(col("n_neg")).as("t_neg"))
     val sp = (col("n_pos").cast("double") + 0.5) / col("t_pos").cast("double")
     val sn = (col("n_neg").cast("double") + 0.5) / col("t_neg").cast("double")

@@ -2962,8 +2962,10 @@ object Relational {
     * per-user fanout bounded by C(|types|, 2) = 10, never quadratic; the
     * per-type counts are an O(types) broadcast back. */
   val qGraphCooccur: Q = (s, dir) => {
-    val perType = Tables.events(s, dir)
-      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("k"))
+    // perType appears on both sides of the preference join below — persist
+    // the O(users×types) frame so the corpus pays ONE aggregation pass.
+    val perType = graft.operators.ScaleOps.trackedPersist(Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("k")))
     val perUser = perType.groupBy(col("user_id"))
       .agg(sum(col("k")).as("tot"), count(lit(1)).as("ntypes"))
     // The preference frame feeds the per-type counts AND both join sides
@@ -3614,7 +3616,10 @@ object Relational {
   val qStatsChisq: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(s, dir)
-    val cells = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    // cells feeds both marginals and the final projection (a 3-way
+    // diamond): persist the O(cells) frame — one corpus pass, not three.
+    val cells = graft.operators.ScaleOps.trackedPersist(
+      d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o")))
     val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
     val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
     val tot = d.agg(count(lit(1)).as("n_tot"))

@@ -1081,6 +1081,25 @@ object Oracle {
                 epoch_us(max(l_shipdate)) AS max_us
          FROM lineitem""",
 
+    // Change-point twin: exact integer cents through the cross-multiplied
+    // cumulative deviation (HUGEINT mirrors DECIMAL(38,0)); the argmax
+    // carries the earliest-day tiebreak.
+    "q_events_changepoint" ->
+      """WITH daily AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                               CAST(round(sum(CAST(value AS DECIMAL(38,10))), 2) * 100 AS BIGINT) AS v_cents
+                        FROM events GROUP BY 1),
+              i AS (SELECT day, v_cents,
+                           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+                           sum(CAST(v_cents AS HUGEINT)) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s_t,
+                           count(*) OVER () AS n_days,
+                           sum(CAST(v_cents AS HUGEINT)) OVER () AS total
+                    FROM daily),
+              d AS (SELECT day, t, v_cents, abs(s_t * n_days - t * total) AS dev FROM i),
+              r AS (SELECT *, row_number() OVER (ORDER BY dev DESC, day) AS best FROM d)
+         SELECT day, t, v_cents, CAST(dev AS DOUBLE) AS dev,
+                CAST(best = 1 AS BIGINT) AS is_changepoint
+         FROM r ORDER BY day""",
+
     // Forecast-backtest twin: the trailing window and the MAE both run
     // through the exact decimal window-sum recipe (Det.dsumOver's twin),
     // so neither engine's window partial-sum order can leak in.
@@ -2452,6 +2471,32 @@ object Oracle {
                         / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)), 6) AS chi2
            FROM s ORDER BY chi2 DESC, bucket LIMIT 20""",
 
+      // Maximin-seeding twin: the unrolled per-seed argmax CTE chain —
+      // identical fixed-order distance doubles, exact least(), vec_id
+      // tiebreaks.
+      "q_ml_kmeanspp" ->
+        """WITH pts AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e0,
+                               CAST(embedding[2] AS DOUBLE) AS e1 FROM embeddings),
+               s1 AS (SELECT vec_id, e0, e1 FROM pts ORDER BY vec_id LIMIT 1),
+               s2 AS (SELECT p.vec_id, p.e0, p.e1,
+                             ((p.e0 - s1.e0) * (p.e0 - s1.e0) + (p.e1 - s1.e1) * (p.e1 - s1.e1)) AS d2
+                      FROM pts p, s1 ORDER BY d2 DESC, p.vec_id LIMIT 1),
+               s3 AS (SELECT p.vec_id, p.e0, p.e1,
+                             least(((p.e0 - s1.e0) * (p.e0 - s1.e0) + (p.e1 - s1.e1) * (p.e1 - s1.e1)),
+                                   ((p.e0 - s2.e0) * (p.e0 - s2.e0) + (p.e1 - s2.e1) * (p.e1 - s2.e1))) AS d2
+                      FROM pts p, s1, s2 ORDER BY d2 DESC, p.vec_id LIMIT 1),
+               s4 AS (SELECT p.vec_id, p.e0, p.e1,
+                             least(((p.e0 - s1.e0) * (p.e0 - s1.e0) + (p.e1 - s1.e1) * (p.e1 - s1.e1)),
+                                   ((p.e0 - s2.e0) * (p.e0 - s2.e0) + (p.e1 - s2.e1) * (p.e1 - s2.e1)),
+                                   ((p.e0 - s3.e0) * (p.e0 - s3.e0) + (p.e1 - s3.e1) * (p.e1 - s3.e1))) AS d2
+                      FROM pts p, s1, s2, s3 ORDER BY d2 DESC, p.vec_id LIMIT 1)
+           SELECT CAST(1 AS BIGINT) AS seed_round, vec_id,
+                  round(e0, 6) AS e0, round(e1, 6) AS e1, CAST(0.0 AS DOUBLE) AS d2 FROM s1
+           UNION ALL SELECT 2, vec_id, round(e0, 6), round(e1, 6), round(d2, 6) FROM s2
+           UNION ALL SELECT 3, vec_id, round(e0, 6), round(e1, 6), round(d2, 6) FROM s3
+           UNION ALL SELECT 4, vec_id, round(e0, 6), round(e1, 6), round(d2, 6) FROM s4
+           ORDER BY seed_round""",
+
       // AdaBoost-round twin: the 24-stump candidate grid regenerated from
       // the SAME MlSuffStats.adaThresholds literals; errors are exact
       // integer counts, so the argmin and α reproduce bit-for-bit.
@@ -2699,6 +2744,23 @@ object Oracle {
                   (PARTITION BY qid ORDER BY cnt DESC, label
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS vote_label
          FROM t ORDER BY qid, rn""",
+
+    // Containment twin: the q_dedup_minhash bigram CTE with the
+    // asymmetric |A∩B|/|A| ratio, top-50 under the (containment DESC,
+    // src, dst) total order.
+    "q_dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 2),
+              s AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+                    FROM w, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+              n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS inter
+                    FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                    GROUP BY 1, 2)
+         SELECT src_doc, dst_doc, inter, n.n AS n_src,
+                round(CAST(inter AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS containment
+         FROM p JOIN n ON src_doc = n.doc_id
+         ORDER BY containment DESC, src_doc, dst_doc LIMIT 50""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS exemplar

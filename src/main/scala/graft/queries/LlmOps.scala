@@ -1881,6 +1881,38 @@ object LlmOps {
         round(col("thumb_mean"), 6).as("thumb_mean"), col("thumb_hash"))
       .orderBy("asset_id")
 
+  /** CONTAINMENT DEDUP (r18 batch) — the ASYMMETRIC near-superset measure
+    * Jaccard misses (a short doc fully embedded in a long one scores
+    * containment(A→B) = |A∩B|/|A| ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0 — the
+    * quote/aggregation-page case every corpus dedup eventually hits;
+    * Broder's original resemblance/containment pair): per ordered doc
+    * pair, bigram-shingle containment, top-50 under (containment DESC,
+    * src, dst). Scale shape: this graded form is the EXACT corpus join
+    * (shingle-equi self-join — the oracle's own shape); at 100 TB the
+    * candidate set comes from the same banded-LSH index as
+    * q_dedup_minhash (containment refines candidates exactly like the
+    * Jaccard refine — one more ratio over the same intersection counts).
+    * Integer intersections → one rounded ratio; ties resolved by the
+    * (src, dst) total order. */
+  val qDedupContainment: Q = (s, dir) => {
+    val sh = graft.operators.ScaleOps.trackedPersist(
+      shingles(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(col("sh")).as("g")))
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.g") === col("b.g") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src_doc"), col("b.doc_id").as("dst_doc"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.select(col("doc_id").as("src_doc"), col("n").as("n_src")), "src_doc")
+      .select(col("src_doc"), col("dst_doc"), col("inter"), col("n_src"),
+        round(col("inter").cast("double") / col("n_src").cast("double"), 6)
+          .as("containment"))
+      .orderBy(col("containment").desc, col("src_doc"), col("dst_doc"))
+      .limit(50)
+  }
+
   /** SimHash near-dup pairs (Hamming ≤ 3) via the pigeonhole 4-band bucket
     * join + exact bit_count refine (TextOps.simhashPairs, native simhash64
     * kernel). No oracle: xxhash64 has no DuckDB twin — NoOracleSpec checks
@@ -2574,6 +2606,7 @@ object LlmOps {
     "q_sim_sq8" -> qSimSq8,
     "q_text_gopher" -> qTextGopher,
     "q_text_flesch" -> qTextFlesch,
+    "q_dedup_containment" -> qDedupContainment,
     "q_multimodal_join" -> qMultimodalJoin,
     "q_dedup_media" -> qDedupMedia)
 }

@@ -384,6 +384,49 @@ object MlSuffStats {
       .limit(20)
   }
 
+  /** DETERMINISTIC K-MEANS SEEDING — maximin / farthest-point traversal
+    * (r18 batch) [pub: Gonzalez 1985; the deterministic k-means++ variant]:
+    * seed 1 = the smallest-id point, each next seed = the point MAXIMIZING
+    * its distance to the nearest chosen seed (ties → smallest vec_id),
+    * k = 4 over the family's (e0, e1) plane. This is the seeding job the
+    * reference would run before its Lloyd iterations (q_ml_kmeans_step /
+    * _converged take their centroids from exactly this kind of pass).
+    * Scale shape: one corpus argmax pass PER SEED (TakeOrdered — per-
+    * partition top-1 + driver merge, no sort), seeds ride back as
+    * literals; the driver holds O(k) doubles. Determinism: every distance
+    * is the same fixed-order double expression in both engines, `least`
+    * over doubles is exact, and the argmax carries the vec_id tiebreak. */
+  val qMlKmeansPP: Q = (s, dir) => {
+    val pts = graft.operators.ScaleOps.trackedPersist(
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding")(0).cast("double").as("e0"),
+        col("embedding")(1).cast("double").as("e1")))
+    val first = pts.orderBy(col("vec_id")).limit(1).head()
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      (first.getLong(0), first.getDouble(1), first.getDouble(2), 0.0))
+    for (_ <- 2 to 4) {
+      val dmin = seeds.map { case (_, cx, cy, _) =>
+        (col("e0") - lit(cx)) * (col("e0") - lit(cx)) +
+          (col("e1") - lit(cy)) * (col("e1") - lit(cy))
+      }.reduce(least(_, _))
+      val nxt = pts.withColumn("d2", dmin)
+        .orderBy(col("d2").desc, col("vec_id")).limit(1).head()
+      seeds += ((nxt.getLong(0), nxt.getDouble(1), nxt.getDouble(2),
+        nxt.getDouble(3)))
+    }
+    import s.implicits._
+    seeds.zipWithIndex.map { case ((id, x, y, d2), i) =>
+      (i + 1L, id,
+        BigDecimal(java.math.BigDecimal.valueOf(x))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(java.math.BigDecimal.valueOf(y))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(java.math.BigDecimal.valueOf(d2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("seed_round", "vec_id", "e0", "e1", "d2")
+      .orderBy("seed_round")
+  }
+
   /** Shared by the Spark side and the oracle generator so the two unrolled
     * iteration chains can never drift apart. */
   val logregIters = 4
@@ -1234,6 +1277,7 @@ object MlSuffStats {
     "q_ml_eval_roc" -> qMlEvalRoc,
     "q_ml_kfold" -> qMlKfold,
     "q_ml_target_encode" -> qMlTargetEncode,
+    "q_ml_kmeanspp" -> qMlKmeansPP,
     "q_ml_woe_iv" -> qMlWoeIv,
     "q_ml_chi2_select" -> qMlChi2Select,
     "q_ml_eval_regression" -> qMlEvalRegression,

@@ -804,6 +804,41 @@ object Relational {
       .orderBy("day")
   }
 
+  /** CHANGE-POINT DETECTION (r18 batch) [pub: Pettitt 1979 / Page's CUSUM
+    * family — the cumulative-deviation form]: on the daily value series,
+    * the statistic dev_t = |S_t·N − t·T| (S = prefix sum, T = total — the
+    * rank-free CUSUM deviation, cross-multiplied so it stays EXACT
+    * integer arithmetic in cents; a float cumsum could reorder) peaks at
+    * the most likely mean-shift point; the argmax day is flagged (ties →
+    * earliest). Scale shape: the corpus pays ONE map-side-combined day
+    * aggregation; the prefix/total windows and the argmax run over the
+    * O(days) series. dev is emitted as double (exact below 2⁵³ — at
+    * larger spans the DECIMAL(38,0) column itself is the output). */
+  val qEventsChangepoint: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(dsum(col("value")) * 100).cast("long").as("v_cents"))
+    val wOrd = Window.orderBy(col("day"))
+    val wAll = Window.partitionBy()
+    val withIdx = daily
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("s_t", sum(col("v_cents").cast(dec))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("v_cents").cast(dec)).over(wAll))
+    val dev = abs(col("s_t") * col("n_days").cast(dec) -
+      col("t").cast(dec) * col("total"))
+    val flagged = withIdx.withColumn("dev", dev)
+      .withColumn("best",
+        row_number().over(Window.orderBy(col("dev").desc, col("day"))))
+    flagged.select(col("day"), col("t"), col("v_cents"),
+        col("dev").cast("double").as("dev"),
+        (col("best") === 1).cast("long").as("is_changepoint"))
+      .orderBy("day")
+  }
+
   /** PARTITION-SPEC EVOLUTION graded end-to-end (r18 batch) — Iceberg's
     * evolve-the-partitioning story (Layout.writeSpecEpoch / specPlan /
     * specPrunedRead): epoch 0 (orders before 1997) is hive-partitioned by
@@ -3921,6 +3956,7 @@ object Relational {
     "q_sessionize_gap" -> qSessionizeGap,
     "q_events_sequence" -> qEventsSequence,
     "q_events_forecast" -> qEventsForecast,
+    "q_events_changepoint" -> qEventsChangepoint,
     "q_unpivot_measures" -> qUnpivotMeasures,
     "q_subquery_scalar" -> qSubqueryScalar,
     "q_fuzzy_match" -> qFuzzyMatch,

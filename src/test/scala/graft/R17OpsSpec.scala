@@ -506,6 +506,78 @@ class R17OpsSpec extends AnyFunSuite {
       dsum6(got.map(_.getAs[Double]("abs_err")).toSeq) / got.length))
   }
 
+  test("q_ml_kmeanspp equals a driver maximin traversal and spreads the seeds") {
+    val pts = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding")(0).cast("double"),
+        col("embedding")(1).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    def d2(a: (Double, Double), b: (Double, Double)) =
+      (a._1 - b._1) * (a._1 - b._1) + (a._2 - b._2) * (a._2 - b._2)
+    var seeds = List((pts.head._1, (pts.head._2, pts.head._3)))
+    for (_ <- 2 to 4) {
+      val nxt = pts.map { case (id, x, y) =>
+        (id, (x, y), seeds.map(s => d2((x, y), s._2)).min) }
+        .minBy { case (id, _, d) => (-d, id) }
+      seeds = seeds :+ ((nxt._1, nxt._2))
+    }
+    val got = SparkEntry.queries("q_ml_kmeanspp")(spark, Sf0001).collect()
+    assert(got.length == 4)
+    assert(got.map(_.getLong(1)).toSeq == seeds.map(_._1),
+      s"seed ids drift: ${got.map(_.getLong(1)).toSeq} vs ${seeds.map(_._1)}")
+    // Maximin property: every later seed's reported d2 is the max-min
+    // distance of its round — strictly positive (the seeds spread).
+    assert(got.drop(1).forall(_.getDouble(4) > 0.0))
+  }
+
+  test("q_dedup_containment surfaces the asymmetric near-supersets Jaccard misses") {
+    val got = SparkEntry.queries("q_dedup_containment")(spark, Sf0001).collect()
+    assert(got.length > 0 && got.length <= 50)
+    // Driver recomputation over bigram shingle sets.
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1))
+      .filter(_._2.length >= 2)
+    val sh = docs.map { case (id, w) =>
+      id -> w.sliding(2).map(_.mkString(" ")).toSet }.toMap
+    for (r <- got) {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val inter = (sh(a) & sh(b)).size.toLong
+      assert(r.getLong(2) == inter, s"($a,$b): inter")
+      assert(r.getLong(3) == sh(a).size.toLong, s"($a,$b): n_src")
+      assert(r.getDouble(4) ==
+        round6(inter.toDouble / sh(a).size.toDouble), s"($a,$b): containment")
+    }
+    // Descending, and the top row is a genuine high-containment pair.
+    val cs = got.map(_.getDouble(4))
+    assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    assert(cs.head >= 0.5, s"top containment ${cs.head} — corpus has planted near-supersets")
+  }
+
+  test("q_events_changepoint: exact deviation, one flagged argmax day") {
+    val got = SparkEntry.queries("q_events_changepoint")(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    val days = got.map(r => (r.getString(0), r.getLong(2))).sortBy(_._1)
+    val n = BigInt(days.length)
+    val total = days.map(d => BigInt(d._2)).sum
+    var s = BigInt(0)
+    val devs = days.zipWithIndex.map { case ((_, v), i) =>
+      s += BigInt(v)
+      (s * n - BigInt(i + 1) * total).abs
+    }
+    for ((r, i) <- got.sortBy(_.getString(0)).zipWithIndex) {
+      assert(r.getLong(1) == i + 1, s"t at $i")
+      assert(BigInt(r.getDouble(3).toLong) == devs(i), s"dev at day ${r.getString(0)}")
+    }
+    val flagged = got.filter(_.getLong(4) == 1L)
+    assert(flagged.length == 1)
+    val maxDev = devs.max
+    assert(BigInt(flagged.head.getDouble(3).toLong) == maxDev)
+    // Earliest-day tiebreak.
+    val firstMaxIdx = devs.indexWhere(_ == maxDev)
+    assert(flagged.head.getLong(1) == firstMaxIdx + 1)
+  }
+
   test("q_sim_sq8: recall >= 0.6 vs brute-force top-10; adist within the quantization bound") {
     val rows = SparkEntry.queries("q_sim_sq8")(spark, Sf0001).collect()
     assert(rows.length == 10)

@@ -1895,19 +1895,36 @@ object LlmOps {
     * Integer intersections → one rounded ratio; ties resolved by the
     * (src, dst) total order. */
   val qDedupContainment: Q = (s, dir) => {
+    // Hashed shingles (the minhash family's long-hash kernel — strings are
+    // never shuffled) and ONE unordered-pair join (doc_a < doc_b): both
+    // directed containments derive from the same intersection count, so
+    // the join/shuffle volume halves vs a directed self-join. On this
+    // corpus's pathological 50-word vocabulary the exact pair set is
+    // inherently dense (every doc shares bigrams with most others) — the
+    // measured halving is the available win without changing semantics.
     val sh = graft.operators.ScaleOps.trackedPersist(
-      shingles(Tables.documents(s, dir))
-        .select(col("doc_id"), explode(col("sh")).as("g")))
+      shingleHashes(Tables.documents(s, dir))
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g")))
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val docs = Tables.documents(s, dir)
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.g") === col("b.g") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("src_doc"), col("b.doc_id").as("dst_doc"))
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(n.select(col("doc_id").as("src_doc"), col("n").as("n_src")), "src_doc")
-      .select(col("src_doc"), col("dst_doc"), col("inter"), col("n_src"),
-        round(col("inter").cast("double") / col("n_src").cast("double"), 6)
+      .join(graft.operators.ScaleOps.broadcastIfSourceSmall(
+        n.select(col("doc_id").as("doc_a"), col("n").as("n_a")), docs), "doc_a")
+      .join(graft.operators.ScaleOps.broadcastIfSourceSmall(
+        n.select(col("doc_id").as("doc_b"), col("n").as("n_b")), docs), "doc_b")
+      .select(explode(array(
+        struct(col("doc_a").as("src_doc"), col("doc_b").as("dst_doc"),
+          col("inter"), col("n_a").as("n_src")),
+        struct(col("doc_b").as("src_doc"), col("doc_a").as("dst_doc"),
+          col("inter"), col("n_b").as("n_src")))).as("p"))
+      .select(col("p.src_doc"), col("p.dst_doc"), col("p.inter"),
+        col("p.n_src"),
+        round(col("p.inter").cast("double") / col("p.n_src").cast("double"), 6)
           .as("containment"))
       .orderBy(col("containment").desc, col("src_doc"), col("dst_doc"))
       .limit(50)

@@ -512,8 +512,8 @@ object Oracle {
     // rewrite breaks the hash; the curve itself is spec-pinned.
     "q_layout_hilbert" ->
       s"""SELECT count(*) AS n, ${dsum("l_extendedprice")} AS revenue,
-                 sum(CAST(l_partkey AS BIGINT)) AS sum_pk,
-                 sum(CAST(l_suppkey AS BIGINT)) AS sum_sk,
+                 CAST(sum(CAST(l_partkey AS BIGINT)) AS BIGINT) AS sum_pk,
+                 CAST(sum(CAST(l_suppkey AS BIGINT)) AS BIGINT) AS sum_sk,
                  min(CAST(l_partkey AS BIGINT)) AS min_pk,
                  max(CAST(l_partkey AS BIGINT)) AS max_pk,
                  min(CAST(l_suppkey AS BIGINT)) AS min_sk,
@@ -2098,7 +2098,8 @@ object Oracle {
                      ${dsum(s"$d * $d", 6)} AS s_dd, ${dsum(y)} AS s_y,
                      ${dsum(s"$q * $y")} AS s_qy, ${dsum(s"$d * $y", 4)} AS s_dy
               FROM lineitem),
-            lam AS (SELECT unnest([0.0, 1.0, 100.0, 10000.0, 1000000.0]) AS lambda),
+            lam AS (SELECT CAST(unnest([0.0, 1.0, 100.0, 10000.0, 1000000.0])
+                                AS DOUBLE) AS lambda),
             c AS (SELECT lambda, n, s_q, s_d, s_y,
                          s_qq - s_q * s_q / n AS cqq, s_qd - s_q * s_d / n AS cqd,
                          s_dd - s_d * s_d / n AS cdd, s_qy - s_q * s_y / n AS cqy,

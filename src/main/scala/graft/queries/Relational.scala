@@ -790,10 +790,9 @@ object Relational {
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(dsum(col("value")).as("v"))
     val wTrail = Window.orderBy(col("day")).rowsBetween(-7, -1)
-    val wCnt = Window.orderBy(col("day")).rowsBetween(-7, -1)
     val forecast = graft.functions.Det.dsumOver(col("v"), wTrail, 6) / 7.0
     daily
-      .withColumn("n_prev", count(col("v")).over(wCnt))
+      .withColumn("n_prev", count(col("v")).over(wTrail))
       .withColumn("forecast", round(forecast, 6))
       .withColumn("abs_err", round(abs(col("v") - col("forecast")), 6))
       .filter(col("n_prev") === 7)
@@ -2962,8 +2961,8 @@ object Relational {
     * aggregation, then ≤625-edge iteration on the driver; unbounded
     * graphs run the identical update as per-round groupBy-argmax with
     * checkpoints — the Components loop's shape). 4 rounds, fixed. Output:
-    * each node's final community plus the community's size and weight
-    * mass. No oracle (iterated argmax has no tractable SQL form);
+    * each node's final community plus the community's size.
+    * No oracle (iterated argmax has no tractable SQL form);
     * R17OpsSpec re-runs an independently-written reference over the same
     * edges and pins label equality, plus the definitional invariants
     * (labels ⊆ node ids, round-0 identity). */
@@ -3803,7 +3802,11 @@ object Relational {
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("n_mode").desc, col("mode_qty"))
     Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("mode_qty"))
+      .groupBy(col("l_returnflag"),
+        // round-then-cast, not truncating cast: the DuckDB twin's
+        // CAST(… AS BIGINT) rounds, so the key must too if l_quantity
+        // ever carries fractional values (ADVICE r17).
+        round(col("l_quantity")).cast("long").as("mode_qty"))
       .agg(count(lit(1)).as("n_mode"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -1040,11 +1040,20 @@ object Layout {
                           keys: Seq[Long]): (Seq[String], Seq[String]) = {
     val live = liveManifestRows(spark, path, Long.MaxValue)
       .select(col("file_path")).collect().map(_.getString(0))
-    val idx = spark.read.parquet(s"$path/bloomidx")
+    // Staleness degrades pruning, never correctness (ADVICE r17): a layout
+    // with no bloomidx dir at all, or a sidecar with no marker rows (e.g.
+    // freshly truncated), must degrade to the unconditional full read —
+    // (all live files kept, nothing skipped) — not throw.
+    val idx =
+      try spark.read.parquet(s"$path/bloomidx")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        return (live.toIndexedSeq, Nil)
+      }
     // Coverage + geometry from the marker rows alone — a pushed point
     // filter over the sorted sidecar, O(files) rows read.
     val markerRows = idx.filter(col("word_idx") === -1L)
       .select(col("file_path"), col("m_words")).collect()
+    if (markerRows.isEmpty) return (live.toIndexedSeq, Nil)
     val covered = markerRows.map(_.getString(0)).toSet
     val geometry = markerRows.head.getLong(1).toInt
     val probes = bloomProbeRows(spark, keys, geometry)

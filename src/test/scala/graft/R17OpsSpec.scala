@@ -514,17 +514,26 @@ class R17OpsSpec extends AnyFunSuite {
       .sortBy(_._1)
     def d2(a: (Double, Double), b: (Double, Double)) =
       (a._1 - b._1) * (a._1 - b._1) + (a._2 - b._2) * (a._2 - b._2)
-    var seeds = List((pts.head._1, (pts.head._2, pts.head._3)))
+    // Each driver seed records its round's max-min distance alongside the
+    // coordinates, so the reported d2/e0/e1 columns are pinned exactly —
+    // not just "positive" (ADVICE r17: a wrong-but-positive max-min or
+    // mis-rounded coordinate must fail, not pass).
+    var seeds = List((pts.head._1, (pts.head._2, pts.head._3), 0.0))
     for (_ <- 2 to 4) {
       val nxt = pts.map { case (id, x, y) =>
         (id, (x, y), seeds.map(s => d2((x, y), s._2)).min) }
         .minBy { case (id, _, d) => (-d, id) }
-      seeds = seeds :+ ((nxt._1, nxt._2))
+      seeds = seeds :+ ((nxt._1, nxt._2, nxt._3))
     }
     val got = SparkEntry.queries("q_ml_kmeanspp")(spark, Sf0001).collect()
     assert(got.length == 4)
     assert(got.map(_.getLong(1)).toSeq == seeds.map(_._1),
       s"seed ids drift: ${got.map(_.getLong(1)).toSeq} vs ${seeds.map(_._1)}")
+    for ((r, (_, (x, y), d)) <- got.zip(seeds)) {
+      assert(r.getDouble(2) == round6(x), s"round ${r.getLong(0)}: e0")
+      assert(r.getDouble(3) == round6(y), s"round ${r.getLong(0)}: e1")
+      assert(r.getDouble(4) == round6(d), s"round ${r.getLong(0)}: d2")
+    }
     // Maximin property: every later seed's reported d2 is the max-min
     // distance of its round — strictly positive (the seeds spread).
     assert(got.drop(1).forall(_.getDouble(4) > 0.0))

@@ -1814,6 +1814,82 @@ object Oracle {
     s"CAST(round(sum(CAST($x AS DECIMAL(38,10))) OVER $over, $scale) * $p AS BIGINT) / $p.0"
   }
 
+  /** The q_ml_gbdt_converged twin, GENERATED from the Spark side's own
+    * feature schedule (one CTE block per boosting round) so the two
+    * engines can never drift in round count or feature order. Per round:
+    * decimal residual histogram → triangle prefix → fin-rounded split
+    * stats → 4-dp gain with (gain DESC, sb) argmax → residual update via
+    * the same IEEE CASE expression; the loss chain NESTS
+    * round(loss − gain, 4) exactly as the driver's iterative r4 does
+    * (association matters at the 4th decimal). */
+  private def gbdtConvergedSql: String = {
+    val q = "l_quantity"; val d = "l_discount"; val y = "l_extendedprice"
+    val feats = graft.queries.MlSuffStats.gbdtConvRounds
+    def fin(x: String) = s"CAST(round($x, 6) * 1000000 AS BIGINT) / 1000000.0"
+    val sb = new StringBuilder
+    sb ++= s"""WITH resid_0 AS (
+        SELECT CAST(floor($y / 4096.0) AS BIGINT) AS bin1,
+               CAST(floor($d * 100.0) AS BIGINT) AS bin2,
+               CAST($q AS DOUBLE) AS r
+        FROM lineitem)"""
+    for ((f, i) <- feats.zipWithIndex) {
+      val t = i + 1
+      sb ++= s""",
+        bins_$t AS (SELECT $f AS b, count(*) AS n,
+                           sum(CAST(r AS DECIMAL(38,10))) AS sv,
+                           sum(CAST(r * r AS DECIMAL(38,10))) AS qv
+                    FROM resid_${t - 1} GROUP BY 1),
+        tot_$t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+                          sum(sv) AS s_tot, sum(qv) AS q_tot FROM bins_$t),
+        cum_$t AS (SELECT c.b AS sb, CAST(sum(x.n) AS BIGINT) AS nl,
+                          sum(x.sv) AS sl, sum(x.qv) AS ql
+                   FROM bins_$t c JOIN bins_$t x ON x.b <= c.b GROUP BY 1),
+        g_$t AS (SELECT sb, nl, n_tot - nl AS nr,
+                        ${fin("sl")} AS sl_d, ${fin("s_tot - sl")} AS sr_d,
+                        ${fin("ql")} AS ql_d, ${fin("q_tot - ql")} AS qr_d,
+                        ${fin("s_tot")} AS st_d, ${fin("q_tot")} AS qt_d, n_tot
+                 FROM cum_$t CROSS JOIN tot_$t WHERE n_tot - nl > 0),
+        gg_$t AS (SELECT sb, nl, nr, sl_d, sr_d,
+                         CAST(round((qt_d - st_d * st_d / CAST(n_tot AS DOUBLE))
+                             - (ql_d - sl_d * sl_d / CAST(nl AS DOUBLE))
+                             - (qr_d - sr_d * sr_d / CAST(nr AS DOUBLE)), 4)
+                           * 10000 AS BIGINT) AS gain4,
+                         CAST(round(qt_d - st_d * st_d / CAST(n_tot AS DOUBLE), 6)
+                           * 1000000 AS BIGINT) AS lp6
+                  FROM g_$t),
+        best_$t AS (SELECT sb AS split_$t,
+                           sl_d / CAST(nl AS DOUBLE) AS mu_l_$t,
+                           sr_d / CAST(nr AS DOUBLE) AS mu_r_$t,
+                           gain4 AS gain4_$t, lp6 AS lp6_$t
+                    FROM gg_$t
+                    QUALIFY row_number() OVER (ORDER BY gain4 DESC, sb) = 1),
+        resid_$t AS (SELECT bin1, bin2,
+                            r - CASE WHEN $f <= split_$t
+                                     THEN mu_l_$t ELSE mu_r_$t END AS r
+                     FROM resid_${t - 1} CROSS JOIN best_$t)"""
+    }
+    // The loss chain lives in SCALED-BIGINT space (loss6 = lp6 − 100·Σ
+    // gain4) so no double subtraction ever crosses a rounding boundary,
+    // and the ANCHOR rounds at 6 dp: the parent SSE qt − st²/n lands on
+    // the 5e-5 grid whenever st² is divisible by 3 (n = 60000·SF has one
+    // factor of 3), which is EXACTLY a 4-dp tie — where Spark's
+    // shortest-repr HALF_UP and DuckDB's exact-binary rounding disagree;
+    // at 6 dp those grid points sit ON the output grid, tie-free. The
+    // final division by 1e6 is one IEEE op in both engines.
+    val rows = feats.zipWithIndex.map { case (f, i) =>
+      val t = i + 1
+      val lossExpr = "(lp6_1 - " +
+        (1 to t).map(j => s"100 * gain4_$j").mkString(" - ") + ") / 1000000.0"
+      val from = (1 to t).map(j => s"best_$j").mkString(", ")
+      s"""SELECT $t AS round, '$f' AS feature, split_$t AS split_bin,
+                 round(mu_l_$t, 6) AS mu_left, round(mu_r_$t, 6) AS mu_right,
+                 gain4_$t / 10000.0 AS gain, $lossExpr AS loss
+          FROM $from"""
+    }
+    sb ++= s"\nSELECT * FROM (${rows.mkString("\nUNION ALL\n")}) ORDER BY round"
+    sb.toString
+  }
+
   val windows: Map[String, String] = Map(
     // Rolling exact distinct: the oracle states the SEMANTICS directly
     // (trailing-7-day distinct users per type, for days the type has);
@@ -2030,6 +2106,15 @@ object Oracle {
       // double arithmetic; round 2's residual sums ride the decimal path
       // and convert post-merge by the same round-scale dance as the Spark
       // side's `fin`.
+      // K-round boosting twin: one CTE block per round of the Spark
+      // side's driver loop (the SQL is GENERATED from the same feature
+      // schedule — graft.queries.MlSuffStats.gbdtConvRounds — so the two
+      // can never drift in round count or feature order). Residual sums
+      // ride the decimal path, post-merge via the identical fin dance;
+      // the loss chain nests round(loss − gain, 4) per round exactly as
+      // the driver does.
+      "q_ml_gbdt_converged" -> gbdtConvergedSql,
+
       "q_ml_gbdt_round" ->
         s"""WITH rws AS (
               SELECT CAST(floor($y / 4096.0) AS BIGINT) AS bin1,

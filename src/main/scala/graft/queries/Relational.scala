@@ -130,14 +130,22 @@ object Relational {
     * the quarantine path adds no shuffle. The oracle rebuilds the same
     * classification from the clean source, so the hash proves the parser
     * dropped EXACTLY the planted lines and nothing else. */
-  val qSourceMalformed: Q = (s, dir) => {
-    import s.implicits._
-    val lines = Tables.documents(s, dir)
+  /** The malformed-ingest corpus: JSON lines with every doc_id % 7 == 3
+    * line TRUNCATED mid-token — the quarantine fixture shared by
+    * q_source_malformed (PERMISSIVE-mode ingest accounting) and
+    * q_text_bpe_bytes (unk-free byte-level encode of arbitrary
+    * fragments). Returns (is_malformed, line). */
+  def malformedLines(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"),
         to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("line"))
-      .select(when(col("doc_id") % 7 === 3, substring(col("line"), 1, 15))
-        .otherwise(col("line")).as("line"))
-      .as[String]
+      .select((col("doc_id") % 7 === 3).as("is_malformed"),
+        when(col("doc_id") % 7 === 3, substring(col("line"), 1, 15))
+          .otherwise(col("line")).as("line"))
+
+  val qSourceMalformed: Q = (s, dir) => {
+    import s.implicits._
+    val lines = malformedLines(s, dir).select(col("line")).as[String]
     val schema = "doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING"
     s.read.schema(schema)
       .option("mode", "PERMISSIVE")

@@ -13,8 +13,8 @@ class QueryContractSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("declared contract covers all 248 SURVEY §2 keys") {
-    assert(SparkEntry.queries.size == 248)
+  test("declared contract covers all 249 SURVEY §2 keys") {
+    assert(SparkEntry.queries.size == 249)
     // All keys are oracle-checked except the declared non-oracle set below
     // (count pinned by the set literal itself — a stale prose count here
     // was ADVICE r14's first finding, so no number is repeated).
@@ -26,6 +26,7 @@ class QueryContractSpec extends AnyFunSuite {
       "q_sim_ivf_pq", "q_dedup_semantic", "q_sim_rerank_mmr", "q_dedup_media",
       "q_text_fingerprint", "q_media_features", "q_media_resize",
       "q_ml_pca_power", "q_text_bpe_train", "q_text_bpe_encode",
+      "q_text_bpe_bytes",
       "q_text_unigram_train", "q_text_unigram_encode",
       "q_text_wordpiece_train", "q_text_wordpiece_encode",
       "q_ml_pipeline", "q_ml_isotonic", "q_graph_kcore",

@@ -612,6 +612,24 @@ object Oracle {
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
 
+    // Histogram-CBO twin: same contract as q_layout_cbo — the
+    // equi-height histogram changes the PLAN (the broadcast the
+    // interpolation estimate wrongly allows), never the rows; the skewed
+    // column is derived inline by the same multiplication-only
+    // expression the staged fixture uses (bit-equal in both engines,
+    // unlike pow()).
+    "q_layout_cbo_hist" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 2)
+                     * 100 AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+         FROM orders o
+         JOIN (SELECT c_custkey AS sk_key,
+                      c_acctbal * c_acctbal * c_acctbal * c_acctbal AS sk_val
+               FROM customer) s ON o.o_custkey = s.sk_key
+         WHERE s.sk_val <= 1e12
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
     // Two raced delete pairs (disjoint: both commit; conflicting: loser
     // throws, re-plans, commits) must resolve to the SERIAL execution —
     // the oracle re-applies all four delete predicates; any resurrected

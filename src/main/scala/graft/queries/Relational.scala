@@ -614,6 +614,22 @@ object Relational {
     c.sql(graft.catalog.Cbo.joinSql(dir))
   }
 
+  /** CBO EQUI-HEIGHT HISTOGRAMS (r18) — the stats increment after
+    * min/max/NDV: a range predicate on a SKEWED column (sk_val =
+    * c_acctbal⁴, staged once) is misestimated ~1800× by uniform
+    * interpolation and estimated right by the ANALYZE-time equi-height
+    * histogram (`spark.sql.statistics.histogram.enabled`) — flipping a
+    * broadcast the cluster cannot afford (the 18%-of-rows build side
+    * would ship to every executor). The graded run plans against the
+    * histogram-analyzed table; PlanShapeSpec asserts the flip both ways
+    * against the histogram-free twin of the SAME file; the oracle is the
+    * plain join aggregate — stats change the plan, never the rows. See
+    * catalog/Cbo.scala. */
+  val qLayoutCboHist: Q = (s, dir) => {
+    val c = graft.catalog.Cbo.histSession(s, dir)
+    c.sql(graft.catalog.Cbo.histJoinSql(dir))
+  }
+
   /** DELETION VECTORS graded end-to-end (r17) — merge-on-read positional
     * delete (Layout.deleteManifestedDV / dvRead, the Delta DV / Iceberg
     * positional-delete shape): H1 1997 deleted by recording row POSITIONS
@@ -3941,6 +3957,7 @@ object Relational {
     "q_layout_analyze" -> qLayoutAnalyze,
     "q_layout_concurrent" -> qLayoutConcurrent,
     "q_layout_cbo" -> qLayoutCbo,
+    "q_layout_cbo_hist" -> qLayoutCboHist,
     "q_layout_rename" -> qLayoutRename,
     "q_layout_dv" -> qLayoutDv,
     "q_layout_constraint" -> qLayoutConstraint,

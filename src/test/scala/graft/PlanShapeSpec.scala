@@ -414,4 +414,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(meta.stats.exists(_.colStats.contains("c_mktsegment")),
       "ANALYZE FOR COLUMNS left no column stats in the catalog")
   }
+
+  test("q_layout_cbo_hist: the equi-height histogram flips the skewed-predicate broadcast OFF") {
+    import graft.catalog.Cbo
+    // Two catalog tables over the SAME staged skew parquet in the SAME
+    // session with the SAME threshold — the ONLY difference is whether
+    // ANALYZE collected histograms. min/max interpolation estimates
+    // sk_val <= 1e12 at ~0.01% of rows (the mass lives at small values:
+    // sk_val = c_acctbal⁴), so the histogram-free table WRONGLY
+    // broadcasts an ~18%-of-rows build side; the histogram table
+    // estimates honestly and must NOT broadcast.
+    val sess = Cbo.histSession(spark, Sf0001)
+    val hist = sess.sql(Cbo.histJoinSql(Sf0001, "h"))
+      .queryExecution.executedPlan.toString
+    val plain = sess.sql(Cbo.histJoinSql(Sf0001, "p"))
+      .queryExecution.executedPlan.toString
+    assert(!hist.contains("BroadcastHashJoin"),
+      s"histogram stats still broadcast the skewed build side:\n$hist")
+    assert(plain.contains("BroadcastHashJoin"),
+      s"interpolation-only plan did not broadcast — the flip is not histogram-driven:\n$plain")
+    // The histogram actually landed in the catalog column stats.
+    val meta = sess.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        Cbo.histTableName("h", Sf0001)))
+    assert(meta.stats.exists(_.colStats.get("sk_val")
+        .exists(_.histogram.isDefined)),
+      "ANALYZE under histogram.enabled left no histogram on sk_val")
+    val metaP = sess.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        Cbo.histTableName("p", Sf0001)))
+    assert(metaP.stats.exists(_.colStats.get("sk_val")
+        .exists(_.histogram.isEmpty)),
+      "the histogram-free twin unexpectedly carries a histogram")
+    // And the rows are identical — stats change the plan, never the rows.
+    val a = sess.sql(Cbo.histJoinSql(Sf0001, "h")).collect().toSeq
+    val b = sess.sql(Cbo.histJoinSql(Sf0001, "p")).collect().toSeq
+    assert(a == b, "histogram vs plain stats changed the ANSWER")
+  }
 }

@@ -309,7 +309,8 @@ object ScaleSoak {
     // write a soak_results.json that reads as a completed A/B (ADVICE r12).
     val unknown =
       wanted -- pairs.map(_._1).toSet -- solos.map(_._1).toSet -
-        "skew" - "manifest" - "chain" - "dv" - "unigram" - "bloomidx"
+        "skew" - "manifest" - "chain" - "dv" - "unigram" - "bloomidx" -
+        "containment"
     if (unknown.nonEmpty)
       throw new IllegalArgumentException(
         s"ScaleSoak: no A/B pair for wanted key(s): ${unknown.mkString(",")} " +
@@ -388,6 +389,78 @@ object ScaleSoak {
         spark.sparkContext.removeSparkListener(listener)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       }
+    }
+
+    // CONTAINMENT prefix-prune soak (key "containment", r18 — the VERDICT
+    // r17 "Done" criterion for the q_dedup_containment rework): on the
+    // 12.5M-doc copy-prefixed corpus (the bm25 staging: 2500 cohorts of
+    // 5000 docs, ~125k-term vocabulary — the Zipf-ish shape retrieval
+    // assumes; the suffix-perturbed staging is all-stopwords and no
+    // lossless prune can rescue a corpus with no selective terms), (1)
+    // measure the candidate volume the θ=0.98 prefix prune admits vs the
+    // unpruned Σf·(f−1) shingle-equi join the r17 implementation paid —
+    // computed from the freq table, because actually RUNNING the unpruned
+    // join at this scale is the point of not having it — and (2) run the
+    // full adaptive top-50 end-to-end on a 500k-doc slice (100 cohorts),
+    // certifying the θ=0.98 rung holds and the answer shape is the
+    // planted one.
+    if (wanted.isEmpty || wanted("containment")) {
+      Files.createDirectories(Paths.get(out, "bm25"))
+      stage(spark, src, s"$out/bm25", "documents", copies = 2500)(df => df
+        .withColumn("doc_id", col("doc_id") + col("__c") * lit(100000000L))
+        .withColumn("text", concat_ws(" ", expr(
+          "transform(split(text, ' '), w -> concat('c', CAST(__c AS STRING), w))")))
+        .withColumn("n_chars", length(col("text"))))
+      val docs = spark.read.parquet(s"$out/bm25/documents.parquet")
+      // Unpruned volume at the FULL 12.5M docs — exact, from the freq
+      // table alone (Σ_sh f·(f−1)); actually running that join is what
+      // the rework exists to avoid, and even COUNTING the pruned
+      // candidates at 12.5M (≈2.8B joined rows) blows any soak budget.
+      // The copy-prefixed cohorts are SHINGLE-DISJOINT by construction
+      // (every bigram carries its copy's word prefix), so both volumes
+      // are exactly additive across cohorts: the 100-cohort slice's
+      // measured counts scale to the full corpus by exactly ×25 — stated
+      // as arithmetic, not extrapolation.
+      println("[soak] containment: unpruned volume at 12.5M docs ...")
+      val t0 = System.nanoTime()
+      val (nshFull, unprunedFull, _) = graft.queries.LlmOps
+        .containmentPruneStats(docs, theta = 0.98, countCandidates = false)
+      val dtFull = (System.nanoTime() - t0) / 1e9
+      graft.operators.ScaleOps.releaseTracked()
+      val slice = docs.filter(col("doc_id") < lit(100L * 100000000L))
+      println("[soak] containment: pruned candidates on the 500k-doc slice ...")
+      val t1 = System.nanoTime()
+      val (nshS, unprunedS, candS) =
+        graft.queries.LlmOps.containmentPruneStats(slice, theta = 0.98)
+      val dtSlice = (System.nanoTime() - t1) / 1e9
+      graft.operators.ScaleOps.releaseTracked()
+      val cut = unprunedS.toDouble / math.max(1L, candS)
+      println(f"[soak] containment: full shingles=$nshFull unpruned=$unprunedFull " +
+        f"(${dtFull}%.1f s); slice shingles=$nshS unpruned=$unprunedS " +
+        f"candidates=$candS cut=${cut}%.0fx (${dtSlice}%.1f s)")
+      val t2 = System.nanoTime()
+      val top = graft.queries.LlmOps.containmentTop50(spark, slice).collect()
+      val dtQuery = (System.nanoTime() - t2) / 1e9
+      graft.operators.ScaleOps.releaseTracked()
+      println(f"[soak] containment: 500k-doc top-50 in ${dtQuery}%.1f s " +
+        f"(top=${top.head.getDouble(4)}%.3f, 50th=${top.last.getDouble(4)}%.3f)")
+      Files.writeString(Paths.get(out, "soak_containment.json"),
+        f"""{"key":"containment","docs_full":12500000,"shingles_full":$nshFull,"unpruned_join_rows_full":$unprunedFull,"full_stats_sec":$dtFull%.2f,"slice_docs":500000,"slice_shingles":$nshS,"slice_unpruned":$unprunedS,"slice_candidates":$candS,"cut_factor":$cut%.1f,"slice_stats_sec":$dtSlice%.2f,"slice_query_sec":$dtQuery%.2f,"top":${top.head.getDouble(4)},"p50":${top.last.getDouble(4)}}""" + "\n")
+      if (top.length != 50 || top.last.getDouble(4) < 0.98 + 1e-6)
+        throw new IllegalStateException(
+          s"containment soak: θ=0.98 rung did not certify on the slice " +
+          s"(rows=${top.length}, 50th=${top.lastOption.map(_.getDouble(4))})")
+      if (candS * 20 > unprunedS)
+        throw new IllegalStateException(
+          f"containment soak: prune cut only ${cut}%.1fx — the prefix " +
+            "filter is not doing its job on the Zipf-shaped corpus")
+      // Cohort additivity sanity: the slice is exactly 1/25 of the corpus,
+      // so its unpruned volume must be 1/25 of the full one (±1% for the
+      // tiny per-copy shingle differences the prefixed suffix introduces).
+      val ratio = unprunedFull.toDouble / unprunedS
+      if (math.abs(ratio - 25.0) > 1.0)
+        throw new IllegalStateException(
+          f"containment soak: cohorts are not additive (full/slice = ${ratio}%.2f, expected 25) — the ×25 scaling claim would be wrong")
     }
 
     // ADVERSARIAL-CHAIN components soak (key "chain", r15): a 1M-node path

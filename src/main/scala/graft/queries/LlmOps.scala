@@ -1995,48 +1995,89 @@ object LlmOps {
     * At 100 TB the ladder never reaches 0 in practice: a corpus whose
     * 50th-densest containment is low has no near-supersets worth
     * surfacing, and callers pass an explicit floor instead. */
-  def containmentTop50(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
-                       thetas: Seq[Double] = Seq(0.98, 0.9, 0.7, 0.4, 0.0)): DataFrame = {
-    // Per-doc DISTINCT bigram hashes in ONE global rarest-first (f, h)
-    // order — the ngramJaccardPairs docSets shape on the bigram kernel
-    // (hashes only: strings never shuffle; freq table broadcast-gated on
-    // corpus size, degrading to a shuffle join past the gate).
+  /** Per-doc DISTINCT bigram hashes in ONE global rarest-first (f, h)
+    * order — the ngramJaccardPairs docSets shape on the bigram kernel
+    * (hashes only: strings never shuffle; freq table broadcast-gated on
+    * corpus size, degrading to a shuffle join past the gate). Cached. */
+  private def containmentDocSets(docs: DataFrame): DataFrame = {
     val postings = shingleHashes(docs)
       .select(col("doc_id"), explode_outer(array_distinct(col("sh"))).as("h"))
       .filter(col("h").isNotNull)
     val freq = graft.operators.ScaleOps.broadcastIfSourceSmall(
       postings.groupBy(col("h")).agg(count(lit(1)).as("f")), docs)
-    val docSets = graft.operators.ScaleOps.trackedPersist(
+    graft.operators.ScaleOps.trackedPersist(
       postings.join(freq, "h")
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("fh"))
         .select(col("doc_id"), col("fh"), size(col("fh")).as("ns")))
-    // Full postings with rank + doc length — the dst side of every probe.
-    // Frequency-1 shingles leave the index losslessly: a shingle in
-    // exactly one doc never joins two docs.
+  }
+
+  /** ⌈θ·na⌉ with the family's 1e-9 roundoff backoff (an exact-integer
+    * product must not ceil one too high — that would wrongly prune). */
+  private def containmentFloor(theta: Double)(na: Column): Column =
+    ceil(lit(theta) * na - lit(1e-9))
+
+  /** The pre-distinct candidate join at θ: each doc's rarest-PREFIX
+    * postings against full postings, with the length and position prunes.
+    * Frequency-1 shingles leave both sides losslessly: a shingle in
+    * exactly one doc never joins two docs. Shared by the graded query and
+    * the ScaleSoak volume measurement. */
+  private[graft] def containmentCandidates(docSets: DataFrame,
+                                           theta: Double): DataFrame = {
+    val floorInter = containmentFloor(theta) _
     val full = docSets
       .select(col("doc_id"), col("ns"), posexplode(col("fh")).as(Seq("p0", "x")))
       .filter(col("x.f") > 1)
       .select(col("doc_id").as("dst_doc"), col("ns").as("nb"),
         (col("p0") + 1).as("pb"), col("x.h").as("h"))
+    val pfx = docSets
+      .select(col("doc_id"), col("ns"), posexplode_outer(expr(
+        s"slice(fh, 1, cast(size(fh) - ceil(size(fh) * $theta - 1e-9) + 1 AS INT))"))
+        .as(Seq("p0", "x")))
+      .filter(col("x").isNotNull && col("x.f") > 1)
+      .select(col("doc_id").as("src_doc"), col("ns").as("na"),
+        (col("p0") + 1).as("pa"), col("x.h").as("h"))
+    pfx.join(full, Seq("h"))
+      .filter(col("src_doc") =!= col("dst_doc") &&
+        col("nb") >= floorInter(col("na")) &&
+        least(col("na") - col("pa"), col("nb") - col("pb")) + 1 >=
+          floorInter(col("na")))
+  }
+
+  /** ScaleSoak instrumentation: (distinct shingles, unpruned ordered join
+    * rows Σf·(f−1) — the shape the r17 implementation paid, computed from
+    * the freq table without running it, and the pruned candidate rows at
+    * θ, or −1 when `countCandidates` is off — the 12.5M-doc soak takes
+    * the freq-table totals only and measures candidates on a
+    * cohort-disjoint slice). */
+  private[graft] def containmentPruneStats(docs: DataFrame, theta: Double,
+                                           countCandidates: Boolean = true)
+      : (Long, Long, Long) = {
+    // Unpruned volume Σ_sh f·(f−1) straight from the posting frequencies —
+    // ONE map-side-combined shuffle of distinct-shingle partials; the
+    // rarest-first docSets build (collect_list + sort over every posting)
+    // is paid only when candidates are actually counted.
+    val f = shingleHashes(docs)
+      .select(explode_outer(array_distinct(col("sh"))).as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(col("h")).agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("nsh"),
+        sum(col("f") * (col("f") - 1)).as("unpruned"))
+      .head()
+    val cand =
+      if (countCandidates)
+        containmentCandidates(containmentDocSets(docs), theta).count()
+      else -1L
+    (f.getLong(0), f.getLong(1), cand)
+  }
+
+  def containmentTop50(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                       thetas: Seq[Double] = Seq(0.98, 0.9, 0.7, 0.4, 0.0)): DataFrame = {
+    val docSets = containmentDocSets(docs)
 
     def capturedAt(theta: Double): DataFrame = {
-      // ⌈θ·na⌉ with the family's 1e-9 roundoff backoff (an exact-integer
-      // product must not ceil one too high — that would wrongly prune).
-      def floorInter(na: org.apache.spark.sql.Column) =
-        ceil(lit(theta) * na - lit(1e-9))
-      val pfx = docSets
-        .select(col("doc_id"), col("ns"), posexplode_outer(expr(
-          s"slice(fh, 1, cast(size(fh) - ceil(size(fh) * $theta - 1e-9) + 1 AS INT))"))
-          .as(Seq("p0", "x")))
-        .filter(col("x").isNotNull && col("x.f") > 1)
-        .select(col("doc_id").as("src_doc"), col("ns").as("na"),
-          (col("p0") + 1).as("pa"), col("x.h").as("h"))
-      val cand = pfx.join(full, Seq("h"))
-        .filter(col("src_doc") =!= col("dst_doc") &&
-          col("nb") >= floorInter(col("na")) &&
-          least(col("na") - col("pa"), col("nb") - col("pb")) + 1 >=
-            floorInter(col("na")))
+      val floorInter = containmentFloor(theta) _
+      val cand = containmentCandidates(docSets, theta)
         .select(col("src_doc"), col("dst_doc"))
         .distinct()
       val meta = graft.operators.ScaleOps.maybeBroadcast(

@@ -455,8 +455,9 @@ object ScaleSoak {
           f"containment soak: prune cut only ${cut}%.1fx — the prefix " +
             "filter is not doing its job on the Zipf-shaped corpus")
       // Cohort additivity sanity: the slice is exactly 1/25 of the corpus,
-      // so its unpruned volume must be 1/25 of the full one (±1% for the
-      // tiny per-copy shingle differences the prefixed suffix introduces).
+      // so its unpruned volume must be 1/25 of the full one (±4% for the
+      // tiny per-copy shingle differences the prefixed suffix introduces
+      // — the bound is 25±1, i.e. ±4%; ADVICE r18 doc/code mismatch).
       val ratio = unprunedFull.toDouble / unprunedS
       if (math.abs(ratio - 25.0) > 1.0)
         throw new IllegalStateException(

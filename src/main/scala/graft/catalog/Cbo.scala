@@ -143,10 +143,14 @@ object Cbo {
     child.conf.set("spark.sql.session.timeZone", "UTC")
     child.conf.set("spark.sql.cbo.enabled", "true")
     val skew = stagedSkew(parent, dir)
+    val skewBytes = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$skew/data"))
+      try l.filter(_.toString.endsWith(".parquet"))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally l.close()
+    }
     child.conf.set("spark.sql.autoBroadcastJoinThreshold",
-      (java.nio.file.Files.list(java.nio.file.Paths.get(s"$skew/data"))
-        .filter(_.toString.endsWith(".parquet"))
-        .mapToLong(java.nio.file.Files.size(_)).sum() / 16).toString)
+      (skewBytes / 16).toString)
     histRegistered.getOrElseUpdate((child, dir), {
       for ((kind, withHist) <- Seq(("h", true), ("p", false))) {
         val name = histTableName(kind, dir)
@@ -160,7 +164,11 @@ object Cbo {
       }
       child.conf.set("spark.sql.statistics.histogram.enabled", "false")
       // The probe side needs honest stats too (row count / key NDV).
-      val o = tableName("orders", dir)
+      // HIST-SPECIFIC table name (ADVICE r18): the shared-catalog
+      // `g_cbo_orders_*` may already exist from Cbo.session's ANALYZE,
+      // whose column set omits o_totalprice — a tableExists guard there
+      // would silently skip the stats this join's estimates ride on.
+      val o = histTableName("orders", dir)
       if (!child.catalog.tableExists(o)) {
         child.sql(s"CREATE TABLE `$o` USING parquet LOCATION '$dir/orders.parquet'")
         child.sql(s"ANALYZE TABLE `$o` COMPUTE STATISTICS " +
@@ -173,7 +181,7 @@ object Cbo {
   /** The graded skewed-predicate join against the `kind` skew table
     * ("h" = histogram stats, "p" = min/max/NDV only). */
   def histJoinSql(dir: String, kind: String = "h"): String = {
-    val (o, sk) = (tableName("orders", dir), histTableName(kind, dir))
+    val (o, sk) = (histTableName("orders", dir), histTableName(kind, dir))
     s"""SELECT o_orderpriority, count(*) AS n,
               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 2)
                    * 100 AS BIGINT) / CAST(100 AS DOUBLE) AS revenue

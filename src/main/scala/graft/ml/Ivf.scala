@@ -174,7 +174,7 @@ object Ivf {
     * the standing maintenance answer. */
   def appendPartitioned(index: DiskIndex, batch: DataFrame): Unit =
     graft.sources.Layout.writePartitioned(
-      assign(index.model, batch, index.arrayCol), index.path, "cell",
+      assign(index.model, batch, index.arrayCol), dataRoot(index.path), "cell",
       mode = org.apache.spark.sql.SaveMode.Append)
 
   /** Build and PERSIST: quantize, TUNE the probe width on a held sample
@@ -214,10 +214,46 @@ object Ivf {
       else index.tunedNProbe.orElse(storedNProbe(index.path)).getOrElse(
         sys.error(s"no tuned nProbe stored at ${index.path}; pass one explicitly"))
     val probes = nearestCells(index.model, query, width)
-    val assigned = graft.sources.Layout.readPartitioned(spark, index.path)
+    val assigned = graft.sources.Layout.readPartitioned(spark, dataRoot(index.path))
     val live = antiTombstones(spark, index,
       assigned.filter(col("cell").isin(probes.map(Integer.valueOf): _*)))
     rerank(live, index.arrayCol, index.idCol, query, k)
+  }
+
+  // -------------------------------------------- GENERATION POINTER (r19)
+  // Compaction commits by an ATOMIC POINTER SWAP (the Layout OCC rename
+  // pattern applied to the index): each compaction writes a fresh
+  // `gen-<k>/` data root and publishes it by atomically replacing the
+  // `_gen` pointer file. Readers resolve the pointer per read, so a crash
+  // anywhere before the swap leaves the old generation fully live (the
+  // half-written gen dir is an invisible orphan), and a crash after the
+  // swap loses nothing (cleanup below is idempotent). A legacy layout
+  // with no pointer reads its cells from the index root directly.
+
+  private def genPointer(path: String) = java.nio.file.Paths.get(path, "_gen")
+
+  /** The CURRENT data root holding the `cell=` partition dirs: the
+    * generation the `_gen` pointer names, or the index root for a layout
+    * that has never been compacted. */
+  def dataRoot(path: String): String = {
+    val ptr = genPointer(path)
+    if (java.nio.file.Files.exists(ptr))
+      s"$path/${java.nio.file.Files.readString(ptr).trim}"
+    else path
+  }
+
+  private def nextGen(path: String): Int = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(path)
+    val listing = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      val gens = listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("gen-") => n.stripPrefix("gen-").toInt }
+        .toSeq
+      if (gens.isEmpty) 1 else gens.max + 1
+    } finally listing.close()
   }
 
   // ------------------------------------------------- DELETION (r18)
@@ -240,15 +276,24 @@ object Ivf {
       .parquet(tombstonePath(index.path))
 
   /** The sidecar as a frame — empty (not an error) when no delete has
-    * ever landed, so an undeleted index searches unchanged. */
-  def tombstones(spark: SparkSession, index: DiskIndex): DataFrame =
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(tombstonePath(index.path))))
-      spark.read.parquet(tombstonePath(index.path))
+    * ever landed OR when compaction folded every part (the dir then holds
+    * no parquet, only writer markers), so the index searches unchanged. */
+  def tombstones(spark: SparkSession, index: DiskIndex): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(tombstonePath(index.path))
+    val parts =
+      if (java.nio.file.Files.exists(dir)) {
+        val l = java.nio.file.Files.list(dir)
+        try l.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        finally l.close()
+      } else Seq.empty
+    if (parts.nonEmpty) spark.read.parquet(parts: _*)
     else {
       import spark.implicits._
       Seq.empty[Long].toDF(index.idCol)
     }
+  }
 
   /** Drop tombstoned rows from a candidate frame: a LEFT ANTI join against
     * the O(deleted)-sized sidecar, broadcast under the standard size gate
@@ -259,33 +304,65 @@ object Ivf {
       graft.operators.ScaleOps.maybeBroadcast(tombstones(spark, index)),
       Seq(index.idCol), "left_anti")
 
-  /** Fold the tombstones into the layout (the rebuild/maintenance pass —
+  /** Fold tombstones into the layout (the rebuild/maintenance pass —
     * Layout.compact's DV-aware shape applied to the index): rewrite the
-    * cell partitions WITHOUT the tombstoned rows, then drop the sidecar.
+    * cell partitions WITHOUT the tombstoned rows into a NEW generation
+    * dir, publish it with one atomic `_gen` pointer swap, then clean up.
     * Search results are identical before and after (IvfDeleteSpec pins
-    * this); only the physical files change. */
+    * this); only the physical files change.
+    *
+    * Concurrency + crash posture (ADVICE r18): the fold SNAPSHOTS the
+    * sidecar's part files first and deletes EXACTLY those parts after the
+    * swap — a tombstone appended mid-compaction stays in the sidecar and
+    * keeps applying at probe time, never silently discarded. The pointer
+    * swap is the single commit point: a crash before it leaves the old
+    * generation fully live (orphan gen dir only); a crash after it leaves
+    * already-folded tombstone parts behind, whose re-application is a
+    * no-op anti-join (the ids are gone from the data). Racing a
+    * concurrent APPEND remains a single-maintainer responsibility, as
+    * with Layout.compact. */
   def compactPartitioned(spark: SparkSession, index: DiskIndex): Unit = {
-    import java.nio.file.{Files, Paths}
-    val survivors = antiTombstones(spark, index,
-      graft.sources.Layout.readPartitioned(spark, index.path))
-    // Materialize OUTSIDE the live layout, then swap only the cell
-    // partitions: an in-place overwrite would read and clobber the same
-    // files, and a whole-dir swap would drop sidecars (_ivf_nprobe, a
-    // saved quantizer model) that are not part of the data layout.
-    val tmp = index.path + ".compact"
-    graft.sources.Layout.writePartitioned(survivors, tmp, "cell")
-    val dir = Paths.get(index.path)
-    Files.list(dir).forEach { p =>
-      // Hadoop's local FS shadows top-level files with .<name>.crc twins —
-      // they go with their owners or the move below collides on them.
-      val n = p.getFileName.toString.stripPrefix(".").stripSuffix(".crc")
-      if (n.startsWith("cell=") || n == "_tombstones" || n == "_SUCCESS")
-        graft.Tables.deleteRecursively(p.toString)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    // 1. Snapshot the tombstone sidecar's PART FILES; only these fold.
+    val tsDir = Paths.get(tombstonePath(index.path))
+    val snapParts: Seq[java.nio.file.Path] =
+      if (Files.exists(tsDir)) {
+        val l = Files.list(tsDir)
+        try l.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+        finally l.close()
+      } else Seq.empty
+    val oldRoot = dataRoot(index.path)
+    val snapIds =
+      if (snapParts.isEmpty) {
+        import spark.implicits._
+        Seq.empty[Long].toDF(index.idCol)
+      } else spark.read.parquet(snapParts.map(_.toString): _*)
+    val survivors = graft.sources.Layout.readPartitioned(spark, oldRoot)
+      .join(graft.operators.ScaleOps.maybeBroadcast(snapIds),
+        Seq(index.idCol), "left_anti")
+    // 2. Materialize the new generation INVISIBLY, then publish it with
+    //    one atomic pointer replace (ATOMIC_MOVE on the same filesystem).
+    val gen = s"gen-${nextGen(index.path)}"
+    graft.sources.Layout.writePartitioned(survivors, s"${index.path}/$gen", "cell")
+    val tmpPtr = Paths.get(index.path, s"_gen.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmpPtr, gen)
+    Files.move(tmpPtr, genPointer(index.path),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // 3. Idempotent cleanup: the superseded data root and exactly the
+    //    folded sidecar parts (+ local-FS .crc twins).
+    if (oldRoot == index.path) {
+      val dir = Paths.get(index.path)
+      val l = Files.list(dir)
+      try l.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString.stripPrefix(".").stripSuffix(".crc")
+        if (n.startsWith("cell=") || n == "_SUCCESS")
+          graft.Tables.deleteRecursively(p.toString)
+      } finally l.close()
+    } else graft.Tables.deleteRecursively(oldRoot)
+    for (p <- snapParts) {
+      Files.deleteIfExists(p)
+      Files.deleteIfExists(p.resolveSibling("." + p.getFileName.toString + ".crc"))
     }
-    Files.list(Paths.get(tmp)).forEach { p =>
-      Files.move(p, dir.resolve(p.getFileName.toString),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    graft.Tables.deleteRecursively(tmp)
   }
 }

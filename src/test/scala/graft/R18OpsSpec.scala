@@ -154,12 +154,24 @@ class R18OpsSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     try {
       ml.Ivf.compactPartitioned(spark, index)
-      val remaining = spark.read.parquet(path)
+      // r19: compaction publishes a NEW generation via the atomic _gen
+      // pointer swap; the physical files live under the resolved root.
+      val root = ml.Ivf.dataRoot(path)
+      assert(root != path, "compaction did not publish a generation pointer")
+      val remaining = spark.read.parquet(root)
         .filter(col("vec_id").isin(deleted.toSeq.map(java.lang.Long.valueOf): _*))
         .count()
       assert(remaining == 0, s"$remaining tombstoned row(s) survived compaction")
-      assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "_tombstones")), "sidecar not dropped")
+      // The folded sidecar parts are gone (the dir may keep writer
+      // markers; only parquet parts carry tombstones).
+      val tsDir = java.nio.file.Paths.get(path, "_tombstones")
+      if (java.nio.file.Files.exists(tsDir)) {
+        import scala.jdk.CollectionConverters._
+        val l = java.nio.file.Files.list(tsDir)
+        try assert(!l.iterator().asScala.exists(_.toString.endsWith(".parquet")),
+          "folded tombstone parts not dropped")
+        finally l.close()
+      }
       val after = ml.Ivf.searchPartitioned(spark, index, q, k = 10)
         .select("vec_id").collect().map(_.getLong(0)).toSeq
       assert(after == before, s"compaction changed the answer: $after vs $before")

@@ -406,6 +406,24 @@ object Oracle {
             AND l_shipdate < TIMESTAMP '1997-01-01'
           GROUP BY 1 ORDER BY l_linestatus""",
 
+    // Cross-table atomic commit: base (% 10 < 6) plus the PUBLISHED txn A
+    // (% 10 in 6..7) must be visible in BOTH layouts; the crashed txns B
+    // (% 10 == 8, committed to both but never published) and C (% 10 ==
+    // 9, committed to documents only) in NEITHER. The oracle rebuilds the
+    // all-or-nothing visibility by predicate — a half-visible transaction
+    // on either side changes a cohort row and breaks the hash.
+    "q_layout_txn" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id % 10 <= 7),
+              v AS (SELECT * FROM embeddings WHERE vec_id % 10 <= 7),
+              dd AS (SELECT doc_id % 10 AS cohort, count(*) AS n_docs,
+                            CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                     FROM d GROUP BY 1),
+              vv AS (SELECT vec_id % 10 AS cohort, count(*) AS n_vecs
+                     FROM v GROUP BY 1)
+         SELECT dd.cohort AS cohort, n_docs, sum_chars, n_vecs
+         FROM dd JOIN vv ON dd.cohort = vv.cohort
+         ORDER BY cohort""",
+
     // AS OF v0 over the two-generation layout must see ONLY the base
     // generation (l_orderkey % 7 != 3 — the pre-append snapshot), so the
     // oracle rebuilds that subset by predicate. A version filter that

@@ -472,6 +472,40 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** CROSS-TABLE ATOMIC COMMIT (r19 — Layout.txnBegin /
+    * txnAppendManifested / txnPublish): an ingest tick that writes
+    * documents AND embeddings commits both layouts under ONE transaction
+    * marker published with a single atomic rename — the all-or-nothing
+    * boundary a multi-table ingest needs (a crash between two independent
+    * commits would leave referential drift only a later constraint check
+    * could notice). The fixture ([[stagedTxnLayouts]]) plants one
+    * published txn (A), one that crashed after both commits but before
+    * the publish (B), and one that crashed between the two layouts'
+    * commits (C). The graded read joins both layouts per id-cohort: the
+    * hash match proves base ∪ A is visible in BOTH tables and B/C in
+    * NEITHER — a leaked half-transaction on either side changes a cohort
+    * row. At 100 TB the marker rename is O(1) regardless of tick size,
+    * and readers pay one existence probe per in-flight txn — the
+    * Iceberg-catalog multi-table commit shape on the same storage
+    * primitive the single-layout OCC loop already uses. ManifestSpec
+    * walks every crash point of the same protocol. */
+  val qLayoutTxn: Q = (s, dir) => {
+    val staged = stagedTxnLayouts(s, dir)
+    import graft.sources.Layout
+    val docs = Layout.manifestPrunedRead(s, s"$staged/docs",
+      lit(Long.MinValue), lit(Long.MaxValue))
+    val vecs = Layout.manifestPrunedRead(s, s"$staged/vecs",
+      lit(Long.MinValue), lit(Long.MaxValue))
+    val dd = docs.groupBy((col("doc_id") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+    val vv = vecs.groupBy((col("vec_id") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n_vecs"))
+    dd.join(vv, Seq("cohort"))
+      .select(col("cohort"), col("n_docs"), col("sum_chars"), col("n_vecs"))
+      .orderBy("cohort")
+  }
+
   /** COPY-ON-WRITE DELETE on the manifested layout (Layout
     * .deleteManifested) — Delta/Iceberg DELETE WHERE: a deterministic
     * retention range (H1 1997) is deleted by rewriting ONLY the files
@@ -3948,6 +3982,7 @@ object Relational {
     "q_layout_bucketed" -> qLayoutBucketed,
     "q_layout_manifest" -> qLayoutManifest,
     "q_layout_manifest_append" -> qLayoutManifestAppend,
+    "q_layout_txn" -> qLayoutTxn,
     "q_layout_timetravel" -> qLayoutTimetravel,
     "q_layout_delete" -> qLayoutDelete,
     "q_layout_update" -> qLayoutUpdate,
@@ -4081,6 +4116,50 @@ object Relational {
         li.filter(col("l_orderkey") % 7 =!= 3), d, "l_shipdate", numFiles = 12)
       graft.sources.Layout.appendManifested(
         li.filter(col("l_orderkey") % 7 === 3), d, "l_shipdate", numFiles = 4)
+      ()
+    }
+
+  /** The two-layout CROSS-TABLE-TRANSACTION fixture q_layout_txn plans
+    * from (Layout.txnBegin/txnAppendManifested/txnPublish): documents and
+    * embeddings each get a manifested base (ids % 10 < 6), then three
+    * ingest transactions spanning BOTH layouts —
+    *   A (ids % 10 ∈ {6,7}): committed to both layouts, marker PUBLISHED;
+    *   B (ids % 10 == 8):    committed to both layouts, marker never
+    *                         published (crash after the second commit,
+    *                         before the atomic publish);
+    *   C (ids % 10 == 9):    committed to the documents layout only
+    *                         (crash between the two layouts' commits).
+    * Visibility must be all-or-nothing per transaction: reads of either
+    * layout see base ∪ A and nothing of B or C. Staged once per corpus
+    * snapshot; the graded op is the joined read over the result. */
+  def stagedTxnLayouts(s: SparkSession, dir: String): String =
+    Tables.stagedFixture(s, s"$dir/documents.parquet",
+      "txn-layouts", dir, "v1") { d =>
+      import graft.sources.Layout
+      val docs = Tables.documents(s, dir)
+      val vecs = Tables.embeddings(s, dir)
+      Layout.writeManifested(docs.filter(col("doc_id") % 10 < 6),
+        s"$d/docs", "doc_id", numFiles = 4)
+      Layout.writeManifested(vecs.filter(col("vec_id") % 10 < 6),
+        s"$d/vecs", "vec_id", numFiles = 4)
+      val a = Layout.txnBegin(s, s"$d/txn/A.commit")
+      Layout.txnAppendManifested(
+        docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 <= 7),
+        s"$d/docs", "doc_id", numFiles = 2, a)
+      Layout.txnAppendManifested(
+        vecs.filter(col("vec_id") % 10 >= 6 && col("vec_id") % 10 <= 7),
+        s"$d/vecs", "vec_id", numFiles = 2, a)
+      Layout.txnPublish(s, a)
+      val b = Layout.txnBegin(s, s"$d/txn/B.commit")
+      Layout.txnAppendManifested(docs.filter(col("doc_id") % 10 === 8),
+        s"$d/docs", "doc_id", numFiles = 2, b)
+      Layout.txnAppendManifested(vecs.filter(col("vec_id") % 10 === 8),
+        s"$d/vecs", "vec_id", numFiles = 2, b)
+      // crash: B's marker is never published
+      val c = Layout.txnBegin(s, s"$d/txn/C.commit")
+      Layout.txnAppendManifested(docs.filter(col("doc_id") % 10 === 9),
+        s"$d/docs", "doc_id", numFiles = 2, c)
+      // crash: C never reaches the embeddings layout, never publishes
       ()
     }
 

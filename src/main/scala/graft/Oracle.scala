@@ -2923,6 +2923,35 @@ object Oracle {
          WHERE 1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) <= 0.5
          ORDER BY corpus_doc, batch_doc""",
 
+    // Streaming corpus dedup: an arrival (doc_id % 10 == 3, arriving in
+    // doc_id order) survives iff NOTHING seen before it matches at exact
+    // bigram Jaccard dist <= 0.5 — "seen" = the standing corpus (% 10 !=
+    // 3) plus every earlier arrival (smaller doc_id, survivor or not —
+    // the stream appends ALL arrivals to the index). The stream computes
+    // this via per-tick index probes + within-batch pairs; the oracle
+    // rebuilds it as one relational pass, so the hash match proves
+    // stream ≡ batch on the same arrival order.
+    "q_stream_dedup_corpus" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 2),
+              s AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] AS sh
+                    FROM w, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+              n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS seen_doc, b.doc_id AS cand, count(*) AS inter
+                    FROM s a JOIN s b ON a.sh = b.sh
+                    WHERE b.doc_id % 10 = 3
+                      AND (a.doc_id % 10 <> 3 OR a.doc_id < b.doc_id)
+                    GROUP BY 1, 2),
+              dup AS (SELECT DISTINCT cand
+                      FROM p JOIN n na ON seen_doc = na.doc_id
+                             JOIN n nb ON cand = nb.doc_id
+                      WHERE 1.0 - CAST(inter AS DOUBLE)
+                                  / CAST(na.n + nb.n - inter AS DOUBLE) <= 0.5)
+         SELECT d.doc_id, d.source
+         FROM documents d
+         WHERE d.doc_id % 10 = 3 AND d.doc_id NOT IN (SELECT cand FROM dup)
+         ORDER BY d.doc_id""",
+
     // Transitive closure over the SAME exact near-dup pair set as
     // q_dedup_minhash (bigram Jaccard dist <= 0.5), walked with a recursive
     // CTE: each node's component id is the minimum reachable doc_id. The

@@ -560,6 +560,32 @@ object LlmOps {
       .select(col("corpus_doc"), col("batch_doc"), round(col("jd"), 6).as("jaccard_dist"))
   }
 
+  /** One micro-batch of the STREAMING corpus-dedup ingest
+    * (q_stream_dedup_corpus — streaming/Runtime.runCorpusDedup): compute
+    * the batch's MinHash meta ONCE (persisted — it feeds three consumers),
+    * probe the standing index for batch-vs-history matches, and generate
+    * within-batch earlier-arrival matches. Returns
+    * (batch meta rows, batch bucket postings, matched/dropped doc ids):
+    * the first two are what the maintainer APPENDS to the index layouts
+    * (seen-set semantics: every arrival enters the index, so later
+    * arrivals dedup against dropped docs too); the third is this tick's
+    * drop set — a batch doc matching anything seen before it (the
+    * standing corpus, an earlier tick via the index, or an
+    * earlier-arriving doc of the same tick via the within-batch pairs;
+    * arrival order is doc_id order by the replay's construction). All
+    * matching is the signature-prefiltered EXACT bigram Jaccard of the
+    * batch family, so the final surviving set is SQL-expressible. */
+  def corpusDedupTick(idxMeta: DataFrame, idxBuckets: DataFrame,
+                      batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val bMeta = graft.operators.ScaleOps.trackedPersist(minhashMeta(batch))
+    val cross = incrementalDedupPairsFromMeta(idxMeta, idxBuckets, bMeta)
+      .select(col("batch_doc").as("doc_id"))
+    val within = minhashPairsFromMeta(bMeta)
+      .select(col("doc_b").as("doc_id"))
+    (bMeta, bandBuckets(bMeta.select(col("doc_id"), col("sig"))),
+      cross.unionByName(within).distinct())
+  }
+
   // ----------------------------------------- exact n-gram Jaccard similarity
 
   /** Exact n-gram Jaccard near-dup pairs via PREFIX-FILTERED inverted index

@@ -627,7 +627,28 @@ object StreamingQs {
     fin.orderBy("event_type")
   }
 
+  /** STREAMING DEDUP AGAINST THE HISTORICAL CORPUS INDEX (r19 —
+    * Runtime.runCorpusDedup): the crawl-pipeline shape completing the
+    * dedup axis (q_dedup_incremental dedups one batch against the index;
+    * q_stream_dedup/_content dedup within-stream): micro-batch arrivals
+    * probe the PERSISTED banded-LSH index, every arrival then enters the
+    * index, and each tick's two-layout index append (meta + bucket
+    * postings) commits exactly-once through the r19 cross-layout OCC
+    * transaction, its marker doubling as the tick's idempotence token —
+    * runtime certificates pin one commit per tick and that a duplicate
+    * tick delivery short-circuits. The graded result is the final
+    * surviving-arrival set; the matching is the same exact bigram Jaccard
+    * as the batch family, so the oracle rebuilds "drop if anything seen
+    * earlier matches" relationally — stream ≡ batch on the same arrival
+    * order (StreamingEquivSpec pins the equivalence against the in-engine
+    * batch twin too). */
+  val qStreamDedupCorpus: Q = (s, dir) => {
+    import graft.streaming.{Runtime => SR}
+    SR.runCorpusDedup(s, dir).orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_dedup_corpus" -> qStreamDedupCorpus,
     "q_stream_anomaly" -> qStreamAnomaly,
     "q_stream_complete" -> qStreamComplete,
     "q_stream_update_topk" -> qStreamUpdateTopk,

@@ -656,4 +656,29 @@ class StreamingEquivSpec extends AnyFunSuite {
     assert(mid == tick1,
       s"mid != tick-1 fold: missing=${(tick1 -- mid).take(3)} extra=${(mid -- tick1).take(3)}")
   }
+
+  test("corpus dedup: stream seen-set fold == batch fold over the exact pair set") {
+    // q_stream_dedup_corpus's semantics re-derived IN-ENGINE from the
+    // staged exact near-dup pair artifact (doc_a < doc_b): an arrival
+    // (% 10 == 3) drops iff it pairs with a corpus doc (seen regardless
+    // of id order) or with a SMALLER-id arrival (earlier in the replay's
+    // doc_id arrival order) — survivor or not, since every arrival
+    // enters the index. Stream must equal this batch fold row for row.
+    import org.apache.spark.sql.functions._
+    val pairs = graft.queries.LlmOps.stagedMinhashPairs(spark, Sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = (pairs.collect { case (a, b) if b % 10 == 3 => b } ++
+      pairs.collect { case (a, b) if a % 10 == 3 && b % 10 != 3 => a }).toSet
+    val exp = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), col("source")).collect()
+      .filter(r => !dropped(r.getLong(0)))
+      .map(_.toSeq).toSet
+    val got = SRuntime.runCorpusDedup(spark, Sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got == exp,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
 }

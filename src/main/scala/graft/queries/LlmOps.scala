@@ -2309,6 +2309,111 @@ object LlmOps {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** IVF QUANTIZER-STALENESS MAINTENANCE (r19 — Ivf.staleness /
+    * shouldRebuild / rebuildPartitioned): the missing lifecycle stage of
+    * the ANN family (build → append → delete → REBUILD). Ivf.append
+    * routes to FROZEN centroids, so sustained skewed appends pile mass
+    * into few cells — one hot cell = one hot probe task, and the probed
+    * fraction drifts above nProbe/nCells. The maintenance pass MEASURES
+    * the drift (cell imbalance + probed-row fraction + sample recall at
+    * the stored width — the CBO-ANALYZE pattern applied to the index),
+    * fires a graded trigger, and the rebuild retrains the quantizer over
+    * the survivors, folds the delete tombstones in the same pass,
+    * re-tunes the probe width, and publishes via the atomic generation
+    * pointer. The key runs the full scenario: balanced build (trigger
+    * must NOT fire — no-flap), skewed append rounds until it fires, a
+    * takedown delete, rebuild, and post-rebuild measurement; certificates
+    * (sys.error) pin no-flap, trigger clearance, tombstone folding, and
+    * recall recovery. No oracle (seeded k-means has no DuckDB twin);
+    * R19OpsSpec re-pins the certificates plus physical-fold checks. */
+  val qSimIvfRebuild: Q = (s, dir) => {
+    import s.implicits._
+    import graft.ml.Ivf
+    val e = Tables.embeddings(s, dir)
+    val root = Tables.stageDir(s, "ivf-rebuild", dir)
+    Tables.deleteRecursively(root)
+    val embType = e.schema("embedding").dataType
+    val corpus = e.filter(col("vec_id") =!= 0 && col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    var index = Ivf.buildPartitioned(corpus, "embedding", nCells = 16,
+      path = root)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    def live = graft.sources.Layout.readPartitioned(s, Ivf.dataRoot(root))
+      .join(Ivf.tombstones(s, index), Seq("vec_id"), "left_anti")
+    def recall10: Double = {
+      val qdf = broadcast(Seq(Tuple1(qv)).toDF("__qe"))
+      val truth = live.filter(col("vec_id") =!= 0)
+        .crossJoin(qdf)
+        .withColumn("__d", Vec.euclid("embedding", "__qe"))
+        .orderBy(col("__d"), col("vec_id")).limit(10)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val got = Ivf.searchPartitioned(s, index, qv, k = 10)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+      got.count(truth) / 10.0
+    }
+    // Phase 1 — balanced: the freshly built-and-tuned index must not flap.
+    val st0 = Ivf.staleness(s, index)
+    if (Ivf.shouldRebuild(st0))
+      sys.error(s"ivf-rebuild no-flap certificate failed: fresh index fired " +
+        s"the trigger ($st0)")
+    val r0 = recall10
+    // Phase 2 — DISTRIBUTION SHIFT ingest (the staleness the frozen
+    // quantizer cannot route): appended vectors are the corpus shape
+    // translated to a region no training vector occupied (+3 per dim —
+    // a new domain/modality arriving). Every frozen centroid is far from
+    // the new cloud, so the whole batch funnels into the single nearest
+    // cell — the hot cell grows per round until the trigger fires. A
+    // RETRAIN sees the cloud as ordinary mass and re-allocates centroids
+    // into it, which is exactly what the rebuild must recover.
+    var st = st0
+    var tick = 0
+    while (!Ivf.shouldRebuild(st) && tick < 6) {
+      tick += 1
+      val batch = e.filter(col("vec_id") % 10 === 7)
+        .select((col("vec_id") + lit(tick * 10000000L)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x + lit(3.0)).cast(embType).as("embedding"),
+          col("label"))
+      Ivf.appendPartitioned(index, batch)
+      st = Ivf.staleness(s, index)
+    }
+    if (!Ivf.shouldRebuild(st))
+      sys.error(s"ivf-rebuild certificate failed: trigger never fired after " +
+        s"$tick skewed append rounds ($st)")
+    val stStale = st
+    val rStale = recall10
+    // Phase 3 — takedown delete, then the graded rebuild: retrain, fold
+    // tombstones, re-tune, publish; the trigger must clear and recall must
+    // not degrade (tombstoned ids can no longer surface by construction).
+    Ivf.deletePartitioned(index,
+      e.filter(col("vec_id") % 10 === 3).select(col("vec_id")))
+    index = Ivf.rebuildPartitioned(s, index, nCells = 16)
+    val stNew = Ivf.staleness(s, index)
+    if (Ivf.shouldRebuild(stNew))
+      sys.error(s"ivf-rebuild certificate failed: rebuild did not clear the " +
+        s"trigger ($stNew)")
+    val rNew = recall10
+    if (rNew < 0.7 || rNew + 0.101 < rStale)
+      sys.error(f"ivf-rebuild certificate failed: recall did not recover " +
+        f"(stale $rStale%.2f -> rebuilt $rNew%.2f)")
+    Seq(
+      ("1_balanced", st0.liveRows, st0.imbalance, st0.scanFrac,
+        st0.sampleRecall, r0, 0L),
+      ("2_stale", stStale.liveRows, stStale.imbalance, stStale.scanFrac,
+        stStale.sampleRecall, rStale, 1L),
+      ("3_rebuilt", stNew.liveRows, stNew.imbalance, stNew.scanFrac,
+        stNew.sampleRecall, rNew, 0L))
+      .toDF("phase", "n_live", "imbalance", "scan_frac", "sample_recall",
+        "recall10", "trigger_fired")
+      .select(col("phase"), col("n_live"),
+        round(col("imbalance"), 4).as("imbalance"),
+        round(col("scan_frac"), 4).as("scan_frac"),
+        round(col("sample_recall"), 4).as("sample_recall"),
+        round(col("recall10"), 4).as("recall10"), col("trigger_fired"))
+      .orderBy("phase")
+  }
+
   // --------------------------------------------------------- multimodal join
 
   /** Mixed-modality join: documents ⋈ embeddings on doc_id = vec_id with a
@@ -2858,6 +2963,7 @@ object LlmOps {
     "q_sim_ivf_ann" -> qSimIvfAnn,
     "q_sim_ivf_append" -> qSimIvfAppend,
     "q_sim_ivf_delete" -> qSimIvfDelete,
+    "q_sim_ivf_rebuild" -> qSimIvfRebuild,
     "q_sim_ivf_pq" -> qSimIvfPq,
     "q_sim_sq8" -> qSimSq8,
     "q_text_gopher" -> qTextGopher,

@@ -648,6 +648,23 @@ object Oracle {
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
 
+    // Incremental-histogram twin: after the base ANALYZE plus two
+    // analyzed-and-MERGED append batches, the maintained table holds the
+    // full customer set — stats change the PLAN (PlanShapeSpec pins the
+    // flip), never the rows, so the oracle is the same full-set join
+    // aggregate as q_layout_cbo_hist's.
+    "q_layout_cbo_incr" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,10))), 2)
+                     * 100 AS BIGINT) / CAST(100 AS DOUBLE) AS revenue
+         FROM orders o
+         JOIN (SELECT c_custkey AS sk_key,
+                      c_acctbal * c_acctbal * c_acctbal * c_acctbal AS sk_val
+               FROM customer) s ON o.o_custkey = s.sk_key
+         WHERE s.sk_val <= 1e12
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
     // Two raced delete pairs (disjoint: both commit; conflicting: loser
     // throws, re-plans, commits) must resolve to the SERIAL execution —
     // the oracle re-applies all four delete predicates; any resurrected

@@ -664,6 +664,28 @@ object Relational {
     c.sql(graft.catalog.Cbo.histJoinSql(dir))
   }
 
+  /** INCREMENTAL HISTOGRAM MAINTENANCE (r19 — catalog/Cbo.incrSession):
+    * q_layout_cbo_hist's selectivity quality kept alive on a table that
+    * APPENDS: the base slice gets the one-and-only full ANALYZE; each
+    * arriving batch is analyzed ALONE (O(batch), the production ANALYZE
+    * code path on a side table) and its stats FOLD into the standing
+    * catalog stats — exact row/size/null addition, min/max envelope,
+    * capped-sum NDV, and a mergeable equi-height histogram re-binned from
+    * the combined piecewise-uniform CDF (bounded error: only split source
+    * bins contribute, under the same uniformity assumption estimation
+    * itself makes). After two appends the skewed-predicate broadcast
+    * decision must match what a full re-ANALYZE would decide —
+    * PlanShapeSpec asserts the flip both ways against the histogram-free
+    * twin maintained through the same merge path — and the rows are
+    * exact: the oracle recomputes the join over the full customer set
+    * (base ∪ both batches). At 100 TB this is what keeps histogram-grade
+    * estimates on a table ingesting every few minutes without paying a
+    * full stats re-collect per tick. */
+  val qLayoutCboIncr: Q = (s, dir) => {
+    val c = graft.catalog.Cbo.incrSession(s, dir)
+    c.sql(graft.catalog.Cbo.incrJoinSql(dir))
+  }
+
   /** DELETION VECTORS graded end-to-end (r17) — merge-on-read positional
     * delete (Layout.deleteManifestedDV / dvRead, the Delta DV / Iceberg
     * positional-delete shape): H1 1997 deleted by recording row POSITIONS
@@ -3993,6 +4015,7 @@ object Relational {
     "q_layout_concurrent" -> qLayoutConcurrent,
     "q_layout_cbo" -> qLayoutCbo,
     "q_layout_cbo_hist" -> qLayoutCboHist,
+    "q_layout_cbo_incr" -> qLayoutCboIncr,
     "q_layout_rename" -> qLayoutRename,
     "q_layout_dv" -> qLayoutDv,
     "q_layout_constraint" -> qLayoutConstraint,

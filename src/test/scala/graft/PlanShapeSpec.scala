@@ -451,4 +451,53 @@ class PlanShapeSpec extends AnyFunSuite {
     val b = sess.sql(Cbo.histJoinSql(Sf0001, "p")).collect().toSeq
     assert(a == b, "histogram vs plain stats changed the ANSWER")
   }
+
+  test("q_layout_cbo_incr: merged histograms keep the broadcast decision after appends, no full re-ANALYZE") {
+    import graft.catalog.Cbo
+    // Same flip contract as q_layout_cbo_hist, but the stats on the
+    // maintained tables arrived by MERGING two analyzed batches into the
+    // base ANALYZE — never a full re-collect. The histogram-kind table
+    // must refuse the ~18%-of-rows broadcast; the min/max/NDV-only twin
+    // (maintained through the same merge path) must wrongly allow it.
+    val sess = Cbo.incrSession(spark, Sf0001)
+    val hist = sess.sql(Cbo.incrJoinSql(Sf0001, "h"))
+      .queryExecution.executedPlan.toString
+    val plain = sess.sql(Cbo.incrJoinSql(Sf0001, "p"))
+      .queryExecution.executedPlan.toString
+    assert(!hist.contains("BroadcastHashJoin"),
+      s"merged histogram stats still broadcast the skewed build side:\n$hist")
+    assert(plain.contains("BroadcastHashJoin"),
+      s"merged interpolation-only plan did not broadcast:\n$plain")
+    // The maintained stats are EXACT where the merge is exact: row count
+    // equals the true post-append count, and the histogram survived the
+    // merge on the h-kind table.
+    val meta = sess.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        Cbo.incrTableName("h", Sf0001)))
+    val trueRows = Tables.customer(spark, Sf0001).count()
+    assert(meta.stats.flatMap(_.rowCount).contains(BigInt(trueRows)),
+      s"merged rowCount drifted: ${meta.stats.flatMap(_.rowCount)} vs $trueRows")
+    val hcs = meta.stats.get.colStats("sk_val")
+    assert(hcs.histogram.isDefined, "merge dropped the sk_val histogram")
+    // Merged-histogram selectivity stays histogram-grade: the CDF mass
+    // below 1e12 per the merged bins is within 5 points of the true
+    // fraction (interpolation says ~0.01% — orders of magnitude off).
+    val h = hcs.histogram.get
+    val below = h.bins.map { b =>
+      if (b.hi <= 1e12) h.height
+      else if (b.lo >= 1e12) 0.0
+      else h.height * (1e12 - b.lo) / (b.hi - b.lo)
+    }.sum
+    val est = below / (h.height * h.bins.length)
+    val truth = Tables.customer(spark, Sf0001)
+      .filter(org.apache.spark.sql.functions.expr(
+        "c_acctbal * c_acctbal * c_acctbal * c_acctbal <= 1e12"))
+      .count().toDouble / trueRows
+    assert(math.abs(est - truth) <= 0.05,
+      f"merged-histogram estimate $est%.4f vs true fraction $truth%.4f")
+    // Rows identical across kinds — stats change the plan, never the rows.
+    val a = sess.sql(Cbo.incrJoinSql(Sf0001, "h")).collect().toSeq
+    val b = sess.sql(Cbo.incrJoinSql(Sf0001, "p")).collect().toSeq
+    assert(a == b, "merged histogram vs plain stats changed the ANSWER")
+  }
 }

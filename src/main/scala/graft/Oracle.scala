@@ -2940,6 +2940,26 @@ object Oracle {
          WHERE 1.0 - CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) <= 0.5
          ORDER BY corpus_doc, batch_doc""",
 
+    // Media dead-letter triage: corruptions are planted by the id-derived
+    // rule (asset_id % 37 == 5 truncated), and media_type is the same
+    // id-derived metadata the synthetic assets carry — so DuckDB rebuilds
+    // the per-type ok/quarantined counts and the quarantined-id checksum
+    // without decoding a byte. A good asset misrouted, a corruption
+    // slipping through, or a wrong quarantine identity breaks the hash.
+    "q_media_quarantine" ->
+      """WITH m AS (SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                     WHEN 2 THEN 'video' ELSE 'image' END AS media_type,
+                (doc_id % 37 = 5) AS corrupt
+              FROM documents)
+         SELECT media_type,
+                count(*) FILTER (WHERE NOT corrupt) AS n_ok,
+                count(*) FILTER (WHERE corrupt) AS n_quarantined,
+                COALESCE(CAST(sum(doc_id) FILTER (WHERE corrupt) AS BIGINT), 0)
+                  AS sum_q_ids
+         FROM m GROUP BY media_type ORDER BY media_type""",
+
     // Streaming corpus dedup: an arrival (doc_id % 10 == 3, arriving in
     // doc_id order) survives iff NOTHING seen before it matches at exact
     // bigram Jaccard dist <= 0.5 — "seen" = the standing corpus (% 10 !=

@@ -714,6 +714,69 @@ object ScaleSoak {
         (key, est, broadcastGated, t, sum.isDefined)
       }
 
+    // ---------------------------------------- HEAVY PROBE (r19)
+    // VERDICT r18 prescription #8: a PINNED probe of the most expensive
+    // guarded keys at soak scale, so scale regressions surface as
+    // round-over-round NUMBERS, not plan reading. The key set is pinned
+    // to the r18 guarded artifact's top 10; each runs against a staging
+    // sized so its cost model is exercised without degenerating:
+    //  - documents are copy-PREFIXED x200 (1M docs, Zipf-ish vocab — the
+    //    bm25-soak shape; a suffix-perturbed corpus would make every doc
+    //    a 200-way near-dup and the dedup keys quadratic BY DATA, which
+    //    is the known-degenerate corpus, not a regression signal);
+    //  - events x100 (10M rows) for the stream-join family (state is
+    //    per-user; the user-id offset keeps pairs within copy cohorts);
+    //  - embeddings x100 (200k vectors) for the IVF-PQ build+search;
+    //  - the 60M-row gbdt lineitem staging serves the aggregate keys.
+    // Wall-times land in soak_heavyprobe.json and SCALE.md each round.
+    if (wanted("heavyprobe")) {
+      val hp = s"$out/heavyprobe"
+      val (docsDir, evDir, vecDir, liDir) =
+        (s"$hp/docs", s"$hp/events", s"$hp/vecs", s"$out/gbdt")
+      Seq(docsDir, evDir, vecDir).foreach(d =>
+        Files.createDirectories(Paths.get(d)))
+      stage(spark, src, docsDir, "documents", copies = 200)(df => df
+        .withColumn("doc_id", col("doc_id") + col("__c") * lit(100000000L))
+        .withColumn("text", concat_ws(" ", expr(
+          "transform(split(text, ' '), w -> concat('c', CAST(__c AS STRING), w))")))
+        .withColumn("n_chars", length(col("text"))))
+      stage(spark, src, evDir, "events", copies = 100)(df => df
+        .withColumn("event_id", col("event_id") + col("__c") * lit(1000000000L))
+        .withColumn("user_id", col("user_id") + col("__c") * lit(10000000L)))
+      stage(spark, src, vecDir, "embeddings", copies = 100)(df => df
+        .withColumn("vec_id", col("vec_id") + col("__c") * lit(100000000L))
+        .withColumn("embedding", expr(
+          "transform(embedding, x -> CAST(x + (__c % 64) * 1e-4 AS FLOAT))")))
+      Files.createDirectories(Paths.get(out, "gbdt"))
+      stage(spark, src, s"$out/gbdt", "lineitem", copies = 100)(df => df
+        .withColumn("l_orderkey", col("l_orderkey") + col("__c") * lit(100000000L))
+        .withColumn("l_extendedprice",
+          round(col("l_extendedprice") + (col("__c") % 64).cast("double") * 0.01, 2)))
+      val probes: Seq[(String, String)] = Seq(
+        "q_sim_ivf_pq" -> vecDir,
+        "q_ml_gbdt_converged" -> liDir,
+        "q_agg_corr" -> liDir,
+        "q_stream_join" -> evDir,
+        "q_stream_join_outer" -> evDir,
+        "q_stream_join_full" -> evDir,
+        "q_stream_join_right" -> evDir,
+        "q_dedup_components_incr" -> docsDir,
+        "q_text_wordpiece_train" -> docsDir,
+        "q_agg_heavyhitters" -> docsDir)
+      val hpResults = probes.map { case (key, d) =>
+        println(s"[soak] heavyprobe $key over $d")
+        val (t, sum) = timed(spark, s"hp-$key",
+          SparkEntry.queries(key)(spark, d))
+        (key, d, t, sum)
+      }
+      val hpJs = hpResults.map { case (k, d, t, sum) =>
+        f"""{"key":"$k","dir":"$d","sec":$t%.2f,"finished":${sum.isDefined},"rows":${sum.map(_._1).getOrElse(-1L)}}"""
+      }
+      hpJs.foreach(l => println("[soak] " + l))
+      Files.writeString(Paths.get(out, "soak_heavyprobe.json"),
+        hpJs.mkString("[", ",\n", "]\n"))
+    }
+
     println("[soak] ==== summary ====")
     val js = results.map { case (k, est, organic, wT, wDone, sT, sDone, ok) =>
       f"""{"key":"$k","solo":false,"est_bytes":$est,"organic_scale_route":$organic,"window_sec":$wT%.2f,"window_finished":$wDone,"scale_sec":$sT%.2f,"scale_finished":$sDone,"hash_match":$ok}"""

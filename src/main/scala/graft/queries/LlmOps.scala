@@ -1938,6 +1938,30 @@ object LlmOps {
         col("frames_sampled"), col("phash"))
       .orderBy("asset_id")
 
+  /** MEDIA DEAD-LETTER TIER (r19 — Media.decodeRouted /
+    * syntheticCorruptAssets): q_source_malformed's quarantine contract
+    * applied to the binary media column. The fixture plants deterministic
+    * corruptions (asset_id % 37 == 5 truncated to half its bytes — headers
+    * survive, data sections don't); the routed decode must quarantine
+    * EXACTLY the planted set (a good asset misrouted drops n_ok; a
+    * corrupted one slipping through drops n_quarantined; a wrong identity
+    * breaks sum_q_ids) while survivors decode byte-identically to the
+    * clean path (MediaSpec pins that). The planting rule is id-derived,
+    * so this member of the media family is ORACLE-backed: DuckDB rebuilds
+    * the per-type triage counts from the rule. At 100 TB this is the
+    * difference between an ingest that dies on the first truncated JPEG
+    * and one that lands a quarantine bucket beside the features table. */
+  val qMediaQuarantine: Q = (s, dir) => {
+    val routed = graft.multimodal.Media.decodeRouted(
+      graft.multimodal.Media.syntheticCorruptAssets(s, dir)).toDF()
+    routed.groupBy(col("media_type"))
+      .agg(
+        count(when(col("ok"), lit(1))).as("n_ok"),
+        count(when(!col("ok"), lit(1))).as("n_quarantined"),
+        coalesce(sum(when(!col("ok"), col("asset_id"))), lit(0L)).as("sum_q_ids"))
+      .orderBy("media_type")
+  }
+
   /** HASHING-TRICK FEATURIZATION [pub: Weinberger et al. 2009, "Feature
     * Hashing for Large Scale Multitask Learning"] — the fixed-width
     * featurizer that feeds bag-of-words classifiers without a vocabulary
@@ -2964,6 +2988,7 @@ object LlmOps {
     "q_sim_ivf_append" -> qSimIvfAppend,
     "q_sim_ivf_delete" -> qSimIvfDelete,
     "q_sim_ivf_rebuild" -> qSimIvfRebuild,
+    "q_media_quarantine" -> qMediaQuarantine,
     "q_sim_ivf_pq" -> qSimIvfPq,
     "q_sim_sq8" -> qSimSq8,
     "q_text_gopher" -> qTextGopher,

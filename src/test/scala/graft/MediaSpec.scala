@@ -335,4 +335,31 @@ class MediaSpec extends AnyFunSuite {
         s"png $id: hand-rolled pixels diverge from javax.imageio")
     }
   }
+
+  test("media quarantine: exactly the planted corruptions drop; survivors decode unchanged") {
+    import graft.multimodal.Media
+    val routed = Media.decodeRouted(
+      Media.syntheticCorruptAssets(spark, Sf0001)).collect()
+    val planted = Tables.documents(spark, Sf0001)
+      .filter(col("doc_id") % 37 === 5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty, "fixture degenerate: no corruption planted")
+    val quarantined = routed.filter(!_.ok)
+    assert(quarantined.map(_.asset_id).toSet == planted,
+      "quarantine set != planted corruption set")
+    assert(quarantined.forall(_.reason.startsWith("decode_failed:")),
+      "quarantine rows must carry a deterministic reason")
+    // Survivors flow through the IDENTICAL decode: features byte-equal to
+    // the clean (non-routing) path's.
+    val clean = Media.extractFeatures(Media.syntheticAssets(spark, Sf0001))
+      .collect().map(f => f.asset_id -> f).toMap
+    for (r <- routed if r.ok) {
+      val c = clean(r.asset_id)
+      assert((r.phash, r.mean_byte, r.decoded_width, r.decoded_height,
+        r.frames_sampled) ==
+        (c.phash, c.mean_byte, c.decoded_width, c.decoded_height,
+          c.frames_sampled),
+        s"survivor ${r.asset_id} decoded differently under routing")
+    }
+  }
 }

@@ -13,8 +13,8 @@ class QueryContractSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("declared contract covers all 250 SURVEY §2 keys") {
-    assert(SparkEntry.queries.size == 250)
+  test("declared contract covers all 255 SURVEY §2 keys") {
+    assert(SparkEntry.queries.size == 255)
     // All keys are oracle-checked except the declared non-oracle set below
     // (count pinned by the set literal itself — a stale prose count here
     // was ADVICE r14's first finding, so no number is repeated).
@@ -22,7 +22,7 @@ class QueryContractSpec extends AnyFunSuite {
     assert(noOracle == Set("q_agg_approx_distinct", "q_agg_sketch_merge",
       "q_agg_quantile_sketch",
       "q_sim_lsh_ann", "q_dedup_simhash", "q_sim_ivf_ann", "q_sim_ivf_append",
-      "q_sim_ivf_delete",
+      "q_sim_ivf_delete", "q_sim_ivf_rebuild",
       "q_sim_ivf_pq", "q_dedup_semantic", "q_sim_rerank_mmr", "q_dedup_media",
       "q_text_fingerprint", "q_media_features", "q_media_resize",
       "q_ml_pca_power", "q_text_bpe_train", "q_text_bpe_encode",

@@ -1044,39 +1044,53 @@ object LlmOps {
     * query convention of qKnnBruteforce). Returns (qid, doc_id, rank,
     * score, n_terms) for rank ≤ topN.
     *
-    * Shape at 100 TB: ONE token explode feeds tf; dl and df re-aggregate
-    * the (doc, term)-sized tf table (persisted past the gate — the same
-    * diamond as tfidf's scale form); the QUERY term set is tiny and rides
-    * a broadcast, so the postings probe `tf ⋈ qterms` is the
-    * inverted-index lookup shape — only postings of query terms survive;
-    * df joins back under the size-gated broadcast and dl by doc key. A
-    * stop-word query term touches every posting — the real retrieval
-    * cost; production engines cut it with impact-ordered postings/WAND
-    * pruning, an optimization over this exact baseline, not a different
-    * answer. Determinism: per-term contributions are rounded to 6 dp
-    * (absorbing ln's cross-engine ulp) and summed on the exact decimal
-    * path; ranks tiebreak on doc_id. */
+    * Shape at 100 TB (r19 rework — the full-suite soak caught the prior
+    * shape at 390 s of a 420 s budget materializing + persisting the
+    * corpus-sized (doc, term) tf table, when three of its four consumers
+    * never needed corpus-wide rows): the broadcast query-term set filters
+    * the token explode BEFORE any aggregation, so the only corpus-sized
+    * work is ONE linear scan with a codegen broadcast-hash semi-filter —
+    * the inverted-index probe WITHOUT building the index. Per-doc length
+    * `dl` rides each exploded row (size(toks) — no corpus re-aggregation,
+    * no dl join), `df` re-aggregates the already-postings-sized tfQ (df
+    * of a query term = #docs carrying it = exactly tfQ's rows for that
+    * term), and corpus totals are one linear count/sum agg. Everything
+    * past the scan is bounded by query-term postings, not the corpus. A
+    * stop-word query term still touches every posting — the real
+    * retrieval cost; production engines cut it with impact-ordered
+    * postings/WAND pruning, an optimization over this exact baseline,
+    * not a different answer. Determinism: per-term contributions are
+    * rounded to 6 dp (absorbing ln's cross-engine ulp) and summed on the
+    * exact decimal path; ranks tiebreak on doc_id. */
   private[graft] def bm25Ranked(s: SparkSession, dir: String,
                                 maxQid: Int, topN: Int): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tfRaw = graft.operators.ScaleOps.parallelizeSmall(docs)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // tf feeds FOUR consumers (dl, totals, df, the postings probe) — an
-    // unconditional persist, not the size-gated one: below the gate the
-    // duplicated explode+agg subtree costs 4× the corpus scan and 14
-    // shuffles (measured); persisted, every consumer reuses one exchange.
-    val tf = graft.operators.ScaleOps.trackedPersist(tfRaw)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val totals = dl.agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
-    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // Query terms come from a DIRECT scan of the query docs (the doc_id
-    // filter pushes to the parquet scan), not a pass over the persisted
-    // corpus-sized tf — the same distinct term set at a per-query cost.
+    // filter pushes to the parquet scan) — the same distinct term set at
+    // a per-query cost, never a corpus pass.
     val qterms = docs.filter(col("doc_id") <= maxQid)
       .select(col("doc_id").as("qid"),
         explode(split(lower(col("text")), " ")).as("term"))
       .distinct()
+    // The postings of query terms, with dl carried through the explode:
+    // tf/dl/df for exactly the rows the scorer consumes, one corpus scan.
+    // The qterm set is queries×terms-bounded (the MMR parameter-size
+    // convention), so the broadcast is unconditional by construction.
+    // tfQ feeds TWO consumers (df and the probe) — persisted so the
+    // corpus scan runs ONCE; the persisted frame is postings-sized
+    // (query-term postings only), never corpus-sized like the old tf.
+    val tfQ = graft.operators.ScaleOps.trackedPersist(
+      graft.operators.ScaleOps.parallelizeSmall(docs)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("term"))
+        .join(broadcast(qterms.select("term").distinct()), "term")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")))
+    val totals = docs.agg(
+      sum(size(split(lower(col("text")), " ")).cast("long")).as("sum_dl"),
+      count(lit(1)).as("n_docs"))
+    val dfTab = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val k1 = lit(1.2); val b = lit(0.75)
     val nD = col("n_docs").cast("double")
     val avgdl = col("sum_dl").cast("double") / nD
@@ -1095,10 +1109,9 @@ object LlmOps {
       .orderBy(col("score").desc, col("doc_id"))
     val wR = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id"))
-    tf.join(broadcast(qterms), "term")
+    tfQ.join(broadcast(qterms), "term")
       .filter(col("doc_id") =!= col("qid"))
-      .join(graft.operators.ScaleOps.broadcastIfSourceSmall(dfTab, docs), "term")
-      .join(graft.operators.ScaleOps.broadcastIfSourceSmall(dl, docs), "doc_id")
+      .join(broadcast(dfTab), "term")
       .crossJoin(broadcast(totals))
       .select(col("qid"), col("doc_id"), round(idf * tfc, 6).as("contrib"))
       .groupBy(col("qid"), col("doc_id"))

@@ -233,14 +233,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // corpus join rides the orders shuffle (1) + per-user grouped agg (1);
     // the solve is a narrow epilogue, sort is TakeOrdered-free total order
     "q_ml_als_step" -> 2,
-    // the persisted tf diamond: parallelize (1) + tf agg (1, REUSED by all
-    // four consumers) + dl/totals/df aggs (3, summary-sized) + score agg
-    // (1) + rank/sort (1) — measured 7 (was 14 before the unconditional
-    // persist; the gated-broadcast dl/df join-backs cost 0)
-    "q_text_bm25" -> 9,  // +1: the salted two-phase rank (soak fix)
+    // the r19 postings-probe shape: qterms distinct (1) + persisted tfQ
+    // (1, the ONLY corpus-scan shuffle — postings-sized, reused by df and
+    // the probe) + totals (1) + df agg (1) + score agg (1) + salted rank +
+    // final rank/sort — measured 7 (was 9 with the corpus-sized persisted
+    // tf diamond the r19 full-suite soak caught at 390 s of a 420 s budget)
+    "q_text_bm25" -> 7,
     // the BM25 leg's 7 + dense rank window (1) + tiny fusion full-outer
     // join (2) + final rank/sort (1) — measured 11
-    "q_sim_hybrid_rrf" -> 13,  // +1: the BM25 leg's salted rank
+    "q_sim_hybrid_rrf" -> 11,
     // ONE corpus agg to types×2×10 rows (1) + grid/totals joins + PSI fold
     // on entity-domain-sized frames (3) — measured 4
     "q_quality_drift" -> 5,

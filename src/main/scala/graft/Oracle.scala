@@ -1264,6 +1264,54 @@ object Oracle {
                 CAST(CASE WHEN psi > 0.1 THEN 1 ELSE 0 END AS BIGINT) AS drifted
          FROM psi ORDER BY event_type""",
 
+    // Embedding-drift twin: the same PSI fold over a deterministic
+    // sign-grid quantizer (sign bits of dims 0-2 -> 8 cells), ref = the
+    // corpus, cur = the same corpus re-embedded with a planted model
+    // change on label-0 content (dim 0 + 10). Same-rows design: unchanged
+    // labels give PSI exactly 0; only the planted label crosses 0.1.
+    "q_quality_drift_embed" ->
+      s"""WITH stacked AS (
+              SELECT label, 'ref' AS period,
+                     (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 4 ELSE 0 END
+                    + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 1 ELSE 0 END) AS cell
+              FROM embeddings
+              UNION ALL
+              SELECT label, 'cur' AS period,
+                     (CASE WHEN CAST(embedding[1] AS DOUBLE)
+                                + CASE WHEN label = 0 THEN 10.0 ELSE 0.0 END > 0
+                           THEN 4 ELSE 0 END
+                    + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+                    + CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 1 ELSE 0 END) AS cell
+              FROM embeddings),
+              c AS (SELECT label, period, cell, count(*) AS cnt
+                    FROM stacked GROUP BY 1, 2, 3),
+              grid AS (SELECT label, cell
+                       FROM (SELECT DISTINCT label FROM embeddings)
+                       CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS cell)),
+              f AS (SELECT g.label, g.cell,
+                           coalesce(r.cnt, 0) AS cr, coalesce(u.cnt, 0) AS cu
+                    FROM grid g
+                    LEFT JOIN c r ON r.label = g.label
+                                 AND r.cell = g.cell AND r.period = 'ref'
+                    LEFT JOIN c u ON u.label = g.label
+                                 AND u.cell = g.cell AND u.period = 'cur'),
+              t AS (SELECT label, CAST(sum(cr) AS BIGINT) AS n_ref,
+                           CAST(sum(cu) AS BIGINT) AS n_cur
+                    FROM f GROUP BY 1),
+              terms AS (SELECT f.label, t.n_ref, t.n_cur,
+                               round(((CAST(cr AS DOUBLE) + 1.0) / (CAST(n_ref AS DOUBLE) + 8.0)
+                                      - (CAST(cu AS DOUBLE) + 1.0) / (CAST(n_cur AS DOUBLE) + 8.0))
+                                     * ln(((CAST(cr AS DOUBLE) + 1.0) / (CAST(n_ref AS DOUBLE) + 8.0))
+                                          / ((CAST(cu AS DOUBLE) + 1.0) / (CAST(n_cur AS DOUBLE) + 8.0))), 6) AS term
+                        FROM f JOIN t ON f.label = t.label),
+              psi AS (SELECT label, n_ref, n_cur,
+                             ${dsum("term", 6)} AS psi
+                      FROM terms GROUP BY 1, 2, 3)
+         SELECT label, n_ref, n_cur, psi,
+                CAST(CASE WHEN psi > 0.1 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+         FROM psi ORDER BY label""",
+
     "q_quality_constraints" ->
       """SELECT 'pk_unique' AS check_name, 'customer' AS table_name,
                 count(*) AS n_checked,
@@ -2365,6 +2413,47 @@ object Oracle {
                         ELSE CAST((2 * (numer2 - np * (np + 1)) * 1000000 + 2 * np * nn)
                              // (4 * np * nn) AS BIGINT) / 1000000.0 END AS auc
             FROM t""",
+
+      // Ranked-retrieval eval: the q_knn_bruteforce distance CTE widened to
+      // 20 queries, metrics folded per query. Gains round to 6 dp before
+      // the exact decimal sum (the dsum pattern inlined — per-QUERY sums,
+      // not a global aggregate); nDCG's ideal prefix uses the same rounded
+      // gain table via a list fold, so dcg/idcg divides exact decimals.
+      "q_ml_eval_ranking" ->
+        """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlabel
+                      FROM embeddings WHERE vec_id BETWEEN 0 AND 19),
+                c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                d AS (SELECT qid, qlabel, vec_id AS nn_id, label,
+                        sqrt(greatest(list_dot_product(e, e) + list_dot_product(qe, qe)
+                                      - 2.0 * list_dot_product(e, qe), 0.0)) AS d
+                      FROM c, q WHERE vec_id <> qid),
+                r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, nn_id) AS rn
+                      FROM d),
+                t AS (SELECT qid, qlabel, rn,
+                             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+                      FROM r WHERE rn <= 10),
+                lc AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+                pq AS (SELECT qid, qlabel,
+                              CAST(sum(rel) AS BIGINT) AS hits,
+                              CAST(round(sum(CAST(CASE WHEN rel = 1
+                                  THEN round(1.0 / log2(rn + 1.0), 6) ELSE 0.0 END
+                                  AS DECIMAL(38,10))), 6) * 1000000 AS BIGINT) / 1000000.0 AS dcg,
+                              min(CASE WHEN rel = 1 THEN rn END) AS first_rel
+                       FROM t GROUP BY 1, 2),
+                n AS (SELECT pq.*, CAST(lc.n_label - 1 AS BIGINT) AS n_rel
+                      FROM pq JOIN lc ON pq.qlabel = lc.label),
+                f AS (SELECT qid, n_rel, hits, first_rel, dcg,
+                             CAST(round(list_aggregate(list_transform(
+                                 generate_series(1, least(10, n_rel)),
+                                 i -> CAST(round(1.0 / log2(i + 1.0), 6) AS DECIMAL(38,10))),
+                               'sum'), 6) * 1000000 AS BIGINT) / 1000000.0 AS idcg
+                      FROM n)
+           SELECT qid, n_rel, hits,
+                  round(CAST(hits AS DOUBLE) / n_rel, 6) AS recall_at_10,
+                  CASE WHEN first_rel IS NULL THEN 0.0
+                       ELSE round(1.0 / first_rel, 6) END AS mrr_at_10,
+                  round(dcg / idcg, 6) AS ndcg_at_10
+           FROM f ORDER BY qid""",
 
       // Correlation matrix: same sufficient statistics (same dsum scales),
       // identical per-pair Pearson algebra — deliberately NOT the engines'

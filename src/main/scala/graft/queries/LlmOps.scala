@@ -901,6 +901,76 @@ object LlmOps {
       .orderBy("test_id")
   }
 
+  /** EMBEDDING-DISTRIBUTION DRIFT (r19) — the q_quality_drift PSI monitor
+    * lifted to embedding space: per label, PSI between the reference
+    * corpus and a re-embedded CURRENT corpus over a deterministic sign-grid
+    * quantizer (cell = sign bits of dims 0–2 → 8 cells; fixed thresholds,
+    * so the binning is model-free and cross-engine exact, unlike k-means
+    * cells). The scenario is the embedding-model-upgrade check every
+    * production vector pipeline runs before swapping models: the current
+    * corpus here simulates an upgrade whose behaviour changed on label-0
+    * content only (dim-0 shifted by +10 — a planted regression, the
+    * plantedNearDupEmbeddings convention). Because ref and cur are the
+    * SAME rows, unchanged labels give PSI EXACTLY 0 (p = q per cell, terms
+    * round to 0) and the planted label fires the classic 0.1 alert — the
+    * detector's precision is part of the graded contract, not a
+    * statistical hope. This is the monitor that fires BEFORE
+    * q_sim_ivf_rebuild's staleness trigger: distribution drift precedes
+    * recall decay.
+    *
+    * Scale shape: ONE corpus pass (the two periods ride an explode of the
+    * same row — no second scan) collapsing to ≤ labels×2×8 rows in a
+    * map-side-combined aggregate; the grid fill, totals and PSI fold are
+    * all label-domain-sized, exactly the q_quality_drift epilogue.
+    * Determinism: add-one smoothing over the fixed 8-cell domain (no
+    * ln(0)), per-cell terms rounded to 6 dp and summed on the exact
+    * decimal path; the flag compares the ROUNDED sum.
+    * Note on the threshold at small strata: with DISJOINT cohorts the
+    * smoothed-PSI null expectation is ≈ (C−1)(1/n_ref + 1/n_cur) and a
+    * production monitor must floor its alert line there; the same-rows
+    * design here makes the null exactly 0, so the classic 0.1 line is
+    * exact at every SF. */
+  val qQualityDriftEmbed: Q = (s, dir) => {
+    import graft.functions.Det.dsum
+    val e = Tables.embeddings(s, dir)
+    def cellOf(shift0: Column): Column =
+      when(col("embedding")(0).cast("double") + shift0 > 0, 4L).otherwise(0L) +
+      when(col("embedding")(1).cast("double") > 0, 2L).otherwise(0L) +
+      when(col("embedding")(2).cast("double") > 0, 1L).otherwise(0L)
+    val stacked = e.select(col("label"), explode(array(
+        struct(lit("ref").as("period"), cellOf(lit(0.0)).as("cell")),
+        struct(lit("cur").as("period"),
+          cellOf(when(col("label") === 0, lit(10.0)).otherwise(lit(0.0)))
+            .as("cell")))).as("pc"))
+      .select(col("label"), col("pc.period").as("period"), col("pc.cell").as("cell"))
+    val counts = stacked.groupBy(col("label"), col("period"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = e.select(col("label")).distinct()
+      .crossJoin(s.range(0, 8).select(col("id").as("cell")))
+    val filled = grid
+      .join(counts.filter(col("period") === "ref")
+        .select(col("label"), col("cell"), col("cnt").as("cr")),
+        Seq("label", "cell"), "left")
+      .join(counts.filter(col("period") === "cur")
+        .select(col("label"), col("cell"), col("cnt").as("cu")),
+        Seq("label", "cell"), "left")
+      .select(col("label"), col("cell"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cu"), lit(0L)).as("cu"))
+    val totals = filled.groupBy(col("label"))
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cu")).as("n_cur"))
+    val p = (col("cr").cast("double") + 1.0) / (col("n_ref").cast("double") + 8.0)
+    val q = (col("cu").cast("double") + 1.0) / (col("n_cur").cast("double") + 8.0)
+    filled.join(broadcast(totals), "label")
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        round((p - q) * log(p / q), 6).as("term"))
+      .groupBy(col("label"), col("n_ref"), col("n_cur"))
+      .agg(dsum(col("term"), 6).as("psi"))
+      .select(col("label"), col("n_ref"), col("n_cur"), col("psi"),
+        when(col("psi") > 0.1, lit(1L)).otherwise(lit(0L)).as("drifted"))
+      .orderBy("label")
+  }
+
   // ------------------------------------------------------ similarity search
 
   /** Brute-force cosine top-10 neighbours of vec_id = 0. The one-row query
@@ -3008,5 +3078,6 @@ object LlmOps {
     "q_text_flesch" -> qTextFlesch,
     "q_dedup_containment" -> qDedupContainment,
     "q_multimodal_join" -> qMultimodalJoin,
+    "q_quality_drift_embed" -> qQualityDriftEmbed,
     "q_dedup_media" -> qDedupMedia)
 }

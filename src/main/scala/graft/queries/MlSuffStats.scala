@@ -1106,6 +1106,67 @@ object MlSuffStats {
       Tables.embeddings(s, dir), graft.Conf.OneTaskSortMaxBytes)(
       aucWindowForm(s, dir))(aucScaleForm(s, dir))
 
+  /** RANKED-RETRIEVAL EVALUATION (r19) — recall@10 / MRR@10 / nDCG@10 per
+    * query of the deterministic brute-force retrieval run (the
+    * q_knn_bruteforce setup widened to 20 queries: Vec.euclid candidates,
+    * (d, nn_id) total order), relevance = label agreement. The eval family
+    * had AUC/ROC/calibration/confusion — classifier metrics — but nothing
+    * that grades a RANKING, which is the eval every retrieval stack in this
+    * library (BM25, cosine/IVF ANN, RRF fusion) actually needs; these three
+    * are the standard IR triple (recall@k with the true relevant-set
+    * denominator, reciprocal rank cut at k, DCG with the 1/log₂(rank+1)
+    * gain against the ideal prefix).
+    *
+    * Scale shape: the 20-query side is broadcast, so scoring is ONE
+    * map-only corpus pass; `row_number ≤ k` over the (qid) window becomes a
+    * WindowGroupLimit (per-partition top-k BEFORE the qid shuffle — the
+    * only corpus-width shuffle carries ≤ queries × k × partitions rows, not
+    * the corpus); everything downstream (label counts join, metric folds)
+    * is queries×k-sized. Relevant-set sizes come from ONE map-side-combined
+    * label count (n_rel = n_label − 1: candidates exclude the query
+    * itself). Determinism: ranks are integers under the pinned total order;
+    * each 1/log₂(rank+1) gain is rounded to 6 dp (absorbing the log's
+    * cross-engine ulp) and summed on the exact decimal path (dsum), and
+    * nDCG's ideal prefix uses the SAME rounded-gain table, so dcg/idcg is a
+    * ratio of exact 6-dp decimals. MRR@k is 0 when no relevant doc makes
+    * the cut (the standard convention). */
+  val qMlEvalRanking: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id").between(0, 19))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("d"), col("nn_id"))
+    val top = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id").as("nn_id"), col("label"),
+        graft.functions.Vec.euclid("embedding", "qe").as("d"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= k)
+      .withColumn("rel", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+    val labelCounts = e.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val perQ = top.groupBy(col("qid"), col("qlabel")).agg(
+      sum(col("rel")).as("hits"),
+      dsum(when(col("rel") === 1L,
+        round(lit(1.0) / log2(col("rn") + lit(1.0)), 6)).otherwise(lit(0.0)), 6)
+        .as("dcg"),
+      min(when(col("rel") === 1L, col("rn"))).as("first_rel"))
+    perQ.join(broadcast(labelCounts), col("qlabel") === col("label"))
+      .withColumn("n_rel", col("n_label") - 1L)
+      .withColumn("idcg", expr(
+        s"""cast(round(aggregate(sequence(1L, least(${k}L, n_rel)),
+           |cast(0 as decimal(38,10)),
+           |(a, i) -> cast(a + cast(round(1.0 / log2(cast(i as double) + 1.0), 6)
+           |               as decimal(38,10)) as decimal(38,10))), 6) * 1000000 as bigint)
+           |/ 1000000.0""".stripMargin.replace("\n", " ")))
+      .select(col("qid"), col("n_rel"), col("hits"),
+        round(col("hits").cast("double") / col("n_rel"), 6).as("recall_at_10"),
+        coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("mrr_at_10"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg_at_10"))
+      .orderBy("qid")
+  }
+
   /** END-TO-END `ml.Pipeline`, GRADED (BASELINE.json's north-star approach
     * by name): VectorAssembler → StandardScaler(withMean) →
     * LogisticRegression fit as ONE PipelineModel
@@ -1368,6 +1429,7 @@ object MlSuffStats {
     "q_ml_als_step" -> qMlAlsStep,
     "q_ml_eval_confusion" -> qMlEvalConfusion,
     "q_ml_eval_auc" -> qMlEvalAuc,
+    "q_ml_eval_ranking" -> qMlEvalRanking,
     "q_ml_eval_calibration" -> qMlEvalCalibration,
     "q_ml_eval_roc" -> qMlEvalRoc,
     "q_ml_kfold" -> qMlKfold,

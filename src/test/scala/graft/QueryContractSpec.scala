@@ -13,8 +13,8 @@ class QueryContractSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without a query: $extra")
   }
 
-  test("declared contract covers all 255 SURVEY §2 keys") {
-    assert(SparkEntry.queries.size == 255)
+  test("declared contract covers all 257 SURVEY §2 keys") {
+    assert(SparkEntry.queries.size == 257)
     // All keys are oracle-checked except the declared non-oracle set below
     // (count pinned by the set literal itself — a stale prose count here
     // was ADVICE r14's first finding, so no number is repeated).

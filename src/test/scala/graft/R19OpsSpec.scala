@@ -40,4 +40,63 @@ class R19OpsSpec extends AnyFunSuite {
       .count()
     assert(remaining == 0, s"$remaining tombstoned row(s) survived the rebuild")
   }
+
+  test("q_ml_eval_ranking: metrics equal an independent driver-side recomputation (sf0.001)") {
+    val got = SparkEntry.queries("q_ml_eval_ranking")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 20)
+    // Independent recomputation: plain-Scala distances (the same sequential
+    // left-to-right double fold Vec.dot pins), ranks, and IR metrics.
+    val rows = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nLabel = rows.groupBy(_._3).map { case (l, v) => l -> v.length }
+    val gains = (1 to 10).map(i =>
+      BigDecimal(r6(1.0 / (math.log(i + 1.0) / math.log(2.0)))))
+    for ((qid, qe, qlabel) <- rows.filter(_._1 <= 19)) {
+      val top = rows.filter(_._1 != qid)
+        .map { case (id, e, l) =>
+          (math.sqrt(math.max(dot(e, e) + dot(qe, qe) - 2.0 * dot(e, qe), 0.0)),
+            id, l) }
+        .sortBy(t => (t._1, t._2)).take(10)
+      val rel = top.map(_._3 == qlabel)
+      val hits = rel.count(identity)
+      val nRel = nLabel(qlabel) - 1
+      val dcg = rel.zipWithIndex.collect { case (true, i) => gains(i) }.sum
+      val idcg = gains.take(math.min(10, nRel)).sum
+      val firstRel = rel.indexOf(true)
+      val row = got(qid)
+      assert(row.getLong(1) == nRel, s"n_rel qid=$qid")
+      assert(row.getLong(2) == hits, s"hits qid=$qid")
+      assert(row.getDouble(3) == r6(hits.toDouble / nRel), s"recall qid=$qid")
+      assert(row.getDouble(4) ==
+        (if (firstRel < 0) 0.0 else r6(1.0 / (firstRel + 1))), s"mrr qid=$qid")
+      assert(row.getDouble(5) == r6(dcg.toDouble / idcg.toDouble), s"ndcg qid=$qid")
+    }
+  }
+
+  test("q_quality_drift_embed: exactly the planted label fires; unchanged labels give PSI exactly 0") {
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val got = SparkEntry.queries("q_quality_drift_embed")(spark, sf).collect()
+      assert(got.length == 10, s"one PSI row per label at $sf")
+      for (r <- got) {
+        val label = r.getInt(0)
+        // Same-rows design: cohort sizes are identical by construction.
+        assert(r.getLong(1) == r.getLong(2), s"n_ref != n_cur at $sf label=$label")
+        if (label == 0) {
+          assert(r.getDouble(3) > 0.1, s"planted label PSI too small at $sf")
+          assert(r.getLong(4) == 1L, s"planted label did not flag at $sf")
+        } else {
+          assert(r.getDouble(3) == 0.0, s"unchanged label $label has nonzero PSI at $sf")
+          assert(r.getLong(4) == 0L, s"unchanged label $label flagged at $sf")
+        }
+      }
+    }
+  }
 }

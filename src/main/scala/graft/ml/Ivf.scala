@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  private def dbg[A](name: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_PQ_DEBUG")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ivf] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    } else f
+
   case class Index(assigned: DataFrame, model: KMeansModel,
                    arrayCol: String, idCol: String)
 
@@ -189,11 +197,17 @@ object Ivf {
                        idCol: String = "vec_id",
                        tuneForK: Int = 10,
                        targetRecall: Double = 0.9): DiskIndex = {
-    val idx0 = build(embeddings, arrayCol, nCells, seed, idCol)
+    val idx0 = dbg("build.kmeans") { build(embeddings, arrayCol, nCells, seed, idCol) }
     val idx = idx0.copy(assigned =
       graft.operators.ScaleOps.trackedPersist(idx0.assigned))
-    val nProbe = tuneNProbe(idx, tuneForK, targetRecall)
-    graft.sources.Layout.writePartitioned(idx.assigned, path, "cell")
+    // Materialize the assigned cache once, then OVERLAP the probe-width
+    // tune and the layout write (guide §2.6): both only READ the persisted
+    // frame, neither depends on the other, and the tuned width is written
+    // to its sidecar after both finish — identical artifacts, less wall.
+    dbg("build.assign") { idx.assigned.count() }
+    val (nProbe, _) = graft.operators.ScaleOps.inParallel2(
+      () => dbg("build.tune") { tuneNProbe(idx, tuneForK, targetRecall) },
+      () => dbg("build.write") { graft.sources.Layout.writePartitioned(idx.assigned, path, "cell") })
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_ivf_nprobe"), nProbe.toString)
     DiskIndex(path, idx.model, arrayCol, idCol, Some(nProbe))
@@ -341,38 +355,46 @@ object Ivf {
       antiTombstones(spark, index,
         graft.sources.Layout.readPartitioned(spark, dataRoot(index.path))))
     val nCells = index.model.clusterCenters.length
-    val perCell = live.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    live.count() // materialize the cache once for the overlapped reads below
+    val idC = col(index.idCol)
+    // The per-cell histogram and the sample-query exact-top-k pass are
+    // independent reads of the materialized cache — overlap them
+    // (guide §2.6); the computed statistics are unchanged.
+    val (perCell, (samples, topk)) = graft.operators.ScaleOps.inParallel2(
+      () => live.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap,
+      () => {
+        val samples = live
+          .select(idC.cast("long"), col(index.arrayCol).cast("array<double>"))
+          .orderBy(idC).limit(nSamples)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        require(samples.nonEmpty, "staleness: empty index")
+        // Exact top-k of all samples in ONE pass; a neighbour is recalled
+        // iff its assigned cell ranks inside the stored width.
+        val qdf = samples.toSeq.toDF("__qid", "__qe")
+        val topk = live
+          .crossJoin(broadcast(qdf))
+          .filter(idC =!= col("__qid"))
+          .withColumn("__d", graft.functions.Vec.euclid(index.arrayCol, "__qe"))
+          .withColumn("__r", row_number().over(
+            Window.partitionBy(col("__qid")).orderBy(col("__d"), idC)))
+          .filter(col("__r") <= k)
+          .select(col("__qid"), col("cell"))
+          .collect().map(r => (r.getLong(0), r.getInt(1)))
+        (samples, topk)
+      })
     val total = perCell.values.sum
     val imbalance =
       if (total == 0) 0.0
       else perCell.values.max.toDouble / (total.toDouble / nCells)
     val width = index.tunedNProbe.orElse(storedNProbe(index.path))
       .getOrElse(nCells)
-    val idC = col(index.idCol)
-    val samples = live
-      .select(idC.cast("long"), col(index.arrayCol).cast("array<double>"))
-      .orderBy(idC).limit(nSamples)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(samples.nonEmpty, "staleness: empty index")
     // Probed-row fraction at the stored width, per sample query.
     val scanFrac = samples.map { case (_, q) =>
       nearestCells(index.model, q, width)
         .map(c => perCell.getOrElse(c, 0L)).sum.toDouble / math.max(1L, total)
     }.sum / samples.length
-    // Exact top-k of all samples in ONE pass; a neighbour is recalled iff
-    // its assigned cell ranks inside the stored width for its query.
-    val qdf = samples.toSeq.toDF("__qid", "__qe")
-    val topk = live
-      .crossJoin(broadcast(qdf))
-      .filter(idC =!= col("__qid"))
-      .withColumn("__d", graft.functions.Vec.euclid(index.arrayCol, "__qe"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col("__qid")).orderBy(col("__d"), idC)))
-      .filter(col("__r") <= k)
-      .select(col("__qid"), col("cell"))
-      .collect().map(r => (r.getLong(0), r.getInt(1)))
     val probedByQid = samples.map { case (qid, q) =>
       qid -> nearestCells(index.model, q, width).toSet
     }.toMap
@@ -424,12 +446,16 @@ object Ivf {
       .drop("cell")
       .join(graft.operators.ScaleOps.maybeBroadcast(snapIds),
         Seq(index.idCol), "left_anti")
-    val idx0 = build(survivors, index.arrayCol, nCells, seed, index.idCol)
+    val idx0 = dbg("rebuild.kmeans") { build(survivors, index.arrayCol, nCells, seed, index.idCol) }
     val idx = idx0.copy(assigned =
       graft.operators.ScaleOps.trackedPersist(idx0.assigned))
-    val nProbe = tuneNProbe(idx, tuneForK, targetRecall)
+    // Same overlap as buildPartitioned: tune + new-generation write are
+    // independent reads of the materialized cache (guide §2.6).
+    dbg("rebuild.assign") { idx.assigned.count() }
     val gen = s"gen-${nextGen(index.path)}"
-    graft.sources.Layout.writePartitioned(idx.assigned, s"${index.path}/$gen", "cell")
+    val (nProbe, _) = graft.operators.ScaleOps.inParallel2(
+      () => dbg("rebuild.tune") { tuneNProbe(idx, tuneForK, targetRecall) },
+      () => dbg("rebuild.write") { graft.sources.Layout.writePartitioned(idx.assigned, s"${index.path}/$gen", "cell") })
     val tmpNp = Paths.get(index.path,
       s"_ivf_nprobe.tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmpNp, nProbe.toString)

@@ -44,15 +44,23 @@ object Pq {
     * paper's one-byte setting) — `random` init keeps 8 × k=256 fits cheap;
     * codebook quality only shifts which candidates make the shortlist, the
     * exact re-rank decides the final ranking. */
+  private def dbg[A](name: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_PQ_DEBUG")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[pq] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    } else f
+
   def build(embeddings: DataFrame, arrayCol: String, nCells: Int,
             m: Int = 8, seed: Long = 42L, idCol: String = "vec_id",
             targetRecall: Double = 0.9, tuneForK: Int = 10): PqIndex = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val idx0 = Ivf.build(embeddings, arrayCol, nCells, seed, idCol, maxIter = 4)
+    val idx0 = dbg("ivf.build") { Ivf.build(embeddings, arrayCol, nCells, seed, idCol, maxIter = 4) }
     val assigned = graft.operators.ScaleOps.trackedPersist(idx0.assigned)
-    val nProbe = Ivf.tuneNProbe(idx0.copy(assigned = assigned),
-      tuneForK, targetRecall)
+    val nProbe = dbg("tuneNProbe") { Ivf.tuneNProbe(idx0.copy(assigned = assigned),
+      tuneForK, targetRecall) }
     val dim = assigned.select(size(col(arrayCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -70,13 +78,20 @@ object Pq {
     // m chained pointwise transforms evaluated in one pass (each O(rows ×
     // 256 × dsub) — the same cost shape as the coarse assignment).
     val resP = graft.operators.ScaleOps.trackedPersist(withRes)
-    val models = (0 until m).map { s =>
-      new KMeans().setK(256).setSeed(seed + s)
+    // Materialize the shared residual cache ONCE, then fit the m codebooks
+    // CONCURRENTLY (guide §2.6 — the fits are independent actions: each has
+    // its own seed, reads only the persisted frame, and a fit's result
+    // depends on nothing another fit does, so the models are bit-identical
+    // to the sequential loop; only the wall-clock changes — measured 8.6 s
+    // of serial fits at sf0.1 collapse to the slowest single fit).
+    dbg("resP materialize") { resP.count() }
+    val models = graft.operators.ScaleOps.inParallel((0 until m).map { s =>
+      () => dbg(s"fit book $s") { new KMeans().setK(256).setSeed(seed + s)
         .setInitMode("random").setMaxIter(2).setFeaturesCol("features")
         .fit(Pipelines.withFeatures(
           resP.withColumn("__sub", subCol("__res", s, dsub)), "__sub")
-          .select("features"))
-    }
+          .select("features")) }
+    })
     var cur: DataFrame = resP
     models.zipWithIndex.foreach { case (model, s) =>
       cur = model.transform(Pipelines.withFeatures(

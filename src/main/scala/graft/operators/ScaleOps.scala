@@ -68,6 +68,47 @@ object ScaleOps {
     p
   }
 
+  /** Run independent Spark ACTIONS concurrently and return their results in
+    * input order (spark_optimization_guide §2.6: the scheduler runs several
+    * jobs at once; actions are only sequential because driver code calls
+    * them sequentially — overlapping lets one job's tasks back-fill
+    * executors idled by another's tail). Callers must pass thunks that are
+    * genuinely independent: no ordering requirement, no shared mutable
+    * state, and any shared persisted frame materialized BEFORE the fork so
+    * the threads hit the cache instead of racing to compute it. Exceptions
+    * rethrow the original cause. Wall-clock only — results are identical to
+    * running the thunks in order. */
+  def inParallel[A](thunks: Seq[() => A]): Seq[A] =
+    if (thunks.sizeIs <= 1) thunks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+      try {
+        val futs = thunks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            override def call(): A = t()
+          })
+        }
+        futs.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+
+  /** Two-action heterogeneous [[inParallel]]. */
+  def inParallel2[A, B](fa: () => A, fb: () => B): (A, B) = {
+    val r = inParallel[Any](Seq(fa, fb))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B])
+  }
+
+  /** Three-action heterogeneous [[inParallel]]. */
+  def inParallel3[A, B, C](fa: () => A, fb: () => B, fc: () => C): (A, B, C) = {
+    val r = inParallel[Any](Seq(fa, fb, fc))
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B], r(2).asInstanceOf[C])
+  }
+
   /** Unpersist every registered frame (non-blocking). Safe to call while
     * other queries are planning: unpersist only marks the cache entry; an
     * in-flight plan that still references the frame recomputes it. */

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Runtime {
 
+  private def dbg[A](name: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_PQ_DEBUG")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[rt] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    } else f
+
   /** The events table as a file-source stream (one file → one micro-batch;
     * `maxFilesPerTrigger=1` keeps replay deterministic). Schema comes from a
     * batch peek — required by file streaming sources. `ts` is normalized
@@ -1160,13 +1168,23 @@ object Runtime {
     val idxBuckets = Layout.manifestPrunedRead(spark, bktPath, all, hiAll)
     val (bMeta, bBuckets, dropped) =
       graft.queries.LlmOps.corpusDedupTick(idxMeta, idxBuckets, batch)
-    batch.select(col("doc_id"), col("source"))
-      .join(dropped, Seq("doc_id"), "left_anti")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$outPath/tick-$batchId")
+    // bMeta is the shared upstream of all three actions below — materialize
+    // its cache once, then OVERLAP the survivors write and the two layouts'
+    // staged appends (guide §2.6): they touch disjoint paths, the appends
+    // stay invisible until the single txnPublish after all three land, and
+    // every committed byte is identical to the sequential order.
+    dbg(s"tick $batchId bMeta") { bMeta.count() }
     val txn = Layout.txnBegin(spark, marker)
-    Layout.txnAppendManifested(bMeta, metaPath, "doc_id", 1, txn)
-    Layout.txnAppendManifested(bBuckets, bktPath, "doc_id", 1, txn)
+    graft.operators.ScaleOps.inParallel3(
+      () => dbg(s"tick $batchId survivors") {
+        batch.select(col("doc_id"), col("source"))
+          .join(dropped, Seq("doc_id"), "left_anti")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$outPath/tick-$batchId") },
+      () => dbg(s"tick $batchId append meta") {
+        Layout.txnAppendManifested(bMeta, metaPath, "doc_id", 1, txn) },
+      () => dbg(s"tick $batchId append bkt") {
+        Layout.txnAppendManifested(bBuckets, bktPath, "doc_id", 1, txn) })
     Layout.txnPublish(spark, txn)
   }
 
@@ -1196,10 +1214,14 @@ object Runtime {
     Tables.deleteRecursively(root)
     val (metaPath, bktPath) = (s"$root/meta", s"$root/buckets")
     val (outPath, ckpt, txnRoot) = (s"$root/out", s"$root/ckpt", s"$root/txn")
-    val (baseMeta, baseBuckets) = graft.queries.LlmOps.stagedCorpusIndex(spark, dir)
-    Layout.writeManifested(baseMeta, metaPath, "doc_id", 4)
-    Layout.writeManifested(baseBuckets, bktPath, "doc_id", 4)
-    val arrivalsDir = corpusArrivalsDir(spark, dir)
+    val (baseMeta, baseBuckets) = dbg("stagedCorpusIndex") {
+      graft.queries.LlmOps.stagedCorpusIndex(spark, dir) }
+    // The two bootstrap layouts are independent writes — overlap them
+    // (guide §2.6; same files, same manifests, less wall-clock).
+    graft.operators.ScaleOps.inParallel2(
+      () => dbg("bootstrap meta") { Layout.writeManifested(baseMeta, metaPath, "doc_id", 4) },
+      () => dbg("bootstrap bkt") { Layout.writeManifested(baseBuckets, bktPath, "doc_id", 4) })
+    val arrivalsDir = dbg("arrivalsDir") { corpusArrivalsDir(spark, dir) }
     val schema = spark.read
       .parquet(s"$arrivalsDir/arrivals_0.parquet").schema
     val arrivals = spark.readStream.schema(schema)
@@ -1208,9 +1230,10 @@ object Runtime {
     val q = arrivals.writeStream.outputMode("append")
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        corpusDedupTickCommit(spark, b, id, metaPath, bktPath, outPath, txnRoot)
+        dbg(s"tick $id total") {
+          corpusDedupTickCommit(spark, b, id, metaPath, bktPath, outPath, txnRoot) }
       }.start()
-    try q.processAllAvailable() finally q.stop()
+    dbg("stream drain") { try q.processAllAvailable() finally q.stop() }
     // Certificate 1: one published tick marker and one index commit per
     // micro-batch (v0 build + 3 tick appends = version 3 on both layouts).
     val markers = {

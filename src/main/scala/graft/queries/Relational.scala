@@ -3556,6 +3556,10 @@ object Relational {
 
   private[graft] val wmedianAggForm: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
+    // NOTE (r19 opt round): pw feeds two consumers, but persisting it was
+    // MEASURED SLOWER at sf0.1 (columnar-caching DECIMAL partials costs
+    // more than recomputing the aggregation — action 5.9s -> 7.6-11.6s),
+    // the same lesson as ScaleOps.persistIfBig's langid note. Recompute.
     val pw = wmedianPartials(s, dir)
     val wRun = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -107,23 +107,37 @@ object Bench {
       graft.operators.ScaleOps.releaseTracked()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal per-query rounding (ms precision — far below host noise):
+    // the full-precision doubles grew the per-query line past what the
+    // capture channel reliably delivers (the driver's bench parse failed in
+    // r18 AND r19 with the final flush lost mid-line — VERDICT r19 Wrong #1).
+    // Rounding cuts the line ~40%; the measurement itself is unchanged.
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val errs = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // Truncation-resilient stdout contract (VERDICT r19 Next #1): the
+    // harness has lost the LAST stdout flush mid-line two rounds running,
+    // and its tail window is ~2000 bytes — smaller than any 257-key
+    // per-query line can ever be. So the compact total line prints FIRST
+    // (it survives even if everything after it is lost), the full per-query
+    // contract line prints in the middle (intact in a full-stdout capture;
+    // also persisted in BENCH_OUT.json), and the compact line prints AGAIN
+    // as the final line so a tail-window parse always finds complete JSON.
+    // Explicit flushes push every line into the pipe before spark.stop()'s
+    // shutdown can swallow a buffered tail.
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir","detail":"BENCH_OUT.json"}"""
+    println(compact)
     println(json)
-    // The harness snapshots only the LAST ~2000 bytes of stdout, and the
-    // full per-query line outgrew that window as the contract passed ~80
-    // keys (r9's artifact tail was cut mid-JSON, parsed=null). Emit a
-    // compact summary as the FINAL line so a line-oriented tail parse
-    // always finds complete JSON; the full per-query map stays in the line
-    // above and in the committed BENCH_OUT.json.
-    println(s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","n_queries":${results.size},"errors":$errs,"sf":"$sfDir","detail":"BENCH_OUT.json"}""")
+    println(compact)
+    System.out.flush()
     Tables.deleteRecursively(stageRoot)
     spark.stop()
+    System.out.flush()
   }
 }

@@ -23,12 +23,7 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   private def dbg[A](name: String)(f: => A): A =
-    if (sys.env.contains("GRAFT_PQ_DEBUG")) {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[ivf] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
-      r
-    } else f
+    graft.operators.ScaleOps.dbg("ivf")(name)(f)
 
   case class Index(assigned: DataFrame, model: KMeansModel,
                    arrayCol: String, idCol: String)

@@ -45,12 +45,7 @@ object Pq {
     * codebook quality only shifts which candidates make the shortlist, the
     * exact re-rank decides the final ranking. */
   private def dbg[A](name: String)(f: => A): A =
-    if (sys.env.contains("GRAFT_PQ_DEBUG")) {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[pq] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
-      r
-    } else f
+    graft.operators.ScaleOps.dbg("pq")(name)(f)
 
   def build(embeddings: DataFrame, arrayCol: String, nCells: Int,
             m: Int = 8, seed: Long = 42L, idCol: String = "vec_id",

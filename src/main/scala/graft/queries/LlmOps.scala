@@ -1734,26 +1734,65 @@ object LlmOps {
       i => hx.substr(i * lit(2) - lit(1), lit(2))), array(lit("</w>")))
   }
 
+  /** The corpus word-frequency frame the BPE trainer symbolizes. */
+  private def bpeTrainWords(s: SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
   /** The distributed BPE training loop (see [[qTextBpeTrain]] for the
     * algorithm and scale argument). Returns the learned rule table.
     * `symize` picks the initial alphabet: char-level (default) or
-    * byte-level ([[byteSyms]]) — the merge machinery is alphabet-blind. */
+    * byte-level ([[byteSyms]]) — the merge machinery is alphabet-blind.
+    *
+    * r20: each merge step rewrites the vocabulary on the PACKED string form
+    * (graft.text.SymPack — one codegen'd `replace` per word instead of the
+    * O(len²) interpreted array fold) with pair counts derived from the same
+    * packed column; the learned rules are bit-identical (TextOpsSpec pins
+    * the sequence against the driver reference). A corpus word containing
+    * the marker char would make the packing ambiguous — one cached-scan
+    * check routes that input through [[trainBpeMergesFold]] (byte-level
+    * symbols are hex pairs, so the byteSyms path can never be dirty). */
   def trainBpeMerges(s: SparkSession, dir: String, steps: Int = 10,
                      symize: Column => Column = charSyms)
       : Seq[(Int, String, String, String, Long)] = {
-    var words = graft.operators.ScaleOps.trackedPersist(
-      Tables.documents(s, dir)
-        .select(explode(split(lower(col("text")), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .select(symize(col("w")).as("syms"), col("n")))
+    import graft.text.SymPack._
+    val words0 = graft.operators.ScaleOps.trackedPersist(
+      bpeTrainWords(s, dir)
+        .select(pack(symize(col("w"))).as("ms"), col("n"),
+          dirty(symize(col("w"))).as("__dirty")))
+    if (words0.filter(col("__dirty")).limit(1).count() > 0)
+      return trainBpeMergesFold(s, dir, steps, symize)
+    var words: DataFrame = words0.select(col("ms"), col("n"))
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (step <- 1 to steps) {
       val top = words
-        .select(explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"), col("n"))
+        .select(explode(adjacentPairs(unpack(col("ms")))).as("p"), col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step, a, b, a + b, cnt))
+      words = graft.operators.ScaleOps.trackedPersist(words.select(
+        mergeStep(col("ms"), a, b, a + b).as("ms"), col("n")))
+    }
+    merges.result()
+  }
+
+  /** The original array-fold BPE trainer — exact-semantics fallback for
+    * marker-containing corpora (see [[trainBpeMerges]]). */
+  private def trainBpeMergesFold(s: SparkSession, dir: String, steps: Int,
+                                 symize: Column => Column)
+      : Seq[(Int, String, String, String, Long)] = {
+    var words = graft.operators.ScaleOps.trackedPersist(
+      bpeTrainWords(s, dir).select(symize(col("w")).as("syms"), col("n")))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to steps) {
+      val top = words
+        .select(explode(graft.text.SymPack.adjacentPairs(col("syms"))).as("p"),
+          col("n"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
@@ -1779,18 +1818,27 @@ object LlmOps {
     * against a driver-side reference encode under the spec-verified
     * reference rules. */
   val qTextBpeEncode: Q = (s, dir) => {
+    import graft.text.SymPack._
     val merges = stagedBpeMerges(s, dir)
     val docWords = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    var vocab = docWords.select(col("w")).distinct()
-      .select(col("w"), concat(
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-        array(lit("</w>"))).as("syms"))
-    for ((a, b) <- merges)
-      vocab = vocab.select(col("w"), bpeMergeFold(col("syms"), a, b).as("syms"))
-    val wordTokens = vocab.select(col("w"), size(col("syms")).cast("long").as("n_tok"))
+    val initS = concat(
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+      array(lit("</w>")))
+    // r20: the 10 merge folds run on the PACKED string form (codegen'd
+    // replace chain; token count = half the marker count). A
+    // marker-containing word (ambiguous packing) takes the original fold
+    // chain through the per-row `when` instead, so counts are exact on any
+    // input; both branches are lazy per row.
+    val ms = merges.foldLeft(pack(initS)) {
+      case (acc, (a, b)) => mergeStep(acc, a, b, a + b) }
+    val foldTok = size(merges.foldLeft(initS) {
+      case (acc, (a, b)) => bpeMergeFold(acc, a, b) })
+    val wordTokens = docWords.select(col("w")).distinct()
+      .select(col("w"), when(dirty(initS), foldTok.cast("long"))
+        .otherwise(packedSize(ms)).as("n_tok"))
     docWords
       .join(graft.operators.ScaleOps.broadcastIfSourceSmall(
         wordTokens, Tables.documents(s, dir)), Seq("w"))
@@ -1826,10 +1874,15 @@ object LlmOps {
         .otherwise(lit("clean")).as("bucket"),
         explode(split(col("line"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    var vocab = words.select(col("w")).distinct()
-      .select(col("w"), byteSyms(col("w")).as("syms"))
-    for ((_, a, b, _, _) <- merges)
-      vocab = vocab.select(col("w"), bpeMergeFold(col("syms"), a, b).as("syms"))
+    // r20: merge folds on the PACKED string form (graft.text.SymPack — a
+    // codegen'd replace chain). Byte-level symbols are hex pairs + the
+    // terminator, so the packing can NEVER be ambiguous — no dirty guard
+    // needed on this path, for any input bytes.
+    val msFinal = merges.foldLeft(graft.text.SymPack.pack(byteSyms(col("w")))) {
+      case (acc, (_, a, b, _, _)) =>
+        graft.text.SymPack.mergeStep(acc, a, b, a + b) }
+    val vocab = words.select(col("w")).distinct()
+      .select(col("w"), graft.text.SymPack.unpack(msFinal).as("syms"))
     // The unk certificate is a real membership test: a symbol is known
     // iff it is the terminator, a base byte (one hex pair), or a LEARNED
     // merge output — nothing else can appear, and the count proves it.

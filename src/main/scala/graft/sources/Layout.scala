@@ -176,15 +176,156 @@ object Layout {
     df.repartitionByRange(numFiles, col(statsCol))
       .sortWithinPartitions(statsCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/data")
-    spark.read.parquet(s"$path/data")
-      .select(col(statsCol))
-      .groupBy(input_file_name().as("file_path"))
-      .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
-        count(lit(1)).as("n_rows"))
-      .withColumn("commit_ver", lit(0L))
-      .withColumn("op", lit("add"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+    // Manifest stats WITHOUT re-scanning the table (r20 — guide §6, VERDICT
+    // r19 Next #3): the write pass already recorded exact per-file
+    // min/max/rowcount in the parquet FOOTERS; read those (O(files) driver
+    // work, no Spark job) instead of a second full pass over the data —
+    // which at 100 TB is a whole-table column scan per build. Values are
+    // bit-identical for the proven footer types (ManifestSpec pins the
+    // footer path against the scan path row-for-row); anything else falls
+    // back to the original scan.
+    import org.apache.hadoop.fs.Path
+    val dataDir = new Path(s"$path/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet")).toIndexedSeq
+    val dt = df.schema(statsCol).dataType
+    footerFileStats(spark, parts.map(_.getPath), statsCol, dt) match {
+      case Some(stats) =>
+        // file_path exactly as input_file_name() renders it (the scan
+        // path's key): URI form with an empty authority on local FS.
+        val rows = stats.map { case (p, mn, mx, n) =>
+          org.apache.spark.sql.Row(inputFileNameString(fs, p), mn, mx, n,
+            0L, "add")
+        }.sortBy(_.getString(0))
+        val schema = manifestSchema(dt, filePathNullable = false)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema)
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+      case None =>
+        spark.read.parquet(s"$path/data")
+          .select(col(statsCol))
+          .groupBy(input_file_name().as("file_path"))
+          .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("commit_ver", lit(0L))
+          .withColumn("op", lit("add"))
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+    }
+  }
+
+  /** The manifest row schema both stats paths produce ([[writeManifested]]'s
+    * aggregation derives exactly this; the footer path must match it so the
+    * committed manifest parts are byte-compatible): min/max nullable (an
+    * all-null stats column yields null envelopes), counts/version/op not. */
+  private def manifestSchema(dt: org.apache.spark.sql.types.DataType,
+                             filePathNullable: Boolean)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("file_path", StringType, nullable = filePathNullable),
+      StructField("min_v", dt, nullable = true),
+      StructField("max_v", dt, nullable = true),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("commit_ver", LongType, nullable = false),
+      StructField("op", StringType, nullable = false)))
+  }
+
+  /** Render a file path the way `input_file_name()` does on the scan side
+    * (URI with an empty authority on the local scheme — "file:///..."), so
+    * footer-derived manifest rows join/compare against scan-derived ones. */
+  private def inputFileNameString(fs: org.apache.hadoop.fs.FileSystem,
+                                  p: org.apache.hadoop.fs.Path): String = {
+    val uri = fs.makeQualified(p).toUri
+    if (uri.getScheme == "file") "file://" + uri.getRawPath else uri.toString
+  }
+
+  /** Exact per-file (min, max, n_rows) of the stats column read from the
+    * parquet FOOTERS the write pass already produced — the zero-job twin of
+    * the read-back aggregation. Returns None (caller falls back to the
+    * scan) unless every file carries exact, decodable statistics:
+    * the PROVEN set is INT64 long, INT64 TIMESTAMP(MICROS) (what Spark
+    * 4.x writes for TimestampType), INT32 int and INT32 date — numeric
+    * footer stats are exact by the format spec (no truncation, unlike
+    * binary). External values are built with the same conversions a
+    * collect() of the scan path applies, so rows match bit-for-bit. */
+  private def footerFileStats(spark: SparkSession,
+                              files: Seq[org.apache.hadoop.fs.Path],
+                              statsCol: String,
+                              dt: org.apache.spark.sql.types.DataType)
+      : Option[Seq[(org.apache.hadoop.fs.Path, Any, Any, Long)]] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    if (!Seq(LongType, IntegerType, TimestampType, DateType).contains(dt))
+      return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    def decode(v: Long): Any = dt match {
+      case LongType => java.lang.Long.valueOf(v)
+      case IntegerType => java.lang.Integer.valueOf(v.toInt)
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(v)
+      case DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(v.toInt)
+      case _ => throw new IllegalStateException("unreachable: gated above")
+    }
+    // Physical/logical footer shape the Catalyst type must have been
+    // written as — anything else (INT96 timestamps from a foreign writer,
+    // strings, decimals) → None.
+    def usable(pt: org.apache.parquet.schema.PrimitiveType): Boolean =
+      (dt, pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+        case (LongType, PrimitiveTypeName.INT64, null) => true
+        case (IntegerType, PrimitiveTypeName.INT32, null) => true
+        case (IntegerType, PrimitiveTypeName.INT32,
+              _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) => true
+        case (TimestampType, PrimitiveTypeName.INT64,
+              t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+          if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS => true
+        case (DateType, PrimitiveTypeName.INT32,
+              _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) => true
+        case _ => false
+      }
+    val out = Seq.newBuilder[(org.apache.hadoop.fs.Path, Any, Any, Long)]
+    for (f <- files) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        var nRows = 0L
+        var mn = Option.empty[Long]
+        var mx = Option.empty[Long]
+        for (b <- reader.getFooter.getBlocks.asScala) {
+          nRows += b.getRowCount
+          val chunk = b.getColumns.asScala.find(c =>
+            c.getPath.size == 1 && c.getPath.toDotString == statsCol)
+          chunk match {
+            case Some(c) if usable(c.getPrimitiveType) =>
+              val st = c.getStatistics
+              // Exactness gate: statistics must exist and carry real
+              // min/max unless the block is all-null for this column.
+              if (st == null || (!st.hasNonNullValue &&
+                  !(st.isNumNullsSet && st.getNumNulls == b.getRowCount)))
+                return None
+              if (st.hasNonNullValue) {
+                val (lo, hi) = st match {
+                  case s: org.apache.parquet.column.statistics.LongStatistics =>
+                    (s.getMin, s.getMax)
+                  case s: org.apache.parquet.column.statistics.IntStatistics =>
+                    (s.getMin.toLong, s.getMax.toLong)
+                  case _ => return None
+                }
+                mn = Some(mn.fold(lo)(math.min(_, lo)))
+                mx = Some(mx.fold(hi)(math.max(_, hi)))
+              }
+            case _ => return None
+          }
+        }
+        out += ((f, mn.map(decode).orNull, mx.map(decode).orNull, nRows))
+      } finally reader.close()
+    }
+    Some(out.result())
   }
 
   // --------------------------------- CROSS-LAYOUT ATOMIC COMMIT (r19)
@@ -363,23 +504,35 @@ object Layout {
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // Stats over ONLY the new files, keyed by their final (post-rename)
     // location so the manifest row format matches writeManifested's.
+    // r20: read them from the parquet FOOTERS the write just produced
+    // (zero Spark jobs — guide §6; the scan fallback below remains for
+    // unproven stats types, and ManifestSpec pins both paths identical).
     val qualified = fs.makeQualified(dataDir).toString
-    val newRows = spark.read.parquet(tmp.toString)
-      .select(col(statsCol))
-      .groupBy(input_file_name().as("file_path"))
-      .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
-        count(lit(1)).as("n_rows"))
-      .withColumn("file_path", concat(lit(qualified + "/"),
-        element_at(split(col("file_path"), "/"), -1)))
-      .withColumn("commit_ver", lit(ver))
-      .withColumn("op", lit("add"))
+    val parts0 = fs.listStatus(tmp)
+      .filter(_.getPath.getName.endsWith(".parquet")).toIndexedSeq
+    val dt = df.schema(statsCol).dataType
     // Materialize the stats BEFORE the renames invalidate the tmp paths.
-    val staged = newRows.collect().toIndexedSeq
+    val staged: IndexedSeq[org.apache.spark.sql.Row] =
+      footerFileStats(spark, parts0.map(_.getPath), statsCol, dt) match {
+        case Some(stats) => stats.map { case (p, mn, mx, n) =>
+            org.apache.spark.sql.Row(
+              s"$qualified/${p.getName}", mn, mx, n, ver, "add")
+          }.sortBy(_.getString(0)).toIndexedSeq
+        case None => spark.read.parquet(tmp.toString)
+          .select(col(statsCol))
+          .groupBy(input_file_name().as("file_path"))
+          .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("file_path", concat(lit(qualified + "/"),
+            element_at(split(col("file_path"), "/"), -1)))
+          .withColumn("commit_ver", lit(ver))
+          .withColumn("op", lit("add"))
+          .collect().toIndexedSeq
+      }
     // First commit on an empty layout (a streaming sink's tick one)
     // bootstraps the directory — append and build are then ONE code path.
     fs.mkdirs(dataDir)
-    val parts = fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
-    for (f <- parts) {
+    for (f <- parts0) {
       // A silently failed rename would leave the manifest row (committed
       // below) pointing at a missing file — the one inconsistency the
       // commit ordering exists to rule out. Hadoop signals failure by
@@ -388,7 +541,10 @@ object Layout {
       require(moved, s"stageDataFiles: rename failed for ${f.getPath}")
     }
     fs.delete(tmp, true)
-    (parts.length, staged, newRows.schema)
+    // Schema identical between the two stats paths (the scan aggregation
+    // derives exactly manifestSchema with a nullable file_path — the
+    // concat/element_at projection is nullable).
+    (parts0.length, staged, manifestSchema(dt, filePathNullable = true))
   }
 
   /** Append `rows` as ONE new manifest part — the visibility commit, made

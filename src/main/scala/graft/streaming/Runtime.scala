@@ -18,12 +18,7 @@ import org.apache.spark.sql.functions._
 object Runtime {
 
   private def dbg[A](name: String)(f: => A): A =
-    if (sys.env.contains("GRAFT_PQ_DEBUG")) {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[rt] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
-      r
-    } else f
+    graft.operators.ScaleOps.dbg("rt")(name)(f)
 
   /** The events table as a file-source stream (one file → one micro-batch;
     * `maxFilesPerTrigger=1` keeps replay deterministic). Schema comes from a
